@@ -1,0 +1,94 @@
+"""Catalog: named Parquet tables registered as temp views.
+
+Reference parity: `BigQueryTable` (bqfetch/bqfetch.py:20-41) is a pure
+name triple; here a table name resolves to `{sf_dir}/{name}.parquet` and
+is registered as a temp view so both the DataFrame API and `spark.sql`
+reach it (SURVEY.md §1.1). Schema is self-describing Parquet — same
+"source-of-truth is the catalog" stance as the reference (SURVEY.md §1.4).
+
+Normalization at load (SURVEY.md §7 risk register):
+- `events.ts` is stored as timestamp[ns]; Spark reads it fine but we cast
+  to TimestampType (µs) explicitly so engine and oracle agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Catalog:
+    """Loads the fixture tables for one scale-factor directory and
+    registers them as temp views named exactly like the files."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._dfs: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.sf_dir, f"{name}.parquet")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._dfs:
+            if name not in TABLES:
+                raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+            df = self.spark.read.parquet(self.path(name))
+            df = _normalize(name, df)
+            df.createOrReplaceTempView(name)
+            self._dfs[name] = df
+        return self._dfs[name]
+
+    def load_all(self) -> "Catalog":
+        for name in TABLES:
+            self.table(name)
+        return self
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+
+# columns stored as timestamp[ns]; surfaced as int64 nanos under
+# spark.sql.legacy.parquet.nanosAsLong (session.py) and converted here
+NANO_TS_COLUMNS = {"events": ("ts",)}
+
+
+def _normalize(name: str, df: DataFrame) -> DataFrame:
+    """Cast any non-standard timestamp precision to Spark TimestampType.
+
+    Nanosecond columns floor-truncate to microseconds — the same thing
+    DuckDB's µs TIMESTAMP does on read, so engine and oracle agree.
+    """
+    out = df
+    for col in NANO_TS_COLUMNS.get(name, ()):
+        if col in out.columns and out.schema[col].dataType.simpleString() == "bigint":
+            # integer division — a double division would lose precision
+            # on int64 epoch-nanos (~1.7e18 > 2^53)
+            out = out.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    for field in out.schema.fields:
+        simple = field.dataType.simpleString()
+        if simple.startswith("timestamp") and not isinstance(field.dataType, TimestampType):
+            out = out.withColumn(field.name, F.col(field.name).cast(TimestampType()))
+    return out
+
+
+def load_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
+    return Catalog(spark, sf_dir).load_all()

@@ -1,0 +1,169 @@
+"""Fetch-parity facade: the reference's public API surface re-expressed
+Spark-first (SURVEY.md §2.B, §3).
+
+Reference mapping:
+- ``BigQueryTable(project, dataset, table)`` (bqfetch/bqfetch.py:20-41)
+  → ``TableRef`` resolving to a Parquet path / temp view.
+- ``BigQueryFetcher.chunks(column, by_nb_chunks=n)`` (:232-265) →
+  ``Fetcher.chunks``: the chunk-key domain is still discovered with a
+  distinct projection (operator A1), but instead of materializing every
+  value into Python lists (the reference collects the whole domain,
+  :256) we compute **contiguous value-range buckets** distributed
+  (ntile over the sorted distinct domain) and collect only n (lo, hi)
+  boundary pairs — O(n_chunks), not O(n_values), so the planning step
+  itself survives a 100 TB table.
+- ``BigQueryFetcher.fetch(chunk, nb_cores, parallel_backend)``
+  (:267-372) → ``Fetcher.fetch``: a range predicate pushed into the
+  Parquet scan. Process pools / CTAS temp tables / psutil sizing
+  (bqfetch/utils.py:30-62, bqfetch/bqfetch.py:158-181,374-436) are
+  deleted — Spark's scheduler and AQE own parallelism and memory.
+- ``fetch_to_pandas`` keeps the reference's pandas result contract
+  (:275) via Arrow, and ``iter_batches`` exposes the columnar stream
+  the reference read from the Storage API (:496-502).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bqfetch_spark.catalog import load_catalog
+from bqfetch_spark.registry import register
+
+
+@dataclass(frozen=True)
+class TableRef:
+    """Named table within a scale-factor directory (the reference's
+    {project, dataset, table} triple collapses to {sf_dir, name})."""
+
+    sf_dir: str
+    name: str
+
+
+@dataclass(frozen=True)
+class FetchingChunk:
+    """Contiguous value-range partition of a table on one column.
+
+    Unlike the reference's value-list chunks (bqfetch/bqfetch.py:43-50)
+    this holds only the range boundaries; membership is evaluated by
+    the engine as a typed range predicate (pushed down to the scan).
+    """
+
+    column: str
+    index: int
+    n_chunks: int
+    lower: Any
+    upper: Any
+    n_values: int
+
+    def predicate(self) -> F.Column:
+        return F.col(self.column).between(F.lit(self.lower), F.lit(self.upper))
+
+
+class Fetcher:
+    """Plans and executes chunked reads of a table (reference parity:
+    BigQueryFetcher, bqfetch/bqfetch.py:196-372)."""
+
+    def __init__(self, spark: SparkSession, verbose: bool = False):
+        self.spark = spark
+        self.verbose = verbose
+
+    def _log(self, *args: Any) -> None:
+        if self.verbose:
+            print(">>>", *args)  # reference log format, bqfetch/utils.py:64-67
+
+    def table(self, ref: TableRef) -> DataFrame:
+        return load_catalog(self.spark, ref.sf_dir).table(ref.name)
+
+    def chunks(
+        self, ref: TableRef, column: str, by_nb_chunks: int
+    ) -> list[FetchingChunk]:
+        """Split the column's distinct-value domain into ``by_nb_chunks``
+        contiguous buckets (ntile semantics: earlier buckets take the
+        remainder). Only bucket boundaries are collected."""
+        if by_nb_chunks <= 0:
+            raise ValueError("by_nb_chunks must be positive")
+        df = self.table(ref)
+        w = Window.orderBy(column)
+        bounds = (
+            df.select(column)
+            .distinct()
+            .withColumn("__bucket", F.ntile(by_nb_chunks).over(w))
+            .groupBy("__bucket")
+            .agg(
+                F.min(column).alias("lo"),
+                F.max(column).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .orderBy("__bucket")
+            .collect()
+        )
+        out = [
+            FetchingChunk(
+                column=column,
+                index=row["__bucket"] - 1,
+                n_chunks=by_nb_chunks,
+                lower=row["lo"],
+                upper=row["hi"],
+                n_values=row["n"],
+            )
+            for row in bounds
+        ]
+        self._log(f"planned {len(out)} chunks on {ref.name}.{column}")
+        return out
+
+    def fetch(self, ref: TableRef, chunk: FetchingChunk | None) -> DataFrame:
+        """One chunk as a lazy DataFrame — the range predicate reaches
+        the Parquet scan (PushedFilters), the reference's CTAS +
+        row_restriction dance (bqfetch/bqfetch.py:158-181,483-494)
+        collapses to a filter."""
+        df = self.table(ref)
+        if chunk is None:  # full-table path, reference :490-494
+            return df
+        return df.filter(chunk.predicate())
+
+    def fetch_to_pandas(self, ref: TableRef, chunk: FetchingChunk | None):
+        """Materialize a chunk as pandas via Arrow (the reference's
+        result contract). Timing/log parity with bqfetch verbose mode
+        (bqfetch/bqfetch.py:331,365-371)."""
+        t0 = time.time()
+        pdf = self.fetch(ref, chunk).toPandas()
+        self._log(f"fetched {len(pdf)} rows in {time.time() - t0:.2f}s")
+        return pdf
+
+    def iter_batches(self, ref: TableRef, chunk: FetchingChunk | None):
+        """Columnar Arrow record batches (reference read Arrow batches
+        from the Storage API, bqfetch/bqfetch.py:496-502)."""
+        yield from self.fetch(ref, chunk).toArrow().to_batches()
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked facade query: one planned chunk fetched back
+# ---------------------------------------------------------------------------
+
+FETCH_CHUNK_ORACLE = """
+WITH buckets AS (
+  SELECT k, ntile(4) OVER (ORDER BY k) AS b
+  FROM (SELECT DISTINCT c_custkey AS k FROM customer)
+)
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+FROM customer
+JOIN buckets ON c_custkey = buckets.k
+WHERE buckets.b = 2
+"""
+
+
+@register("q60_fetch_chunk", oracle=FETCH_CHUNK_ORACLE, tags=("fetcher",))
+def q60_fetch_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end facade parity: plan 4 chunks on customer.c_custkey,
+    fetch chunk #2 (1-based bucket 2). Matches an ntile-bucket oracle
+    because chunks are contiguous ranges over the distinct domain."""
+    fetcher = Fetcher(spark)
+    ref = TableRef(sf_dir, "customer")
+    chunk = fetcher.chunks(ref, "c_custkey", by_nb_chunks=4)[1]
+    return fetcher.fetch(ref, chunk).select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")

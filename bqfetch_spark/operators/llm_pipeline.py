@@ -1,0 +1,500 @@
+"""LLM-training-data pipeline operators over `documents` (SURVEY.md
+§2.C C18/C20 + the dedup/text-analysis suite).
+
+Scale stance (100 TB of documents):
+- Exact dedup: hash-shuffle on the text key once; row_number keeps the
+  smallest doc_id (deterministic, unlike dropDuplicates).
+- MinHash-LSH: signatures are fixed-width (K longs) per doc — shuffle
+  cost is O(docs × K), never O(docs²); candidate pairs come from
+  band-bucket equi-joins.
+- All tokenization/hashing is JVM-side (split/xxhash64/aggregate) — no
+  Python in the scan path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bqfetch_spark.catalog import load_catalog
+from bqfetch_spark.operators.relational import r6
+from bqfetch_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# C18 — exact dedup (deterministic keeper: min doc_id per text)
+# ---------------------------------------------------------------------------
+
+DEDUP_ORACLE = """
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+)
+WHERE rn = 1
+"""
+
+
+@register("q40_exact_dedup", oracle=DEDUP_ORACLE, tags=("dedup",))
+def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the lowest doc_id per identical text. At
+    scale, group on xxhash64(text) first so the shuffle key is 8 bytes,
+    then resolve rare collisions on the full text."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C20 — text statistics per language
+# ---------------------------------------------------------------------------
+
+TEXTSTATS_ORACLE = """
+SELECT
+  lang,
+  count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avg_tokens,
+  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+  CAST(max(length(text)) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("q41_text_stats", oracle=TEXTSTATS_ORACLE, tags=("text",))
+def q41_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + per-language aggregates, all codegen'd
+    JVM expressions."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    n_chr = F.length("text").cast("bigint")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("total_tokens"),
+        r6(F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum(n_chr).cast("bigint").alias("total_chars"),
+        F.max(n_chr).cast("bigint").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting — whitespace + BPE-ish subword estimate
+# ---------------------------------------------------------------------------
+
+BPE_PATTERN = "[A-Za-z0-9]{1,4}|[^A-Za-z0-9 ]"
+
+TOKENS_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_tokens_bpe,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token
+FROM documents
+"""
+
+
+@register("q42_token_count", oracle=TOKENS_ORACLE, tags=("text",))
+def q42_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two tokenizers per doc: whitespace words and a BPE-ish greedy
+    ≤4-char subword regex (the standard pre-tokenizer shape). Pure
+    regexp_extract_all — no UDF."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    n_ws = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_tokens_ws"),
+        n_bpe.alias("n_tokens_bpe"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        r6(F.length("text").cast("double") / n_ws).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring — length / punctuation / stopword ratios
+# ---------------------------------------------------------------------------
+
+STOPWORD_PATTERN = r"\b(the|a|of|and|to|is|in|it)\b"
+
+QUALITY_ORACLE = rf"""
+SELECT
+  doc_id,
+  n_tokens,
+  round(stop_ratio, 6) AS stop_ratio,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(0.4 * stop_ratio + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100) + 0.3 * (1 - punct_ratio), 6) AS quality_score
+FROM (
+  SELECT
+    doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '{STOPWORD_PATTERN}')) AS DOUBLE)
+      / len(string_split(text, ' ')) AS stop_ratio,
+    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      / length(text) AS punct_ratio
+  FROM documents
+)
+"""
+
+
+@register("q43_quality_score", oracle=QUALITY_ORACLE, tags=("text", "quality"))
+def q43_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic doc-quality score: stopword density (fluency proxy),
+    length saturation, punctuation noise. Identical scalar expression
+    tree on both engines → bit-equal doubles."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    stop_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(STOPWORD_PATTERN), 0)).cast("double")
+        / F.size(F.split(F.col("text"), " "))
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", "")).cast("double")
+        / F.length("text")
+    )
+    quality = (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * F.least(F.lit(1.0), n_tokens.cast("double") / 100)
+        + F.lit(0.3) * (F.lit(1) - punct_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        r6(stop_ratio).alias("stop_ratio"),
+        r6(punct_ratio).alias("punct_ratio"),
+        r6(quality).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification — marker-word n-gram heuristic
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is|in|it|that)\b",
+    "es": r"\b(el|la|de|que|y|en|los|una)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|zu)\b",
+    "fr": r"\b(le|les|des|et|un|est|une|dans)\b",
+}
+CJK_PATTERN = "[一-鿿]"
+
+_SCORE_COLS = ", ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS s_{lang}"
+    for lang, pat in LANG_MARKERS.items()
+)
+
+LANGID_ORACLE = f"""
+SELECT
+  doc_id,
+  s_en, s_es, s_de, s_fr, s_zh,
+  CASE
+    WHEN s_zh > 0 THEN 'zh'
+    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+    WHEN s_de >= s_fr THEN 'de'
+    ELSE 'fr'
+  END AS predicted_lang
+FROM (
+  SELECT doc_id, {_SCORE_COLS},
+         CAST(len(regexp_extract_all(text, '{CJK_PATTERN}')) AS BIGINT) AS s_zh
+  FROM documents
+)
+"""
+
+
+@register("q44_lang_id", oracle=LANGID_ORACLE, tags=("text", "langid"))
+def q44_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker-word language ID: per-language stopword hit counts
+    + CJK codepoint detection, argmax with a fixed preference order.
+    (The fixture text is synthetic word-salad, so this classifies the
+    *content*, independent of the stored `lang` label.)"""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    scored = docs.select(
+        "doc_id",
+        *[
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).cast("bigint").alias(f"s_{lang}")
+            for lang, pat in LANG_MARKERS.items()
+        ],
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(CJK_PATTERN), 0)).cast("bigint").alias("s_zh"),
+    )
+    predicted = (
+        F.when(F.col("s_zh") > 0, "zh")
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+    )
+    return scored.select(
+        "doc_id", "s_en", "s_es", "s_de", "s_fr", "s_zh", predicted.alias("predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint — polynomial rolling hash over tokens
+# ---------------------------------------------------------------------------
+
+FP_MOD = 2147483647  # 2^31 - 1 (Mersenne prime); keeps acc*131 < 2^39, exact in int64
+FP_MULT = 131
+
+FINGERPRINT_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(text, ' '),
+                     t -> CAST(ascii(t) * 31 + length(t) AS BIGINT))),
+    (acc, c) -> (acc * {FP_MULT} + c) % {FP_MOD}
+  ) AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+
+@register("q45_fingerprint", oracle=FINGERPRINT_ORACLE, tags=("text", "fingerprint"))
+def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling hash over the token stream (content
+    fingerprint): acc = (acc*131 + code(token)) mod 2^31-1. Pure
+    higher-order array functions — expressible in both engines, so it
+    is oracle-checked (unlike xxhash-based fingerprints)."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    codes = F.transform(
+        F.split(F.col("text"), " "),
+        lambda t: (F.ascii(t) * 31 + F.length(t)).cast("long"),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FP_MULT + c) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.cast("bigint").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup candidates (shared-shingle join)
+# ---------------------------------------------------------------------------
+
+NGRAM_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+  FROM toks
+  WHERE len(t) >= 3
+),
+sizes AS (
+  SELECT doc_id, len(gs) AS n_grams FROM grams
+),
+flat AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM flat a JOIN flat b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT
+  doc_a,
+  doc_b,
+  n_shared,
+  round(CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_shared >= 2
+"""
+
+
+@register("q46_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE, tags=("dedup", "jaccard"))
+def q46_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-3-gram Jaccard similarity for candidate near-dup pairs.
+    Candidates come from a shared-shingle equi-join (never O(n²) — the
+    join key is the shingle), then Jaccard = |∩| / (|A|+|B|-|∩|).
+    At 100 TB add stop-shingle pruning (drop shingles with document
+    frequency above a cap) — same join shape."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    t = F.split(F.col("text"), " ")
+    grams = (
+        docs.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i),
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                    ),
+                )
+            ).alias("gs"),
+        )
+    )
+    sizes = grams.select("doc_id", F.size("gs").alias("n_grams"))
+    flat = grams.select("doc_id", F.explode("gs").alias("g"))
+    a = flat.alias("a")
+    b = flat.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            r6(
+                F.col("n_shared").cast("double")
+                / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidates (rows-only: xxhash64 is Spark-side)
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 16  # signature width
+LSH_BANDS = 4  # 4 bands × 4 rows: catches J≈0.6+ pairs w.h.p.
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """doc_id → array<long> of k min-hashes over token-3-gram shingles.
+
+    h_i(shingle) = xxhash64(shingle, seed=i); signature_i = min over
+    shingles. Computed entirely with array expressions — per-doc state
+    is k longs, so this scales linearly in corpus size.
+    """
+    t = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("t") - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("t", i),
+                F.element_at("t", F.least(i + 1, F.size("t"))),
+                F.element_at("t", F.least(i + 2, F.size("t"))),
+            ),
+        )
+    )
+    with_sh = docs.select("doc_id", F.col("text")).withColumn("t", t).withColumn("sh", shingles)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(k)
+        ]
+    )
+    return with_sh.select("doc_id", sig.alias("signature"))
+
+
+@register("q47_minhash_lsh_pairs", oracle=None, tags=("dedup", "minhash", "lsh"))
+def q47_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: band the K-wide signature into
+    LSH_BANDS buckets, equi-join on (band, bucket-hash), then estimate
+    Jaccard as the fraction of agreeing signature positions.
+    Deterministic (xxhash64) but not expressible in DuckDB SQL →
+    rows-only check; planted-duplicate behavior is pytest-verified."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    sigs = minhash_signatures(docs)
+    rows_per_band = MINHASH_K // LSH_BANDS
+    banded = sigs.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice("signature", b * rows_per_band + 1, rows_per_band)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        r6(agree.cast("double") / MINHASH_K).alias("est_jaccard"),
+    ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) — rows-only (xxhash64-based)
+# ---------------------------------------------------------------------------
+
+
+@register("q48_simhash", oracle=None, tags=("dedup", "simhash"))
+def q48_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: each token votes its xxhash64 bit
+    pattern (+1/-1 per bit); the fingerprint takes the majority sign.
+    Near-dups then differ in few bits (Hamming distance ≤ k). All array
+    expressions — one pass, no shuffle beyond the final projection."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    # votes[b] = Σ tokens (bit b set ? +1 : -1) — 64 codegen'd agg
+    # columns with map-side partial aggregation on doc_id
+    vote_cols = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    votes = toks.groupBy("doc_id").agg(*vote_cols)
+    # fold positive-vote bits into a long (bit 63 kept: Java overflow
+    # wraps to the sign bit, which is fine for a fingerprint)
+    simhash = None
+    for b in range(63):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = bit if simhash is None else simhash + bit
+    simhash = simhash + F.when(F.col("v63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return votes.select("doc_id", simhash.alias("simhash"))

@@ -1,0 +1,562 @@
+"""Core relational operators (SURVEY.md §2.C C1-C10, C13-C15, C21).
+
+Covers the reference's generated-SQL surface — distinct projection
+(bqfetch/bqfetch.py:141-156), grouped count (:105-123), IN-list filter
+(:158-181, :483-484) — re-expressed as Catalyst-optimized DataFrame
+plans, plus the joins/set-ops/rollups the reference lacks.
+
+Scale notes (100 TB posture):
+- Dimension joins broadcast explicitly (`F.broadcast`) — no shuffle of
+  the fact side for region/nation/supplier-sized tables.
+- Fact-fact joins shuffle on the join key once; AQE handles skew.
+- Filters are plain Column predicates → pushed into the Parquet scan
+  (verify with .explain: PushedFilters).
+- Aggregations are partial (map-side) + final automatically.
+
+Determinism: money arithmetic accumulates in DECIMAL then casts to
+DOUBLE (see registry.py docstring) so the DuckDB oracle matches
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bqfetch_spark.catalog import load_catalog
+from bqfetch_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Decimal-exact helpers (shared convention with every oracle below)
+# ---------------------------------------------------------------------------
+
+DEC_PRICE = "decimal(16,6)"  # extendedprice/totalprice/acctbal magnitude
+DEC_FRAC = "decimal(8,6)"  # discount/tax in [0,1)
+
+
+def dsum(col: F.Column, dec: str = DEC_PRICE) -> F.Column:
+    """Exact decimal sum, surfaced as double (bit-identical to DuckDB)."""
+    return F.sum(col.cast(dec)).cast("double")
+
+
+def r6(col: F.Column) -> F.Column:
+    return F.round(col, 6)
+
+
+# ---------------------------------------------------------------------------
+# C1+C2+C3+C5+C9 — flagship: TPC-H Q1-shaped pricing summary
+# ---------------------------------------------------------------------------
+
+Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(16,6))) AS DOUBLE), 6) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(16,6))) AS DOUBLE), 6) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(16,6))
+               * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6) AS sum_disc_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(16,6))
+               * (1 - CAST(l_discount AS DECIMAL(8,6)))
+               * (1 + CAST(l_tax AS DECIMAL(8,6)))) AS DOUBLE), 6) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(16,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(16,6))) AS DOUBLE) / count(*), 6) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q01_pricing_summary", oracle=Q1_ORACLE, tags=("scan", "filter", "agg"))
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan→filter→agg. Filter pushes to Parquet; agg is
+    partial+final hash agg — one shuffle on the 2-value group key."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    qty = F.col("l_quantity").cast(DEC_PRICE)
+    price = F.col("l_extendedprice").cast(DEC_PRICE)
+    disc = F.col("l_discount").cast(DEC_FRAC)
+    tax = F.col("l_tax").cast(DEC_FRAC)
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r6(F.sum(qty).cast("double")).alias("sum_qty"),
+            r6(F.sum(price).cast("double")).alias("sum_base_price"),
+            r6(F.sum(price * (F.lit(1) - disc)).cast("double")).alias("sum_disc_price"),
+            r6(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double")).alias("sum_charge"),
+            r6(F.sum(qty).cast("double") / n).alias("avg_qty"),
+            r6(F.sum(price).cast("double") / n).alias("avg_price"),
+            r6(F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — distinct projection (reference: SELECT DISTINCT `col`)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q02_distinct_values",
+    oracle="SELECT DISTINCT c_mktsegment AS value FROM customer",
+    tags=("distinct",),
+)
+def q02_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-key domain discovery (bqfetch/bqfetch.py:141-156). Column
+    pruning means the scan reads exactly one column."""
+    cust = load_catalog(spark, sf_dir).table("customer")
+    return cust.select(F.col("c_mktsegment").alias("value")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# A2 — grouped count (reference skew statistics query)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q03_grouped_count",
+    oracle="SELECT l_returnflag AS value, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+    tags=("agg",),
+)
+def q03_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-value frequencies (bqfetch/bqfetch.py:105-123) — unlike the
+    reference, we keep the value column attached to its count."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("value")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# A4/A7 — IN-list filter (typed predicates, not stringified)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q04_filter_inlist",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, round(CAST(c_acctbal AS DECIMAL(16,6)) * 1, 6) AS acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal > 0
+    """,
+    tags=("filter",),
+)
+def q04_filter_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-shaped read: `col IN (...)` (bqfetch/bqfetch.py:483-484) as a
+    typed Catalyst predicate — shows up in PushedFilters, unlike the
+    reference's string-rendered literals (SURVEY.md §1.3)."""
+    cust = load_catalog(spark, sf_dir).table("customer")
+    return cust.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY") & (F.col("c_acctbal") > 0)
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal").cast(DEC_PRICE).cast("double"), 6).alias("acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C9 — order by + limit (top-k with deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q05_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(CAST(o_totalprice AS DECIMAL(16,6)) * 1, 6) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("sort", "limit"),
+)
+def q05_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject — per-partition heaps,
+    no global sort shuffle. Tie-break on the unique key."""
+    orders = load_catalog(spark, sf_dir).table("orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice").cast(DEC_PRICE).cast("double"), 6).alias("totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6 — broadcast dimension join (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(16,6))
+             * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q06_shipping_priority", oracle=Q3_ORACLE, tags=("join", "agg", "limit"))
+def q06_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: the filtered customer side is broadcast (no shuffle of
+    orders/lineitem for it); lineitem⋈orders shuffles once on orderkey."""
+    cat = load_catalog(spark, sf_dir)
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = cat.table("customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = cat.table("orders").filter(F.col("o_orderdate") < cutoff)
+    li = cat.table("lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1) - F.col("l_discount").cast(DEC_FRAC)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(r6(F.sum(revenue).cast("double")).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C7 — large-large join (sort-merge / shuffled hash territory)
+# ---------------------------------------------------------------------------
+
+Q7_ORACLE = """
+SELECT
+  o_orderstatus,
+  l_linestatus,
+  count(*) AS n_lines,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(16,6))) AS DOUBLE), 6) AS total_qty
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus, l_linestatus
+"""
+
+
+@register("q07_fact_fact_join", oracle=Q7_ORACLE, tags=("join", "agg"))
+def q07_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders⋈lineitem on the natural key. At 100 TB both sides shuffle
+    on orderkey (or co-located via bucketing — see sources/bucketing);
+    AQE picks SMJ/SHJ and splits skewed partitions."""
+    cat = load_catalog(spark, sf_dir)
+    orders = cat.table("orders").select("o_orderkey", "o_orderstatus")
+    li = cat.table("lineitem").select("l_orderkey", "l_linestatus", "l_quantity")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            r6(dsum(F.col("l_quantity"))).alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C8 — semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q08_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    """,
+    tags=("join",),
+)
+def q08_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: existence check without duplicating or widening rows."""
+    cat = load_catalog(spark, sf_dir)
+    big = cat.table("orders").filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return (
+        cat.table("customer")
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "q09_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def q09_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders at all."""
+    cat = load_catalog(spark, sf_dir)
+    orders = cat.table("orders").select("o_custkey")
+    return (
+        cat.table("customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C10 — set operations (the reference's only merge was pd.concat, B4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_union",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+    """,
+    tags=("setop",),
+)
+def q10_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_catalog(spark, sf_dir)
+    a = cat.table("customer").filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = cat.table("orders").filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "q11_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def q11_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_catalog(spark, sf_dir)
+    orders = cat.table("orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "q12_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    tags=("setop",),
+)
+def q12_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_catalog(spark, sf_dir)
+    a = cat.table("customer").select(F.col("c_custkey").alias("custkey"))
+    b = cat.table("orders").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# C13 — rollup / cube
+# ---------------------------------------------------------------------------
+
+ROLLUP_ORACLE = """
+SELECT
+  r_name,
+  n_name,
+  count(*) AS n_customers,
+  round(CAST(sum(CAST(c_acctbal AS DECIMAL(16,6))) AS DOUBLE), 6) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("q13_rollup", oracle=ROLLUP_ORACLE, tags=("agg", "rollup"))
+def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals region→nation→grand. Both dims broadcast."""
+    cat = load_catalog(spark, sf_dir)
+    joined = (
+        cat.table("customer")
+        .join(F.broadcast(cat.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        r6(dsum(F.col("c_acctbal"))).alias("total_balance"),
+    )
+
+
+@register(
+    "q14_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def q14_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_catalog(spark, sf_dir).table("orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# C14 — approximate count distinct (HLL) — nondeterministic vs oracle
+# ---------------------------------------------------------------------------
+
+
+@register("q15_approx_distinct", oracle=None, tags=("agg", "approx"))
+def q15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch — the scale path for COUNT(DISTINCT) at
+    100 TB (single pass, fixed memory, no shuffle of raw values).
+    Rows-only check: sketch estimates differ across engines."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C15 — scalar function sampler (string / date / math, all JVM-side)
+# ---------------------------------------------------------------------------
+
+SCALAR_ORACLE = """
+SELECT
+  p_partkey,
+  upper(p_name) AS name_upper,
+  substring(p_type, 1, 5) AS type_prefix,
+  CAST(length(p_name) AS BIGINT) AS name_len,
+  concat(p_brand, '/', p_type) AS brand_type,
+  round(CAST(CAST(p_retailprice AS DECIMAL(16,6)) * CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE), 6) AS marked_up,
+  CAST(abs(p_size - 25) AS BIGINT) AS size_dev
+FROM part
+WHERE p_size >= 10
+"""
+
+
+@register("q16_scalar_functions", oracle=SCALAR_ORACLE, tags=("scalar",))
+def q16_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math scalars — all whole-stage-codegen JVM expressions; no
+    Python in the row path."""
+    part = load_catalog(spark, sf_dir).table("part")
+    return part.filter(F.col("p_size") >= 10).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.round(
+            (F.col("p_retailprice").cast(DEC_PRICE) * F.lit(1.1).cast("decimal(3,1)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("marked_up"),
+        F.abs(F.col("p_size") - F.lit(25)).cast("bigint").alias("size_dev"),
+    )
+
+
+DATE_ORACLE = """
+SELECT
+  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  count(*) AS n_orders,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(16,6))) AS DOUBLE), 6) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+@register("q17_date_functions", oracle=DATE_ORACLE, tags=("scalar", "agg"))
+def q17_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_catalog(spark, sf_dir).table("orders")
+    return (
+        orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.month("o_orderdate").cast("bigint").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r6(dsum(F.col("o_totalprice"))).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6+C7 — multi-way star join (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+Q5_ORACLE = """
+SELECT
+  n_name,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(16,6))
+             * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("q18_local_supplier_volume", oracle=Q5_ORACLE, tags=("join", "agg"))
+def q18_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: five-way join. region/nation/supplier broadcast; the
+    single real shuffle pair is lineitem⋈orders on orderkey, then a
+    broadcast-filtered customer join. Catalyst reorders; AQE re-plans."""
+    cat = load_catalog(spark, sf_dir)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    nation_region = (
+        cat.table("nation")
+        .join(F.broadcast(cat.table("region").filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        cat.table("supplier")
+        .join(F.broadcast(nation_region), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = cat.table("orders").filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    cust = cat.table("customer").select("c_custkey", "c_nationkey")
+    li = cat.table("lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    revenue = F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1) - F.col("l_discount").cast(DEC_FRAC)
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(r6(F.sum(revenue).cast("double")).alias("revenue"))
+    )

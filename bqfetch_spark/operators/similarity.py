@@ -1,0 +1,190 @@
+"""Similarity search over the `embeddings` table (SURVEY.md §2.C C19).
+
+Brute-force exact cosine top-k as the verified baseline; IVF-style
+partitioned search as the 100 TB scale path (candidate set shrinks from
+N to N/n_cells × n_probe). Vector math is all JVM array expressions
+(functions/vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bqfetch_spark.catalog import load_catalog
+from bqfetch_spark.functions.vectors import as_double, cosine, dot, norm2
+from bqfetch_spark.operators.relational import r6
+from bqfetch_spark.registry import register
+
+TOPK_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+  FROM q JOIN e c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rn AS rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn
+  FROM pairs
+)
+WHERE rn <= 10
+"""
+
+
+@register("q50_cosine_topk", oracle=TOPK_ORACLE, tags=("similarity", "ann"))
+def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors. The query
+    side is broadcast, so the corpus is scanned once with no shuffle;
+    ranking uses the *rounded* similarity so cross-engine float noise
+    cannot reorder the cut."""
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            r6(cosine(F.col("qv"), F.col("v"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+NEARDUP_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+"""
+
+
+@register("q51_embedding_neardup", oracle=NEARDUP_ORACLE, tags=("similarity", "dedup"))
+def q51_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold on the rounded
+    value so both engines make identical keep/drop decisions).
+    All-pairs is exact and fine to sf0.1 (2k vectors = 2M pairs); the
+    100 TB path is q52's IVF bucketing or LSH banding, same semantics,
+    candidate generation replaced."""
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    # precompute norms once per vector (not once per pair): the pair
+    # expression is then a single dot-product fold, and cosine =
+    # dot/(na*nb) — same formula/order as list_cosine_similarity
+    with_n = emb.select("vec_id", "v", norm2(F.col("v")).alias("n"))
+    a = with_n.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    ).repartition(32, "vec_a")
+    b = with_n.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", r6(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))))
+        .filter(F.col("cosine") >= 0.35)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+NORMS_ORACLE = """
+SELECT
+  vec_id,
+  label,
+  CAST(len(embedding) AS BIGINT) AS dim,
+  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
+  round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS mean_component
+FROM embeddings
+"""
+
+
+@register("q52_embedding_norms", oracle=NORMS_ORACLE, tags=("similarity", "stats"))
+def q52_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector norm/mean diagnostics — the sanity profile run before
+    any ANN indexing job."""
+    emb = load_catalog(spark, sf_dir).table("embeddings")
+    v = as_double(F.col("embedding"))
+    total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        r6(norm2(v)).alias("l2_norm"),
+        r6(total / F.size("embedding")).alias("mean_component"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN (scale path) — deterministic, rows-only check
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 8
+IVF_PROBE = 2
+
+
+@register("q53_ann_ivf", oracle=None, tags=("similarity", "ann", "ivf"))
+def q53_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: the first IVF_CELLS vectors act as (deterministic)
+    centroids; every vector is assigned to its nearest centroid; a query
+    probes only the IVF_PROBE nearest cells, shrinking the candidate set
+    by ~n_cells/n_probe. On a cluster the assignment is one broadcast
+    join (centroids are tiny) and search touches only probed partitions
+    — repartition by cell_id to make that physical. Rows-only check
+    (approximation differs from any exact SQL oracle by design);
+    recall-vs-brute-force is pytest-asserted."""
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    centroids = emb.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    # assign: argmax cosine over the broadcast centroid set
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cell_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id", "v", "cell_id", r6(cosine(F.col("v"), F.col("cv"))).alias("sim")
+        )
+        .withColumn("arn", F.row_number().over(assign_w))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "v", "cell_id")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # probe: the IVF_PROBE best cells per query
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("cell_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "cell_id", r6(cosine(F.col("qv"), F.col("cv"))).alias("qsim"))
+        .withColumn("prn", F.row_number().over(probe_w))
+        .filter(F.col("prn") <= IVF_PROBE)
+        .select("query_id", "qv", "cell_id")
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        probes.join(assigned, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            r6(cosine(F.col("qv"), F.col("v"))).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )

@@ -1,0 +1,89 @@
+"""Partition advisor + plan diagnostics (SURVEY.md §2.C C21-C22).
+
+The reference sizes chunks from table bytes, free RAM and cores
+(`get_nb_chunks_approximation`, bqfetch/bqfetch.py:374-454). On Spark,
+memory safety is the engine's job (spill, AQE coalescing); what remains
+useful is the *advisory* arithmetic — how many partitions a table wants
+for a target partition size — and the skew diagnostic (bqfetch/
+bqfetch.py:410-419).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bqfetch_spark.catalog import TABLES, load_catalog
+from bqfetch_spark.registry import register
+
+DEFAULT_TARGET_PARTITION_BYTES = 128 * 1024 * 1024  # Spark's maxPartitionBytes default
+
+
+def table_bytes(path: str) -> int:
+    """On-disk bytes of a table path (file or directory). Local-FS
+    implementation; on HDFS/S3 swap for the Hadoop FileSystem listing —
+    same arithmetic downstream."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def suggest_partitions(
+    total_bytes: int, target_bytes: int = DEFAULT_TARGET_PARTITION_BYTES
+) -> int:
+    """ceil(bytes / target) — the reference's formula
+    (bqfetch/bqfetch.py:452-453) with RAM/cores replaced by a target
+    partition size, which is the knob that actually matters on Spark."""
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    return max(1, math.ceil(total_bytes / target_bytes))
+
+
+@dataclass(frozen=True)
+class PartitionAdvice:
+    table: str
+    bytes: int
+    target_bytes: int
+    suggested_partitions: int
+
+
+def advise(sf_dir: str, target_bytes: int = DEFAULT_TARGET_PARTITION_BYTES) -> list[PartitionAdvice]:
+    out = []
+    for name in TABLES:
+        b = table_bytes(os.path.join(sf_dir, f"{name}.parquet"))
+        out.append(PartitionAdvice(name, b, target_bytes, suggest_partitions(b, target_bytes)))
+    return out
+
+
+@register("q61_partition_advisor", oracle=None, tags=("advisor",))
+def q61_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advisory partition counts per fixture table (rows-only check:
+    parquet byte sizes are storage detail, not SQL-derivable)."""
+    rows = [
+        (a.table, a.bytes, a.target_bytes, a.suggested_partitions) for a in advise(sf_dir)
+    ]
+    return spark.createDataFrame(
+        rows, "table string, bytes bigint, target_bytes bigint, suggested_partitions bigint"
+    )
+
+
+def skew_report(df: DataFrame, column: str) -> DataFrame:
+    """Generic form of the reference's ±25% dispersion diagnostic
+    (bqfetch/bqfetch.py:410-419) for any DataFrame/column; the
+    fixture-bound oracle-checked version is q32_skew_report."""
+    counts = df.groupBy(F.col(column).alias("value")).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(F.avg("cnt").alias("mean_cnt"))
+    return counts.crossJoin(F.broadcast(stats)).select(
+        "value",
+        "cnt",
+        F.col("mean_cnt"),
+        (F.abs(F.col("cnt") - F.col("mean_cnt")) > 0.25 * F.col("mean_cnt")).alias("is_dispersed"),
+    )
