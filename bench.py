@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark the headline query set (SURVEY.md §6 / BASELINE.md).
+
+Runs each headline query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The comparable reference figure (BASELINE.md): 43.21 s to fetch a
+2.19 GB / 3.38 M-row table ≈ 0.051 GB/s single-stream. Our suite runs
+~20 analytics queries over the sf tables; per-query wall time and the
+raw-scan throughput row are both reported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bqfetch_spark.registry import all_queries
+from bqfetch_spark.session import get_session
+
+# Headline set: one per operator family (registry names)
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_grouped_count",
+    "q04_filter_inlist",
+    "q05_topk_orders",
+    "q06_shipping_priority",
+    "q07_fact_fact_join",
+    "q08_semi_join",
+    "q13_rollup",
+    "q16_scalar_functions",
+    "q18_local_supplier_volume",
+    "q19_sql_passthrough",
+    "q23_percentiles",
+    "q25_ntile_quartiles",
+    "q26_conditional_agg",
+    "q28_correlated_subquery",
+    "q20_topk_per_group",
+    "q21_running_totals",
+    "q30_tumbling_window",
+    "q31_sessionization",
+    "q33_json_extract",
+    "q40_exact_dedup",
+    "q42_token_count",
+    "q43_quality_score",
+    "q45_fingerprint",
+    "q46_ngram_jaccard",
+    "q47_minhash_lsh_pairs",
+    "q50_cosine_topk",
+    "q51_embedding_neardup",
+    "q53_ann_ivf",
+    "q60_fetch_chunk",
+    "q62_multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("bqfetch-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    # warm the JVM + parquet footers with a trivial action (excluded)
+    registry["q03_grouped_count"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.time()
+        n = q.fn(spark, sf_dir).count()  # count() forces full execution
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    # Baseline-comparable metric (BASELINE.md): the reference fetched a
+    # remote table to pandas at ≈0.051 GB/s. Time the same contract —
+    # full lineitem scan materialized to pandas via Arrow.
+    from bqfetch_spark.fetcher import Fetcher, TableRef
+    from bqfetch_spark.plans.advisor import table_bytes
+
+    t0 = time.time()
+    pdf = Fetcher(spark).fetch_to_pandas(TableRef(sf_dir, "lineitem"), None)
+    scan_sec = time.time() - t0
+    raw_gb = table_bytes(os.path.join(sf_dir, "lineitem.parquet")) / 1024**3
+    mem_gb = pdf.memory_usage(deep=True).sum() / 1024**3
+    del pdf
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "scan_to_pandas_sec": round(scan_sec, 3),
+                "scan_to_pandas_gbps": round(mem_gb / scan_sec, 4),
+                "lineitem_parquet_gb": round(raw_gb, 4),
+                "lineitem_pandas_gb": round(mem_gb, 4),
+                "baseline_fetch_gbps": 0.051,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""Advanced SQL surface: raw-SQL passthrough (reference A6), grouping
+sets, exact percentiles, argmax aggregates, ntile, conditional aggs,
+HAVING, correlated subqueries.
+
+The reference's `BigQueryClient.run(sql)` (bqfetch/bqfetch.py:85-93)
+accepted arbitrary SQL; `spark.sql(...)` is the full equivalent — two
+queries below deliberately go through it to exercise the parser path
+end-to-end (parse → analyze → optimize → execute).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bqfetch_spark.catalog import load_catalog
+from bqfetch_spark.operators.relational import DEC_PRICE, r6
+from bqfetch_spark.registry import register
+
+GROUPING_SETS_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  count(*) AS n_orders,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(16,6))) AS DOUBLE), 6) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("q19_sql_passthrough", oracle=GROUPING_SETS_ORACLE, tags=("sql", "grouping-sets"))
+def q19_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SQL through spark.sql — the A6 passthrough operator — using
+    GROUPING SETS, which the DataFrame API has no direct spelling for."""
+    load_catalog(spark, sf_dir).table("orders")
+    return spark.sql(
+        """
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          count(*) AS n_orders,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(16,6))) AS DOUBLE), 6) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+PERCENTILE_ORACLE = """
+SELECT
+  l_returnflag,
+  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q23_percentiles", oracle=PERCENTILE_ORACLE, tags=("agg", "percentile"))
+def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). The scale path swaps in percentile_approx
+    (t-digest, single pass, mergeable) — kept exact here because the
+    oracle compare demands determinism."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.percentile("l_quantity", F.lit(0.5))).alias("p50_qty"),
+        r6(F.percentile("l_quantity", F.lit(0.9))).alias("p90_qty"),
+        r6(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50_price"),
+    )
+
+
+MAXBY_ORACLE = """
+SELECT
+  c_mktsegment,
+  max_by(c_name, c_acctbal) AS richest_customer,
+  round(CAST(max(CAST(c_acctbal AS DECIMAL(16,6))) AS DOUBLE), 6) AS top_balance,
+  min_by(c_name, c_acctbal) AS poorest_customer
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("q24_argmax_agg", oracle=MAXBY_ORACLE, tags=("agg", "argmax"))
+def q24_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by argmax aggregates (acctbal values are unique in
+    the fixture, so the argmax is well-defined across engines)."""
+    cust = load_catalog(spark, sf_dir).table("customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+        r6(F.max(F.col("c_acctbal").cast(DEC_PRICE)).cast("double")).alias("top_balance"),
+        F.min_by("c_name", "c_acctbal").alias("poorest_customer"),
+    )
+
+
+NTILE_ORACLE = """
+SELECT
+  quartile,
+  count(*) AS n_orders,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(16,6))) AS DOUBLE), 6) AS revenue
+FROM (
+  SELECT o_totalprice,
+         CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+  FROM orders
+)
+GROUP BY quartile
+"""
+
+
+@register("q25_ntile_quartiles", oracle=NTILE_ORACLE, tags=("window", "ntile"))
+def q25_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by price quartile — ntile over a deterministic total
+    order (unique tie-break key)."""
+    orders = load_catalog(spark, sf_dir).table("orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r6(F.sum(F.col("o_totalprice").cast(DEC_PRICE)).cast("double")).alias("revenue"),
+        )
+    )
+
+
+CONDAGG_ORACLE = """
+SELECT
+  n_name,
+  count(*) AS n_customers,
+  count(CASE WHEN c_acctbal > 5000 THEN 1 END) AS n_rich,
+  round(CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+                      THEN CAST(c_acctbal AS DECIMAL(16,6))
+                      ELSE CAST(0 AS DECIMAL(16,6)) END) AS DOUBLE), 6) AS building_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("q26_conditional_agg", oracle=CONDAGG_ORACLE, tags=("agg", "pivot-ish"))
+def q26_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation — the manual form of PIVOT."""
+    cat = load_catalog(spark, sf_dir)
+    joined = cat.table("customer").join(
+        F.broadcast(cat.table("nation")), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    zero = F.lit(0).cast(DEC_PRICE)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count(F.when(F.col("c_acctbal") > 5000, 1)).alias("n_rich"),
+        r6(
+            F.sum(
+                F.when(
+                    F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal").cast(DEC_PRICE)
+                ).otherwise(zero)
+            ).cast("double")
+        ).alias("building_balance"),
+    )
+
+
+HAVING_ORACLE = """
+SELECT o_custkey, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(16,6))) AS DOUBLE), 6) AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 15
+"""
+
+
+@register("q27_having", oracle=HAVING_ORACLE, tags=("agg", "having"))
+def q27_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_catalog(spark, sf_dir).table("orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r6(F.sum(F.col("o_totalprice").cast(DEC_PRICE)).cast("double")).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+CORRELATED_ORACLE = """
+SELECT o_orderkey, o_custkey, round(CAST(o_totalprice AS DECIMAL(16,6)) * 1, 6) AS totalprice
+FROM orders o
+WHERE o_totalprice > (
+  SELECT 2 * CAST(sum(CAST(i.o_totalprice AS DECIMAL(16,6))) AS DOUBLE) / count(*)
+  FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+"""
+
+
+@register("q28_correlated_subquery", oracle=CORRELATED_ORACLE, tags=("sql", "subquery"))
+def q28_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through spark.sql — Catalyst
+    decorrelates it into an aggregate + join (the reference outsourced
+    all such rewriting to BigQuery)."""
+    load_catalog(spark, sf_dir).table("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               round(CAST(CAST(o_totalprice AS DECIMAL(16,6)) * 1 AS DOUBLE), 6) AS totalprice
+        FROM orders o
+        WHERE o_totalprice > (
+          SELECT 2 * CAST(sum(CAST(i.o_totalprice AS DECIMAL(16,6))) AS DOUBLE) / count(*)
+  FROM orders i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )

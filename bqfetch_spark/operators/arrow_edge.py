@@ -1,0 +1,65 @@
+"""Arrow/pandas edge operators (SURVEY.md §2.C C23) + streaming-as-query.
+
+The reference's one Python compute hop was Arrow batches → pandas
+(bqfetch/bqfetch.py:501-502). Spark's equivalents — pandas UDFs and
+mapInPandas — are exercised here as registry queries so the driver
+sees them run. Rows-only checks: numpy/BLAS accumulation order differs
+from SQL engines by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bqfetch_spark.catalog import load_catalog
+from bqfetch_spark.functions.vectors import as_double, cosine_pandas
+from bqfetch_spark.registry import register
+
+
+@register("q63_pandas_cosine_topk", oracle=None, tags=("pandas-udf", "similarity"))
+def q63_pandas_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as q50_cosine_topk but the similarity is computed
+    in an Arrow-batched pandas UDF (numpy) instead of JVM expressions —
+    the C23 surface. Ranking rounds to 6dp, so its results agree with
+    q50 in practice (asserted in tests), but float order inside numpy
+    is BLAS's choice → rows-only check."""
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        emb.repartition(32, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_pandas(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+@register("q64_streaming_tumbling", oracle=None, tags=("streaming",))
+def q64_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Structured Streaming tumbling-window pipeline run as a
+    bounded stream (AvailableNow trigger → memory sink). Semantically
+    identical to q30's batch aggregation minus the per-window distinct
+    (streaming state keeps counts, not user sets); equality with batch
+    is asserted in tests/test_sources_streaming.py."""
+    from bqfetch_spark.streaming.windows import (
+        run_to_memory,
+        streaming_events,
+        tumbling_counts_stream,
+    )
+
+    stream = tumbling_counts_stream(streaming_events(spark, sf_dir))
+    return run_to_memory(stream, "q64_streaming_tumbling_sink")

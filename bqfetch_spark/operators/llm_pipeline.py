@@ -326,9 +326,19 @@ def q46_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency above a cap) — same join shape."""
     docs = load_catalog(spark, sf_dir).table("documents")
     t = F.split(F.col("text"), " ")
-    grams = (
+    # repartition BETWEEN split and gram construction: the shuffle
+    # materializes the token array once per doc. Without the barrier,
+    # projection collapse inlines split(text) into every element_at
+    # inside the lambda — 3 re-splits per gram (observed: 158 s for
+    # the gram stage at sf0.1; with the barrier: ~2 s). Also spreads
+    # the one-file fixture scan across cores.
+    tokenized = (
         docs.select("doc_id", t.alias("t"))
         .filter(F.size("t") >= 3)
+        .repartition(32, "doc_id")
+    )
+    grams = (
+        tokenized
         .select(
             "doc_id",
             F.array_distinct(
@@ -349,7 +359,7 @@ def q46_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = flat.alias("a")
     b = flat.alias("b")
     shared = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b.hint("shuffle_hash"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)

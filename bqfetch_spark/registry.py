@@ -50,12 +50,15 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 
 def load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
+    from bqfetch_spark.operators import advanced  # noqa: F401
+    from bqfetch_spark.operators import arrow_edge  # noqa: F401
     from bqfetch_spark.operators import relational  # noqa: F401
     from bqfetch_spark.operators import windows  # noqa: F401
     from bqfetch_spark.operators import events  # noqa: F401
     from bqfetch_spark.operators import llm_pipeline  # noqa: F401
     from bqfetch_spark.operators import similarity  # noqa: F401
     from bqfetch_spark import fetcher  # noqa: F401
+    from bqfetch_spark import multimodal  # noqa: F401
     from bqfetch_spark.plans import advisor  # noqa: F401
 
 

@@ -1,0 +1,67 @@
+"""Structured Streaming variants of the event analytics (SURVEY.md
+§2.C C16 note — the reference is batch-only; streams are engine-added).
+
+The batch fixtures double as a replayable stream: readStream over the
+events parquet with Trigger.AvailableNow processes the whole table as
+a bounded stream through the SAME windowed-aggregation operator the
+batch query uses, with a watermark bounding state. On a cluster this
+is exactly the incremental-refresh topology; only the source/sink
+bindings change.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bqfetch_spark.catalog import load_catalog
+
+
+def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table (schema taken from the batch
+    catalog; pathGlobFilter isolates the one file in the shared dir)."""
+    batch = load_catalog(spark, sf_dir).table("events")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # same ns→µs normalization as the batch catalog
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    assert stream.schema == batch.schema, "stream/batch schema drift"
+    return stream
+
+
+def tumbling_counts_stream(
+    events: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — late rows beyond the
+    watermark are dropped; state is bounded by watermark horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def run_to_memory(result: DataFrame, name: str) -> DataFrame:
+    """Execute a bounded stream (AvailableNow) into a memory sink and
+    return the materialized result as a DataFrame."""
+    spark = result.sparkSession
+    with tempfile.TemporaryDirectory(prefix="bqfs_ckpt_") as ckpt:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,77 @@
+"""Planted-duplicate behavior for the non-oracle dedup operators:
+MinHash+LSH and SimHash must actually FIND near-duplicates (the
+fixture corpus is all-unique, so the oracle-parity tests can't show
+that)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bqfetch_spark.operators.llm_pipeline import (
+    MINHASH_K,
+    minhash_signatures,
+)
+
+
+def _corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun light"
+    )
+    near = base.replace("afternoon", "evening")  # 1-word edit
+    other = (
+        "completely different content about spark query engines and "
+        "distributed columnar shuffles with adaptive execution plans"
+    )
+    rows = [(0, base), (1, near), (2, other), (3, base)]  # 3 = exact dup of 0
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    docs = _corpus(spark)
+    sigs = {r.doc_id: r.signature for r in minhash_signatures(docs).collect()}
+    assert len(sigs[0]) == MINHASH_K
+    # exact dup: identical signature
+    assert sigs[0] == sigs[3]
+    # near dup: most positions agree
+    agree_near = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+    agree_far = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert agree_near >= MINHASH_K * 0.5
+    assert agree_far < agree_near
+
+
+def test_simhash_hamming_separation(spark):
+    from bqfetch_spark.operators import llm_pipeline  # noqa: F401  (registry)
+    from bqfetch_spark.registry import REGISTRY
+
+    docs = _corpus(spark)
+    # run the same logic as q48 but over the planted corpus
+    import bqfetch_spark.operators.llm_pipeline as lp
+
+    # reuse the registered implementation via a temp view-compatible path:
+    # simplest is to inline the simhash over our corpus
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+                f"v{b}"
+            )
+            for b in range(64)
+        ]
+    )
+    sim = None
+    for b in range(63):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    sim = sim + F.when(F.col("v63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    vals = {r.doc_id: r.s for r in votes.select("doc_id", sim.alias("s")).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert vals[0] == vals[3]  # exact dup identical
+    assert hamming(vals[0], vals[1]) < hamming(vals[0], vals[2])
+    assert hamming(vals[0], vals[1]) <= 16  # near-dup stays close
