@@ -86,6 +86,7 @@ def main() -> None:
     t0 = time.time()
     pdf = Fetcher(spark).fetch_to_pandas(TableRef(sf_dir, "lineitem"), None)
     scan_sec = time.time() - t0
+    n_rows = len(pdf)
     raw_gb = table_bytes(os.path.join(sf_dir, "lineitem.parquet")) / 1024**3
     mem_gb = pdf.memory_usage(deep=True).sum() / 1024**3
     del pdf
@@ -101,9 +102,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "scan_to_pandas_sec": round(scan_sec, 3),
+                "scan_to_pandas_rows_per_sec": round(n_rows / scan_sec),
                 "scan_to_pandas_gbps": round(mem_gb / scan_sec, 4),
                 "lineitem_parquet_gb": round(raw_gb, 4),
                 "lineitem_pandas_gb": round(mem_gb, 4),
+                "baseline_fetch_rows_per_sec": 78000,
                 "baseline_fetch_gbps": 0.051,
             }
         )

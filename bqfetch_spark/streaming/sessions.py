@@ -1,0 +1,116 @@
+"""Custom stateful streaming operator: incremental sessionization via
+applyInPandasWithState (SURVEY.md §2.C C17's streaming form).
+
+Batch sessionization (q31) re-scans history; the streaming form keeps
+one open session per user in state, emits a session row when the
+30-minute inactivity gap closes it, and GC's state via timeouts. This
+is the canonical "operator Spark lacks as a single primitive,
+implemented as a Pandas-UDF-backed stateful map" (build-brief custom
+operator path b).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_SECONDS = 30 * 60
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, closed boolean"
+)
+STATE_SCHEMA = "start long, last long, n long"
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+    use_timeout: bool = False,
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's events for one user into the open
+    session; emit every session the new events close, keep the still-
+    open one in state. Timestamps are tracked as epoch-µs longs."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        if state.exists:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                    "closed": [True],
+                }
+            )
+        return
+
+    ts_list: list[int] = []
+    for pdf in batches:
+        ts_list.extend(int(v.value // 1000) for v in pd.to_datetime(pdf["ts"]))
+    ts_list.sort()
+
+    closed: list[tuple[int, int, int]] = []
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start, last, n = 0, 0, 0
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    for t in ts_list:
+        if n == 0:
+            start = last = t
+            n = 1
+        elif t - last > gap_us:
+            closed.append((start, last, n))
+            start = last = t
+            n = 1
+        else:
+            last = max(last, t)
+            n += 1
+    state.update((start, last, n))
+    if use_timeout:
+        state.setTimeoutDuration(SESSION_GAP_SECONDS * 1000)
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed],
+                "closed": [True] * len(closed),
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame, with_timeout: bool = False) -> DataFrame:
+    """events (user_id, ts, ...) → closed-session rows, maintained
+    incrementally with per-user state. ``with_timeout=True`` enables
+    the processing-time timeout that flushes idle sessions in a
+    continuous deployment (do NOT combine with AvailableNow triggers —
+    the timeout keeps the bounded query alive)."""
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if with_timeout else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            # closure (cloudpickle-serialized) so workers see the flag
+            lambda key, batches, state: _sessionize_group(
+                key, batches, state, use_timeout=with_timeout
+            ),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=conf,
+        )
+    )

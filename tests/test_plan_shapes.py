@@ -54,8 +54,12 @@ def test_q08_semi_join_operator(spark):
 
 
 def test_q01_whole_stage_codegen(spark):
-    plan = _plan(spark, "q01_pricing_summary")
-    assert "WholeStageCodegen" in plan
+    df = REG["q01_pricing_summary"].fn(spark, SF_CORRECT)
+    df.collect()  # AQE only materializes codegen stages in the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # "*(n)" prefixes mark whole-stage-codegen'd operators
+    assert "*(" in plan
 
 
 def test_q30_partial_aggregation(spark):
