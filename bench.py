@@ -41,6 +41,8 @@ HEADLINE = [
     "q25_ntile_quartiles",
     "q26_conditional_agg",
     "q28_correlated_subquery",
+    "q29_pivot",
+    "q34_token_frequencies",
     "q20_topk_per_group",
     "q21_running_totals",
     "q30_tumbling_window",

@@ -209,3 +209,39 @@ def q28_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+PIVOT_ORACLE = """
+SELECT
+  n_name,
+  count(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS automobile,
+  count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS building,
+  count(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS furniture,
+  count(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS household,
+  count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS machinery
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@register("q29_pivot", oracle=PIVOT_ORACLE, tags=("agg", "pivot"))
+def q29_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: customers per (nation × market segment). The pivot value
+    list is given explicitly — at scale never let Spark run the
+    implicit distinct-scan to discover it."""
+    cat = load_catalog(spark, sf_dir)
+    joined = cat.table("customer").join(
+        F.broadcast(cat.table("nation")), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    pivoted = (
+        joined.groupBy("n_name")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = pivoted.select(
+        "n_name", *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in _SEGMENTS]
+    )
+    return renamed

@@ -508,3 +508,45 @@ def q48_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long")
     )
     return votes.select("doc_id", simhash.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Token frequencies — explode / lateral-view shape (C20 companion)
+# ---------------------------------------------------------------------------
+
+TOKEN_FREQ_ORACLE = """
+SELECT token, n_docs, n_occurrences
+FROM (
+  SELECT
+    token,
+    count(DISTINCT doc_id) AS n_docs,
+    count(*) AS n_occurrences,
+    row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+  )
+  GROUP BY token
+)
+WHERE rn <= 25
+"""
+
+
+@register("q34_token_frequencies", oracle=TOKEN_FREQ_ORACLE, tags=("text", "explode"))
+def q34_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: explode tokens → document frequency +
+    collection frequency, top-25 (deterministic tie-break on token).
+    The explode shuffles once on token; counts are partial-aggregated
+    map-side so the shuffle carries (token, partial counts), not rows."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    counts = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("token", "n_docs", "n_occurrences")
+    )
