@@ -90,5 +90,22 @@ def _normalize(name: str, df: DataFrame) -> DataFrame:
     return out
 
 
+# Catalog memo: every registry query calls load_catalog, and the
+# parquet footer/schema re-read per table per query is pure overhead.
+# Keyed by (JVM session id, sf_dir) so a new SparkSession or a
+# different scale factor gets a fresh catalog (temp views are
+# re-registered on switch, which also keeps spark.sql views in sync).
+_CATALOGS: dict[tuple[int, str], Catalog] = {}
+
+
 def load_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
-    return Catalog(spark, sf_dir).load_all()
+    key = (id(spark._jsparkSession), sf_dir)
+    cat = _CATALOGS.get(key)
+    if cat is None:
+        cat = Catalog(spark, sf_dir).load_all()
+        _CATALOGS[key] = cat
+    else:
+        # re-assert temp views in case another sf_dir overwrote them
+        for name, df in cat._dfs.items():
+            df.createOrReplaceTempView(name)
+    return cat
