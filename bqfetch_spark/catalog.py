@@ -41,6 +41,15 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir
         self._dfs: dict[str, DataFrame] = {}
+        # defensive: the harness may hand us a session built without
+        # bqfetch_spark.session defaults; events.ts (timestamp[ns])
+        # is unreadable without this (it is a runtime-settable conf)
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # oracle comparisons assume UTC wall-clock timestamps
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass  # locked down by the host — reads of ns columns will raise
 
     def path(self, name: str) -> str:
         return os.path.join(self.sf_dir, f"{name}.parquet")
