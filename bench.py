@@ -43,6 +43,8 @@ HEADLINE = [
     "q28_correlated_subquery",
     "q29_pivot",
     "q34_token_frequencies",
+    "q36_range_frame",
+    "q37_asof_join",
     "q20_topk_per_group",
     "q21_running_totals",
     "q30_tumbling_window",
