@@ -61,6 +61,7 @@ HEADLINE = [
     "q53_ann_ivf",
     "q60_fetch_chunk",
     "q62_multimodal_meta",
+    "q65_training_pipeline",
 ]
 
 

@@ -60,6 +60,7 @@ def load_all_modules() -> None:
     from bqfetch_spark.operators import temporal  # noqa: F401
     from bqfetch_spark import fetcher  # noqa: F401
     from bqfetch_spark import multimodal  # noqa: F401
+    from bqfetch_spark import pipelines  # noqa: F401
     from bqfetch_spark.plans import advisor  # noqa: F401
 
 
