@@ -22,15 +22,15 @@ def as_double(vec: Column) -> Column:
 EMBED_DIM = 64  # fixture embedding width (FIXTURES.md); callers may override
 
 
-def dot(a: Column, b: Column, dim: int | None = EMBED_DIM) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Σ aᵢ·bᵢ with left-to-right accumulation (matches DuckDB's loop).
 
     Both forms share the identical FP addition order, so oracle parity
     is bit-for-bit either way. ``dim`` unrolls into a flat expression —
-    wins on small pair counts (no per-row lambda machinery); at
-    millions of rows the 64-term chain exceeds HotSpot's JIT method
-    limit and the ``dim=None`` zip_with/aggregate fold is ~40% faster
-    (measured 5.1 s vs 8.7 s per 2M pairs) — pick per call site."""
+    wins only in narrow cases: the 64-term chain costs Janino ~seconds
+    to compile per plan, exceeds HotSpot's JIT method limit at volume
+    (fold measured ~40% faster per 2M pairs), so the fold is the
+    default and ``dim`` is opt-in."""
     if dim is None:
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y),
@@ -43,11 +43,11 @@ def dot(a: Column, b: Column, dim: int | None = EMBED_DIM) -> Column:
     return total
 
 
-def norm2(a: Column, dim: int | None = EMBED_DIM) -> Column:
+def norm2(a: Column, dim: int | None = None) -> Column:
     return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column, dim: int | None = EMBED_DIM) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm2(a, dim) * norm2(b, dim))
 
 

@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the engine's pure-Python
+planning helpers — no SparkSession needed, so these run in
+milliseconds and explore the input space the fixtures don't."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bqfetch_spark.plans.advisor import DEFAULT_TARGET_PARTITION_BYTES, suggest_partitions
+
+
+@given(total=st.integers(min_value=0, max_value=10**18))
+@settings(max_examples=200)
+def test_suggest_partitions_covers_all_bytes(total):
+    """n partitions of target size must cover the table: n*target >= total,
+    and (n-1) partitions must NOT suffice (minimality), except n==1."""
+    target = DEFAULT_TARGET_PARTITION_BYTES
+    n = suggest_partitions(total, target)
+    assert n >= 1
+    assert n * target >= total
+    if n > 1:
+        assert (n - 1) * target < total
+
+
+@given(
+    total=st.integers(min_value=1, max_value=10**15),
+    target=st.integers(min_value=1, max_value=10**12),
+)
+@settings(max_examples=200)
+def test_suggest_partitions_matches_ceiling(total, target):
+    assert suggest_partitions(total, target) == max(1, math.ceil(total / target))
+
+
+@given(st.integers(max_value=0))
+def test_suggest_partitions_rejects_bad_target(bad_target):
+    import pytest
+
+    with pytest.raises(ValueError):
+        suggest_partitions(100, bad_target)
+
+
+@given(
+    values=st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=1, unique=True),
+    n=st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=100)
+def test_ntile_style_ranges_partition_domain(values, n):
+    """Model of Fetcher.chunks' ntile semantics: contiguous buckets over
+    the sorted distinct domain are disjoint, ordered, and cover it."""
+    svals = sorted(values)
+    k = min(n, len(svals))
+    # ntile: first (len % k) buckets get (len//k + 1) values
+    base, extra = divmod(len(svals), k)
+    bounds = []
+    i = 0
+    for b in range(k):
+        size = base + (1 if b < extra else 0)
+        chunk = svals[i : i + size]
+        bounds.append((chunk[0], chunk[-1], len(chunk)))
+        i += size
+    assert sum(c for _, _, c in bounds) == len(svals)
+    for (lo1, hi1, _), (lo2, hi2, _) in zip(bounds, bounds[1:]):
+        assert hi1 < lo2
+    covered = [v for lo, hi, _ in bounds for v in svals if lo <= v <= hi]
+    assert covered == svals
