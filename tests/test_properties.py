@@ -66,3 +66,25 @@ def test_ntile_style_ranges_partition_domain(values, n):
         assert hi1 < lo2
     covered = [v for lo, hi, _ in bounds for v in svals if lo <= v <= hi]
     assert covered == svals
+
+
+def test_bigquery_binding_gated():
+    """No connector in this container: the BigQuery reader must refuse
+    with an actionable error, not a ClassNotFound stack."""
+    import pytest
+
+    from bqfetch_spark.sources.bigquery import read_bigquery_table
+
+    class FakeJVM:
+        class java:  # noqa: N801
+            class lang:  # noqa: N801
+                class Class:  # noqa: N801
+                    @staticmethod
+                    def forName(name):
+                        raise Exception("not found")
+
+    class FakeSpark:
+        _jvm = FakeJVM()
+
+    with pytest.raises(RuntimeError, match="spark-bigquery-connector"):
+        read_bigquery_table(FakeSpark(), "p", "d", "t")
