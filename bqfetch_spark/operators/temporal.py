@@ -126,3 +126,37 @@ def q49_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register("q54_brp_lsh_neighbors", oracle=None, tags=("similarity", "mllib", "lsh"))
+def q54_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH (Euclidean) ANN over the embedding
+    column — the MLlib vector-LSH path beside the hand-rolled IVF
+    (q53): project onto seeded random hyperplanes, bucket by quantized
+    projection, candidate pairs from same-bucket joins. Rows-only
+    (internal hash seeds); approxNearestNeighbors for the same 5 query
+    vectors as q50, so recall vs the exact top-k is inspectable."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(emb)
+    hashed = model.transform(emb).cache()
+    queries = hashed.filter(F.col("vec_id") < 5).collect()
+    out = None
+    for row in queries:
+        nn = model.approxNearestNeighbors(hashed, row.features, 11).filter(
+            F.col("vec_id") != row.vec_id
+        ).limit(10)
+        nn = nn.select(
+            F.lit(row.vec_id).cast("bigint").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            r6(F.col("distCol")).alias("euclidean_dist"),
+        )
+        out = nn if out is None else out.unionByName(nn)
+    return out.orderBy("query_id", "euclidean_dist", "neighbor_id")
