@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 from bqfetch_spark.catalog import load_catalog
 from bqfetch_spark.functions.vectors import as_double, cosine_pandas
 from bqfetch_spark.registry import register
+from bqfetch_spark.session import shuffle_partitions
 
 
 @register("q63_pandas_cosine_topk", oracle=None, tags=("pandas-udf", "similarity"))
@@ -32,7 +33,7 @@ def q63_pandas_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     pairs = (
-        emb.repartition(32, "vec_id")
+        emb.repartition(shuffle_partitions(spark), "vec_id")
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(

@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 from bqfetch_spark.catalog import load_catalog
 from bqfetch_spark.operators.relational import r6
 from bqfetch_spark.registry import register
+from bqfetch_spark.session import shuffle_partitions
 
 # ---------------------------------------------------------------------------
 # C18 — exact dedup (deterministic keeper: min doc_id per text)
@@ -335,7 +336,7 @@ def q46_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenized = (
         docs.select("doc_id", t.alias("t"))
         .filter(F.size("t") >= 3)
-        .repartition(32, "doc_id")
+        .repartition(shuffle_partitions(spark), "doc_id")
     )
     grams = (
         tokenized

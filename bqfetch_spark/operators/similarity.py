@@ -16,6 +16,7 @@ from bqfetch_spark.catalog import load_catalog
 from bqfetch_spark.functions.vectors import as_double, cosine, dot, norm2
 from bqfetch_spark.operators.relational import r6
 from bqfetch_spark.registry import register
+from bqfetch_spark.session import shuffle_partitions
 
 TOPK_ORACLE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -88,7 +89,7 @@ def q51_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_n = emb.select("vec_id", "v", norm2(F.col("v")).alias("n"))
     a = with_n.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
-    ).repartition(32, "vec_a")
+    ).repartition(shuffle_partitions(spark), "vec_a")
     b = with_n.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
     )

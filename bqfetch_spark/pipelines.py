@@ -20,6 +20,7 @@ from bqfetch_spark.catalog import load_catalog
 from bqfetch_spark.operators.llm_pipeline import STOPWORD_PATTERN
 from bqfetch_spark.operators.relational import r6
 from bqfetch_spark.registry import register
+from bqfetch_spark.session import shuffle_partitions
 
 QUALITY_THRESHOLD = 0.45  # keeps ~60% of the fixture corpus
 JACCARD_THRESHOLD = 0.5
@@ -116,7 +117,9 @@ def q65_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incl. the shuffle barrier that materializes the token arrays)
     t = F.split(F.col("text"), " ")
     tokenized = (
-        deduped.select("doc_id", t.alias("t")).filter(F.size("t") >= 3).repartition(32, "doc_id")
+        deduped.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 3)
+        .repartition(shuffle_partitions(spark), "doc_id")
     )
     grams = tokenized.select(
         "doc_id",

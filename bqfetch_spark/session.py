@@ -45,3 +45,13 @@ def get_session(app_name: str = "bqfetch-spark") -> SparkSession:
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()
+
+
+def shuffle_partitions(spark: SparkSession) -> int:
+    """Current shuffle parallelism — use for explicit repartition()
+    calls so operators scale with cluster config instead of a local
+    constant."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return DEFAULT_SHUFFLE_PARTITIONS
