@@ -551,3 +551,52 @@ def q34_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 25)
         .select("token", "n_docs", "n_occurrences")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta-style) dedup: new batch vs. existing corpus
+# ---------------------------------------------------------------------------
+
+INCR_DEDUP_ORACLE = """
+WITH corpus AS (
+  SELECT text FROM documents WHERE doc_id % 10 < 8
+),
+inc AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id % 10 >= 8
+)
+SELECT doc_id, lang, source, n_chars
+FROM inc
+WHERE rn = 1
+  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = inc.text)
+"""
+
+
+@register("q66_incremental_dedup", oracle=INCR_DEDUP_ORACLE, tags=("dedup", "incremental"))
+def q66_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style incremental dedup: an incoming batch (docs with
+    doc_id % 10 >= 8 stand in for today's crawl) is deduped (a) within
+    itself and (b) against the existing corpus, via a single left-anti
+    join. The corpus side carries only (fingerprint, text) — at 100 TB
+    the fingerprint store is the persisted artifact (parquet bucketed
+    by fp), so each nightly batch shuffles ONLY the new docs plus an
+    8-byte-keyed probe of the store; history is never rescanned. Join
+    key is (fp, text): fp short-circuits the comparison, text equality
+    makes it collision-proof — semantically identical to a text-only
+    anti join since fp = xxhash64(text)."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    corpus_fp = (
+        docs.filter(F.col("doc_id") % 10 < 8)
+        .select(F.xxhash64("text").alias("fp"), "text")
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    incoming = (
+        docs.filter(F.col("doc_id") % 10 >= 8)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("fp", F.xxhash64("text"))
+    )
+    return incoming.join(corpus_fp, ["fp", "text"], "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

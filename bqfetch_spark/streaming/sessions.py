@@ -32,7 +32,7 @@ def _sessionize_group(
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],
     state: GroupState,
-    use_timeout: bool = False,
+    timeout: str | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Fold this micro-batch's events for one user into the open
     session; emit every session the new events close, keep the still-
@@ -76,8 +76,13 @@ def _sessionize_group(
             last = max(last, t)
             n += 1
     state.update((start, last, n))
-    if use_timeout:
+    if timeout == "processing":
         state.setTimeoutDuration(SESSION_GAP_SECONDS * 1000)
+    elif timeout == "event":
+        # fire when the WATERMARK passes last-event + gap: the open
+        # session closes exactly when batch semantics say it must,
+        # driven by event time, immune to ingestion stalls
+        state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_SECONDS * 1000)
 
     if closed:
         yield pd.DataFrame(
@@ -100,17 +105,42 @@ def sessionize_stream(events: DataFrame, with_timeout: bool = False) -> DataFram
     conf = (
         GroupStateTimeout.ProcessingTimeTimeout if with_timeout else GroupStateTimeout.NoTimeout
     )
+    mode = "processing" if with_timeout else None
     return (
         events.select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
             # closure (cloudpickle-serialized) so workers see the flag
             lambda key, batches, state: _sessionize_group(
-                key, batches, state, use_timeout=with_timeout
+                key, batches, state, timeout=mode
             ),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=conf,
+        )
+    )
+
+
+def sessionize_stream_event_time(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Event-time-timeout sessionization: identical session semantics,
+    but idle sessions are flushed when the WATERMARK (not wall clock)
+    passes last-event + gap. This is the production form for late /
+    bursty ingestion: replaying 3 days of backlog closes sessions at
+    the same event-time boundaries as live processing would, and state
+    GC is bounded by the watermark horizon rather than wall-clock
+    heuristics. Per-user state stays 3 longs regardless of volume."""
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            lambda key, batches, state: _sessionize_group(
+                key, batches, state, timeout="event"
+            ),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -67,3 +67,60 @@ def test_streaming_sessionization_matches_batch(spark):
     n_users = len({r.user_id for r in batch_rows})
     assert len(streamed) >= len(batch_sessions) - n_users - 5
     assert len(streamed) > 0
+
+
+def test_event_time_timeout_flushes_idle_sessions(spark, tmp_path):
+    """sessionize_stream_event_time must flush a still-open session
+    once the WATERMARK passes last-event + gap — the batch-equivalent
+    close that NoTimeout streaming can never emit. Two files processed
+    as two micro-batches: batch 1 opens sessions for users 1 and 2;
+    batch 2's far-future event (user 3) advances the watermark past
+    their gap, so the trailing no-data batch fires their event-time
+    timeouts. User 3's own session stays open (nothing outlives its
+    watermark)."""
+    import datetime as dt
+    import os
+
+    from bqfetch_spark.streaming.sessions import sessionize_stream_event_time
+
+    utc = dt.timezone.utc
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0, tzinfo=utc)
+    m = dt.timedelta(minutes=1)
+    src = tmp_path / "ev"
+    batch1 = spark.createDataFrame(
+        [(1, t0), (1, t0 + 5 * m), (2, t0 + 1 * m)], "user_id long, ts timestamp"
+    )
+    batch2 = spark.createDataFrame(
+        [(3, t0 + 360 * m)], "user_id long, ts timestamp"
+    )
+    batch1.coalesce(1).write.parquet(str(src / "f1"))
+    batch2.coalesce(1).write.parquet(str(src / "f2"))
+    # FileStreamSource orders by modification time: force f1 before f2
+    now = os.path.getmtime(str(src / "f2"))
+    for sub, off in (("f1", -100), ("f2", -50)):
+        for f in (src / sub).glob("*.parquet"):
+            os.utime(f, (now + off, now + off))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream_event_time(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("et_sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("et_sessions_test").collect()
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events) for r in rows}
+    naive = lambda t: t.replace(tzinfo=None)
+    assert (1, naive(t0), naive(t0 + 5 * m), 2) in got, got
+    assert (2, naive(t0 + 1 * m), naive(t0 + 1 * m), 1) in got, got
+    assert all(r.user_id != 3 for r in rows)
+    assert all(r.closed for r in rows)
