@@ -51,6 +51,7 @@ HEADLINE = [
     "q31_sessionization",
     "q33_json_extract",
     "q40_exact_dedup",
+    "q66_incremental_dedup",
     "q42_token_count",
     "q43_quality_score",
     "q45_fingerprint",
