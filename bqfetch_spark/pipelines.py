@@ -134,9 +134,14 @@ def q65_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("gs"),
-    )
+    # barrier after gram construction + one join-key exchange, same as
+    # q46: three consumers otherwise re-run the transform, and the
+    # self-join's sides collapse to a single ReusedExchange
+    ).repartition(shuffle_partitions(spark), "doc_id")
     sizes = grams.select("doc_id", F.size("gs").alias("n_grams"))
-    flat = grams.select("doc_id", F.explode("gs").alias("g"))
+    flat = grams.select("doc_id", F.explode("gs").alias("g")).repartition(
+        shuffle_partitions(spark), "g"
+    )
     a, b = flat.alias("a"), flat.alias("b")
     pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
