@@ -30,7 +30,6 @@ from typing import Any, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from bqfetch_spark.catalog import load_catalog
 from bqfetch_spark.registry import register
@@ -85,15 +84,27 @@ class Fetcher:
     ) -> list[FetchingChunk]:
         """Split the column's distinct-value domain into ``by_nb_chunks``
         contiguous buckets (ntile semantics: earlier buckets take the
-        remainder). Only bucket boundaries are collected."""
+        remainder). Only bucket boundaries are collected.
+
+        The bucketing is the scalable exact-ntile spelling
+        (plans/ranks.py): range-partition the distinct domain, rank
+        locally, add per-partition offsets — no unpartitioned window,
+        so planning itself survives a 100 TB table with a huge domain
+        (the collect stays O(n_chunks))."""
         if by_nb_chunks <= 0:
             raise ValueError("by_nb_chunks must be positive")
+        from bqfetch_spark.plans.ranks import with_global_ntile
+        from bqfetch_spark.session import shuffle_partitions
+
         df = self.table(ref)
-        w = Window.orderBy(column)
         bounds = (
-            df.select(column)
-            .distinct()
-            .withColumn("__bucket", F.ntile(by_nb_chunks).over(w))
+            with_global_ntile(
+                df.select(column).distinct(),
+                [column],
+                by_nb_chunks,
+                shuffle_partitions(self.spark),
+                "__bucket",
+            )
             .groupBy("__bucket")
             .agg(
                 F.min(column).alias("lo"),

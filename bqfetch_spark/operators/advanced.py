@@ -111,17 +111,22 @@ GROUP BY quartile
 
 @register("q25_ntile_quartiles", oracle=NTILE_ORACLE, tags=("window", "ntile"))
 def q25_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue by price quartile — ntile over a deterministic total
-    order (unique tie-break key)."""
-    orders = load_catalog(spark, sf_dir).table("orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        orders.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
-        .groupBy("quartile")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            r6(F.sum(F.col("o_totalprice").cast(DEC_PRICE)).cast("double")).alias("revenue"),
-        )
+    """Revenue by price quartile — EXACT ntile over a deterministic
+    total order (unique tie-break key), computed scalably: an
+    unpartitioned `ntile() OVER (ORDER BY ...)` sorts every row in a
+    single task, so this uses the range-partition + offset spelling
+    (plans/ranks.py) — identical bucket assignment, no single-task
+    sort anywhere in the plan."""
+    from bqfetch_spark.plans.ranks import with_global_ntile
+    from bqfetch_spark.session import shuffle_partitions
+
+    orders = load_catalog(spark, sf_dir).table("orders").select("o_totalprice", "o_orderkey")
+    bucketed = with_global_ntile(
+        orders, ["o_totalprice", "o_orderkey"], 4, shuffle_partitions(spark), "quartile"
+    )
+    return bucketed.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r6(F.sum(F.col("o_totalprice").cast(DEC_PRICE)).cast("double")).alias("revenue"),
     )
 
 

@@ -579,17 +579,20 @@ def q34_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary profile: explode tokens → document frequency +
     collection frequency, top-25 (deterministic tie-break on token).
     The explode shuffles once on token; counts are partial-aggregated
-    map-side so the shuffle carries (token, partial counts), not rows."""
+    map-side so the shuffle carries (token, partial counts), not rows.
+    The top-25 is orderBy().limit() — Spark plans TakeOrderedAndProject
+    (per-partition heaps, merge 25 rows at the driver), NOT a global
+    unpartitioned window, which would sort the whole vocabulary in one
+    task."""
     docs = load_catalog(spark, sf_dir).table("documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     counts = toks.groupBy("token").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_occurrences"),
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
     return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 25)
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(25)
         .select("token", "n_docs", "n_occurrences")
     )
 

@@ -526,9 +526,13 @@ GROUP BY n_name
 
 @register("q18_local_supplier_volume", oracle=Q5_ORACLE, tags=("join", "agg"))
 def q18_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5 shape: five-way join. region/nation/supplier broadcast; the
-    single real shuffle pair is lineitem⋈orders on orderkey, then a
-    broadcast-filtered customer join. Catalyst reorders; AQE re-plans."""
+    """Q5 shape: five-way join. region/nation/supplier broadcast
+    (bounded dimensions); the single real shuffle pair is
+    lineitem⋈orders on orderkey. customer is NOT force-broadcast — it
+    is fact-sized (scales with SF), so the engine leaves the strategy
+    to AQE/autoBroadcastJoinThreshold: at small SF AQE still picks a
+    broadcast from runtime sizes, past the threshold it degrades
+    safely to a shuffle join instead of OOMing the driver."""
     cat = load_catalog(spark, sf_dir)
     lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
     hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
@@ -551,7 +555,7 @@ def q18_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))

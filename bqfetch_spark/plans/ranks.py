@@ -1,0 +1,83 @@
+"""Scalable global ranking: exact row_number/ntile over a total order
+WITHOUT an unpartitioned window (which sorts the entire input in one
+task — the first OOM at 100× scale).
+
+Spelling: range-repartition on the order key (each partition holds a
+contiguous, disjoint key range), rank locally inside each partition,
+then add the number of rows in all earlier partitions. The per-
+partition row counts are metadata (one row per partition), so the
+cumulative-offset window runs over ~dozens of rows; the data-sized
+work is one range exchange plus one pid-clustered local sort.
+
+This replaces the reference-shaped `ntile-over-everything` plans
+(q25 quartiles, Fetcher.chunks domain bucketing) with the same exact
+semantics: ranks are independent of where the sampled range
+boundaries land, because offsets are computed from the actual
+partition counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    n_partitions: int,
+    rank_col: str = "__rank",
+    total_col: str = "__total",
+) -> DataFrame:
+    """Exact 1-based global row_number over ``order_cols`` (which must
+    end in a unique tie-break key for a deterministic total order).
+    Adds ``rank_col`` and ``total_col`` (the overall row count).
+
+    Plan shape: RangeExchange(order_cols) → [tiny: per-partition
+    counts + cumulative offsets] → broadcast-join offsets back →
+    local sort + window per partition. No single-task stage touches
+    more than one partition's rows.
+    """
+    ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # windows below run over n_partitions rows (metadata, not data)
+    prior = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    everything = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(prior), F.lit(0)).alias("__offset"),
+        F.sum("__cnt").over(everything).alias(total_col),
+    )
+    local = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__offset") + F.row_number().over(local)).cast("bigint"))
+        .drop("__pid", "__offset")
+    )
+
+
+def with_global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int,
+    n_partitions: int,
+    bucket_col: str,
+) -> DataFrame:
+    """Exact SQL ntile(n_buckets) over a global order, built on
+    ``with_global_rank``: the first (total mod n) buckets get
+    ceil(total/n) rows, the rest floor(total/n) — bit-identical to
+    the single-task `ntile() OVER (ORDER BY ...)` spelling."""
+    ranked = with_global_rank(df, order_cols, n_partitions)
+    r, n = F.col("__rank"), F.col("__total")
+    q = F.floor(n / n_buckets)  # small-bucket size
+    m = n % n_buckets  # number of (q+1)-sized leading buckets
+    big = q + 1
+    bucket = F.when(r <= m * big, F.floor((r - 1) / big) + 1).otherwise(
+        m + F.floor((r - m * big - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    return ranked.withColumn(bucket_col, bucket.cast("bigint")).drop("__rank", "__total")

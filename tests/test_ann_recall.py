@@ -55,3 +55,38 @@ def test_kmeans_cells_are_balanced(spark):
     total = sum(sizes)
     assert len(sizes) == 8
     assert max(sizes) / total < 0.5  # no cell holds a majority
+
+
+def test_brp_lsh_set_based_matches_per_query_path(spark):
+    """q54's single-plan (table, bucket) equi-join must return the
+    same neighbor sets as MLlib's per-query approxNearestNeighbors
+    loop (same model, same candidate definition)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.temporal import q54_brp_lsh_neighbors
+
+    sf = "/root/testdata/sf0.001"
+    got = {}
+    for r in q54_brp_lsh_neighbors(spark, sf).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    emb = load_catalog(spark, sf).table("embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(emb)
+    hashed = model.transform(emb)
+    for row in hashed.filter(F.col("vec_id") < 5).collect():
+        nn = (
+            model.approxNearestNeighbors(hashed, row.features, 11)
+            .filter(F.col("vec_id") != row.vec_id)
+            .limit(10)
+        )
+        expected = {r.vec_id for r in nn.collect()}
+        assert got[row.vec_id] == expected, (row.vec_id, got[row.vec_id], expected)

@@ -75,3 +75,39 @@ def test_simhash_hamming_separation(spark):
     assert vals[0] == vals[3]  # exact dup identical
     assert hamming(vals[0], vals[1]) < hamming(vals[0], vals[2])
     assert hamming(vals[0], vals[1]) <= 16  # near-dup stays close
+
+
+def test_mllib_minhash_lsh_finds_planted_dups(spark):
+    """q49's shingle-feature MinHashLSH at distance <= 0.4 must keep
+    planted near-dup pairs and drop the unrelated pair."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = _corpus(spark)
+    t = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("t") - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("t", i),
+                F.element_at("t", F.least(i + 1, F.size("t"))),
+                F.element_at("t", F.least(i + 2, F.size("t"))),
+            ),
+        )
+    )
+    toks = docs.select("doc_id", t.alias("t")).select("doc_id", shingles.alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 16)
+    feats = tf.transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    pairs = (
+        lsh.fit(feats)
+        .approxSimilarityJoin(feats, feats, 0.4, distCol="d")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a"), F.col("datasetB.doc_id").alias("b")
+        )
+    )
+    found = {(r.a, r.b) for r in pairs.collect()}
+    assert (0, 3) in found  # exact dup
+    assert (0, 1) in found  # 1-word edit
+    assert (0, 2) not in found and (1, 2) not in found  # unrelated

@@ -65,3 +65,39 @@ def test_q01_whole_stage_codegen(spark):
 def test_q30_partial_aggregation(spark):
     plan = _formatted(spark, "q30_tumbling_window")
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q18_no_forced_broadcast_of_customer(spark):
+    """customer is fact-sized: only the three bounded dimensions
+    (region, nation_region, supplier) carry explicit broadcast hints;
+    the customer join strategy is left to AQE."""
+    df = REG["q18_local_supplier_volume"].fn(spark, SF_CORRECT)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 3, analyzed.count("ResolvedHint")
+
+
+def test_q34_topk_avoids_global_window(spark):
+    plan = _plan(spark, "q34_token_frequencies")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_q25_ntile_without_single_task_sort(spark):
+    """The quartile assignment must not plan a data-sized
+    unpartitioned window: ranks come from a range exchange + per-pid
+    local windows; the only unpartitioned windows run over the
+    per-partition count rows (metadata)."""
+    plan = _plan(spark, "q25_ntile_quartiles")
+    assert "ntile" not in plan
+    assert "rangepartitioning" in plan.lower()
+    # the data-sized rank window is clustered on the range partition id
+    assert "row_number() windowspecdefinition(__pid" in plan
+
+
+def test_q40_dedup_exchanges_on_hash_key(spark):
+    """Exact dedup must shuffle on the 8-byte xxhash64(text) pre-key,
+    never on the raw text column."""
+    plan = _plan(spark, "q40_exact_dedup")
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchanges, plan
+    assert all("fp#" in l and "text#" not in l for l in exchanges), exchanges
