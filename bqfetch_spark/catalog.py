@@ -101,14 +101,15 @@ def _normalize(name: str, df: DataFrame) -> DataFrame:
 
 # Catalog memo: every registry query calls load_catalog, and the
 # parquet footer/schema re-read per table per query is pure overhead.
-# Keyed by (JVM session id, sf_dir) so a new SparkSession or a
-# different scale factor gets a fresh catalog (temp views are
-# re-registered on switch, which also keeps spark.sql views in sync).
-_CATALOGS: dict[tuple[int, str], Catalog] = {}
+# Keyed by (applicationId, sf_dir): applicationId is stable for a
+# context's lifetime and unique across restarts, so a recycled
+# SparkSession can never resurrect a catalog whose DataFrames point at
+# a stopped JVM session (a CPython id() key could be reused after GC).
+_CATALOGS: dict[tuple[str, str], Catalog] = {}
 
 
 def load_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
-    key = (id(spark._jsparkSession), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cat = _CATALOGS.get(key)
     if cat is None:
         cat = Catalog(spark, sf_dir).load_all()

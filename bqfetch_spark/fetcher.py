@@ -151,10 +151,35 @@ class Fetcher:
         self._log(f"fetched {len(pdf)} rows in {time.time() - t0:.2f}s")
         return pdf
 
-    def iter_batches(self, ref: TableRef, chunk: FetchingChunk | None):
+    def iter_batches(
+        self,
+        ref: TableRef,
+        chunk: FetchingChunk | None,
+        batch_rows: int = 65536,
+    ):
         """Columnar Arrow record batches (reference read Arrow batches
-        from the Storage API, bqfetch/bqfetch.py:496-502)."""
-        yield from self.fetch(ref, chunk).toArrow().to_batches()
+        from the Storage API, bqfetch/bqfetch.py:496-502), streamed
+        INCREMENTALLY: rows are pulled partition-by-partition via
+        toLocalIterator (driver holds at most one partition + one
+        batch at a time — bounded memory however large the chunk is)
+        and re-assembled into Arrow batches of ``batch_rows``. For a
+        chunk-sized read that fits in driver memory, fetch_to_pandas
+        is the faster (single toArrow materialization) path; this is
+        the 100 TB-safe spout."""
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        df = self.fetch(ref, chunk)
+        schema = to_arrow_schema(df.schema)
+        buf: list[dict] = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            buf.append(row.asDict())
+            if len(buf) >= batch_rows:
+                yield pa.RecordBatch.from_pylist(buf, schema=schema)
+                buf = []
+        if buf:
+            yield pa.RecordBatch.from_pylist(buf, schema=schema)
 
 
 # ---------------------------------------------------------------------------

@@ -365,10 +365,14 @@ def q11_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def q12_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """subtract() is Spark's EXCEPT DISTINCT — set semantics regardless
+    of input multiplicities. (exceptAll().distinct() is NOT equivalent:
+    a left value occurring more often than on the right would survive
+    the multiset difference and the distinct.)"""
     cat = load_catalog(spark, sf_dir)
     a = cat.table("customer").select(F.col("c_custkey").alias("custkey"))
     b = cat.table("orders").select(F.col("o_custkey").alias("custkey"))
-    return a.exceptAll(b).distinct()
+    return a.subtract(b)
 
 
 # ---------------------------------------------------------------------------

@@ -26,9 +26,19 @@ def salted_join(
     [0, salt_buckets); small rows are replicated once per salt value.
     Result equals the plain join (verified in tests) but hot keys fan
     out over `salt_buckets` shuffle partitions.
+
+    Only join types whose output is driven by the big (salted) side
+    are allowed: replicating the small side would emit unmatched
+    small-side rows once per salt bucket under right/full outer joins.
     """
     if salt_buckets < 1:
         raise ValueError("salt_buckets must be >= 1")
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports big-side-driven join types only, got {how!r}: "
+            "the replicated small side would duplicate unmatched rows in "
+            "right/full outer joins"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
     big_salted = big.withColumn("__salt", salt.cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
