@@ -79,22 +79,91 @@ class Fetcher:
     def table(self, ref: TableRef) -> DataFrame:
         return load_catalog(self.spark, ref.sf_dir).table(ref.name)
 
+    def check_skew(self, ref: TableRef, column: str) -> float:
+        """Plan-time dispersion check (reference parity:
+        bqfetch/bqfetch.py:410-419 warns while planning when the
+        chunk-key counts are uneven). Returns the dispersed fraction —
+        the share of distinct values whose row count is more than ±25%
+        off the mean — and warns when it exceeds 25%. Distributed: two
+        tiny aggregates, nothing about the domain is collected."""
+        counts = self.table(ref).groupBy(column).agg(F.count(F.lit(1)).alias("__cnt"))
+        row = counts.crossJoin(
+            F.broadcast(counts.agg(F.avg("__cnt").alias("__mean")))
+        ).agg(
+            (
+                F.sum(
+                    (
+                        F.abs(F.col("__cnt") - F.col("__mean"))
+                        > 0.25 * F.col("__mean")
+                    ).cast("long")
+                )
+                / F.count(F.lit(1))
+            ).alias("frac")
+        ).collect()[0]
+        frac = float(row["frac"] or 0.0)
+        if frac > 0.25:
+            import warnings
+
+            msg = (
+                f"{ref.name}.{column}: {frac:.0%} of chunk-key values are >25% "
+                "off the mean row count — value-based chunks will be uneven "
+                "(consider another chunk column, or rely on AQE skew handling)"
+            )
+            warnings.warn(msg, stacklevel=3)
+            self._log(msg)
+        return frac
+
     def chunks(
-        self, ref: TableRef, column: str, by_nb_chunks: int
+        self,
+        ref: TableRef,
+        column: str,
+        by_nb_chunks: int | None = None,
+        by_chunk_size_in_GB: float | None = None,
+        nb_cores: int = 1,
     ) -> list[FetchingChunk]:
-        """Split the column's distinct-value domain into ``by_nb_chunks``
-        contiguous buckets (ntile semantics: earlier buckets take the
-        remainder). Only bucket boundaries are collected.
+        """Split the column's distinct-value domain into contiguous
+        buckets (ntile semantics: earlier buckets take the remainder).
+        Only bucket boundaries are collected.
+
+        Sizing modes (reference parity: BigQueryFetcher.chunks,
+        bqfetch/bqfetch.py:232-265 — exactly one must be given):
+        - ``by_nb_chunks``: explicit chunk count.
+        - ``by_chunk_size_in_GB``: memory-aware estimation — chunk
+          count from table bytes, the per-chunk GB target, ``nb_cores``
+          parallel consumers, and currently-available RAM
+          (plans/advisor.suggest_chunks_by_size; reference
+          get_nb_chunks_approximation, bqfetch/bqfetch.py:374-454).
+          This mode also runs the reference's plan-time skew check
+          (check_skew: warns when >25% of values are >25% off the
+          mean count, bqfetch/bqfetch.py:410-419).
 
         The bucketing is the scalable exact-ntile spelling
         (plans/ranks.py): range-partition the distinct domain, rank
         locally, add per-partition offsets — no unpartitioned window,
         so planning itself survives a 100 TB table with a huge domain
         (the collect stays O(n_chunks))."""
-        if by_nb_chunks <= 0:
+        if (by_nb_chunks is None) == (by_chunk_size_in_GB is None):
+            raise ValueError(
+                "exactly one of by_nb_chunks / by_chunk_size_in_GB must be given"
+            )
+        if by_nb_chunks is not None and by_nb_chunks <= 0:
             raise ValueError("by_nb_chunks must be positive")
+        from bqfetch_spark.plans.advisor import suggest_chunks_by_size, table_bytes
         from bqfetch_spark.plans.ranks import with_global_ntile
         from bqfetch_spark.session import shuffle_partitions
+
+        if by_chunk_size_in_GB is not None:
+            nbytes = table_bytes(
+                load_catalog(self.spark, ref.sf_dir).path(ref.name)
+            )
+            by_nb_chunks = suggest_chunks_by_size(
+                nbytes, by_chunk_size_in_GB, nb_cores
+            )
+            self._log(
+                f"estimated {by_nb_chunks} chunks for {ref.name} "
+                f"({nbytes / 1024**3:.3f} GB at {by_chunk_size_in_GB} GB/chunk × {nb_cores} cores)"
+            )
+            self.check_skew(ref, column)
 
         df = self.table(ref)
         bounds = (
@@ -207,3 +276,23 @@ def q60_fetch_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = TableRef(sf_dir, "customer")
     chunk = fetcher.chunks(ref, "c_custkey", by_nb_chunks=4)[1]
     return fetcher.fetch(ref, chunk).select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+
+
+@register("q67_fetch_chunks_by_size", oracle=None, tags=("fetcher", "advisor"))
+def q67_fetch_chunks_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-driven chunk planning (the reference's headline mode:
+    by_chunk_size_in_GB, bqfetch/bqfetch.py:374-454 + README.md:77-85):
+    chunk count estimated from table bytes at a 10 KB/chunk target
+    (small enough that the chunk-size term, not free RAM, always binds
+    — deterministic per scale factor), then the value-domain bucketed
+    into contiguous ranges. Returns the plan itself. Rows-only check
+    (chunk count derives from parquet file bytes, not SQL); boundary
+    parity vs an ntile oracle and the skew-warning behavior are
+    pytest-verified (tests/test_fetcher.py)."""
+    fetcher = Fetcher(spark)
+    ref = TableRef(sf_dir, "customer")
+    plan = fetcher.chunks(ref, "c_custkey", by_chunk_size_in_GB=1e-5)
+    return spark.createDataFrame(
+        [(c.index, c.n_chunks, int(c.lower), int(c.upper), c.n_values) for c in plan],
+        "chunk_index bigint, n_chunks bigint, lo bigint, hi bigint, n_values bigint",
+    )

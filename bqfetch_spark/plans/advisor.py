@@ -47,6 +47,54 @@ def suggest_partitions(
     return max(1, math.ceil(total_bytes / target_bytes))
 
 
+GB = 1024**3
+MEMORY_RESERVE_GB = 1.0  # headroom kept off the free-RAM budget
+
+
+def available_memory_bytes() -> int:
+    """Free RAM for result materialization (reference parity:
+    psutil.virtual_memory()[1], bqfetch/bqfetch.py:421). Reads
+    /proc/meminfo MemAvailable — stdlib-only; falls back to a
+    conservative 4 GB when the file is absent (non-Linux)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 4 * GB
+
+
+def suggest_chunks_by_size(
+    total_bytes: int,
+    chunk_size_gb: float,
+    nb_cores: int = 1,
+    available_bytes: int | None = None,
+) -> int:
+    """The reference's memory-aware chunk-count estimator
+    (`get_nb_chunks_approximation` + `_nb_chunks_approximation_formula`,
+    bqfetch/bqfetch.py:374-454): each of `nb_cores` workers holds one
+    `chunk_size_gb` chunk in RAM at a time, so a fetch wave
+    materializes min(chunk_size_gb × cores, free RAM − reserve) —
+    nb_chunks = ceil(table / that budget). On Spark the executor
+    doesn't need this to avoid OOM (spill + maxPartitionBytes own
+    memory safety); it sizes DRIVER-side materialization waves
+    (fetch_to_pandas) exactly like the reference sized its process
+    pool."""
+    if chunk_size_gb <= 0:
+        raise ValueError("by_chunk_size_in_GB must be positive")
+    if nb_cores <= 0:
+        raise ValueError("nb_cores must be positive")
+    if available_bytes is None:
+        available_bytes = available_memory_bytes()
+    budget_gb = min(
+        chunk_size_gb * nb_cores,
+        max(available_bytes / GB - MEMORY_RESERVE_GB, 0.25),
+    )
+    return max(1, math.ceil(total_bytes / GB / budget_gb))
+
+
 @dataclass(frozen=True)
 class PartitionAdvice:
     table: str

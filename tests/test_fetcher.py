@@ -67,3 +67,70 @@ def test_invalid_args(spark, fetcher):
     ref = TableRef(SF_SMOKE, "customer")
     with pytest.raises(ValueError):
         fetcher.chunks(ref, "c_custkey", by_nb_chunks=0)
+
+
+def test_chunks_by_size_mode(spark, fetcher, duck):
+    """by_chunk_size_in_GB parity (reference get_nb_chunks_approximation,
+    bqfetch/bqfetch.py:374-454): chunk count = ceil(table_GB / budget)
+    with the 10KB target binding, and the planned boundaries equal the
+    exact ntile bucketing of the distinct domain (dynamic oracle)."""
+    import os
+
+    from bqfetch_spark.plans.advisor import suggest_chunks_by_size
+    from tests.conftest import SF_CORRECT
+
+    ref = TableRef(SF_CORRECT, "customer")
+    chunks = fetcher.chunks(ref, "c_custkey", by_chunk_size_in_GB=1e-5)
+    expected_n = suggest_chunks_by_size(
+        os.path.getsize(os.path.join(SF_CORRECT, "customer.parquet")), 1e-5, 1
+    )
+    assert len(chunks) == expected_n
+    oracle = duck.sql(
+        f"""
+        SELECT b, min(k) AS lo, max(k) AS hi, count(*) AS n
+        FROM (SELECT k, ntile({expected_n}) OVER (ORDER BY k) AS b
+              FROM (SELECT DISTINCT c_custkey AS k FROM customer))
+        GROUP BY b ORDER BY b
+        """
+    ).fetchall()
+    got = [(c.index + 1, c.lower, c.upper, c.n_values) for c in chunks]
+    assert got == [tuple(r) for r in oracle]
+
+
+def test_chunks_by_size_memory_budget_binds():
+    """When chunk_GB x cores exceeds available RAM, the RAM budget
+    (minus reserve) caps the wave size — the reference's formula."""
+    from bqfetch_spark.plans.advisor import GB, suggest_chunks_by_size
+
+    # 100 GB table, 8 GB chunks x 4 cores = 32 GB wave, but only 9 GB
+    # free (8 after reserve) -> ceil(100/8) = 13
+    assert suggest_chunks_by_size(100 * GB, 8.0, 4, available_bytes=9 * GB) == 13
+    # plentiful RAM: the chunk-size term binds -> ceil(100/32) = 4
+    assert suggest_chunks_by_size(100 * GB, 8.0, 4, available_bytes=512 * GB) == 4
+
+
+def test_chunks_sizing_args_are_exclusive(spark, fetcher):
+    ref = TableRef(SF_SMOKE, "customer")
+    with pytest.raises(ValueError):
+        fetcher.chunks(ref, "c_custkey")
+    with pytest.raises(ValueError):
+        fetcher.chunks(ref, "c_custkey", by_nb_chunks=2, by_chunk_size_in_GB=1.0)
+    with pytest.raises(ValueError):
+        fetcher.chunks(ref, "c_custkey", by_chunk_size_in_GB=-1.0)
+
+
+def test_skew_warning_at_plan_time(spark, fetcher):
+    """Reference parity (bqfetch/bqfetch.py:410-419): planning warns
+    when >25% of chunk-key values are >25% off the mean count."""
+    # documents.lang is genuinely dispersed in the fixture (en ~2.4x
+    # the other languages: 3 of 5 values are >25% off the mean)
+    skewed = TableRef(SF_SMOKE, "documents")
+    with pytest.warns(UserWarning, match="off the mean"):
+        frac = fetcher.check_skew(skewed, "lang")
+    assert frac > 0.25
+    # a unique key is perfectly even: no warning
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert fetcher.check_skew(TableRef(SF_SMOKE, "customer"), "c_custkey") == 0.0
