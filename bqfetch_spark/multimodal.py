@@ -50,12 +50,89 @@ def attach_fake_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, kind: str):
-    """STUB: real decode requires PIL/ffmpeg/torchaudio, not present in
-    this container. The Spark-side plumbing (batch shape, schema,
-    partitioning) is exercised with extract_features instead."""
-    raise NotImplementedError(
-        "media decode requires image/audio libraries not available in this environment"
+def decode_media(payload: bytes) -> dict:
+    """Decode real media structure from raw bytes — pure-Python header
+    parsing, no image/audio libraries needed:
+
+    - BMP (``BM`` magic): width/height/bpp from the 54-byte
+      BITMAPINFOHEADER (little-endian int32 at offsets 18/22, uint16
+      at 28).
+    - WAV (``RIFF..WAVE`` magic): walks the chunk list; channels /
+      sample rate / byte rate from the ``fmt `` chunk, duration from
+      the ``data`` chunk size over the byte rate.
+
+    Raises ValueError for unrecognized payloads. Compressed codecs
+    (JPEG/MP3/H.264 frame data) would need real decoder libraries —
+    those are absent in this container, so only the container-format
+    headers are parsed; the Spark-side plumbing is identical either
+    way."""
+    import struct
+
+    if payload[:2] == b"BM":
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        return {
+            "kind": "image",
+            "width": width,
+            "height": abs(height),  # negative height = top-down rows
+            "bpp": bpp,
+            "sample_rate": None,
+            "channels": None,
+            "duration_ms": None,
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos = 12
+        fmt = None
+        duration_ms = None
+        while pos + 8 <= len(payload):
+            cid, csize = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+            if cid == b"fmt ":
+                _, channels, rate, byte_rate = struct.unpack_from("<HHII", payload, pos + 8)
+                fmt = (channels, rate, byte_rate)
+            elif cid == b"data" and fmt is not None:
+                duration_ms = csize * 1000 // fmt[2]
+            pos += 8 + csize + (csize & 1)  # RIFF chunks are word-aligned
+        if fmt is None:
+            raise ValueError("WAV payload has no fmt chunk")
+        return {
+            "kind": "audio",
+            "width": None,
+            "height": None,
+            "bpp": None,
+            "sample_rate": fmt[1],
+            "channels": fmt[0],
+            "duration_ms": duration_ms,
+        }
+    raise ValueError(f"unrecognized media payload (magic {payload[:4]!r})")
+
+
+def encode_bmp(width: int, height: int) -> bytes:
+    """Minimal valid 24bpp bottom-up BMP (zeroed pixels, 4-byte row
+    padding) — deterministic synthetic image payload."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    pixels = stride * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + pixels, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixels, 2835, 2835, 0, 0
+    )
+    return header + b"\x00" * pixels
+
+
+def encode_wav(sample_rate: int, channels: int, n_samples: int) -> bytes:
+    """Minimal valid 16-bit PCM WAV (zeroed samples) — deterministic
+    synthetic audio payload."""
+    import struct
+
+    data = n_samples * 2 * channels
+    byte_rate = sample_rate * channels * 2
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + data, b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16
+        )
+        + struct.pack("<4sI", b"data", data)
+        + b"\x00" * data
     )
 
 
@@ -91,6 +168,101 @@ SELECT
   md5(text) AS checksum
 FROM documents
 """
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic real-format payloads per document (fixtures carry
+    no media): even doc_ids get a 24bpp BMP whose dimensions derive
+    from doc_id, odd ones a 16-bit PCM WAV whose rate/channels/length
+    derive from (doc_id, n_chars). Runs as an Arrow-batched
+    mapInPandas — the encode is Python, but per-batch, never per-row
+    over the wire."""
+    import pandas as pd
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, c = int(doc_id), int(n_chars)
+                if d % 2 == 0:
+                    payloads.append(encode_bmp(d % 64 + 1, d % 48 + 1))
+                else:
+                    payloads.append(
+                        encode_wav(
+                            8000 + d % 8 * 1000,
+                            2 if d % 4 == 1 else 1,
+                            c % 500 + 2,
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "n_chars").mapInPandas(_synth, "doc_id bigint, payload binary")
+
+
+DECODE_SCHEMA = (
+    "doc_id bigint, kind string, width int, height int, sample_rate int, "
+    "channels int, duration_ms bigint, payload_bytes bigint"
+)
+
+
+def decode_media_df(media: DataFrame) -> DataFrame:
+    """mapInPandas decode stage over opaque binary payloads: every
+    output value is parsed from the BYTES (magic, header fields, chunk
+    walk) — nothing is carried through from the synthesis side except
+    doc_id. Nullable Int32/Int64 pandas arrays keep the Arrow schema
+    integer-typed despite per-kind NULLs."""
+    import pandas as pd
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_media(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": [r["kind"] for r in rows],
+                    "width": pd.array([r["width"] for r in rows], dtype="Int32"),
+                    "height": pd.array([r["height"] for r in rows], dtype="Int32"),
+                    "sample_rate": pd.array([r["sample_rate"] for r in rows], dtype="Int32"),
+                    "channels": pd.array([r["channels"] for r in rows], dtype="Int32"),
+                    "duration_ms": pd.array([r["duration_ms"] for r in rows], dtype="Int64"),
+                    "payload_bytes": pd.array([len(p) for p in pdf["payload"]], dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(_decode, DECODE_SCHEMA)
+
+
+MEDIA_DECODE_ORACLE = """
+SELECT
+  doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1 END AS INT) AS width,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 48 + 1 END AS INT) AS height,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + doc_id % 8 * 1000 END AS INT) AS sample_rate,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END END AS INT) AS channels,
+  CAST(CASE WHEN doc_id % 2 = 1
+       THEN (n_chars % 500 + 2) * 1000 // (8000 + doc_id % 8 * 1000) END AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN doc_id % 2 = 0
+       THEN 54 + ((doc_id % 64 + 1) * 3 + 3) // 4 * 4 * (doc_id % 48 + 1)
+       ELSE 44 + (n_chars % 500 + 2) * 2 * (CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END)
+       END AS BIGINT) AS payload_bytes
+FROM documents
+"""
+
+
+@register("q68_multimodal_decode", oracle=MEDIA_DECODE_ORACLE, tags=("multimodal", "decode"))
+def q68_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real media decode round-trip: synthesize valid BMP/WAV payloads
+    (encode_bmp/encode_wav), then parse structure back OUT OF THE RAW
+    BYTES (decode_media: magic sniffing, BITMAPINFOHEADER fields, RIFF
+    chunk walk) in an Arrow-batched mapInPandas stage. The DuckDB
+    oracle computes the expected dimensions/rates/durations/byte sizes
+    arithmetically from (doc_id, n_chars) — so a header mis-encode OR
+    a parser bug on either stage breaks the hash match. At 100 TB the
+    synthesis stage is replaced by reading real payload columns; the
+    decode stage is unchanged."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    return decode_media_df(synthesize_media(docs))
 
 
 @register("q62_multimodal_meta", oracle=MEDIA_META_ORACLE, tags=("multimodal",))

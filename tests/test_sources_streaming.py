@@ -66,13 +66,18 @@ def test_multimodal_features_match_payload(spark):
         assert f.kind in ("image", "audio", "video")
 
 
-def test_multimodal_decode_is_stubbed():
+def test_multimodal_decode_parses_real_headers():
     import pytest
 
-    from bqfetch_spark.multimodal import decode_media
+    from bqfetch_spark.multimodal import decode_media, encode_bmp, encode_wav
 
-    with pytest.raises(NotImplementedError):
-        decode_media(b"xx", "image")
+    img = decode_media(encode_bmp(33, 21))
+    assert (img["kind"], img["width"], img["height"], img["bpp"]) == ("image", 33, 21, 24)
+    wav = decode_media(encode_wav(16000, 2, 16000))
+    assert (wav["kind"], wav["sample_rate"], wav["channels"]) == ("audio", 16000, 2)
+    assert wav["duration_ms"] == 1000  # 16000 samples at 16 kHz
+    with pytest.raises(ValueError):
+        decode_media(b"xxxx not a media payload")
 
 
 def test_streaming_tumbling_matches_batch(spark):
