@@ -217,7 +217,14 @@ class Fetcher:
         t0 = time.time()
         tbl = self.fetch(ref, chunk).toArrow()
         pdf = tbl.to_pandas(self_destruct=True, split_blocks=True, use_threads=True)
-        self._log(f"fetched {len(pdf)} rows in {time.time() - t0:.2f}s")
+        if self.verbose:  # deep memory scan is itself O(data); gate it
+            mem_gb = pdf.memory_usage(deep=True).sum() / 1024**3
+            # reference verbose stats: row count + deep DataFrame size
+            # (bqfetch/bqfetch.py:365-371)
+            self._log(
+                f"fetched {len(pdf)} rows in {time.time() - t0:.2f}s "
+                f"({mem_gb:.2f}GB deep)"
+            )
         return pdf
 
     def iter_batches(
