@@ -64,3 +64,24 @@ def q64_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = tumbling_counts_stream(streaming_events(spark, sf_dir))
     return run_to_memory(stream, "q64_streaming_tumbling_sink")
+
+
+@register("q70_streaming_dedup", oracle=None, tags=("streaming", "dedup"))
+def q70_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup run as a bounded stream: the events
+    source unioned with itself (every row delivered twice — a replay/
+    at-least-once delivery stand-in) must come out exactly once.
+    dropDuplicatesWithinWatermark keeps per-key state only inside the
+    lateness horizon — bounded state at 100 TB/day ingest, which a
+    plain streaming dropDuplicates (state grows forever) is not.
+    Rows-only; equality with the batch table is pytest-asserted."""
+    from bqfetch_spark.streaming.windows import (
+        dedup_stream,
+        run_to_memory,
+        streaming_events,
+    )
+
+    ev = streaming_events(spark, sf_dir)
+    doubled = ev.union(streaming_events(spark, sf_dir))
+    deduped = dedup_stream(doubled).select("event_id", "user_id", "ts", "event_type")
+    return run_to_memory(deduped, "q70_streaming_dedup_sink", output_mode="append")

@@ -50,7 +50,7 @@ def tumbling_counts_stream(
     )
 
 
-def run_to_memory(result: DataFrame, name: str) -> DataFrame:
+def run_to_memory(result: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Execute a bounded stream (AvailableNow) into a memory sink and
     return the materialized result as a DataFrame."""
     spark = result.sparkSession
@@ -58,10 +58,22 @@ def run_to_memory(result: DataFrame, name: str) -> DataFrame:
         q = (
             result.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once dedup on event_id within the watermark
+    horizon (dropDuplicatesWithinWatermark): the state store keeps one
+    entry per key only until the watermark passes it — bounded state,
+    unlike a naive dropDuplicates whose state grows forever. This is
+    the streaming leg of the dedup family (batch: q40; incremental
+    batch: q66): a continuously-crawled corpus dedupes in flight, and
+    re-deliveries inside the lateness horizon are dropped exactly
+    like a replayed Kafka partition would be."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])

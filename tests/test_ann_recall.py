@@ -90,3 +90,19 @@ def test_brp_lsh_set_based_matches_per_query_path(spark):
         )
         expected = {r.vec_id for r in nn.collect()}
         assert got[row.vec_id] == expected, (row.vec_id, got[row.vec_id], expected)
+
+
+def test_ivf_neardup_recall_vs_exact(spark):
+    """q69's bucketed candidates must recover >=90% of q51's exact
+    near-dup pairs (sf0.01: 271 exact pairs)."""
+    from bqfetch_spark.operators.similarity import (
+        q51_embedding_neardup,
+        q69_embedding_neardup_ivf,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {(r.vec_a, r.vec_b) for r in q51_embedding_neardup(spark, sf).collect()}
+    approx = {(r.vec_a, r.vec_b) for r in q69_embedding_neardup_ivf(spark, sf).collect()}
+    assert approx <= exact  # exact re-check: no false positives
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, recall

@@ -93,3 +93,16 @@ def test_streaming_tumbling_matches_batch(spark):
     s = {(r.window_start, r.event_type): r.n_events for r in result.collect()}
     b = {(r.window_start, r.event_type): r.n_events for r in batch.collect()}
     assert s == b
+
+
+def test_streaming_dedup_matches_batch(spark):
+    """q70: doubled delivery through dropDuplicatesWithinWatermark must
+    reproduce the batch table exactly once per event_id."""
+    from bqfetch_spark.registry import all_queries
+
+    result = all_queries()["q70_streaming_dedup"].fn(spark, SF_SMOKE)
+    batch = load_catalog(spark, SF_SMOKE).table("events")
+    assert result.count() == batch.count()
+    s = {r.event_id for r in result.collect()}
+    b = {r.event_id for r in batch.select("event_id").collect()}
+    assert s == b
