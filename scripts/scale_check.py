@@ -32,6 +32,56 @@ def q1_shape(df):
     )
 
 
+def dedup_shape(df, parts):
+    """q40's plan shape (dedup_exact) against an arbitrary frame."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fp", "text").orderBy("doc_id")
+    return (
+        df.withColumn("fp", F.xxhash64("text"))
+        .repartition(parts, "fp")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+
+def jaccard_shape(df, parts):
+    """q46's plan shape (shingle join + DF cap) against an arbitrary
+    frame."""
+    from pyspark.sql.window import Window
+
+    from bqfetch_spark.operators.llm_pipeline import SHINGLE_DF_CAP
+
+    t = F.split(F.col("text"), " ")
+    tokenized = df.select("doc_id", t.alias("t")).filter(F.size("t") >= 3).repartition(parts, "doc_id")
+    grams = tokenized.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1), F.element_at("t", i + 2)
+                ),
+            )
+        ).alias("gs"),
+    ).repartition(parts, "doc_id")
+    flat = (
+        grams.select("doc_id", F.explode("gs").alias("g"))
+        .repartition(parts, "g")
+        .withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("__df") <= SHINGLE_DF_CAP)
+        .drop("__df")
+    )
+    a, b = flat.alias("a"), flat.alias("b")
+    return (
+        a.join(b.hint("shuffle_hash"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id"), F.col("b.doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
 def main() -> None:
     spark = get_session("scale-check")
     spark.sparkContext.setLogLevel("ERROR")
@@ -64,11 +114,49 @@ def main() -> None:
         ratio = tb / ts
         worst = max(worst, ratio)
         print(f"round{i}: small={ts:.2f}s big={tb:.2f}s ratio={ratio:.1f}")
-    shutil.rmtree(tmp, ignore_errors=True)
     # 10× the data should cost ≤ ~10× the time (linear); far above that
     # would mean a super-linear plan (quadratic operator, spill storm)
     assert worst <= 15, f"super-linear scaling: worst ratio {worst:.1f}"
-    print("scaling OK")
+    print("lineitem agg scaling OK")
+
+    # --- text-pipeline ops at 10× documents -------------------------
+    # each replica prefixes EVERY token with a replica tag, so texts
+    # (and all shingles) are distinct across replicas: the dedup and
+    # shingle-join workloads grow linearly in docs, and measured time
+    # must too (a quadratic candidate structure would show ~100×)
+    docs0 = spark.read.parquet(f"{base}/documents.parquet").select("doc_id", "text")
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    docs10 = (
+        docs0.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            F.concat(
+                F.concat(F.lit("r"), F.col("rep"), F.lit("_")),
+                F.regexp_replace(
+                    "text", " ", F.concat(F.lit(" r"), F.col("rep"), F.lit("_"))
+                ),
+            ).alias("text"),
+        )
+    )
+    docs10.repartition(32).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    small_d = docs0.repartition(32)
+    big_d = spark.read.parquet(f"{tmp}/documents.parquet")
+
+    for label, shape in (("exact-dedup", dedup_shape), ("ngram-jaccard", jaccard_shape)):
+        worst = 0.0
+        for i in range(2):
+            t0 = time.time()
+            ns = shape(small_d, 32).count()
+            ts = time.time() - t0
+            t0 = time.time()
+            nb = shape(big_d, 32).count()
+            tb = time.time() - t0
+            ratio = tb / ts
+            worst = max(worst, ratio)
+            print(f"{label} round{i}: small={ts:.2f}s ({ns}) big={tb:.2f}s ({nb}) ratio={ratio:.1f}")
+        assert worst <= 20, f"{label} super-linear: worst ratio {worst:.1f}"
+        print(f"{label} scaling OK")
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
