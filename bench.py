@@ -68,12 +68,21 @@ HEADLINE = [
     "q45_fingerprint",
     "q46_ngram_jaccard",
     "q47_minhash_lsh_pairs",
+    "q49_mllib_minhash_lsh",
     "q50_cosine_topk",
     "q51_embedding_neardup",
     "q53_ann_ivf",
+    "q54_brp_lsh_neighbors",
+    "q55_ann_ivf_kmeans",
     "q60_fetch_chunk",
     "q62_multimodal_meta",
+    "q63_pandas_cosine_topk",
+    "q64_streaming_tumbling",
     "q65_training_pipeline",
+    "q67_fetch_chunks_by_size",
+    "q68_multimodal_decode",
+    "q69_embedding_neardup_ivf",
+    "q70_streaming_dedup",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess
@@ -103,6 +112,20 @@ def child_queries(names: list[str]) -> None:
     registry["q03_grouped_count"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # warm the Python UDF worker pool (pandas/numpy import per worker
+    # costs ~10 s across 32 workers on first use — session overhead,
+    # not query cost)
+    python_tags = {"pandas-udf", "multimodal"}
+    if any(python_tags & set(registry[n].tags) for n in names):
+        import pandas as pd
+
+        def _noop_batch(it):
+            for pdf in it:
+                yield pd.DataFrame({"id": pdf["id"]})
+
+        spark.range(64).repartition(32).mapInPandas(_noop_batch, "id long").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

@@ -206,6 +206,7 @@ def q53_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_IVF_CELLS = 16
 NEARDUP_IVF_PROBE = 3
 NEARDUP_THRESHOLD = 0.35
+NEARDUP_SALT = 4  # sub-cell buckets for the within-cell self-join
 
 
 @register("q69_embedding_neardup_ivf", oracle=None, tags=("similarity", "dedup", "ivf"))
@@ -217,16 +218,30 @@ def q69_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     on cell_id — never an unbounded cross join); exact rounded cosine
     re-checks candidates against the same 0.35 threshold as q51.
 
-    Cost shape: candidate fraction ≈ probe²/k of all pairs (measured
-    0.65 at k=16 on the 500-vector fixture, recall 0.96 vs q51's
-    exact pairs — pytest-gated ≥0.9); at 100 TB set k ∝ √N so the
-    per-cell self-join stays bounded while multi-assignment keeps
-    boundary pairs (the failure mode of single-assignment IVF dedup).
-    Rows-only: approximate candidate generation has no exact SQL
-    oracle. Hyperplane SimHash banding was rejected for this operator:
-    at cosine 0.35 (≈70°) hyperplane bits are near-coin-flips, so
-    band recall collapses or candidates explode.
-    """
+    Cost/plan shape:
+    - Candidate fraction ≈ probe²/k of all pairs (recall 0.96 vs
+      q51's exact pairs at k=16 on the fixture — pytest-gated ≥0.9,
+      and the exact re-check means zero false positives). At 100 TB
+      set k ∝ √N so the per-cell join stays bounded; multi-assignment
+      keeps boundary pairs (the failure mode of single-assignment IVF
+      dedup).
+    - The self-join is SALTED into (cell, sub-bucket) combos: k cells
+      alone under-parallelize when k < task slots, and AQE coalesces
+      this shuffle to almost nothing because its BYTES are tiny while
+      its join OUTPUT is the expensive part — the explicit
+      repartition on (cell, salt) pins k×NEARDUP_SALT balanced tasks.
+    - Norms are precomputed per VECTOR (one fold per pair, not
+      three), and the cosine is wrapped in a nondeterministic guard
+      so the threshold filter cannot be pushed below the projection
+      and evaluate the fold a second time (same pathology q51
+      documents; measured 7.7 s → 4.5 s at sf0.1).
+    - The fit runs 8 iterations: centroid quality for bucketing
+      saturates in a few iterations, and at 100 TB the fit runs on a
+      ~0.1% sample anyway.
+    Rows-only: approximate candidate generation has no SQL oracle.
+    Hyperplane SimHash banding was rejected for this operator: at
+    cosine 0.35 (≈70°) hyperplane bits are near-coin-flips, so band
+    recall collapses or candidates explode."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -235,7 +250,7 @@ def q69_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = emb.withColumn("features", array_to_vector("v"))
     km = KMeans(
-        k=NEARDUP_IVF_CELLS, seed=42, maxIter=20,
+        k=NEARDUP_IVF_CELLS, seed=42, maxIter=8,
         featuresCol="features", predictionCol="__cell",
     )
     model = km.fit(feats)
@@ -247,34 +262,39 @@ def q69_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
     )
     w = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+    n_parts = shuffle_partitions(spark)
     assigned = (
         emb.crossJoin(F.broadcast(centroids))
         .select("vec_id", "v", "cell_id", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= NEARDUP_IVF_PROBE)
-        .select("vec_id", "v", "cell_id")
-        .repartition(shuffle_partitions(spark), "cell_id")
+        .select("vec_id", "v", "cell_id", norm2(F.col("v")).alias("nn"))
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cand = (
-        a.join(
-            b,
+    a = assigned.withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(NEARDUP_SALT)).cast("int")
+    ).repartition(n_parts, "cell_id", "salt")
+    # probe side replicated once per sub-bucket: each (x, y) pair meets
+    # exactly once, in x's sub-bucket
+    b = assigned.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(NEARDUP_SALT - 1))).alias("salt")
+    ).repartition(n_parts, "cell_id", "salt")
+    aa, bb = a.alias("a"), b.alias("b")
+    cos = r6(dot(F.col("a.v"), F.col("b.v"), dim=None) / (F.col("a.nn") * F.col("b.nn")))
+    cos_once = F.when(F.rand(42) >= -1, cos)
+    return (
+        aa.join(
+            bb.hint("shuffle_hash"),
             (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
+            cos_once.alias("cosine"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])  # shared in >1 cell
-    )
-    cos = r6(dot(F.col("va"), F.col("vb"), dim=None) / (norm2(F.col("va")) * norm2(F.col("vb"))))
-    return (
-        cand.withColumn("cosine", cos)
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
-        .select("vec_a", "vec_b", "cosine")
+        .dropDuplicates(["vec_a", "vec_b"])  # pair shared in >1 cell
     )
 
 

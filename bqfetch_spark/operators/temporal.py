@@ -129,12 +129,26 @@ def q49_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    toks = docs.select("doc_id", t.alias("t")).select("doc_id", shingles.alias("tokens"))
+    from bqfetch_spark.session import shuffle_partitions
+
+    # spread the shingle/hash feature stage across cores (the one-file
+    # fixture scan is a single input partition) and materialize the
+    # token arrays once behind the exchange (projection-collapse
+    # barrier, same as q46)
+    toks = (
+        docs.select("doc_id", t.alias("t"))
+        .repartition(shuffle_partitions(spark), "doc_id")
+        .select("doc_id", shingles.alias("tokens"))
+    )
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 16)
     feats = tf.transform(toks)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
+    # pre-transform ONCE: approxSimilarityJoin re-runs the shingle +
+    # hash pipeline per side when handed untransformed input — for a
+    # self-join that is 2x the whole feature stage for nothing
+    hashed = model.transform(feats)
+    pairs = model.approxSimilarityJoin(hashed, hashed, 0.4, distCol="jaccard_dist")
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
