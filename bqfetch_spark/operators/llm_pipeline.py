@@ -354,16 +354,18 @@ def q46_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator) still counts ALL shingles."""
     docs = load_catalog(spark, sf_dir).table("documents")
     t = F.split(F.col("text"), " ")
-    # repartition BETWEEN split and gram construction: the shuffle
-    # materializes the token array once per doc. Without the barrier,
-    # projection collapse inlines split(text) into every element_at
-    # inside the lambda — 3 re-splits per gram (observed: 158 s for
-    # the gram stage at sf0.1; with the barrier: ~2 s). Also spreads
-    # the one-file fixture scan across cores.
+    # shuffle RAW text first, split after: the one-file fixture scan is
+    # a single input partition, so any expression before the exchange
+    # runs on one task — with the exchange first, tokenization runs on
+    # every core (measured 2× on the tokenize+gram stage). The split
+    # output feeds exactly one consumer (the gram projection below,
+    # then its own barrier), so the round-1 projection-collapse
+    # re-split pathology cannot re-occur here.
     tokenized = (
-        docs.select("doc_id", t.alias("t"))
-        .filter(F.size("t") >= 3)
+        docs.select("doc_id", "text")
         .repartition(shuffle_partitions(spark), "doc_id")
+        .select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 3)
     )
     grams = (
         tokenized

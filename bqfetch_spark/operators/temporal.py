@@ -131,13 +131,13 @@ def q49_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from bqfetch_spark.session import shuffle_partitions
 
-    # spread the shingle/hash feature stage across cores (the one-file
-    # fixture scan is a single input partition) and materialize the
-    # token arrays once behind the exchange (projection-collapse
-    # barrier, same as q46)
+    # spread the tokenize + shingle/hash feature stage across cores:
+    # the one-file fixture scan is a single input partition, so the
+    # exchange comes FIRST and all expression work runs post-shuffle
     toks = (
-        docs.select("doc_id", t.alias("t"))
+        docs.select("doc_id", "text")
         .repartition(shuffle_partitions(spark), "doc_id")
+        .select("doc_id", t.alias("t"))
         .select("doc_id", shingles.alias("tokens"))
     )
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 16)
