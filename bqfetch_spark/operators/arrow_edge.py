@@ -85,3 +85,24 @@ def q70_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = ev.union(streaming_events(spark, sf_dir))
     deduped = dedup_stream(doubled).select("event_id", "user_id", "ts", "event_type")
     return run_to_memory(deduped, "q70_streaming_dedup_sink", output_mode="append")
+
+
+@register("q71_streaming_incremental_dedup", oracle=None, tags=("streaming", "dedup", "incremental"))
+def q71_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup against a persisted fingerprint store
+    (streaming/incremental.py): incoming documents stream through
+    foreachBatch waves that anti-join an 8-byte fingerprint parquet
+    store and append their own fingerprints for later waves — the
+    external-state topology a nightly 100 TB crawl dedup runs on
+    (history never rescanned, streaming query holds no unbounded
+    state). Rows-only; equality with q66's one-shot batch anti-join
+    is pytest-asserted."""
+    import tempfile
+
+    from bqfetch_spark.streaming.incremental import run_incremental_dedup
+
+    with tempfile.TemporaryDirectory(prefix="bqfs_incr_") as work:
+        out = run_incremental_dedup(spark, sf_dir, work)
+        # materialize before the TemporaryDirectory (sink parquet) vanishes
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)

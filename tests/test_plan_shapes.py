@@ -94,6 +94,17 @@ def test_q25_ntile_without_single_task_sort(spark):
     assert "row_number() windowspecdefinition(__pid" in plan
 
 
+def test_q69_self_join_is_salted(spark):
+    """The within-cell self-join must partition on (cell_id, salt) —
+    k cells alone under-parallelize when k < task slots, and AQE would
+    coalesce the tiny-bytes exchange under the compute-heavy join."""
+    plan = _plan(spark, "q69_embedding_neardup_ivf")
+    assert any(
+        "Exchange hashpartitioning" in l and "cell_id" in l and "salt" in l
+        for l in plan.splitlines()
+    ), plan
+
+
 def test_q40_dedup_exchanges_on_hash_key(spark):
     """Exact dedup must shuffle on the 8-byte xxhash64(text) pre-key,
     never on the raw text column."""

@@ -106,3 +106,16 @@ def test_streaming_dedup_matches_batch(spark):
     s = {r.event_id for r in result.collect()}
     b = {r.event_id for r in batch.select("event_id").collect()}
     assert s == b
+
+
+def test_streaming_incremental_dedup_matches_batch(spark):
+    """q71's foreachBatch + fingerprint-store topology must produce
+    exactly q66's one-shot batch result (same split, same keep rule)."""
+    from bqfetch_spark.registry import all_queries
+
+    reg = all_queries()
+    streamed = reg["q71_streaming_incremental_dedup"].fn(spark, SF_SMOKE)
+    batch = reg["q66_incremental_dedup"].fn(spark, SF_SMOKE)
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
