@@ -186,6 +186,31 @@ def _run_child(args: list[str]) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+def _load_previous_bench() -> tuple[str, dict[str, float]]:
+    """Per-query timings from the newest driver BENCH_r*.json, if any.
+
+    The driver wraps the bench's JSON line under a "parsed" key. Used
+    for a regression guard: a query that got materially slower than
+    the previous round's artifact is flagged in the output so a plan
+    regression is visible in the bench JSON itself, not only by
+    diffing artifacts by hand.
+    """
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for path in reversed(candidates):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+            queries = doc.get("parsed", doc).get("queries", {})
+            if queries:
+                return os.path.basename(path), dict(queries)
+        except (OSError, ValueError, AttributeError):
+            continue
+    return "", {}
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         child_queries(sys.argv[2].split(","))
@@ -207,6 +232,14 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    prev_name, prev = _load_previous_bench()
+    # regression = slower than the previous artifact by >1.5x AND >1s
+    # absolute (sub-second jitter is noise on a 32-thread local box)
+    regressions = {
+        name: {"prev": prev[name], "now": now}
+        for name, now in timings.items()
+        if name in prev and now > 1.5 * prev[name] and now - prev[name] > 1.0
+    }
     print(
         json.dumps(
             {
@@ -219,6 +252,11 @@ def main() -> None:
                 "baseline_fetch_rows_per_sec": 78000,
                 "baseline_fetch_gbps": 0.051,
                 **({"failures": failures} if failures else {}),
+                **(
+                    {"regressions_vs": prev_name, "regressions": regressions}
+                    if regressions
+                    else {}
+                ),
             }
         )
     )
