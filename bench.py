@@ -83,6 +83,9 @@ HEADLINE = [
     "q68_multimodal_decode",
     "q69_embedding_neardup_ivf",
     "q70_streaming_dedup",
+    "q72_stratified_sample",
+    "q73_pack_shards",
+    "q74_dedup_clusters",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

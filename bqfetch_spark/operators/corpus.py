@@ -1,0 +1,247 @@
+"""Corpus-curation operators: the steps between "deduped documents"
+and "training shards" in a large-scale data pipeline — stratified
+domain mixing, token-budget shard packing, and near-dup cluster
+resolution.
+
+Scale stance (100 TB of documents):
+- Stratified sampling is a broadcast join against a tiny rate table
+  plus a deterministic hash filter — one scan, no shuffle, and the
+  same doc is kept or dropped on every run (md5 keys, not rand()).
+- Shard packing needs a global running sum of token counts; the
+  naive spelling is an unpartitioned window (single-task sort of the
+  corpus). We use the two-pass range-partition form
+  (plans/ranks.py:with_global_cumsum) — exact, and no task touches
+  more than one partition's rows.
+- Cluster resolution is iterative hash-min label propagation over the
+  near-dup pair graph: per iteration one equi-join + one groupBy-min,
+  converging in O(cluster diameter) rounds (near-dup clusters are
+  shallow — a handful of rounds). Lineage is truncated with
+  localCheckpoint each round so the plan does not grow with the
+  iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bqfetch_spark.catalog import load_catalog
+from bqfetch_spark.operators.llm_pipeline import NGRAM_JACCARD_ORACLE, q46_ngram_jaccard
+from bqfetch_spark.plans.ranks import with_global_cumsum
+from bqfetch_spark.registry import register
+from bqfetch_spark.session import shuffle_partitions
+
+# ---------------------------------------------------------------------------
+# Stratified sampling (domain mixing)
+# ---------------------------------------------------------------------------
+
+# language -> keep rate: downsample the head language, keep the tail
+SAMPLE_RATES = {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 1.0, "zh": 1.0}
+
+
+def _hex_threshold(rate: float) -> str:
+    """4-hex-digit keep threshold for substring(md5(key),1,4) < t.
+
+    rate >= 1.0 maps to 'zzzz', which every hex string sorts below —
+    the keep-everything sentinel works identically in any engine that
+    compares strings lexicographically."""
+    if rate >= 1.0:
+        return "zzzz"
+    return format(max(0, round(rate * 65536)), "04x")
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float], key_col: str, strat_col: str) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the first 4
+    hex chars of md5(key) sort below the stratum's rate threshold.
+
+    Unlike ``df.sampleBy`` (seeded RNG over a partition-order-dependent
+    stream), the decision is a pure function of the key, so reruns,
+    retries, and speculative tasks all agree — the property that
+    matters when a 100 TB sample job has to be resumable. The rate
+    table is a handful of rows, joined broadcast: no shuffle at all.
+    """
+    spark = df.sparkSession
+    rate_rows = [(s, _hex_threshold(r)) for s, r in rates.items()]
+    rate_df = spark.createDataFrame(rate_rows, f"{strat_col} string, __thresh string")
+    return (
+        df.join(F.broadcast(rate_df), strat_col)
+        .filter(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4) < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
+def _rates_values_sql() -> str:
+    return ", ".join(f"('{lang}', '{_hex_threshold(r)}')" for lang, r in SAMPLE_RATES.items())
+
+
+STRATIFIED_ORACLE = f"""
+WITH rates(lang, thresh) AS (VALUES {_rates_values_sql()})
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN rates r ON d.lang = r.lang
+WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thresh
+"""
+
+
+@register("q72_stratified_sample", oracle=STRATIFIED_ORACLE, tags=("sampling",))
+def q72_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: language-stratified deterministic sample of
+    `documents` (md5-threshold keep rule, broadcast rate table)."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    return stratified_sample(docs, SAMPLE_RATES, "doc_id", "lang").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048  # tokens per shard
+
+
+PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM toks
+)
+SELECT
+  (c - n_tokens) // {PACK_BUDGET} AS shard_id,
+  count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  min(doc_id) AS first_doc,
+  max(doc_id) AS last_doc
+FROM cum
+GROUP BY 1
+"""
+
+
+@register("q73_pack_shards", oracle=PACK_ORACLE, tags=("sampling", "packing"))
+def q73_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (in doc_id order) into ~PACK_BUDGET-token
+    training shards: a doc's shard is its preceding cumulative token
+    count integer-divided by the budget, so shard boundaries fall at
+    fixed token offsets regardless of partitioning.
+
+    The running sum uses the scalable two-pass range-partition form —
+    the SQL-window spelling in the oracle would be a single-task sort
+    of the whole corpus at scale."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    cum = with_global_cumsum(toks, ["doc_id"], "n_tokens", shuffle_partitions(spark), "c")
+    return (
+        cum.withColumn("shard_id", F.expr(f"(c - n_tokens) div {PACK_BUDGET}"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution (connected components, hash-min)
+# ---------------------------------------------------------------------------
+
+CLUSTER_JACCARD = 0.5  # pair threshold feeding the cluster graph
+MAX_CC_ITERS = 20  # safety cap; real convergence is O(cluster diameter)
+
+
+def connected_components(pairs: DataFrame, a_col: str, b_col: str, max_iters: int = MAX_CC_ITERS) -> DataFrame:
+    """(node, cluster_id) for every node in ``pairs``, cluster_id =
+    min node id in the connected component — iterative hash-min label
+    propagation (the standard large-graph CC algorithm; GraphFrames
+    does the same under the hood).
+
+    Per round: join labels to the symmetric edge list, take the min
+    neighbor label per node, and stop when the global label sum stops
+    decreasing (labels only ever decrease, so an unchanged sum IS the
+    fixpoint). Each round is one shuffle join + one groupBy — no
+    driver-side data beyond the 1-row convergence aggregate — and
+    localCheckpoint truncates lineage so round N's plan doesn't
+    replay rounds 1..N-1."""
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_ORACLE}) q
+  WHERE jaccard >= {CLUSTER_JACCARD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT
+  src AS doc_id,
+  least(src, min(dst)) AS cluster_id,
+  CAST(src = least(src, min(dst)) AS INTEGER) AS is_canonical
+FROM reach
+GROUP BY src
+"""
+
+
+@register("q74_dedup_clusters", oracle=CLUSTERS_ORACLE, tags=("dedup", "clustering"))
+def q74_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup PAIRS (q46 shingle-Jaccard >= CLUSTER_JACCARD)
+    into CLUSTERS via hash-min connected components, and mark the
+    canonical keeper (min doc_id) per cluster — the step that turns
+    pairwise dedup output into "keep one copy per duplicate group".
+
+    The oracle computes the same components by recursive-CTE
+    transitive closure — exact but O(component²) rows, fine for the
+    sf0.01 check; the engine's label propagation is the shape that
+    scales (state is one (node,label) row per doc)."""
+    pairs = q46_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= CLUSTER_JACCARD
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )

@@ -61,6 +61,40 @@ def with_global_rank(
     )
 
 
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    n_partitions: int,
+    cum_col: str = "__cum",
+) -> DataFrame:
+    """Exact inclusive running sum of ``val_col`` over a global order,
+    same two-pass shape as :func:`with_global_rank`: range-exchange on
+    the order key, per-partition local running sums, plus the sum of
+    all earlier partitions' totals (a window over n_partitions
+    metadata rows). No single task ever sorts more than one
+    partition's rows — this is the scalable spelling of
+    ``sum(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)``."""
+    ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum(val_col).alias("__pt"))
+    prior = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__pt").over(prior), F.lit(0)).alias("__offset")
+    )
+    local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(cum_col, (F.col("__offset") + F.sum(val_col).over(local)).cast("bigint"))
+        .drop("__pid", "__offset")
+    )
+
+
 def with_global_ntile(
     df: DataFrame,
     order_cols: list[str],

@@ -1,0 +1,71 @@
+"""Corpus-curation operator behavior beyond oracle parity: the
+connected-components iteration must handle multi-hop chains (the
+fixture's near-dup graph is shallow, so parity alone wouldn't prove
+propagation runs more than one round)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bqfetch_spark.operators.corpus import (
+    SAMPLE_RATES,
+    _hex_threshold,
+    connected_components,
+    stratified_sample,
+)
+
+
+def test_connected_components_chain(spark):
+    # 1-2-3-4-5 is a 4-hop chain: min label must propagate end to end,
+    # which takes ~ceil(log2(diameter)) + 1 rounds, not one.
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        "a long, b long",
+    )
+    got = {
+        (r.node, r.cluster_id)
+        for r in connected_components(pairs, "a", "b").collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)}
+    assert got == want
+
+
+def test_connected_components_respects_iteration_cap(spark):
+    # cap=1: one round of min-propagation can't finish the chain —
+    # proves the loop actually iterates (and that the cap is honored)
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], "a long, b long")
+    one_round = {
+        (r.node, r.cluster_id)
+        for r in connected_components(pairs, "a", "b", max_iters=1).collect()
+    }
+    assert one_round != {(i, 1) for i in range(1, 6)}
+
+
+def test_hex_threshold_bounds():
+    assert _hex_threshold(0.0) == "0000"
+    assert _hex_threshold(0.25) == "4000"
+    assert _hex_threshold(0.5) == "8000"
+    assert _hex_threshold(1.0) == "zzzz"  # keep-all sentinel sorts above any hex
+    assert all(c <= "z" for c in "0123456789abcdef")
+
+
+def test_stratified_sample_rates(spark):
+    # 4000 keys per stratum: observed keep rate must sit within a few
+    # points of the configured rate (md5 is uniform over keys)
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(12000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.25, "de": 0.5, "fr": 1.0}
+    got = {
+        r.lang: r.n
+        for r in stratified_sample(df, rates, "doc_id", "lang")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got["fr"] == 4000  # rate 1.0 keeps everything
+    assert abs(got["en"] / 4000 - 0.25) < 0.05
+    assert abs(got["de"] / 4000 - 0.5) < 0.05
+
+
+def test_sample_rates_cover_fixture_langs():
+    assert set(SAMPLE_RATES) == {"en", "de", "es", "fr", "zh"}
