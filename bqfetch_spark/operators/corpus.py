@@ -153,7 +153,7 @@ def q73_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup cluster resolution (connected components, hash-min)
 # ---------------------------------------------------------------------------
 
-CLUSTER_JACCARD = 0.5  # pair threshold feeding the cluster graph
+CLUSTER_JACCARD = 0.2  # pair threshold feeding the cluster graph
 MAX_CC_ITERS = 20  # safety cap; real convergence is O(cluster diameter)
 
 
@@ -170,9 +170,14 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str, max_iters: in
     driver-side data beyond the 1-row convergence aggregate — and
     localCheckpoint truncates lineage so round N's plan doesn't
     replay rounds 1..N-1."""
-    edges = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    # materialize the edge list ONCE: every iteration joins against it,
+    # and without the barrier each round would replay the (expensive)
+    # upstream pair-generation plan — e.g. q46's whole shingle join
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
