@@ -353,50 +353,46 @@ def q46_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle applies the identical cap; n_grams (the Jaccard
     denominator) still counts ALL shingles."""
     docs = load_catalog(spark, sf_dir).table("documents")
+    np = shuffle_partitions(spark)
     t = F.split(F.col("text"), " ")
     # shuffle RAW text first, split after: the one-file fixture scan is
     # a single input partition, so any expression before the exchange
     # runs on one task — with the exchange first, tokenization runs on
-    # every core (measured 2× on the tokenize+gram stage). The split
-    # output feeds exactly one consumer (the gram projection below,
-    # then its own barrier), so the round-1 projection-collapse
-    # re-split pathology cannot re-occur here.
+    # every core (measured 2× on the tokenize+gram stage).
     tokenized = (
         docs.select("doc_id", "text")
-        .repartition(shuffle_partitions(spark), "doc_id")
+        .repartition(np, "doc_id")
         .select("doc_id", t.alias("t"))
         .filter(F.size("t") >= 3)
     )
-    grams = (
-        tokenized
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("t", i),
-                        F.element_at("t", i + 1),
-                        F.element_at("t", i + 2),
-                    ),
-                )
-            ).alias("gs"),
-        )
-        # second barrier: three consumers read `grams` (sizes + both
-        # self-join sides); without it each re-runs the gram transform
-        # from the token exchange (measured 18.9 s → 7.0 s at sf0.1)
-        .repartition(shuffle_partitions(spark), "doc_id")
+    # 3-grams via arrays_zip(slice,slice,slice) → explode → concat_ws
+    # on FLAT rows: the lambda spelling (transform + element_at +
+    # concat_ws inside the HOF) runs in Catalyst's per-element
+    # interpreter, measured 2× slower than this whole-stage-codegen'd
+    # flat projection. Per-doc gram dedup rides the doc_id exchange
+    # (hash clustering on a subset of the grouping keys), so it costs
+    # no extra shuffle.
+    n2 = F.size("t") - 2
+    z = F.arrays_zip(
+        F.slice("t", 1, n2).alias("w1"),
+        F.slice("t", 2, n2).alias("w2"),
+        F.slice("t", 3, n2).alias("w3"),
     )
-    sizes = grams.select("doc_id", F.size("gs").alias("n_grams"))
-    # pre-shuffle by the join key so the self-join's two sides are ONE
-    # exchange (ReusedExchange), not two scans of the gram stage; the
-    # stop-shingle window rides the same exchange (clustered on g), so
-    # the DF cut costs zero extra shuffles
+    # pre-shuffle by the join key so the self-join's two sides, the
+    # stop-shingle window, and the sizes aggregate all ride ONE
+    # exchange: scan→explode→dedup executes once
+    fr = (
+        tokenized.select("doc_id", F.explode(z).alias("z"))
+        .select("doc_id", F.concat_ws(" ", "z.w1", "z.w2", "z.w3").alias("g"))
+        .dropDuplicates(["doc_id", "g"])
+        .repartition(np, "g")
+    )
+    # n_grams (the Jaccard denominator) counts ALL distinct grams —
+    # computed before the DF cap, off the same g-exchange (partial
+    # count per partition, then a tiny doc_id shuffle)
+    sizes = fr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     flat = (
-        grams.select("doc_id", F.explode("gs").alias("g"))
-        .repartition(shuffle_partitions(spark), "g")
-        .withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        fr.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("g")))
         .filter(F.col("__df") <= SHINGLE_DF_CAP)
         .drop("__df")
     )

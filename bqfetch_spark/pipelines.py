@@ -127,30 +127,28 @@ def q65_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("t") >= 3)
         .repartition(shuffle_partitions(spark), "doc_id")
     )
-    grams = tokenized.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("t", i),
-                    F.element_at("t", i + 1),
-                    F.element_at("t", i + 2),
-                ),
-            )
-        ).alias("gs"),
-    # barrier after gram construction + one join-key exchange, same as
-    # q46: three consumers otherwise re-run the transform, and the
-    # self-join's sides collapse to a single ReusedExchange
-    ).repartition(shuffle_partitions(spark), "doc_id")
-    sizes = grams.select("doc_id", F.size("gs").alias("n_grams"))
+    # 3-grams as flat rows (arrays_zip(slice×3) → explode → codegen'd
+    # concat_ws; the HOF-lambda spelling is 2× slower — see q46); the
+    # per-doc gram dedup rides the doc_id exchange, and one join-key
+    # exchange then feeds the DF-cap window, both self-join sides, and
+    # the sizes aggregate
+    n2 = F.size("t") - 2
+    z = F.arrays_zip(
+        F.slice("t", 1, n2).alias("w1"),
+        F.slice("t", 2, n2).alias("w2"),
+        F.slice("t", 3, n2).alias("w3"),
+    )
+    fr = (
+        tokenized.select("doc_id", F.explode(z).alias("z"))
+        .select("doc_id", F.concat_ws(" ", "z.w1", "z.w2", "z.w3").alias("g"))
+        .dropDuplicates(["doc_id", "g"])
+        .repartition(shuffle_partitions(spark), "g")
+    )
+    sizes = fr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     # stop-shingle cut on the join-key exchange (see q46: join cost is
     # Σ df², hot shingles dominate; the window reuses the g-exchange)
     flat = (
-        grams.select("doc_id", F.explode("gs").alias("g"))
-        .repartition(shuffle_partitions(spark), "g")
-        .withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        fr.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("g")))
         .filter(F.col("__df") <= SHINGLE_DF_CAP)
         .drop("__df")
     )
