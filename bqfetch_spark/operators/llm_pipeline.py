@@ -433,29 +433,39 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """doc_id → array<long> of k min-hashes over token-3-gram shingles.
 
     h_i(shingle) = xxhash64(shingle, seed=i); signature_i = min over
-    shingles. Computed entirely with array expressions — per-doc state
-    is k longs, so this scales linearly in corpus size.
+    shingles. Spelled as flat shingle rows + k codegen'd min()
+    aggregates riding one doc_id exchange: the per-doc-array spelling
+    (transform lambda + array_min × k) runs in Catalyst's per-element
+    interpreter and measured ~2× slower on the same data. min() over
+    duplicate shingles equals min() over distinct ones, so no dedup
+    is needed. Short docs (< 3 tokens) get clamped shingles by
+    padding the token array with two copies of its last token —
+    identical values to the previous element-clamping spelling.
+    Per-doc state is k longs; scales linearly in corpus size.
     """
+    from bqfetch_spark.session import shuffle_partitions as _sp
+
     t = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("t") - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("t", i),
-                F.element_at("t", F.least(i + 1, F.size("t"))),
-                F.element_at("t", F.least(i + 2, F.size("t"))),
-            ),
-        )
+    padded = F.concat("t", F.array(F.element_at("t", -1), F.element_at("t", -1)))
+    m = F.greatest(F.size("t") - 2, F.lit(1))
+    z = F.arrays_zip(
+        F.slice(padded, 1, m).alias("w1"),
+        F.slice(padded, 2, m).alias("w2"),
+        F.slice(padded, 3, m).alias("w3"),
     )
-    with_sh = docs.select("doc_id", F.col("text")).withColumn("t", t).withColumn("sh", shingles)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(k)
-        ]
+    flat = (
+        docs.select("doc_id", "text")
+        .repartition(_sp(docs.sparkSession), "doc_id")
+        .select("doc_id", t.alias("t"))
+        .select("doc_id", F.explode(z).alias("z"))
+        .select("doc_id", F.concat_ws(" ", "z.w1", "z.w2", "z.w3").alias("g"))
     )
-    return with_sh.select("doc_id", sig.alias("signature"))
+    sigs = flat.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"h{i}") for i in range(k)]
+    )
+    return sigs.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("signature")
+    )
 
 
 @register("q47_minhash_lsh_pairs", oracle=None, tags=("dedup", "minhash", "lsh"))

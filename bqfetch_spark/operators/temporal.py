@@ -117,28 +117,32 @@ def q49_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_catalog(spark, sf_dir).table("documents")
-    t = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("t") - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("t", i),
-                F.element_at("t", F.least(i + 1, F.size("t"))),
-                F.element_at("t", F.least(i + 2, F.size("t"))),
-            ),
-        )
-    )
     from bqfetch_spark.session import shuffle_partitions
 
     # spread the tokenize + shingle/hash feature stage across cores:
     # the one-file fixture scan is a single input partition, so the
-    # exchange comes FIRST and all expression work runs post-shuffle
+    # exchange comes FIRST and all expression work runs post-shuffle.
+    # Shingles are built as flat rows (arrays_zip(slice×3) → explode →
+    # codegen'd concat_ws) and re-assembled per doc with collect_set —
+    # ~2× faster than the HOF-lambda spelling (see q46/q47); HashingTF
+    # is order-insensitive over the set, so features are unchanged.
+    # Short docs get clamped shingles by padding with the last token.
+    t = F.split(F.col("text"), " ")
+    padded = F.concat("t", F.array(F.element_at("t", -1), F.element_at("t", -1)))
+    m = F.greatest(F.size("t") - 2, F.lit(1))
+    z = F.arrays_zip(
+        F.slice(padded, 1, m).alias("w1"),
+        F.slice(padded, 2, m).alias("w2"),
+        F.slice(padded, 3, m).alias("w3"),
+    )
     toks = (
         docs.select("doc_id", "text")
         .repartition(shuffle_partitions(spark), "doc_id")
         .select("doc_id", t.alias("t"))
-        .select("doc_id", shingles.alias("tokens"))
+        .select("doc_id", F.explode(z).alias("z"))
+        .select("doc_id", F.concat_ws(" ", "z.w1", "z.w2", "z.w3").alias("g"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("g").alias("tokens"))
     )
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 16)
     feats = tf.transform(toks)
