@@ -86,6 +86,9 @@ HEADLINE = [
     "q72_stratified_sample",
     "q73_pack_shards",
     "q74_dedup_clusters",
+    "q75_repetition_stats",
+    "q76_pii_redact",
+    "q77_contamination",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -1,0 +1,252 @@
+"""Corpus-quality operators beyond per-doc scoring (q43): Gopher-style
+repetition statistics, PII redaction, and eval-set contamination
+screening — the filters a large-scale training-data pipeline runs
+between raw crawl and tokenizer.
+
+Scale stance (100 TB of documents):
+- Repetition stats are one doc_id-keyed exchange; both aggregation
+  levels (per-(doc,bigram) count, then per-doc max/sum) ride that one
+  exchange because hash-partitioning on doc_id satisfies the clustered
+  distribution of any grouping key-set containing doc_id.
+- PII redaction is a pure projection (JVM regex, whole-stage codegen) —
+  no shuffle at all; it scales with scan bandwidth.
+- Contamination screening broadcasts the EVAL side (benchmarks are
+  tiny — thousands of docs) and streams the corpus once; the corpus
+  side never shuffles its text, only (doc_id, gram) rows into the
+  per-pair count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bqfetch_spark.catalog import load_catalog
+from bqfetch_spark.operators.relational import r6
+from bqfetch_spark.registry import register
+from bqfetch_spark.session import shuffle_partitions
+
+# ---------------------------------------------------------------------------
+# q75: repetition statistics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+TOP_BIGRAM_FLAG = 0.08  # ~p99 of top-bigram share at sf0.01
+DUP_WORD_FLAG = 0.65  # ~p90 of repeated-word share
+
+REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+base AS (
+  SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct, t
+  FROM toks WHERE len(t) >= 2
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+bc AS (
+  SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS tot FROM bc GROUP BY 1
+)
+SELECT
+  b.doc_id,
+  CAST(b.n_words AS BIGINT) AS n_words,
+  round(CAST(a.top_c AS DOUBLE) / a.tot, 6) AS top_bigram_frac,
+  round(1 - CAST(b.n_distinct AS DOUBLE) / b.n_words, 6) AS dup_word_frac,
+  CAST(round(CAST(a.top_c AS DOUBLE) / a.tot, 6) > {TOP_BIGRAM_FLAG}
+       OR round(1 - CAST(b.n_distinct AS DOUBLE) / b.n_words, 6) > {DUP_WORD_FLAG}
+       AS INTEGER) AS flagged
+FROM base b JOIN agg a USING (doc_id)
+"""
+
+
+@register("q75_repetition_stats", oracle=REPETITION_ORACLE, tags=("quality", "filtering"))
+def q75_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the share of the
+    most frequent word bigram (boilerplate / spam indicator) and the
+    repeated-word fraction, plus a flag at data-derived thresholds.
+
+    Plan shape: shuffle RAW text on doc_id first (the one-file fixture
+    scan is a single input partition — the exchange spreads the regex
+    and gram work over every core), then BOTH aggregation levels
+    (per-(doc_id,bigram) count and per-doc max/sum) ride that single
+    exchange: hash-partitioning on doc_id satisfies the clustered
+    distribution of (doc_id, bg). One shuffle total, no matter the
+    corpus size. The flag compares the ROUNDED fractions so the
+    boolean is bit-identical across engines."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    np = shuffle_partitions(spark)
+    t = F.split(F.col("text"), " ")
+    base = (
+        docs.select("doc_id", "text")
+        .repartition(np, "doc_id")
+        .select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "t",
+            F.size("t").cast("bigint").alias("n_words"),
+            F.size(F.array_distinct("t")).alias("n_distinct"),
+        )
+    )
+    n1 = F.size("t") - 1
+    z = F.arrays_zip(F.slice("t", 1, n1).alias("w1"), F.slice("t", 2, n1).alias("w2"))
+    bigram_counts = (
+        base.select("doc_id", "n_words", "n_distinct", F.explode(z).alias("z"))
+        .select("doc_id", "n_words", "n_distinct", F.concat_ws(" ", "z.w1", "z.w2").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("n_words").alias("n_words"),
+            F.first("n_distinct").alias("n_distinct"),
+        )
+    )
+    agg = bigram_counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("tot"),
+        F.first("n_words").alias("n_words"),
+        F.first("n_distinct").alias("n_distinct"),
+    )
+    top_frac = r6(F.col("top_c").cast("double") / F.col("tot"))
+    dup_frac = r6(F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words"))
+    return agg.select(
+        "doc_id",
+        "n_words",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_word_frac"),
+        ((top_frac > TOP_BIGRAM_FLAG) | (dup_frac > DUP_WORD_FLAG)).cast("int").alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76: PII redaction (regex scrub, pure projection)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus carries no PII, so the query plants deterministic
+# address/phone strings derived from doc_id, then redacts them — the
+# round trip proves the scrub finds and removes exactly what it should.
+# Patterns are kept to the Java/RE2 common subset (no lookarounds).
+EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+PHONE_RE = r"555-[0-9]{4}"
+
+PII_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example phone 555-0'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS raw
+  FROM documents
+)
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(raw, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+  md5(regexp_replace(regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM planted
+"""
+
+
+@register("q76_pii_redact", oracle=PII_ORACLE, tags=("quality", "pii"))
+def q76_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub: count and redact email/phone occurrences.
+
+    Pure projection — JVM regex inside whole-stage codegen, zero
+    shuffles; at 100 TB this runs at scan bandwidth. The md5 of the
+    redacted text is the oracle's value check (the full redacted text
+    would dominate the comparison payload for no extra signal)."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example phone 555-0"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+    )
+    planted = docs.select("doc_id", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return planted.select(
+        "doc_id",
+        # idx=0 explicitly: Spark's regexp_extract_all defaults to group 1
+        F.size(F.regexp_extract_all("raw", F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77: eval-set contamination screen (broadcast n-gram overlap)
+# ---------------------------------------------------------------------------
+
+CONTAM_N = 5  # n-gram width; benchmark-decontamination standard is 8-13,
+# 5 here so the tiny-vocabulary fixture produces non-trivial overlap
+EVAL_DOCS = 20  # doc_id < EVAL_DOCS plays the held-out benchmark
+
+CONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(t) - {CONTAM_N - 1}),
+             i -> list_aggregate(t[i:i+{CONTAM_N - 1}], 'string_agg', ' ')))) AS g
+  FROM toks WHERE len(t) >= {CONTAM_N}
+)
+SELECT
+  tr.doc_id AS doc_id,
+  ev.doc_id AS eval_doc_id,
+  count(*) AS n_shared
+FROM grams tr
+JOIN grams ev ON tr.g = ev.g
+WHERE ev.doc_id < {EVAL_DOCS} AND tr.doc_id >= {EVAL_DOCS}
+GROUP BY 1, 2
+"""
+
+
+def _distinct_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g): distinct word n-grams per doc, flat-row construction
+    (arrays_zip of shifted slices → explode → concat_ws) — stays in
+    whole-stage codegen; the HOF-lambda spelling runs interpreted."""
+    t = F.split(F.col("text"), " ")
+    tok = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= n)
+    width = F.size("t") - (n - 1)
+    z = F.arrays_zip(*[F.slice("t", i + 1, width).alias(f"w{i}") for i in range(n)])
+    return (
+        tok.select("doc_id", F.explode(z).alias("z"))
+        .select("doc_id", F.concat_ws(" ", *[f"z.w{i}" for i in range(n)]).alias("g"))
+        .dropDuplicates(["doc_id", "g"])
+    )
+
+
+@register("q77_contamination", oracle=CONTAM_ORACLE, tags=("quality", "decontamination"))
+def q77_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screen: for every training document,
+    count distinct {CONTAM_N}-grams shared with any eval document
+    (doc_id < EVAL_DOCS stands in for the held-out benchmark).
+
+    Plan shape for 100 TB: the EVAL side is tiny (real benchmarks are
+    a few thousand docs) — its gram set is built once and BROADCAST;
+    the corpus streams through scan → gram-explode → broadcast hash
+    join → partial-agg'd groupBy. The corpus side is scanned exactly
+    once and never carries text past the projection; the only shuffle
+    is the final (doc_id, eval_doc_id) count, which is bounded by the
+    number of contaminated pairs, not the corpus size."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    np = shuffle_partitions(spark)
+    base = docs.select("doc_id", "text").repartition(np, "doc_id")
+    train = _distinct_ngrams(base.filter(F.col("doc_id") >= EVAL_DOCS), CONTAM_N)
+    ev = _distinct_ngrams(
+        base.filter(F.col("doc_id") < EVAL_DOCS), CONTAM_N
+    ).withColumnRenamed("doc_id", "eval_doc_id")
+    return (
+        train.join(F.broadcast(ev), "g")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

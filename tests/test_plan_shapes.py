@@ -112,3 +112,23 @@ def test_q40_dedup_exchanges_on_hash_key(spark):
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert exchanges, plan
     assert all("fp#" in l and "text#" not in l for l in exchanges), exchanges
+
+
+def test_q76_pii_is_pure_projection(spark):
+    # redaction must run at scan bandwidth: no exchange anywhere
+    plan = _plan(spark, "q76_pii_redact")
+    assert "Exchange" not in plan
+
+
+def test_q77_contamination_broadcasts_eval_side(spark):
+    plan = _plan(spark, "q77_contamination")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q75_single_exchange_for_both_agg_levels(spark):
+    # per-(doc,bigram) count and per-doc max/sum must ride ONE doc_id
+    # exchange (hash partitioning on a subset of the grouping keys)
+    plan = _plan(spark, "q75_repetition_stats")
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
