@@ -89,6 +89,7 @@ HEADLINE = [
     "q75_repetition_stats",
     "q76_pii_redact",
     "q77_contamination",
+    "q78_interval_join",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

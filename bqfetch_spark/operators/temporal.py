@@ -101,6 +101,126 @@ def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERVAL_SPIKE_FACTOR = 1.25  # busy hour: count >= factor × the type's mean
+
+INTERVAL_JOIN_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, avg(c) AS mean_c FROM h GROUP BY 1
+),
+busy AS (
+  SELECT h.event_type, h.hr FROM h JOIN m USING (event_type)
+  WHERE h.c >= {INTERVAL_SPIKE_FACTOR} * m.mean_c
+),
+isl AS (
+  SELECT event_type, hr,
+         CASE WHEN lag(hr) OVER (PARTITION BY event_type ORDER BY hr)
+                   = hr - INTERVAL 1 HOUR THEN 0 ELSE 1 END AS brk
+  FROM busy
+),
+grp AS (
+  SELECT event_type, hr,
+         sum(brk) OVER (PARTITION BY event_type ORDER BY hr
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+),
+iv AS (
+  SELECT event_type AS incident_type,
+         min(hr) AS start_ts,
+         max(hr) + INTERVAL 1 HOUR AS end_ts
+  FROM grp GROUP BY event_type, g
+)
+SELECT
+  iv.incident_type,
+  iv.start_ts,
+  iv.end_ts,
+  count(*) AS n_events,
+  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+  round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM iv JOIN events e ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+GROUP BY 1, 2, 3
+"""
+
+
+def bucketed_interval_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Generic keyless interval join (fact.ts ∈ [start, end)) without
+    the O(n×m) nested-loop a raw inequality join plans: each interval
+    is EXPLODED into the fixed-width time buckets it covers, the fact
+    side maps to its single bucket, and the join becomes a hash
+    equi-join on the bucket plus a residual containment filter. Each
+    (interval, bucket) row is unique and a fact row has one bucket, so
+    no pair is produced twice. Interval sets are small relative to
+    facts (incidents, campaigns, outages) — Spark broadcasts them;
+    cost is |facts| + Σ interval_hours, never |facts| × |intervals|."""
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.col(start_col),
+                F.col(end_col) - F.expr(f"INTERVAL {bucket}"),
+                F.expr(f"INTERVAL {bucket}"),
+            )
+        ),
+    )
+    keyed = fact.withColumn("__bucket", F.date_trunc("hour", F.col(ts_col)))
+    return keyed.join(F.broadcast(iv), "__bucket").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+
+
+@register("q78_interval_join", oracle=INTERVAL_JOIN_ORACLE, tags=("join", "interval"))
+def q78_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join over derived variable-length windows:
+    detect per-type "spike" hours (count >= 1.25× that type's mean
+    hourly rate), merge consecutive busy hours into incident intervals
+    (islands-and-gaps: lag-break + running sum), then join ALL events
+    falling inside each incident window — cross-type, no join key.
+
+    Plan shape: the interval derivation aggregates to O(hours) rows
+    (independent of event volume), the islands window partitions by
+    event_type over those few rows, and the join itself is
+    bucket-exploded + broadcast (bucketed_interval_join) — the fact
+    table is scanned once and hash-joined, never nested-loop'd. The
+    oracle uses the direct inequality join (fine at sf0.01); both
+    spell the same [start, end) containment."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    means = hourly.groupBy("event_type").agg(F.avg("c").alias("mean_c"))
+    busy = hourly.join(F.broadcast(means), "event_type").filter(
+        F.col("c") >= INTERVAL_SPIKE_FACTOR * F.col("mean_c")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    brk = F.when(
+        F.lag("hr").over(w) == F.col("hr") - F.expr("INTERVAL 1 HOUR"), F.lit(0)
+    ).otherwise(F.lit(1))
+    grp = busy.withColumn("brk", brk).withColumn(
+        "g", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    intervals = grp.groupBy(F.col("event_type").alias("incident_type"), "g").agg(
+        F.min("hr").alias("start_ts"),
+        (F.max("hr") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    ).drop("g")
+    joined = bucketed_interval_join(ev, intervals, "ts", "start_ts", "end_ts")
+    return joined.groupBy("incident_type", "start_ts", "end_ts").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        r6(F.sum(F.col("value").cast("decimal(18,6)")).cast("double")).alias("sum_value"),
+    )
+
+
 @register("q49_mllib_minhash_lsh", oracle=None, tags=("dedup", "mllib", "lsh"))
 def q49_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH variant of q47: token-3-gram shingle sets →

@@ -132,3 +132,12 @@ def test_q75_single_exchange_for_both_agg_levels(spark):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_q78_interval_join_is_hash_not_nested_loop(spark):
+    # keyless interval join must become a bucket equi-join, never a
+    # nested-loop over facts × intervals
+    plan = _plan(spark, "q78_interval_join")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
