@@ -90,6 +90,7 @@ HEADLINE = [
     "q76_pii_redact",
     "q77_contamination",
     "q78_interval_join",
+    "q79_gap_fill",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -221,6 +221,80 @@ def q78_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GAP_FILL_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c,
+         sum(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+types AS (SELECT DISTINCT event_type FROM h),
+spine AS (
+  SELECT t.event_type, unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS hr
+  FROM types t, span s
+),
+j AS (
+  SELECT s.event_type, s.hr, h.c, h.v
+  FROM spine s LEFT JOIN h ON h.event_type = s.event_type AND h.hr = s.hr
+)
+SELECT
+  event_type,
+  hr,
+  CAST(coalesce(c, 0) AS BIGINT) AS n_events,
+  CAST(c IS NULL AS INTEGER) AS is_gap,
+  round(CAST(last_value(v IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY hr
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS value_locf
+FROM j
+"""
+
+
+@register("q79_gap_fill", oracle=GAP_FILL_ORACLE, tags=("temporal", "resample"))
+def q79_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resampling: aggregate events to an hourly grid
+    per event_type, materialize the MISSING hours from a generated
+    time spine, and forward-fill the hourly value sum
+    (last-observation-carried-forward) across gaps.
+
+    Plan shape: the raw data is touched once, by the hourly aggregate
+    — everything after runs on O(types × hours) rows, which grows with
+    calendar time, not data volume (at 100 TB/year that is still a few
+    thousand rows per series). The spine is a cross join of the
+    distinct-type set with one exploded sequence bounded by the global
+    [min, max] hour (a 1-row broadcast); the LOCF window partitions by
+    event_type over spine-sized partitions. The value rides as
+    DECIMAL through the fill and rounds once at the end, so
+    carried-forward values are bit-identical to the oracle's."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+    )
+    span = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .join(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "hr"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        "hr",
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("c").isNull().cast("int").alias("is_gap"),
+        r6(F.last("v", ignorenulls=True).over(w).cast("double")).alias("value_locf"),
+    )
+
+
 @register("q49_mllib_minhash_lsh", oracle=None, tags=("dedup", "mllib", "lsh"))
 def q49_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH variant of q47: token-3-gram shingle sets →
