@@ -91,6 +91,7 @@ HEADLINE = [
     "q77_contamination",
     "q78_interval_join",
     "q79_gap_fill",
+    "q80_idf_rarity",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -250,3 +250,66 @@ def q77_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "eval_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q80: IDF rarity score (vocabulary-broadcast TF-IDF signal)
+# ---------------------------------------------------------------------------
+
+IDF_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+df AS (
+  SELECT token, count(*) AS n_docs FROM tok GROUP BY 1
+),
+n AS (SELECT count(*) AS n_total FROM documents)
+SELECT
+  t.doc_id,
+  CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+  round(avg(ln(CAST(n.n_total AS DOUBLE) / df.n_docs)), 6) AS avg_idf,
+  round(max(ln(CAST(n.n_total AS DOUBLE) / df.n_docs)), 6) AS max_idf
+FROM tok t JOIN df ON t.token = df.token CROSS JOIN n
+GROUP BY t.doc_id
+"""
+
+
+@register("q80_idf_rarity", oracle=IDF_ORACLE, tags=("quality", "tfidf"))
+def q80_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token density per document: mean and max inverse document
+    frequency (ln(N/df)) over each doc's distinct tokens — the
+    TF-IDF-shaped "is this document unusual vocabulary" quality
+    signal.
+
+    Plan shape for 100 TB: natural-language vocabulary is heavy-tailed
+    but BOUNDED (tens of millions of terms, not corpus-sized), so the
+    document-frequency table is aggregated once (map-side partial
+    count on the token explode) and then joined back to the exploded
+    tokens on token — df rides the same token-keyed exchange the DF
+    aggregate produced, so the join adds no new shuffle of the big
+    side. Per-doc averages run over ≤ doc-length values, where
+    double-accumulation order drift stays far below the round(6)
+    surfacing precision."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    np = shuffle_partitions(spark)
+    tok = (
+        docs.select("doc_id", "text")
+        .repartition(np, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .dropDuplicates(["doc_id", "token"])
+        .repartition(np, "token")
+    )
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_total = docs.select(F.count(F.lit(1)).alias("n_total"))
+    idf = F.log(F.col("n_total").cast("double") / F.col("n_docs"))
+    return (
+        tok.join(df.hint("shuffle_hash"), "token")
+        .join(F.broadcast(n_total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+            r6(F.avg(idf)).alias("avg_idf"),
+            r6(F.max(idf)).alias("max_idf"),
+        )
+    )
