@@ -92,6 +92,7 @@ HEADLINE = [
     "q78_interval_join",
     "q79_gap_fill",
     "q80_idf_rarity",
+    "q81_temperature_mix",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -313,3 +313,72 @@ def q80_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.max(idf)).alias("max_idf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q81: temperature-scaled language mixing (data-derived sample rates)
+# ---------------------------------------------------------------------------
+
+TEMP_BUDGET_FRAC = 0.5  # sample half the corpus overall...
+# ...allocated across languages ∝ sqrt(count): the α=0.5 "temperature"
+# rebalancing multilingual pipelines use to upweight tail languages
+
+TEMP_MIX_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT sum(n) AS n_total, sum(sqrt(n)) AS z FROM counts
+),
+rates AS (
+  SELECT c.lang,
+         round(least(1.0, ({TEMP_BUDGET_FRAC} * t.n_total * sqrt(c.n) / t.z) / c.n), 9) AS rate
+  FROM counts c CROSS JOIN tot t
+)
+SELECT
+  d.doc_id,
+  d.lang,
+  d.n_chars,
+  round(r.rate, 6) AS keep_rate
+FROM documents d JOIN rates r USING (lang)
+WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < CAST(floor(r.rate * 4294967296) AS BIGINT)
+"""
+
+
+@register("q81_temperature_mix", oracle=TEMP_MIX_ORACLE, tags=("sampling", "mixing"))
+def q81_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing: sample TEMP_BUDGET_FRAC of the
+    corpus with per-language budgets ∝ sqrt(language count) (α = 0.5),
+    the standard rebalancing that keeps head languages from drowning
+    the tail. Rates are DERIVED FROM THE DATA (two tiny aggregates),
+    unlike q72's fixed rate table.
+
+    Determinism: keep iff the first 32 md5 bits of doc_id fall below
+    rate × 2³², so retries and speculative tasks agree. sqrt (IEEE
+    correctly-rounded in both engines, unlike pow) and a round(rate, 9)
+    before the threshold keep the cross-engine boundary exact. Scale:
+    language counts and rates are O(languages) rows broadcast back;
+    the corpus itself is one scan + filter, no shuffle."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = counts.agg(F.sum("n").alias("n_total"), F.sum(F.sqrt("n")).alias("z"))
+    rates = counts.join(F.broadcast(tot)).select(
+        "lang",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (TEMP_BUDGET_FRAC * F.col("n_total") * F.sqrt("n") / F.col("z"))
+                / F.col("n"),
+            ),
+            9,
+        ).alias("rate"),
+    )
+    hash32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(hash32 < F.floor(F.col("rate") * 4294967296).cast("bigint"))
+        .select("doc_id", "lang", "n_chars", F.round("rate", 6).alias("keep_rate"))
+    )
