@@ -93,6 +93,7 @@ HEADLINE = [
     "q79_gap_fill",
     "q80_idf_rarity",
     "q81_temperature_mix",
+    "q82_holdout_sample",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -382,3 +382,41 @@ def q81_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hash32 < F.floor(F.col("rate") * 4294967296).cast("bigint"))
         .select("doc_id", "lang", "n_chars", F.round("rate", 6).alias("keep_rate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q82: deterministic exact-k sample (holdout-split building block)
+# ---------------------------------------------------------------------------
+
+HOLDOUT_K = 100
+
+HOLDOUT_ORACLE = f"""
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars
+  FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT {HOLDOUT_K}
+) t
+"""
+
+
+@register("q82_holdout_sample", oracle=HOLDOUT_ORACLE, tags=("sampling", "holdout"))
+def q82_holdout_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform holdout sample: the k documents with the
+    smallest md5(doc_id) — hash order is uniform over the corpus yet a
+    pure function of the key, so the same k docs come back on every
+    run, rerun, and engine (unlike sample(fraction) which is both
+    approximate-sized and partition-order-dependent).
+
+    Plan shape: orderBy(hash).limit(k) becomes TakeOrderedAndProject —
+    per-partition k-element heaps merged at the driver, O(k) driver
+    memory and NO global sort, so "give me a 10k-doc eval split from
+    100 TB" is one scan."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    return (
+        docs.orderBy(h, "doc_id")
+        .limit(HOLDOUT_K)
+        .select("doc_id", "lang", "n_chars")
+    )

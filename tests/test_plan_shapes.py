@@ -141,3 +141,9 @@ def test_q78_interval_join_is_hash_not_nested_loop(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q82_holdout_is_take_ordered(spark):
+    # exact-k hash sample must be per-partition heaps, not a global sort
+    plan = _plan(spark, "q82_holdout_sample")
+    assert "TakeOrderedAndProject" in plan
