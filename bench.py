@@ -94,6 +94,7 @@ HEADLINE = [
     "q80_idf_rarity",
     "q81_temperature_mix",
     "q82_holdout_sample",
+    "q83_column_profile",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

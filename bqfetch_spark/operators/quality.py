@@ -420,3 +420,65 @@ def q82_holdout_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(HOLDOUT_K)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# q83: single-pass column profile (ANALYZE-style table stats)
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = ("lang", "source", "n_chars")
+
+PROFILE_ORACLE = """
+WITH s AS (SELECT * FROM documents)
+SELECT 'lang' AS col_name, count(*) AS n_rows,
+       CAST(count(*) - count(lang) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct,
+       CAST(min(lang) AS VARCHAR) AS min_val, CAST(max(lang) AS VARCHAR) AS max_val
+FROM s
+UNION ALL
+SELECT 'source', count(*), CAST(count(*) - count(source) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT),
+       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+FROM s
+UNION ALL
+SELECT 'n_chars', count(*), CAST(count(*) - count(n_chars) AS BIGINT),
+       CAST(count(DISTINCT n_chars) AS BIGINT),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+FROM s
+"""
+
+
+@register("q83_column_profile", oracle=PROFILE_ORACLE, tags=("profiling", "stats"))
+def q83_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics — row count, null count, exact
+    distinct count, min/max — for several columns in ONE pass: all
+    aggregates compute in a single groupBy-less agg (Spark plans the
+    multi-countDistinct via one Expand + aggregate, one scan of the
+    table), then unpivot to a (col_name, stats) row per column with
+    stack(). The oracle spells it as per-column UNION ALL branches —
+    same rows, but the engine reads the table once, not once per
+    column. min/max surface as strings so one schema fits every
+    column type."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            # min/max on the NATIVE type (numeric order), cast after —
+            # casting first would compare lexicographically
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )

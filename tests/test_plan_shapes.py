@@ -147,3 +147,13 @@ def test_q82_holdout_is_take_ordered(spark):
     # exact-k hash sample must be per-partition heaps, not a global sort
     plan = _plan(spark, "q82_holdout_sample")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q83_profile_single_scan(spark):
+    # all columns' stats (incl. 3 exact distinct counts) must come from
+    # ONE table scan via the Expand-based distinct-aggregate rewrite
+    import re
+
+    plan = _plan(spark, "q83_column_profile")
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
+    assert "Expand" in plan
