@@ -95,6 +95,11 @@ HEADLINE = [
     "q81_temperature_mix",
     "q82_holdout_sample",
     "q83_column_profile",
+    "q84_session_window",
+    "q85_multi_grain_rollup",
+    "q87_unigram_logprob",
+    "q88_market_share",
+    "q89_funnel",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

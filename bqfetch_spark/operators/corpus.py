@@ -250,3 +250,34 @@ def q74_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("node") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical corpus materialization (clusters -> cleaned corpus)
+# ---------------------------------------------------------------------------
+
+CANONICAL_ORACLE = f"""
+WITH losers AS (
+  SELECT doc_id FROM ({CLUSTERS_ORACLE}) c WHERE is_canonical = 0
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+@register("q86_canonical_corpus", oracle=CANONICAL_ORACLE, tags=("dedup", "clustering"))
+def q86_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final step of the near-dup dedup story: drop every cluster
+    member except its canonical keeper and emit the cleaned corpus
+    (pairs -> clusters -> one survivor per duplicate group).
+
+    One LEFT ANTI join of the corpus against the (tiny relative to the
+    corpus) non-canonical id set — docs in no cluster pass through
+    untouched, so the corpus is scanned once and never shuffled on
+    text. At 100 TB the loser list is the only thing exchanged."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    losers = q74_dedup_clusters(spark, sf_dir).filter(F.col("is_canonical") == 0).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -141,6 +141,123 @@ def q32_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_WINDOW_ORACLE = """
+WITH ordered AS (
+  SELECT
+    user_id, event_id, ts, value,
+    CASE
+      WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+      WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           >= 1800000000 THEN 1
+      ELSE 0
+    END AS is_new_session
+  FROM events
+),
+sessions AS (
+  SELECT
+    user_id, ts, value,
+    sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM ordered
+)
+SELECT
+  user_id,
+  min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+@register("q84_session_window", oracle=SESSION_WINDOW_ORACLE, tags=("events", "session"))
+def q84_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window operator — the
+    same 30-min-gap semantics as q31's lag+cumsum idiom but expressed
+    as a single groupBy, which Catalyst plans as one MergingSessions
+    aggregate on a user_id exchange (no window-function sort pass),
+    and which carries unchanged into Structured Streaming.
+
+    Boundary pin (both engines): an event exactly gap after its
+    predecessor starts a NEW session — session windows are [start,
+    end) with end = last_ts + gap, so the oracle's new-session test is
+    `>=`, not q31's `>`."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r6(F.sum(F.col("value").cast(DEC_VALUE)).cast("double")).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+MULTI_GRAIN_ORACLE = """
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+         count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1
+)
+SELECT 'hour' AS grain, bucket_start, n_events, round(CAST(v AS DOUBLE), 6) AS total_value
+FROM hourly
+UNION ALL
+SELECT 'day', CAST(date_trunc('day', bucket_start) AS TIMESTAMP),
+       CAST(sum(n_events) AS BIGINT), round(CAST(sum(v) AS DOUBLE), 6)
+FROM hourly GROUP BY 2
+UNION ALL
+SELECT 'week', CAST(date_trunc('week', bucket_start) AS TIMESTAMP),
+       CAST(sum(n_events) AS BIGINT), round(CAST(sum(v) AS DOUBLE), 6)
+FROM hourly GROUP BY 2
+"""
+
+
+@register("q85_multi_grain_rollup", oracle=MULTI_GRAIN_ORACLE, tags=("events", "rollup"))
+def q85_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour, day, and week
+    aggregates of `events` in one job — the coarser grains re-aggregate
+    the HOURLY PARTIALS (sum-of-sums over exact decimals), never the
+    raw table, so raw data is scanned exactly once and each re-agg
+    shuffles only bucket-count rows (calendar-bounded, not
+    data-bounded — the property that matters at 100 TB of events).
+    Catalyst reuses the hourly exchange across the three union branches
+    (ReusedExchange; decimal addition is associative so sum-of-sums is
+    bit-identical to a flat sum)."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC_VALUE)).alias("v"),
+    )
+    daily = hourly.groupBy(F.date_trunc("day", "bucket_start").alias("bucket_start")).agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("v").alias("v"),
+    )
+    weekly = hourly.groupBy(F.date_trunc("week", "bucket_start").alias("bucket_start")).agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("v").alias("v"),
+    )
+
+    def leveled(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket_start",
+            "n_events",
+            r6(F.col("v").cast("double")).alias("total_value"),
+        )
+
+    return leveled(hourly, "hour").unionByName(leveled(daily, "day")).unionByName(
+        leveled(weekly, "week")
+    )
+
+
 JSON_ORACLE = """
 SELECT
   event_type,
@@ -162,4 +279,90 @@ def q33_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         r6(F.sum(k.cast(DEC_VALUE)).cast("double")).alias("total_k"),
         F.max(k).cast("bigint").alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89: funnel analysis (ordered event-sequence matching)
+# ---------------------------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN event_type = 'view' THEN ts END AS view_ts,
+    min(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_view
+  FROM events
+),
+clicked AS (
+  SELECT *,
+    min(click_q) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_click
+  FROM (
+    SELECT *, CASE WHEN event_type = 'click' AND first_view IS NOT NULL THEN ts END AS click_q
+    FROM flagged
+  )
+),
+users AS (
+  SELECT
+    user_id,
+    min(view_ts) AS u_view,
+    min(click_q) AS u_click,
+    min(CASE WHEN event_type = 'purchase' AND first_click IS NOT NULL THEN ts END) AS u_purchase
+  FROM clicked
+  GROUP BY user_id
+)
+SELECT
+  CAST(count(u_view) AS BIGINT) AS n_view_users,
+  CAST(count(u_click) AS BIGINT) AS n_click_users,
+  CAST(count(u_purchase) AS BIGINT) AS n_purchase_users,
+  round(CAST(count(u_click) AS DOUBLE) / nullif(count(u_view), 0), 6) AS view_to_click,
+  round(CAST(count(u_purchase) AS DOUBLE) / nullif(count(u_click), 0), 6) AS click_to_purchase
+FROM users
+"""
+
+
+@register("q89_funnel", oracle=FUNNEL_ORACLE, tags=("events", "funnel"))
+def q89_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their first
+    view, then purchased AFTER their first qualified click — sequence
+    matching via running-min window chains, the single-scan spelling
+    (the join spelling re-reads events once per stage; this one scans
+    once, and both window passes share one (user_id) sort, so the
+    whole funnel costs a single exchange).
+
+    Tie policy, pinned in both engines: events ordered by (ts,
+    event_id); a click at the same ts as the first view qualifies iff
+    it sorts after it."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    view_ts = F.when(is_type("view"), F.col("ts"))
+    flagged = ev.withColumn("view_ts", view_ts).withColumn(
+        "first_view", F.min(view_ts).over(w)
+    )
+    click_q = F.when(is_type("click") & F.col("first_view").isNotNull(), F.col("ts"))
+    clicked = flagged.withColumn("click_q", click_q).withColumn(
+        "first_click", F.min(click_q).over(w)
+    )
+    purchase_q = F.when(is_type("purchase") & F.col("first_click").isNotNull(), F.col("ts"))
+    users = clicked.groupBy("user_id").agg(
+        F.min("view_ts").alias("u_view"),
+        F.min("click_q").alias("u_click"),
+        F.min(purchase_q).alias("u_purchase"),
+    )
+    n_view = F.count("u_view")
+    n_click = F.count("u_click")
+    n_purchase = F.count("u_purchase")
+    return users.agg(
+        n_view.cast("bigint").alias("n_view_users"),
+        n_click.cast("bigint").alias("n_click_users"),
+        n_purchase.cast("bigint").alias("n_purchase_users"),
+        r6(n_click.cast("double") / F.nullif(n_view, F.lit(0))).alias("view_to_click"),
+        r6(n_purchase.cast("double") / F.nullif(n_click, F.lit(0))).alias("click_to_purchase"),
     )

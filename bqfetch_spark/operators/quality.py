@@ -482,3 +482,66 @@ def q83_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q87: unigram-LM scoring (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+UNIGRAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (
+  SELECT token, count(*) AS cnt FROM tok GROUP BY 1
+),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT
+  t.doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  round(avg(-ln(CAST(f.cnt AS DOUBLE) / tot.n)), 6) AS nll,
+  round(exp(avg(-ln(CAST(f.cnt AS DOUBLE) / tot.n))), 6) AS perplexity
+FROM tok t JOIN freq f ON t.token = f.token CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
+@register("q87_unigram_logprob", oracle=UNIGRAM_ORACLE, tags=("quality", "lm"))
+def q87_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, CCNet-style: train a unigram LM
+    on the corpus itself (token -> occurrence probability), then score
+    every document by mean negative log-likelihood and its exp
+    (perplexity). Low-probability-token documents (gibberish, OCR
+    noise, rare-script spam) surface at high perplexity — the standard
+    LM-based quality filter, here with the corpus as its own LM.
+
+    Differs from q80 (IDF): this is occurrence-weighted (term
+    frequency over ALL token positions), q80 is document-frequency
+    over distinct tokens.
+
+    Plan shape for 100 TB: the LM table is vocabulary-bounded, built
+    by a map-side-partial count on the token-keyed exchange; the
+    scored join rides the SAME exchange (shuffle_hash, no re-shuffle
+    of the exploded side); the corpus total is a 1-row broadcast. Text
+    itself never shuffles — only (doc_id, token) pairs."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    np = shuffle_partitions(spark)
+    tok = (
+        docs.select("doc_id", "text")
+        .repartition(np, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .repartition(np, "token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.select(F.count(F.lit(1)).alias("n"))
+    neg_lp = -F.log(F.col("cnt").cast("double") / F.col("n"))
+    return (
+        tok.join(freq.hint("shuffle_hash"), "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            r6(F.avg(neg_lp)).alias("nll"),
+            r6(F.exp(F.avg(neg_lp))).alias("perplexity"),
+        )
+    )

@@ -568,3 +568,85 @@ def q18_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(r6(F.sum(revenue).cast("double")).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q88: market share (TPC-H Q8 shape — dimension self-role + ratio of sums)
+# ---------------------------------------------------------------------------
+
+MARKET_SHARE_ORACLE = """
+SELECT
+  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  round(
+    CAST(coalesce(sum(CASE WHEN n2.n_name = 'NATION_7'
+          THEN CAST(l_extendedprice AS DECIMAL(16,6))
+               * (1 - CAST(l_discount AS DECIMAL(8,6))) END), 0) AS DOUBLE)
+    / CAST(sum(CAST(l_extendedprice AS DECIMAL(16,6))
+               * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6) AS mkt_share,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(16,6))
+               * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6) AS total_revenue
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n1.n_regionkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+GROUP BY 1
+"""
+
+
+@register("q88_market_share", oracle=MARKET_SHARE_ORACLE, tags=("join", "star", "ratio"))
+def q88_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7's share of PROMO-part revenue in the
+    AMERICA market, per order year — an 8-table join tree in which
+    `nation` plays two different roles (customer market vs supplier
+    origin) and the answer is a ratio of conditional decimal sums.
+
+    Join strategy mirrors the q18 lesson: region/nation are true
+    dimensions and broadcast explicitly; part, supplier, customer and
+    orders all grow with scale, so their join sides stay AQE-decided
+    (broadcast at this SF, shuffle past the threshold) rather than
+    forced. The two nation roles are separate broadcast builds, not a
+    self-join shuffle."""
+    cat = load_catalog(spark, sf_dir)
+    n1 = (
+        cat.table("nation")
+        .join(
+            F.broadcast(cat.table("region").filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("mkt_nationkey"))
+    )
+    n2 = cat.table("nation").select(
+        F.col("n_nationkey").alias("supp_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    part = cat.table("part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    supp = cat.table("supplier").select("s_suppkey", "s_nationkey")
+    orders = cat.table("orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = cat.table("customer").select("c_custkey", "c_nationkey")
+    li = cat.table("lineitem").select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    revenue = F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1) - F.col("l_discount").cast(DEC_FRAC)
+    )
+    joined = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("mkt_nationkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nationkey"))
+    )
+    nation_rev = F.sum(F.when(F.col("supp_nation") == "NATION_7", revenue))
+    total_rev = F.sum(revenue)
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            r6(
+                F.coalesce(nation_rev, F.lit(0)).cast("double") / total_rev.cast("double")
+            ).alias("mkt_share"),
+            r6(total_rev.cast("double")).alias("total_revenue"),
+        )
+    )
