@@ -224,18 +224,24 @@ FROM hourly GROUP BY 2
 def q85_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: hour, day, and week
     aggregates of `events` in one job — the coarser grains re-aggregate
-    the HOURLY PARTIALS (sum-of-sums over exact decimals), never the
-    raw table, so raw data is scanned exactly once and each re-agg
-    shuffles only bucket-count rows (calendar-bounded, not
-    data-bounded — the property that matters at 100 TB of events).
-    Catalyst reuses the hourly exchange across the three union branches
-    (ReusedExchange; decimal addition is associative so sum-of-sums is
-    bit-identical to a flat sum)."""
+    the HOURLY PARTIALS (sum-of-sums over exact decimals; decimal
+    addition is associative so sum-of-sums is bit-identical to a flat
+    sum), never the raw table, so each re-agg shuffles only
+    bucket-count rows (calendar-bounded, not data-bounded — the
+    property that matters at 100 TB of events).
+
+    The hourly aggregate is MATERIALIZED (localCheckpoint) before
+    fan-out — exactly what a continuous-aggregate/hypertable system
+    does with its finest grain. Without the barrier Catalyst re-scans
+    the raw table once per union branch: the branches' date_trunc
+    expression ids differ, so ReuseExchange never fires (verified on
+    the explain output); with it, raw data is scanned exactly once and
+    the checkpointed state is bucket-count rows, tiny at any scale."""
     ev = load_catalog(spark, sf_dir).table("events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_start")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast(DEC_VALUE)).alias("v"),
-    )
+    ).localCheckpoint(eager=True)
     daily = hourly.groupBy(F.date_trunc("day", "bucket_start").alias("bucket_start")).agg(
         F.sum("n_events").cast("bigint").alias("n_events"),
         F.sum("v").alias("v"),
