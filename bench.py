@@ -100,6 +100,7 @@ HEADLINE = [
     "q87_unigram_logprob",
     "q88_market_share",
     "q89_funnel",
+    "q90_approx_percentiles",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -250,3 +250,27 @@ def q29_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name", *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in _SEGMENTS]
     )
     return renamed
+
+
+APPROX_ACCURACY = 1000  # percentile_approx accuracy parameter
+
+
+@register("q90_approx_percentiles", oracle=None, tags=("agg", "percentile", "sketch"))
+def q90_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-based scale path q23's docstring points at, as a
+    first-class operator: percentile_approx (Greenwald-Khanna summary,
+    accuracy=1/APPROX_ACCURACY relative-rank error) over the same
+    groups as q23. One pass, fixed-size mergeable state per group —
+    the only percentile that works at 100 TB; q23's exact form
+    materializes every value per group.
+
+    Rows-only: the sketch's merge order is partition-dependent, so no
+    cross-engine oracle; tests/test_properties.py gates the result
+    against the exact percentiles instead (rank error <= 2/accuracy)."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    acc = F.lit(APPROX_ACCURACY)
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.lit(0.5), acc).alias("p50_qty"),
+        F.percentile_approx("l_quantity", F.lit(0.9), acc).alias("p90_qty"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("p50_price"),
+    )

@@ -10,6 +10,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from bqfetch_spark.plans.advisor import DEFAULT_TARGET_PARTITION_BYTES, suggest_partitions
+from tests.conftest import SF_CORRECT
 
 
 @given(total=st.integers(min_value=0, max_value=10**18))
@@ -88,3 +89,21 @@ def test_bigquery_binding_gated():
 
     with pytest.raises(RuntimeError, match="spark-bigquery-connector"):
         read_bigquery_table(FakeSpark(), "p", "d", "t")
+
+
+def test_approx_percentiles_near_exact(spark):
+    """q90's sketch values must land within a small rank tolerance of
+    q23's exact interpolated percentiles on every group."""
+    from bqfetch_spark.registry import all_queries
+
+    reg = all_queries()
+    approx = {r.l_returnflag: r for r in reg["q90_approx_percentiles"].fn(spark, SF_CORRECT).collect()}
+    exact = {r.l_returnflag: r for r in reg["q23_percentiles"].fn(spark, SF_CORRECT).collect()}
+    assert approx.keys() == exact.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        # GK guarantees rank error; translate loosely to value space:
+        # quantity is small-integer-valued, price spans ~1e5
+        assert abs(a.p50_qty - e.p50_qty) <= max(1.0, 0.02 * e.p50_qty)
+        assert abs(a.p90_qty - e.p90_qty) <= max(1.0, 0.02 * e.p90_qty)
+        assert abs(a.p50_price - e.p50_price) <= 0.02 * e.p50_price

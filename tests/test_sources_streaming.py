@@ -49,6 +49,12 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
         d.startswith("status=") for d in os.listdir(path)
     )
     back = read_parquet(spark, path).filter(F.col("status") == "F")
+    # plan-level proof: the filter prunes DIRECTORIES (PartitionFilters),
+    # it does not scan-and-discard
+    plan = back._jdf.queryExecution().explainString(
+        back.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "status" in plan.split("PartitionFilters")[1][:200], plan
     assert back.count() == orders.filter(F.col("o_orderstatus") == "F").count()
 
 
@@ -92,6 +98,31 @@ def test_streaming_tumbling_matches_batch(spark):
     )
     s = {(r.window_start, r.event_type): r.n_events for r in result.collect()}
     b = {(r.window_start, r.event_type): r.n_events for r in batch.collect()}
+    assert s == b
+
+
+def test_streaming_session_window_matches_batch(spark):
+    """q84's portability claim: the SAME session_window groupBy runs
+    incrementally. Complete-mode output over the bounded stream must
+    equal the batch sessionization exactly."""
+    from bqfetch_spark.streaming.windows import session_counts_stream
+
+    ev_stream = streaming_events(spark, SF_SMOKE)
+    result = run_to_memory(session_counts_stream(ev_stream), "stream_session_test")
+    batch = (
+        load_catalog(spark, SF_SMOKE)
+        .table("events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    s = {tuple(r) for r in result.collect()}
+    b = {tuple(r) for r in batch.collect()}
     assert s == b
 
 
