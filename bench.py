@@ -101,6 +101,7 @@ HEADLINE = [
     "q88_market_share",
     "q89_funnel",
     "q90_approx_percentiles",
+    "q91_multimodal_transform",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -265,6 +265,153 @@ def q68_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_df(synthesize_media(docs))
 
 
+def resize_bmp(payload: bytes, new_width: int, new_height: int) -> bytes:
+    """Nearest-neighbor resize of a 24bpp BMP, pure Python: sample
+    source pixel (x*w//w2, y*h//h2) for every target pixel, re-encode
+    with correct 4-byte row padding. Operates on the stored
+    (bottom-up) row order — flip-invariant for nearest-neighbor."""
+    import struct
+
+    width, height = struct.unpack_from("<ii", payload, 18)
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    new_stride = (new_width * 3 + 3) // 4 * 4
+    out = bytearray(b"\x00" * (new_stride * new_height))
+    for y2 in range(new_height):
+        y = y2 * height // new_height
+        src_row = 54 + y * stride
+        dst_row = y2 * new_stride
+        for x2 in range(new_width):
+            x = x2 * width // new_width
+            s = src_row + x * 3
+            d = dst_row + x2 * 3
+            out[d : d + 3] = payload[s : s + 3]
+    pixels = new_stride * new_height
+    header = struct.pack("<2sIHHI", b"BM", 54 + pixels, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, new_width, new_height, 1, 24, 0, pixels, 2835, 2835, 0, 0
+    )
+    return header + bytes(out)
+
+
+def downsample_wav(payload: bytes, factor: int) -> bytes:
+    """Frame-sampling for PCM WAV: keep every ``factor``-th frame (a
+    frame = one 16-bit sample per channel) and divide the declared
+    sample rate — the audio analog of video frame-sampling, pure
+    byte-slice Python."""
+    import struct
+
+    pos, fmt, data = 12, None, b""
+    while pos + 8 <= len(payload):
+        cid, csize = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            _, channels, rate, _ = struct.unpack_from("<HHII", payload, pos + 8)
+            fmt = (channels, rate)
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+    if fmt is None:
+        raise ValueError("WAV payload has no fmt chunk")
+    channels, rate = fmt
+    frame = channels * 2
+    kept = b"".join(data[i : i + frame] for i in range(0, len(data), frame * factor))
+    return encode_wav(rate // factor, channels, len(kept) // frame)[: 44] + kept
+
+
+TRANSFORM_SCHEMA = (
+    "doc_id bigint, kind string, width int, height int, sample_rate int, "
+    "channels int, duration_ms bigint, payload_bytes bigint"
+)
+
+
+def transform_media_df(media: DataFrame) -> DataFrame:
+    """The resize / frame-sample stage of a multimodal pipeline as one
+    Arrow-batched mapInPandas pass: images are nearest-neighbor halved,
+    audio keeps every 2nd frame at half the rate — and the OUTPUT rows
+    are produced by re-decoding the transformed bytes (decode_media),
+    so every emitted value proves the transform re-encoded a valid
+    payload, not just that arithmetic was done."""
+    import pandas as pd
+
+    def _transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if b[:2] == b"BM":
+                    import struct
+
+                    w, h = struct.unpack_from("<ii", b, 18)
+                    out_payloads.append(resize_bmp(b, max(w // 2, 1), max(abs(h) // 2, 1)))
+                else:
+                    out_payloads.append(downsample_wav(b, 2))
+            rows = [decode_media(p) for p in out_payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": [r["kind"] for r in rows],
+                    "width": pd.array([r["width"] for r in rows], dtype="Int32"),
+                    "height": pd.array([r["height"] for r in rows], dtype="Int32"),
+                    "sample_rate": pd.array([r["sample_rate"] for r in rows], dtype="Int32"),
+                    "channels": pd.array([r["channels"] for r in rows], dtype="Int32"),
+                    "duration_ms": pd.array([r["duration_ms"] for r in rows], dtype="Int64"),
+                    "payload_bytes": pd.array([len(p) for p in out_payloads], dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(_transform, TRANSFORM_SCHEMA)
+
+
+MEDIA_TRANSFORM_ORACLE = """
+WITH src AS (
+  SELECT doc_id, n_chars,
+    doc_id % 2 = 0 AS is_image,
+    doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h,
+    8000 + doc_id % 8 * 1000 AS rate,
+    CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS ch,
+    n_chars % 500 + 2 AS n_samples
+  FROM documents
+),
+t AS (
+  SELECT doc_id, is_image,
+    greatest(w // 2, 1) AS w2, greatest(h // 2, 1) AS h2,
+    rate // 2 AS rate2, ch,
+    (n_samples + 1) // 2 AS n2
+  FROM src
+)
+SELECT
+  doc_id,
+  CASE WHEN is_image THEN 'image' ELSE 'audio' END AS kind,
+  CAST(CASE WHEN is_image THEN w2 END AS INT) AS width,
+  CAST(CASE WHEN is_image THEN h2 END AS INT) AS height,
+  CAST(CASE WHEN NOT is_image THEN rate2 END AS INT) AS sample_rate,
+  CAST(CASE WHEN NOT is_image THEN ch END AS INT) AS channels,
+  CAST(CASE WHEN NOT is_image
+       THEN (n2 * 2 * ch) * 1000 // (rate2 * ch * 2) END AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN is_image
+       THEN 54 + (w2 * 3 + 3) // 4 * 4 * h2
+       ELSE 44 + n2 * 2 * ch
+       END AS BIGINT) AS payload_bytes
+FROM t
+"""
+
+
+@register("q91_multimodal_transform", oracle=MEDIA_TRANSFORM_ORACLE, tags=("multimodal", "transform"))
+def q91_multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal transform stage: synthesize real BMP/WAV payloads,
+    resize images to half resolution (nearest-neighbor) and
+    frame-sample audio to half rate, then re-decode the TRANSFORMED
+    bytes — the oracle recomputes every post-transform dimension /
+    rate / duration / byte size arithmetically, so a bug in resize
+    geometry, stride padding, frame slicing, or re-encode headers
+    breaks the hash. Pixel/sample VALUES are asserted separately in
+    tests over patterned payloads (SQL can't express the resample).
+    At 100 TB this is the shape of the real job: payload-carrying
+    mapInPandas stages chained decode→transform→re-encode, metadata
+    queries never touching the payload column."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    return transform_media_df(synthesize_media(docs))
+
+
 @register("q62_multimodal_meta", oracle=MEDIA_META_ORACLE, tags=("multimodal",))
 def q62_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata/checksum pass over binary payloads — the JVM-side part

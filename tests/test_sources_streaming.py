@@ -150,3 +150,42 @@ def test_streaming_incremental_dedup_matches_batch(spark):
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b
+
+
+def test_multimodal_transform_samples_real_pixels():
+    """resize_bmp must SAMPLE the source pixels (nearest-neighbor), and
+    downsample_wav must keep exactly every 2nd frame — asserted on
+    patterned payloads where every pixel/sample value is distinct."""
+    import struct
+
+    from bqfetch_spark.multimodal import decode_media, downsample_wav, encode_bmp, encode_wav, resize_bmp
+
+    # patterned 6x4 BMP: pixel (x, y) carries (v, v+1, v+2), v = x*7 + y*13
+    w, h = 6, 4
+    b = bytearray(encode_bmp(w, h))
+    stride = (w * 3 + 3) // 4 * 4
+    for y in range(h):
+        for x in range(w):
+            v = (x * 7 + y * 13) % 256
+            off = 54 + y * stride + x * 3
+            b[off : off + 3] = bytes([v, (v + 1) % 256, (v + 2) % 256])
+    out = resize_bmp(bytes(b), 3, 2)
+    meta = decode_media(out)
+    assert (meta["width"], meta["height"]) == (3, 2)
+    out_stride = (3 * 3 + 3) // 4 * 4
+    for y2 in range(2):
+        for x2 in range(3):
+            sx, sy = x2 * w // 3, y2 * h // 2
+            v = (sx * 7 + sy * 13) % 256
+            off = 54 + y2 * out_stride + x2 * 3
+            assert out[off : off + 3] == bytes([v, (v + 1) % 256, (v + 2) % 256]), (x2, y2)
+
+    # patterned mono WAV: sample i = i*1000; factor-2 keeps 0, 2, 4
+    wav = bytearray(encode_wav(8000, 1, 6))
+    for i in range(6):
+        struct.pack_into("<h", wav, 44 + i * 2, i * 1000)
+    ds = downsample_wav(bytes(wav), 2)
+    dmeta = decode_media(ds)
+    assert dmeta["sample_rate"] == 4000 and dmeta["channels"] == 1
+    kept = [struct.unpack_from("<h", ds, 44 + i * 2)[0] for i in range(3)]
+    assert kept == [0, 2000, 4000]
