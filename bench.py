@@ -102,6 +102,9 @@ HEADLINE = [
     "q89_funnel",
     "q90_approx_percentiles",
     "q91_multimodal_transform",
+    "q92_attribution",
+    "q93_cohort_retention",
+    "q94_rolling_distinct_hll",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

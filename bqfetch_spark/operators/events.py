@@ -12,6 +12,7 @@ from pyspark.sql.window import Window
 from bqfetch_spark.catalog import load_catalog
 from bqfetch_spark.operators.relational import r6
 from bqfetch_spark.registry import register
+from bqfetch_spark.session import shuffle_partitions
 
 DEC_VALUE = "decimal(18,6)"
 
@@ -371,4 +372,161 @@ def q89_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_purchase.cast("bigint").alias("n_purchase_users"),
         r6(n_click.cast("double") / F.nullif(n_view, F.lit(0))).alias("view_to_click"),
         r6(n_purchase.cast("double") / F.nullif(n_click, F.lit(0))).alias("click_to_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q92: last-touch attribution (self as-of via one running window)
+# ---------------------------------------------------------------------------
+
+# (ts, event_id) encoded as one lexicographically ordered string so a
+# single running MAX finds "latest prior click" identically in both
+# engines (a struct-max inside a window frame is not portable SQL)
+_CLICK_KEY_SQL = (
+    "concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),"
+    " lpad(CAST(event_id AS VARCHAR), 10, '0'))"
+)
+
+ATTRIBUTION_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+    max(CASE WHEN event_type = 'click' THEN {_CLICK_KEY_SQL} END)
+      OVER (PARTITION BY user_id
+            ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_key
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+)
+SELECT
+  user_id,
+  event_id AS purchase_id,
+  ts AS purchase_ts,
+  CAST(substring(click_key, 21, 10) AS BIGINT) AS click_id,
+  make_timestamp(CAST(substring(click_key, 1, 20) AS BIGINT)) AS click_ts,
+  value
+FROM tagged
+WHERE kind = 0
+"""
+
+
+@register("q92_attribution", oracle=ATTRIBUTION_ORACLE, tags=("events", "attribution"))
+def q92_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase joined to the user's most
+    recent STRICTLY PRIOR click — an as-of self-join, spelled as the
+    union-scan running-window idiom (q37): one scan, one user_id
+    exchange, no per-row range join. Purchases sort before
+    same-timestamp clicks, so a click at the purchase's exact ts never
+    attributes (tie policy pinned in both engines). The (ts, event_id)
+    pair rides the frame as one zero-padded sortable string because a
+    running struct-max is not portable oracle SQL."""
+    ev = load_catalog(spark, sf_dir).table("events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    kind = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    click_key = F.when(
+        F.col("event_type") == "click",
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", kind, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = ev.withColumn("kind", kind).withColumn("click_key", F.max(click_key).over(w))
+    return tagged.filter(F.col("kind") == 0).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.substring("click_key", 21, 10).cast("bigint").alias("click_id"),
+        F.timestamp_micros(F.substring("click_key", 1, 20).cast("bigint")).alias("click_ts"),
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93: cohort retention
+# ---------------------------------------------------------------------------
+
+COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+  FROM events
+)
+SELECT
+  f.cohort_week,
+  CAST(datediff('day', f.cohort_week, a.active_week) // 7 AS INTEGER) AS week_offset,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("q93_cohort_retention", oracle=COHORT_ORACLE, tags=("events", "cohort"))
+def q93_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in every later week they return — the (cohort_week,
+    week_offset) -> n_users table behind every retention curve.
+
+    One user_id exchange serves the first-event aggregate, the
+    distinct (user, week) activity set, AND their join; the final
+    matrix agg shuffles only cohort-sized rows (weeks², not events)."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    base = ev.select("user_id", F.date_trunc("week", "ts").alias("active_week")).repartition(
+        shuffle_partitions(spark), "user_id"
+    )
+    firsts = base.groupBy("user_id").agg(F.min("active_week").alias("cohort_week"))
+    activity = base.dropDuplicates(["user_id", "active_week"])
+    return (
+        activity.join(firsts.hint("shuffle_hash"), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94: rolling distinct users via mergeable HLL sketches
+# ---------------------------------------------------------------------------
+
+
+@register("q94_rolling_distinct_hll", oracle=None, tags=("events", "sketch", "window-agg"))
+def q94_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, the sketch way: one HLL
+    sketch per day (hll_sketch_agg over the raw events — map-side
+    partial, fixed-size state), then each day UNIONS the sketches of
+    its trailing window (hll_union_agg) and estimates.
+
+    This is THE scale pattern for rolling distincts: daily distinct
+    counts cannot be summed across days, and an exact rolling
+    count-distinct re-scans every event 7 times. Sketches make the
+    rolling pass day-granular: 7 × ~1.5 KB binaries per output row,
+    independent of event volume. Rows-only (sketch estimates have no
+    SQL oracle); tests gate the estimate against the exact rolling
+    distinct."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    # each day contributes its sketch to itself and the 6 following
+    # days: explode a 0..6 offset, re-key, union per target day
+    fanned = daily.withColumn("offset", F.explode(F.sequence(F.lit(0), F.lit(6)))).select(
+        F.timestamp_seconds(
+            F.unix_timestamp("day") + F.col("offset").cast("long") * 86400
+        ).alias("day"),
+        "sketch",
+    )
+    return (
+        fanned.groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users_7d"))
+        .join(daily.select("day"), "day", "left_semi")  # trailing windows only for real days
     )

@@ -107,3 +107,34 @@ def test_approx_percentiles_near_exact(spark):
         assert abs(a.p50_qty - e.p50_qty) <= max(1.0, 0.02 * e.p50_qty)
         assert abs(a.p90_qty - e.p90_qty) <= max(1.0, 0.02 * e.p90_qty)
         assert abs(a.p50_price - e.p50_price) <= 0.02 * e.p50_price
+
+
+def test_hll_rolling_distinct_near_exact(spark):
+    """q94's sketch estimates must track the exact trailing-7-day
+    distinct user counts within HLL error (lgConfigK default 12 ->
+    ~1.6% relative standard error; gate at 5%)."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.registry import all_queries
+
+    approx = {
+        r.day: r.approx_users_7d
+        for r in all_queries()["q94_rolling_distinct_hll"].fn(spark, SF_CORRECT).collect()
+    }
+    ev = load_catalog(spark, SF_CORRECT).table("events")
+    daily = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+    fanned = daily.withColumn("offset", F.explode(F.sequence(F.lit(0), F.lit(6)))).select(
+        F.timestamp_seconds(F.unix_timestamp("day") + F.col("offset").cast("long") * 86400).alias("day"),
+        "user_id",
+    )
+    exact = {
+        r.day: r.n
+        for r in fanned.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .join(daily.select("day").distinct(), "day", "left_semi")
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for day, est in approx.items():
+        assert abs(est - exact[day]) <= max(2, 0.05 * exact[day]), (day, est, exact[day])
