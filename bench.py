@@ -105,6 +105,7 @@ HEADLINE = [
     "q92_attribution",
     "q93_cohort_retention",
     "q94_rolling_distinct_hll",
+    "q95_churn_full_outer",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

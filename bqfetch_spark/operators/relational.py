@@ -650,3 +650,61 @@ def q88_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(total_rev.cast("double")).alias("total_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q95: churn analysis (FULL OUTER join — the one join type the rest of
+# the registry never needed)
+# ---------------------------------------------------------------------------
+
+CHURN_ORACLE = """
+WITH y1 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+),
+y2 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT
+  CASE
+    WHEN y1.o_custkey IS NOT NULL AND y2.o_custkey IS NOT NULL THEN 'retained'
+    WHEN y1.o_custkey IS NOT NULL THEN 'churned'
+    ELSE 'new'
+  END AS status,
+  CAST(count(*) AS BIGINT) AS n_customers
+FROM y1 FULL OUTER JOIN y2 ON y1.o_custkey = y2.o_custkey
+GROUP BY 1
+"""
+
+
+@register("q95_churn_full_outer", oracle=CHURN_ORACLE, tags=("join", "full-outer", "churn"))
+def q95_churn_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year churn: customers active in 1996 vs 1997,
+    FULL OUTER joined so every row lands in exactly one of
+    retained / churned / new. Both sides come from the same scan
+    (different pushed date filters); the join shuffles distinct
+    custkeys only — at scale that is user-count rows, not order-count —
+    and a full outer can never broadcast, so the shuffle spelling IS
+    the 100 TB plan."""
+    cat = load_catalog(spark, sf_dir)
+
+    def active(year: int) -> DataFrame:
+        lo = F.lit(f"{year}-01-01 00:00:00").cast("timestamp")
+        hi = F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp")
+        return (
+            cat.table("orders")
+            .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .select(F.col("o_custkey").alias(f"k{year}"))
+            .distinct()
+        )
+
+    joined = active(1996).join(active(1997), F.col("k1996") == F.col("k1997"), "full_outer")
+    status = (
+        F.when(F.col("k1996").isNotNull() & F.col("k1997").isNotNull(), "retained")
+        .when(F.col("k1996").isNotNull(), "churned")
+        .otherwise("new")
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )

@@ -156,6 +156,78 @@ def main() -> None:
             print(f"{label} round{i}: small={ts:.2f}s ({ns}) big={tb:.2f}s ({nb}) ratio={ratio:.1f}")
         assert worst <= 20, f"{label} super-linear: worst ratio {worst:.1f}"
         print(f"{label} scaling OK")
+
+    # --- window-chain event ops at 10× users ------------------------
+    # replicas shift user_id, so per-user partitions stay the same size
+    # and the workload grows in PARTITION COUNT — the axis that grows
+    # at 100 TB (more users, not centuries-long histories); window
+    # sort + running-min chains must scale linearly in partitions
+    ev0 = spark.read.parquet(f"{base}/events.parquet").select(
+        "event_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    ev10 = (
+        ev0.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * 100_000_000).alias("user_id"),
+            "event_type",
+            "value",
+        )
+    )
+    ev10.repartition(32).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    small_e = ev0.repartition(32)
+    big_e = spark.read.parquet(f"{tmp}/events.parquet")
+
+    def session_shape(df):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        micros = F.unix_micros(F.col("ts"))
+        gap = micros - F.lag(micros).over(w)
+        is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+        cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return (
+            df.withColumn("sid", F.sum(is_new).over(cum))
+            .groupBy("user_id", "sid")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def funnel_shape(df):
+        from pyspark.sql.window import Window
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+        flagged = df.withColumn("first_view", F.min(view_ts).over(w))
+        click_q = F.when(
+            (F.col("event_type") == "click") & F.col("first_view").isNotNull(), F.col("ts")
+        )
+        return (
+            flagged.withColumn("first_click", F.min(click_q).over(w))
+            .groupBy("user_id")
+            .agg(F.min("first_click").alias("c"))
+        )
+
+    for label, shape in (("sessionization", session_shape), ("funnel", funnel_shape)):
+        worst = 0.0
+        for i in range(2):
+            t0 = time.time()
+            ns = shape(small_e).count()
+            ts = time.time() - t0
+            t0 = time.time()
+            nb = shape(big_e).count()
+            tb = time.time() - t0
+            ratio = tb / ts
+            worst = max(worst, ratio)
+            print(f"{label} round{i}: small={ts:.2f}s ({ns}) big={tb:.2f}s ({nb}) ratio={ratio:.1f}")
+        assert worst <= 20, f"{label} super-linear: worst ratio {worst:.1f}"
+        print(f"{label} scaling OK")
     shutil.rmtree(tmp, ignore_errors=True)
 
 
