@@ -37,6 +37,13 @@ def get_session(app_name: str = "bqfetch-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # runtime bloom-filter semi-join pruning: a selective dimension
+        # filter (q06/q18/q88 shapes) builds a bloom filter that prunes
+        # the fact-side SCAN before the shuffle — at 100 TB this is the
+        # difference between shuffling the filtered and the full fact
+        # (runtimeFilter.semiJoinReduction stays OFF: enabling it hung
+        # multi-join planning outright on this Spark build)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # fixtures store events.ts as timestamp[ns]; read the raw int64
         # and convert in the catalog (FIXTURES.md, SURVEY.md §7 risks)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
