@@ -196,37 +196,54 @@ def child_scan() -> None:
     )
 
 
-def _run_child(args: list[str]) -> dict:
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), *args],
-        stdout=subprocess.PIPE,
-        stderr=None,  # stream child progress lines through
-        text=True,
-        timeout=1800,
-    )
+def _run_child(args: list[str], names: list[str] | None = None) -> dict:
+    """Run a bench child; on any failure attribute it to each query NAME
+    (round-2 bug: failures were keyed by the comma-joined argv string,
+    collapsing a whole group into one bogus key; a hung group's
+    TimeoutExpired escaped and killed the entire bench run)."""
+    names = names or []
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *args],
+            stdout=subprocess.PIPE,
+            stderr=None,  # stream child progress lines through
+            text=True,
+            timeout=1800,
+        )
+    except subprocess.TimeoutExpired:
+        return {"timings": {}, "failures": {n: "child timeout 1800s" for n in names}}
     if proc.returncode != 0:
-        return {"timings": {}, "failures": {a: f"child exit {proc.returncode}" for a in args[1:]}}
+        return {"timings": {}, "failures": {n: f"child exit {proc.returncode}" for n in names}}
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def _load_previous_bench() -> tuple[str, dict[str, float]]:
-    """Per-query timings from the newest driver BENCH_r*.json, if any.
+    """Per-query timings for the regression guard.
 
-    The driver wraps the bench's JSON line under a "parsed" key. Used
-    for a regression guard: a query that got materially slower than
-    the previous round's artifact is flagged in the output so a plan
-    regression is visible in the bench JSON itself, not only by
-    diffing artifacts by hand.
+    Prefers BENCH_DETAIL.json (this repo's own full-name record from
+    the previous bench run — loaded BEFORE this run overwrites it),
+    then falls back to the newest driver BENCH_r*.json. Round-2
+    lesson: the driver's tail capture truncated the 69-query line so
+    BENCH_r02 recorded parsed:null; the detail side file is therefore
+    the authoritative per-query history.
     """
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
+    detail = os.path.join(here, "BENCH_DETAIL.json")
+    try:
+        with open(detail) as fh:
+            queries = json.load(fh).get("queries", {})
+        if queries:
+            return "BENCH_DETAIL.json", dict(queries)
+    except (OSError, ValueError, AttributeError):
+        pass
     candidates = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     for path in reversed(candidates):
         try:
             with open(path) as fh:
                 doc = json.load(fh)
-            queries = doc.get("parsed", doc).get("queries", {})
+            queries = (doc.get("parsed") or doc).get("queries", {})
             if queries:
                 return os.path.basename(path), dict(queries)
         except (OSError, ValueError, AttributeError):
@@ -243,17 +260,19 @@ def main() -> None:
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    suite_t0 = time.time()
     scan = _run_child(["--scan-child"])
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for i in range(0, len(HEADLINE), GROUP_SIZE):
         group = HEADLINE[i : i + GROUP_SIZE]
-        out = _run_child(["--child", ",".join(group)])
+        out = _run_child(["--child", ",".join(group)], names=group)
         timings.update(out.get("timings", {}))
         failures.update(out.get("failures", {}))
+    suite_wall = round(time.time() - suite_t0, 1)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     prev_name, prev = _load_previous_bench()
     # regression = slower than the previous artifact by >1.5x AND >1s
@@ -263,24 +282,46 @@ def main() -> None:
         for name, now in timings.items()
         if name in prev and now > 1.5 * prev[name] and now - prev[name] > 1.0
     }
+    # Full-name per-query record + failures + regressions → side file
+    # (committed per round). The stdout line must stay small: the
+    # driver's tail capture is ~2.2 KB and round 2's 3.5 KB line came
+    # back as parsed:null — so the line carries the queries map under
+    # SHORT q-number keys ("q01": 1.39) at 2 dp, everything verbose
+    # lives in BENCH_DETAIL.json.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(
+            {
+                "sf": float(sf),
+                "queries": timings,
+                "failures": failures,
+                "regressions_vs": prev_name,
+                "regressions": regressions,
+                "suite_wall_incl_startup_sec": suite_wall,
+                **scan,
+            },
+            fh,
+            indent=1,
+        )
+    short = {name.split("_", 1)[0]: round(sec, 2) for name, sec in timings.items()}
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": short,
                 "sf": float(sf),
+                "n_queries": len(timings),
+                "suite_wall_incl_startup_sec": suite_wall,
                 **scan,
                 "baseline_fetch_rows_per_sec": 78000,
                 "baseline_fetch_gbps": 0.051,
-                **({"failures": failures} if failures else {}),
-                **(
-                    {"regressions_vs": prev_name, "regressions": regressions}
-                    if regressions
-                    else {}
-                ),
-            }
+                "n_failures": len(failures),
+                "n_regressions": len(regressions),
+                "detail": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -101,15 +101,25 @@ def _normalize(name: str, df: DataFrame) -> DataFrame:
 
 # Catalog memo: every registry query calls load_catalog, and the
 # parquet footer/schema re-read per table per query is pure overhead.
-# Keyed by (applicationId, sf_dir): applicationId is stable for a
-# context's lifetime and unique across restarts, so a recycled
-# SparkSession can never resurrect a catalog whose DataFrames point at
-# a stopped JVM session (a CPython id() key could be reused after GC).
-_CATALOGS: dict[tuple[str, str], Catalog] = {}
+# Keyed by (applicationId, sessionUUID, sf_dir): applicationId is
+# stable for a context's lifetime and unique across restarts, so a
+# recycled SparkSession can never resurrect a catalog whose DataFrames
+# point at a stopped JVM (a CPython id() key could be reused after GC);
+# the per-session UUID distinguishes spark.newSession() siblings that
+# SHARE an applicationId but not temp views — without it the second
+# session would reuse a catalog whose views exist only in the first.
+_CATALOGS: dict[tuple[str, str, str], Catalog] = {}
+
+
+def _session_uuid(spark: SparkSession) -> str:
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:  # Connect / future API drift: fall back per-proxy
+        return str(id(spark))
 
 
 def load_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, _session_uuid(spark), sf_dir)
     cat = _CATALOGS.get(key)
     if cat is None:
         cat = Catalog(spark, sf_dir).load_all()

@@ -235,27 +235,46 @@ class Fetcher:
     ):
         """Columnar Arrow record batches (reference read Arrow batches
         from the Storage API, bqfetch/bqfetch.py:496-502), streamed
-        INCREMENTALLY: rows are pulled partition-by-partition via
-        toLocalIterator (driver holds at most one partition + one
-        batch at a time — bounded memory however large the chunk is)
-        and re-assembled into Arrow batches of ``batch_rows``. For a
-        chunk-sized read that fits in driver memory, fetch_to_pandas
-        is the faster (single toArrow materialization) path; this is
+        INCREMENTALLY and ARROW-NATIVE end to end: executors serialize
+        their Arrow batches to IPC bytes (mapInArrow — data never
+        leaves columnar form), the driver pulls those one row at a
+        time via toLocalIterator (bounded memory: one in-flight IPC
+        batch + at most ``batch_rows`` pending rows, however large the
+        chunk is) and re-slices them to ``batch_rows``. Round 2's
+        spelling went Row.asDict() → from_pylist — a per-row Python
+        hop that also broke struct columns and shifted naive-datetime
+        instants on non-UTC drivers; both gone, the bytes on the wire
+        ARE Arrow. For a chunk-sized read that fits in driver memory,
+        fetch_to_pandas is the faster (single toArrow) path; this is
         the 100 TB-safe spout."""
         import pyarrow as pa
 
-        from pyspark.sql.pandas.types import to_arrow_schema
-
         df = self.fetch(ref, chunk)
-        schema = to_arrow_schema(df.schema)
-        buf: list[dict] = []
-        for row in df.toLocalIterator(prefetchPartitions=True):
-            buf.append(row.asDict())
-            if len(buf) >= batch_rows:
-                yield pa.RecordBatch.from_pylist(buf, schema=schema)
-                buf = []
-        if buf:
-            yield pa.RecordBatch.from_pylist(buf, schema=schema)
+
+        def _to_ipc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            import pyarrow as _pa
+
+            for b in batches:
+                sink = _pa.BufferOutputStream()
+                with _pa.ipc.new_stream(sink, b.schema) as writer:
+                    writer.write_batch(b)
+                yield _pa.RecordBatch.from_pydict(
+                    {"ipc": [sink.getvalue().to_pybytes()]}
+                )
+
+        pending: pa.Table | None = None
+        for row in df.mapInArrow(_to_ipc, "ipc binary").toLocalIterator(
+            prefetchPartitions=True
+        ):
+            tbl = pa.ipc.open_stream(pa.py_buffer(row["ipc"])).read_all()
+            pending = tbl if pending is None else pa.concat_tables([pending, tbl])
+            while pending.num_rows >= batch_rows:
+                head = pending.slice(0, batch_rows).combine_chunks()
+                yield head.to_batches(max_chunksize=batch_rows)[0]
+                pending = pending.slice(batch_rows)
+        if pending is not None and pending.num_rows:
+            for batch in pending.combine_chunks().to_batches(max_chunksize=batch_rows):
+                yield batch
 
 
 # ---------------------------------------------------------------------------

@@ -97,12 +97,17 @@ def q71_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     (history never rescanned, streaming query holds no unbounded
     state). Rows-only; equality with q66's one-shot batch anti-join
     is pytest-asserted."""
+    import atexit
+    import shutil
     import tempfile
 
     from bqfetch_spark.streaming.incremental import run_incremental_dedup
 
-    with tempfile.TemporaryDirectory(prefix="bqfs_incr_") as work:
-        out = run_incremental_dedup(spark, sf_dir, work)
-        # materialize before the TemporaryDirectory (sink parquet) vanishes
-        rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    # Per-run work dir that OUTLIVES this call (removed at interpreter
+    # exit): the returned frame is a lazy parquet read over the sink,
+    # so nothing is ever materialized on the driver — round 2's
+    # TemporaryDirectory forced a collect() here, which at 100 TB-night
+    # ingest would pull the whole deduped wave driver-side.
+    work = tempfile.mkdtemp(prefix="bqfs_incr_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return run_incremental_dedup(spark, sf_dir, work)

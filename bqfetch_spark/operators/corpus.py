@@ -44,8 +44,11 @@ def _hex_threshold(rate: float) -> str:
 
     rate >= 1.0 maps to 'zzzz', which every hex string sorts below —
     the keep-everything sentinel works identically in any engine that
-    compares strings lexicographically."""
-    if rate >= 1.0:
+    compares strings lexicographically. Rates just under 1.0 whose
+    rounded value reaches 65536 (>= 0.9999924) would format as the
+    5-char '10000' — lexicographically BELOW most 4-hex strings, a
+    silent ~94% drop — so they take the sentinel too."""
+    if round(rate * 65536) >= 65536:
         return "zzzz"
     return format(max(0, round(rate * 65536)), "04x")
 

@@ -145,6 +145,29 @@ GROUP BY 1, 2, 3
 """
 
 
+_BUCKET_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def _bucket_seconds(bucket: str) -> int:
+    """Width of a fixed-duration bucket spec ('1 hour', '30 minutes',
+    '2 days') in seconds. Variable-length units (month/year) are
+    rejected — a grid floor cannot key them."""
+    parts = bucket.strip().lower().split()
+    if len(parts) != 2:
+        raise ValueError(f"bucket must be '<n> <unit>', got {bucket!r}")
+    n, unit = parts
+    width = _BUCKET_UNIT_SECONDS.get(unit.rstrip("s"))
+    if width is None or not n.isdigit() or int(n) < 1:
+        raise ValueError(f"unsupported fixed-width bucket {bucket!r}")
+    return int(n) * width
+
+
 def bucketed_interval_join(
     fact: DataFrame,
     intervals: DataFrame,
@@ -161,18 +184,30 @@ def bucketed_interval_join(
     (interval, bucket) row is unique and a fact row has one bucket, so
     no pair is produced twice. Interval sets are small relative to
     facts (incidents, campaigns, outages) — Spark broadcasts them;
-    cost is |facts| + Σ interval_hours, never |facts| × |intervals|."""
-    iv = intervals.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.col(start_col),
-                F.col(end_col) - F.expr(f"INTERVAL {bucket}"),
-                F.expr(f"INTERVAL {bucket}"),
-            )
-        ),
+    cost is |facts| + Σ interval_buckets, never |facts| × |intervals|.
+
+    Both sides key on the SAME ``bucket``-derived grid (epoch-floor,
+    so interval bounds need not be grid-aligned; round 2 truncated the
+    fact side to hours regardless of ``bucket``, producing empty joins
+    for any other width). Empty intervals (end <= start) match nothing.
+    Fixed-width units only — months/years vary in length, so a grid
+    floor cannot key them."""
+    w = _bucket_seconds(bucket)
+
+    def grid(c: F.Column) -> F.Column:
+        # cast→double keeps sub-second precision (unix_timestamp truncates)
+        return F.timestamp_seconds(F.floor(c.cast("double") / w) * w)
+
+    step = F.expr(f"INTERVAL {w} SECOND")
+    end_g = grid(F.col(end_col))
+    # last covered bucket: end's own bucket iff the interval extends
+    # into it, else the one before (end exactly on the grid is exclusive)
+    last = F.when(F.col(end_col) > end_g, end_g).otherwise(end_g - step)
+    iv = (
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn("__bucket", F.explode(F.sequence(grid(F.col(start_col)), last, step)))
     )
-    keyed = fact.withColumn("__bucket", F.date_trunc("hour", F.col(ts_col)))
+    keyed = fact.withColumn("__bucket", grid(F.col(ts_col)))
     return keyed.join(F.broadcast(iv), "__bucket").filter(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )

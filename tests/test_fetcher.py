@@ -63,6 +63,24 @@ def test_fetch_to_pandas_and_arrow(spark, fetcher):
     assert sum(b.num_rows for b in batches) == 5
 
 
+def test_iter_batches_arrow_native(spark, fetcher):
+    """The spout is Arrow end-to-end (round-3 fix): batches arrive
+    Arrow-typed, sliced to batch_rows, and value-identical (incl.
+    timestamp instants) to a single toArrow materialization — no
+    per-row Python dict hop that shifted naive datetimes on non-UTC
+    drivers."""
+    import pyarrow as pa
+
+    ref = TableRef(SF_SMOKE, "events")
+    batches = list(fetcher.iter_batches(ref, None, batch_rows=100))
+    expected = fetcher.fetch(ref, None).toArrow()
+    assert all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert all(b.num_rows <= 100 for b in batches)
+    assert sum(b.num_rows for b in batches) == expected.num_rows
+    got = pa.Table.from_batches(batches).sort_by("event_id")
+    assert got.equals(expected.sort_by("event_id").cast(got.schema))
+
+
 def test_invalid_args(spark, fetcher):
     ref = TableRef(SF_SMOKE, "customer")
     with pytest.raises(ValueError):
