@@ -17,7 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bqfetch_spark.catalog import load_catalog
+from bqfetch_spark.catalog import _normalize, load_catalog
 
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -30,9 +30,10 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # same ns→µs normalization as the batch catalog
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # the SAME timestamp normalization the batch catalog applies (the
+    # fixture has shipped ts as both int64-nanos and timestamp_ntz
+    # across driver versions; _normalize handles either)
+    stream = _normalize("events", stream)
     assert stream.schema == batch.schema, "stream/batch schema drift"
     return stream
 
