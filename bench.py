@@ -75,6 +75,7 @@ HEADLINE = [
     "q54_brp_lsh_neighbors",
     "q55_ann_ivf_kmeans",
     "q60_fetch_chunk",
+    "q96_fetch_chunk_values",
     "q62_multimodal_meta",
     "q63_pandas_cosine_topk",
     "q64_streaming_tumbling",
@@ -110,13 +111,24 @@ HEADLINE = [
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess
 
+# Round-4 fix (VERDICT r3 #1): single-shot timings made every
+# regression unfalsifiable against sandbox noise (r2→r3 showed 1.5-3.7×
+# "regressions" concentrated in files nobody touched). Each query now
+# runs REPEATS times in its session; the recorded time is the MIN
+# (the least-noise observation of the same plan) and the per-run list
+# lands in BENCH_DETAIL.json so spread is auditable.
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
-def _time_query(fn, spark, sf_dir) -> float:
-    t0 = time.time()
-    # noop sink: full evaluation of every output column, nothing
-    # materialized driver-side
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+
+def _time_query(fn, spark, sf_dir) -> list[float]:
+    runs = []
+    for _ in range(max(1, REPEATS)):
+        t0 = time.time()
+        # noop sink: full evaluation of every output column, nothing
+        # materialized driver-side
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(time.time() - t0)
+    return runs
 
 
 def child_queries(names: list[str]) -> None:
@@ -151,17 +163,24 @@ def child_queries(names: list[str]) -> None:
         ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    runs_by_name: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
     for name in names:
         try:
-            sec = _time_query(registry[name].fn, spark, sf_dir)
+            runs = _time_query(registry[name].fn, spark, sf_dir)
         except Exception as exc:  # one broken query must not kill the bench
             failures[name] = str(exc).splitlines()[0][:200]
             print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
             continue
-        timings[name] = round(sec, 3)
-        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
-    print(json.dumps({"timings": timings, "failures": failures}))
+        timings[name] = round(min(runs), 3)
+        runs_by_name[name] = [round(r, 3) for r in runs]
+        print(
+            f"# {name}: {timings[name]:.2f}s (runs: "
+            + ", ".join(f"{r:.2f}" for r in runs)
+            + ")",
+            file=sys.stderr,
+        )
+    print(json.dumps({"timings": timings, "runs": runs_by_name, "failures": failures}))
 
 
 def child_scan() -> None:
@@ -177,7 +196,7 @@ def child_scan() -> None:
     spark = get_session("bqfetch-spark-bench-scan")
     spark.sparkContext.setLogLevel("ERROR")
     scan_sec = float("inf")
-    for _ in range(2):
+    for _ in range(max(2, REPEATS)):
         t0 = time.time()
         pdf = Fetcher(spark).fetch_to_pandas(TableRef(sf_dir, "lineitem"), None)
         scan_sec = min(scan_sec, time.time() - t0)
@@ -264,11 +283,13 @@ def main() -> None:
     scan = _run_child(["--scan-child"])
 
     timings: dict[str, float] = {}
+    runs_by_name: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
     for i in range(0, len(HEADLINE), GROUP_SIZE):
         group = HEADLINE[i : i + GROUP_SIZE]
         out = _run_child(["--child", ",".join(group)], names=group)
         timings.update(out.get("timings", {}))
+        runs_by_name.update(out.get("runs", {}))
         failures.update(out.get("failures", {}))
     suite_wall = round(time.time() - suite_t0, 1)
 
@@ -289,11 +310,23 @@ def main() -> None:
     # SHORT q-number keys ("q01": 1.39) at 2 dp, everything verbose
     # lives in BENCH_DETAIL.json.
     here = os.path.dirname(os.path.abspath(__file__))
+    # spread = (max-min)/min per query — the noise bound for each
+    # recorded min; a "regression" smaller than the victim's spread is
+    # not adjudicable and should be re-run, not chased
+    spread = {
+        name: round((max(r) - min(r)) / min(r), 3)
+        for name, r in runs_by_name.items()
+        if r and min(r) > 0
+    }
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(
             {
                 "sf": float(sf),
+                "repeats": REPEATS,
+                "policy": "min-of-runs",
                 "queries": timings,
+                "runs": runs_by_name,
+                "spread_frac": spread,
                 "failures": failures,
                 "regressions_vs": prev_name,
                 "regressions": regressions,

@@ -46,11 +46,24 @@ class TableRef:
 
 @dataclass(frozen=True)
 class FetchingChunk:
-    """Contiguous value-range partition of a table on one column.
+    """Partition of a table on one column, in one of two modes:
 
-    Unlike the reference's value-list chunks (bqfetch/bqfetch.py:43-50)
-    this holds only the range boundaries; membership is evaluated by
-    the engine as a typed range predicate (pushed down to the scan).
+    - **range** (default, ``elements is None``): holds only the
+      ``(lower, upper)`` boundaries of a contiguous slice of the value
+      domain; membership is a typed BETWEEN predicate pushed down to
+      the scan. O(1) driver memory per chunk — the 100 TB planning
+      path.
+    - **value-list** (``elements`` set): reference-parity categorical
+      chunks (``FetchingChunk(elements, column)``,
+      bqfetch/bqfetch.py:43-50) — an explicit tuple of member values,
+      evaluated as a typed ``Column.isin`` predicate. Unlike the
+      reference, which stringifies and double-quotes every value into
+      the SQL text (bqfetch/bqfetch.py:171 and :483-484, breaking
+      non-string types), ``isin`` renders correct literal types for
+      ints/dates/strings alike (the SURVEY §1.3 promise). Intended for
+      low-cardinality chunk columns (the README's ``Geography``
+      example); driver memory is O(domain), so the planner bounds it
+      with ``max_values``.
     """
 
     column: str
@@ -59,8 +72,11 @@ class FetchingChunk:
     lower: Any
     upper: Any
     n_values: int
+    elements: tuple = None  # type: ignore[assignment]
 
     def predicate(self) -> F.Column:
+        if self.elements is not None:
+            return F.col(self.column).isin(*self.elements)
         return F.col(self.column).between(F.lit(self.lower), F.lit(self.upper))
 
 
@@ -79,14 +95,21 @@ class Fetcher:
     def table(self, ref: TableRef) -> DataFrame:
         return load_catalog(self.spark, ref.sf_dir).table(ref.name)
 
-    def check_skew(self, ref: TableRef, column: str) -> float:
-        """Plan-time dispersion check (reference parity:
-        bqfetch/bqfetch.py:410-419 warns while planning when the
-        chunk-key counts are uneven). Returns the dispersed fraction —
-        the share of distinct values whose row count is more than ±25%
-        off the mean — and warns when it exceeds 25%. Distributed: two
-        tiny aggregates, nothing about the domain is collected."""
-        counts = self.table(ref).groupBy(column).agg(F.count(F.lit(1)).alias("__cnt"))
+    def _value_counts(self, ref: TableRef, column: str) -> DataFrame:
+        """Per-value row counts — the one data-sized aggregate the whole
+        planning pipeline derives from (reference SQL A2,
+        bqfetch/bqfetch.py:105-123). Both the skew diagnostic and the
+        domain bucketing read this DF, so a ``by_chunk_size_in_GB``
+        plan costs ONE scan of the table, not one per diagnostic
+        (round-4 fix: check_skew + distinct previously each rescanned)."""
+        return self.table(ref).groupBy(column).agg(F.count(F.lit(1)).alias("__cnt"))
+
+    def _skew_fraction(self, ref: TableRef, column: str, counts: DataFrame) -> float:
+        """Dispersed fraction — the share of distinct values whose row
+        count is more than ±25% off the mean — with the reference's
+        plan-time warning above 25% (bqfetch/bqfetch.py:410-419).
+        Distributed: two tiny aggregates over the counts DF, nothing
+        about the domain is collected."""
         row = counts.crossJoin(
             F.broadcast(counts.agg(F.avg("__cnt").alias("__mean")))
         ).agg(
@@ -113,6 +136,13 @@ class Fetcher:
             self._log(msg)
         return frac
 
+    def check_skew(self, ref: TableRef, column: str) -> float:
+        """Standalone plan-time dispersion check (reference parity:
+        bqfetch/bqfetch.py:410-419). ``chunks(by_chunk_size_in_GB=…)``
+        runs the same diagnostic off its shared counts DF instead of
+        calling this (one table scan total)."""
+        return self._skew_fraction(ref, column, self._value_counts(ref, column))
+
     def chunks(
         self,
         ref: TableRef,
@@ -120,6 +150,8 @@ class Fetcher:
         by_nb_chunks: int | None = None,
         by_chunk_size_in_GB: float | None = None,
         nb_cores: int = 1,
+        by_values: bool = False,
+        max_values: int = 100_000,
     ) -> list[FetchingChunk]:
         """Split the column's distinct-value domain into contiguous
         buckets (ntile semantics: earlier buckets take the remainder).
@@ -141,7 +173,17 @@ class Fetcher:
         (plans/ranks.py): range-partition the distinct domain, rank
         locally, add per-partition offsets — no unpartitioned window,
         so planning itself survives a 100 TB table with a huge domain
-        (the collect stays O(n_chunks))."""
+        (the collect stays O(n_chunks)).
+
+        ``by_values=True`` returns reference-parity value-LIST chunks
+        (``FetchingChunk.elements`` populated — bqfetch/bqfetch.py:43-50
+        semantics with typed ``isin`` predicates instead of the
+        reference's stringified IN-lists, :171). Bucket membership is
+        identical to the range mode (same ntile over the same sorted
+        domain) — only the chunk representation changes. Driver memory
+        becomes O(domain), so the planner refuses domains larger than
+        ``max_values`` (probed with a bounded limit-scan, never a full
+        count) and points at the range mode."""
         if (by_nb_chunks is None) == (by_chunk_size_in_GB is None):
             raise ValueError(
                 "exactly one of by_nb_chunks / by_chunk_size_in_GB must be given"
@@ -152,37 +194,54 @@ class Fetcher:
         from bqfetch_spark.plans.ranks import with_global_ntile
         from bqfetch_spark.session import shuffle_partitions
 
-        if by_chunk_size_in_GB is not None:
-            nbytes = table_bytes(
-                load_catalog(self.spark, ref.sf_dir).path(ref.name)
-            )
-            by_nb_chunks = suggest_chunks_by_size(
-                nbytes, by_chunk_size_in_GB, nb_cores
-            )
-            self._log(
-                f"estimated {by_nb_chunks} chunks for {ref.name} "
-                f"({nbytes / 1024**3:.3f} GB at {by_chunk_size_in_GB} GB/chunk × {nb_cores} cores)"
-            )
-            self.check_skew(ref, column)
+        counts = self._value_counts(ref, column)
+        persisted = False
+        try:
+            if by_chunk_size_in_GB is not None:
+                nbytes = table_bytes(
+                    load_catalog(self.spark, ref.sf_dir).path(ref.name)
+                )
+                by_nb_chunks = suggest_chunks_by_size(
+                    nbytes, by_chunk_size_in_GB, nb_cores
+                )
+                self._log(
+                    f"estimated {by_nb_chunks} chunks for {ref.name} "
+                    f"({nbytes / 1024**3:.3f} GB at {by_chunk_size_in_GB} GB/chunk × {nb_cores} cores)"
+                )
+                # skew stats and bucket boundaries both derive from the
+                # SAME materialized per-value counts — one table scan
+                counts = counts.persist()
+                persisted = True
+                self._skew_fraction(ref, column, counts)
 
-        df = self.table(ref)
-        bounds = (
-            with_global_ntile(
-                df.select(column).distinct(),
+            domain = counts.select(column)
+            if by_values:
+                probe = domain.limit(max_values + 1).count()
+                if probe > max_values:
+                    raise ValueError(
+                        f"{ref.name}.{column} has more than {max_values} distinct "
+                        "values — value-list chunks hold the whole domain on the "
+                        "driver; use range chunks (by_values=False) for "
+                        "high-cardinality columns, or raise max_values"
+                    )
+            bucketed = with_global_ntile(
+                domain,
                 [column],
                 by_nb_chunks,
                 shuffle_partitions(self.spark),
                 "__bucket",
             )
-            .groupBy("__bucket")
-            .agg(
+            agg_cols = [
                 F.min(column).alias("lo"),
                 F.max(column).alias("hi"),
                 F.count(F.lit(1)).alias("n"),
-            )
-            .orderBy("__bucket")
-            .collect()
-        )
+            ]
+            if by_values:
+                agg_cols.append(F.sort_array(F.collect_list(column)).alias("els"))
+            bounds = bucketed.groupBy("__bucket").agg(*agg_cols).orderBy("__bucket").collect()
+        finally:
+            if persisted:
+                counts.unpersist()
         out = [
             FetchingChunk(
                 column=column,
@@ -191,6 +250,7 @@ class Fetcher:
                 lower=row["lo"],
                 upper=row["hi"],
                 n_values=row["n"],
+                elements=tuple(row["els"]) if by_values else None,
             )
             for row in bounds
         ]
@@ -302,6 +362,34 @@ def q60_fetch_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = TableRef(sf_dir, "customer")
     chunk = fetcher.chunks(ref, "c_custkey", by_nb_chunks=4)[1]
     return fetcher.fetch(ref, chunk).select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+
+
+FETCH_CHUNK_VALUES_ORACLE = """
+WITH buckets AS (
+  SELECT k, ntile(3) OVER (ORDER BY k) AS b
+  FROM (SELECT DISTINCT c_mktsegment AS k FROM customer)
+)
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+JOIN buckets ON c_mktsegment = buckets.k
+WHERE buckets.b = 2
+"""
+
+
+@register("q96_fetch_chunk_values", oracle=FETCH_CHUNK_VALUES_ORACLE, tags=("fetcher",))
+def q96_fetch_chunk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-LIST chunk parity (reference FetchingChunk(elements, column),
+    bqfetch/bqfetch.py:43-50, rendered as a stringified IN-list at :171;
+    here a typed `isin`): plan 3 categorical chunks on the 5-value
+    c_mktsegment domain, fetch chunk #2 (1-based bucket 2 — a 2-element
+    value list, so the IN-list path is actually exercised). Matches the
+    same ntile-bucket oracle as q60 because value-list buckets and range
+    buckets share the ntile-over-sorted-domain membership."""
+    fetcher = Fetcher(spark)
+    ref = TableRef(sf_dir, "customer")
+    chunk = fetcher.chunks(ref, "c_mktsegment", by_nb_chunks=3, by_values=True)[1]
+    assert chunk.elements is not None and len(chunk.elements) == 2
+    return fetcher.fetch(ref, chunk).select("c_custkey", "c_name", "c_mktsegment")
 
 
 @register("q67_fetch_chunks_by_size", oracle=None, tags=("fetcher", "advisor"))

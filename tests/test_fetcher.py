@@ -6,6 +6,7 @@ the domain, and union(chunks) == whole table."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from bqfetch_spark.fetcher import Fetcher, TableRef
 from tests.conftest import SF_SMOKE
@@ -135,6 +136,61 @@ def test_chunks_sizing_args_are_exclusive(spark, fetcher):
         fetcher.chunks(ref, "c_custkey", by_nb_chunks=2, by_chunk_size_in_GB=1.0)
     with pytest.raises(ValueError):
         fetcher.chunks(ref, "c_custkey", by_chunk_size_in_GB=-1.0)
+
+
+def test_value_list_chunks_partition(spark, fetcher):
+    """Reference-parity categorical chunks (FetchingChunk(elements,
+    column), bqfetch/bqfetch.py:43-50): explicit value lists, disjoint,
+    covering the domain, and consistent with the range-mode bucketing."""
+    ref = TableRef(SF_SMOKE, "customer")
+    chunks = fetcher.chunks(ref, "c_mktsegment", by_nb_chunks=3, by_values=True)
+    assert len(chunks) == 3
+    all_vals: list = []
+    for c in chunks:
+        assert c.elements is not None
+        assert sorted(c.elements) == list(c.elements)
+        assert c.lower == c.elements[0] and c.upper == c.elements[-1]
+        assert c.n_values == len(c.elements)
+        all_vals.extend(c.elements)
+    domain = {r[0] for r in fetcher.table(ref).select("c_mktsegment").distinct().collect()}
+    assert sorted(all_vals) == sorted(domain)  # disjoint cover
+    assert sum(fetcher.fetch(ref, c).count() for c in chunks) == 150
+    # same bucket membership as range mode on the same domain
+    ranged = fetcher.chunks(ref, "c_mktsegment", by_nb_chunks=3)
+    for rv, rc in zip(chunks, ranged):
+        assert (rv.lower, rv.upper, rv.n_values) == (rc.lower, rc.upper, rc.n_values)
+
+
+def test_value_list_chunks_typed_predicates(spark, fetcher):
+    """The reference stringifies chunk values into SQL (bqfetch/
+    bqfetch.py:171 — breaking non-string columns); our isin predicate
+    keeps literal types: int, string, and date chunk columns all fetch
+    the exact member rows."""
+    import datetime
+
+    for table, column, pytype in [
+        ("customer", "c_custkey", int),
+        ("customer", "c_mktsegment", str),
+        ("orders", "o_orderdate", datetime.date),
+    ]:
+        ref = TableRef(SF_SMOKE, table)
+        chunk = fetcher.chunks(ref, column, by_nb_chunks=4, by_values=True)[0]
+        assert all(isinstance(e, pytype) for e in chunk.elements)
+        got = fetcher.fetch(ref, chunk)
+        member = {r[0] for r in got.select(column).distinct().collect()}
+        assert member == set(chunk.elements)
+        expected = (
+            fetcher.table(ref).filter(F.col(column).isin(*chunk.elements)).count()
+        )
+        assert got.count() == expected
+
+
+def test_value_list_chunks_domain_cap(spark, fetcher):
+    """Value-list planning holds the whole domain on the driver, so it
+    refuses high-cardinality columns (bounded probe, no full count)."""
+    ref = TableRef(SF_SMOKE, "customer")
+    with pytest.raises(ValueError, match="distinct"):
+        fetcher.chunks(ref, "c_custkey", by_nb_chunks=4, by_values=True, max_values=10)
 
 
 def test_skew_warning_at_plan_time(spark, fetcher):
