@@ -169,11 +169,12 @@ class Fetcher:
           (check_skew: warns when >25% of values are >25% off the
           mean count, bqfetch/bqfetch.py:410-419).
 
-        The bucketing is the scalable exact-ntile spelling
-        (plans/ranks.py): range-partition the distinct domain, rank
-        locally, add per-partition offsets — no unpartitioned window,
-        so planning itself survives a 100 TB table with a huge domain
-        (the collect stays O(n_chunks)).
+        The bucketing is the adaptive exact-ntile spelling
+        (plans/ranks.with_ntile_auto): small domains use a plain ntile
+        window; domains past the estimated single-sort crossover use
+        the range-partition + offset spelling — no unpartitioned
+        window, so planning itself survives a 100 TB table with a huge
+        domain (the collect stays O(n_chunks) either way).
 
         ``by_values=True`` returns reference-parity value-LIST chunks
         (``FetchingChunk.elements`` populated — bqfetch/bqfetch.py:43-50
@@ -191,7 +192,7 @@ class Fetcher:
         if by_nb_chunks is not None and by_nb_chunks <= 0:
             raise ValueError("by_nb_chunks must be positive")
         from bqfetch_spark.plans.advisor import suggest_chunks_by_size, table_bytes
-        from bqfetch_spark.plans.ranks import with_global_ntile
+        from bqfetch_spark.plans.ranks import with_ntile_auto
         from bqfetch_spark.session import shuffle_partitions
 
         counts = self._value_counts(ref, column)
@@ -224,7 +225,7 @@ class Fetcher:
                         "driver; use range chunks (by_values=False) for "
                         "high-cardinality columns, or raise max_values"
                     )
-            bucketed = with_global_ntile(
+            bucketed = with_ntile_auto(
                 domain,
                 [column],
                 by_nb_chunks,

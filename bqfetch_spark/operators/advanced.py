@@ -112,16 +112,18 @@ GROUP BY quartile
 @register("q25_ntile_quartiles", oracle=NTILE_ORACLE, tags=("window", "ntile"))
 def q25_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by price quartile — EXACT ntile over a deterministic
-    total order (unique tie-break key), computed scalably: an
-    unpartitioned `ntile() OVER (ORDER BY ...)` sorts every row in a
-    single task, so this uses the range-partition + offset spelling
-    (plans/ranks.py) — identical bucket assignment, no single-task
-    sort anywhere in the plan."""
-    from bqfetch_spark.plans.ranks import with_global_ntile
+    total order (unique tie-break key), with an ADAPTIVE physical
+    spelling (plans/ranks.with_ntile_auto): inputs under the estimated
+    single-sort crossover use the plain ntile window (0.99 s vs 2.45 s
+    at sf0.1 — the scalable machinery is a 100×-scale tax the small
+    case shouldn't pay); larger inputs get the range-partition +
+    offset spelling with no single-task sort. Identical bucket
+    assignment either way."""
+    from bqfetch_spark.plans.ranks import with_ntile_auto
     from bqfetch_spark.session import shuffle_partitions
 
     orders = load_catalog(spark, sf_dir).table("orders").select("o_totalprice", "o_orderkey")
-    bucketed = with_global_ntile(
+    bucketed = with_ntile_auto(
         orders, ["o_totalprice", "o_orderkey"], 4, shuffle_partitions(spark), "quartile"
     )
     return bucketed.groupBy("quartile").agg(

@@ -21,6 +21,18 @@ def test_oracle_parity(spark, duck, name):
     compare_to_oracle(df, duck, q.oracle)
 
 
+def test_q25_scalable_spelling_parity(spark, duck, monkeypatch):
+    """The large-input ntile spelling (range exchange + offsets) must
+    stay value-identical to the oracle even though the sf0.01 default
+    now picks the single-window path: force the crossover to 0 and
+    re-check full parity."""
+    import bqfetch_spark.plans.ranks as ranks
+
+    monkeypatch.setattr(ranks, "SINGLE_SORT_BYTES", -1)
+    q = QUERIES["q25_ntile_quartiles"]
+    compare_to_oracle(q.fn(spark, SF_CORRECT), duck, q.oracle)
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_runs(spark, name):
     q = QUERIES[name]

@@ -82,16 +82,26 @@ def test_q34_topk_avoids_global_window(spark):
     assert "Window" not in plan
 
 
-def test_q25_ntile_without_single_task_sort(spark):
-    """The quartile assignment must not plan a data-sized
-    unpartitioned window: ranks come from a range exchange + per-pid
-    local windows; the only unpartitioned windows run over the
+def test_q25_ntile_adaptive_spelling(spark, monkeypatch):
+    """Quartile assignment picks its physical spelling by estimated
+    input size (plans/ranks.with_ntile_auto). Small input (sf0.01,
+    under the crossover): the plain single-window ntile — the scalable
+    machinery is pure overhead here. Large input (crossover forced to
+    0): the range-exchange + offset spelling with NO data-sized
+    unpartitioned window — the only unpartitioned windows run over
     per-partition count rows (metadata)."""
-    plan = _plan(spark, "q25_ntile_quartiles")
-    assert "ntile" not in plan
-    assert "rangepartitioning" in plan.lower()
+    import bqfetch_spark.plans.ranks as ranks
+
+    small = _plan(spark, "q25_ntile_quartiles")
+    assert "ntile" in small
+    assert "row_number() windowspecdefinition(__pid" not in small
+
+    monkeypatch.setattr(ranks, "SINGLE_SORT_BYTES", -1)
+    big = _plan(spark, "q25_ntile_quartiles")
+    assert "ntile" not in big
+    assert "rangepartitioning" in big.lower()
     # the data-sized rank window is clustered on the range partition id
-    assert "row_number() windowspecdefinition(__pid" in plan
+    assert "row_number() windowspecdefinition(__pid" in big
 
 
 def test_q69_self_join_is_salted(spark):
