@@ -59,7 +59,7 @@ class Catalog:
             if name not in TABLES:
                 raise KeyError(f"unknown table {name!r}; known: {TABLES}")
             df = self.spark.read.parquet(self.path(name))
-            df = _normalize(name, df)
+            df = normalize_table(name, df)
             df.createOrReplaceTempView(name)
             self._dfs[name] = df
         return self._dfs[name]
@@ -80,7 +80,7 @@ class Catalog:
 NANO_TS_COLUMNS = {"events": ("ts",)}
 
 
-def _normalize(name: str, df: DataFrame) -> DataFrame:
+def normalize_table(name: str, df: DataFrame) -> DataFrame:
     """Cast any non-standard timestamp precision to Spark TimestampType.
 
     Nanosecond columns floor-truncate to microseconds — the same thing

@@ -73,16 +73,34 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
 """
 
 
+# All-pairs work is O(n²): past this many vectors the exact baseline is
+# a scale-killer by construction (100k vectors ≈ 5e9 cosine folds) and
+# the caller must use the bucketed path (q69_embedding_neardup_ivf).
+# The guard probes with a bounded limit-scan — O(cap) rows read, never
+# a full count, so the guard itself is cheap at any table size.
+NEARDUP_MAX_VECTORS = 100_000
+
+
 @register("q51_embedding_neardup", oracle=NEARDUP_ORACLE, tags=("similarity", "dedup"))
 def q51_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold on the rounded
     value so both engines make identical keep/drop decisions).
-    All-pairs is exact and fine to sf0.1 (2k vectors = 2M pairs); the
-    100 TB path is q52's IVF bucketing or LSH banding, same semantics,
-    candidate generation replaced."""
+    All-pairs is exact — the BASELINE spelling only, fine to sf0.1
+    (2k vectors = 2M pairs) and REFUSED above NEARDUP_MAX_VECTORS;
+    the scale path with the same semantics is
+    q69_embedding_neardup_ivf (similarity.py:~213): IVF-bucketed
+    candidate generation, recall-gated ≥0.9 against this baseline."""
     emb = load_catalog(spark, sf_dir).table("embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
+    probe = emb.select("vec_id").limit(NEARDUP_MAX_VECTORS + 1).count()
+    if probe > NEARDUP_MAX_VECTORS:
+        raise ValueError(
+            f"q51_embedding_neardup is the exact all-pairs baseline and refuses "
+            f"inputs above {NEARDUP_MAX_VECTORS} vectors (O(n²) pairs); use "
+            "q69_embedding_neardup_ivf — bucketed candidate generation, same "
+            "cosine threshold, recall-gated ≥0.9"
+        )
     # precompute norms once per vector (not once per pair): the pair
     # expression is then a single dot-product fold, and cosine =
     # dot/(na*nb) — same formula/order as list_cosine_similarity

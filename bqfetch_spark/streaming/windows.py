@@ -17,7 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bqfetch_spark.catalog import _normalize, load_catalog
+from bqfetch_spark.catalog import load_catalog, normalize_table
 
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -32,8 +32,8 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the SAME timestamp normalization the batch catalog applies (the
     # fixture has shipped ts as both int64-nanos and timestamp_ntz
-    # across driver versions; _normalize handles either)
-    stream = _normalize("events", stream)
+    # across driver versions; normalize_table handles either)
+    stream = normalize_table("events", stream)
     assert stream.schema == batch.schema, "stream/batch schema drift"
     return stream
 

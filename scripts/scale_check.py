@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from bqfetch_spark.catalog import _normalize
+from bqfetch_spark.catalog import normalize_table
 from bqfetch_spark.operators.relational import DEC_PRICE
 from bqfetch_spark.session import get_session
 
@@ -163,7 +163,7 @@ def main() -> None:
     # and the workload grows in PARTITION COUNT — the axis that grows
     # at 100 TB (more users, not centuries-long histories); window
     # sort + running-min chains must scale linearly in partitions
-    ev0 = _normalize("events", spark.read.parquet(f"{base}/events.parquet")).select(
+    ev0 = normalize_table("events", spark.read.parquet(f"{base}/events.parquet")).select(
         "event_id", "ts", "user_id", "event_type", "value",
     )
     reps = spark.range(10).select(F.col("id").alias("rep"))

@@ -106,3 +106,17 @@ def test_ivf_neardup_recall_vs_exact(spark):
     assert approx <= exact  # exact re-check: no false positives
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_q51_allpairs_guard_points_at_ivf(spark, monkeypatch):
+    """The exact all-pairs baseline must refuse inputs past its vector
+    cap (O(n²) pairs is a scale-killer by construction) and point the
+    caller at the bucketed q69 replacement. The probe is a bounded
+    limit-scan, so the guard stays cheap on any table size."""
+    import pytest
+
+    import bqfetch_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "NEARDUP_MAX_VECTORS", 10)
+    with pytest.raises(ValueError, match="q69_embedding_neardup_ivf"):
+        all_queries()["q51_embedding_neardup"].fn(spark, SF_SMOKE)

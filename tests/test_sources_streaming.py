@@ -126,6 +126,66 @@ def test_streaming_session_window_matches_batch(spark):
     assert s == b
 
 
+def test_streaming_session_window_merges_across_microbatches(spark, tmp_path):
+    """Event-time regression pin for session_counts_stream (round-3
+    tweak landed after that bench ran): a session whose events are
+    SPLIT across two micro-batches must merge in the state store into
+    the single session the batch operator produces, and events a full
+    gap apart must stay separate sessions. Two parquet files +
+    maxFilesPerTrigger=1 force (at least) two micro-batches."""
+    import datetime
+
+    from bqfetch_spark.streaming.windows import session_counts_stream
+
+    t0 = datetime.datetime(2025, 3, 1, 12, 0, 0)
+
+    def rows(*offsets_min, user):
+        return [(user, t0 + datetime.timedelta(minutes=m)) for m in offsets_min]
+
+    schema = "user_id bigint, ts timestamp"
+    # micro-batch 1: user 1 at t0, t0+10; user 2 at t0
+    # micro-batch 2: user 1 at t0+20 (merges: gaps < 30 min);
+    #                user 2 at t0+120 (a new session: gap >= 30 min)
+    spark.createDataFrame(rows(0, 10, user=1) + rows(0, user=2), schema).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "batch1"))
+    spark.createDataFrame(rows(20, user=1) + rows(120, user=2), schema).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "batch2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path))
+    )
+    result = run_to_memory(
+        session_counts_stream(stream, watermark="10 hours"), "stream_session_merge_test"
+    )
+    batch = (
+        spark.createDataFrame(
+            rows(0, 10, 20, user=1) + rows(0, 120, user=2), schema
+        )
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    s = {tuple(r) for r in result.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+    # the merged session really spans both micro-batches
+    merged = [r for r in s if r[0] == 1]
+    assert len(merged) == 1 and merged[0][3] == 3
+    # and user 2's far-apart events stayed two sessions
+    assert len([r for r in s if r[0] == 2]) == 2
+
+
 def test_streaming_dedup_matches_batch(spark):
     """q70: doubled delivery through dropDuplicatesWithinWatermark must
     reproduce the batch table exactly once per event_id."""
