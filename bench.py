@@ -84,6 +84,7 @@ HEADLINE = [
     "q68_multimodal_decode",
     "q69_embedding_neardup_ivf",
     "q70_streaming_dedup",
+    "q97_streaming_interval_join",
     "q72_stratified_sample",
     "q73_pack_shards",
     "q74_dedup_clusters",

@@ -87,6 +87,41 @@ def q70_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(deduped, "q70_streaming_dedup_sink", output_mode="append")
 
 
+STREAM_JOIN_ORACLE = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS us_from_click
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+@register("q97_streaming_interval_join", oracle=STREAM_JOIN_ORACLE, tags=("streaming", "join"))
+def q97_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join with watermark-bounded state
+    (streaming/joins.py): every (click, purchase) pair by the same
+    user within a 1-hour horizon, run as a bounded replay
+    (AvailableNow → memory sink). The event-time range in the join
+    condition plus the 2-hour watermark lets Spark evict join state —
+    O(horizon window) state however long the stream runs. Append-mode
+    output over the bounded replay equals the batch interval
+    self-join, so this streaming operator carries a FULL DuckDB
+    oracle (unlike the aggregation streams, whose complete-mode
+    output shape differs from batch SQL)."""
+    from bqfetch_spark.streaming.joins import click_purchase_join_stream
+    from bqfetch_spark.streaming.windows import run_to_memory, streaming_events
+
+    joined = click_purchase_join_stream(streaming_events(spark, sf_dir))
+    return run_to_memory(joined, "q97_streaming_interval_join_sink", output_mode="append")
+
+
 @register("q71_streaming_incremental_dedup", oracle=None, tags=("streaming", "dedup", "incremental"))
 def q71_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup against a persisted fingerprint store

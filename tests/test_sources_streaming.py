@@ -186,6 +186,54 @@ def test_streaming_session_window_merges_across_microbatches(spark, tmp_path):
     assert len([r for r in s if r[0] == 2]) == 2
 
 
+def test_stream_stream_join_matches_across_microbatches(spark, tmp_path):
+    """q97's stream-stream interval join must hold a click in the join
+    state store until its purchase arrives in a LATER micro-batch (two
+    files, maxFilesPerTrigger=1), and must not match outside the
+    horizon. Append-mode output over the bounded replay equals the
+    batch interval self-join."""
+    import datetime
+
+    from bqfetch_spark.streaming.joins import click_purchase_join_stream
+    from bqfetch_spark.streaming.windows import run_to_memory
+
+    t0 = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+
+    def ev(eid, minutes, user, etype):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), user, etype)
+
+    # batch 1: user 1 clicks; user 2 clicks + purchases in-batch
+    # batch 2: user 1 purchases 40 min after the click (cross-batch
+    #          match, inside 1 h); user 2 purchases again at +90 min
+    #          (outside the horizon of the t0 click — no pair)
+    spark.createDataFrame(
+        [ev(1, 0, 1, "click"), ev(2, 0, 2, "click"), ev(3, 5, 2, "purchase")], schema
+    ).coalesce(1).write.parquet(str(tmp_path / "b1"))
+    spark.createDataFrame(
+        [ev(4, 40, 1, "purchase"), ev(5, 90, 2, "purchase")], schema
+    ).coalesce(1).write.parquet(str(tmp_path / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path))
+    )
+    result = run_to_memory(
+        click_purchase_join_stream(stream), "stream_join_xbatch_test", output_mode="append"
+    )
+    got = {(r.click_id, r.purchase_id) for r in result.collect()}
+    # cross-batch pair (1→4) present; in-batch pair (2→3) present;
+    # out-of-horizon (2→5) absent
+    assert got == {(1, 4), (2, 3)}
+    lag = {r.purchase_id: r.us_from_click for r in result.collect()}
+    assert lag[4] == 40 * 60 * 1_000_000 and lag[3] == 5 * 60 * 1_000_000
+
+
 def test_streaming_dedup_matches_batch(spark):
     """q70: doubled delivery through dropDuplicatesWithinWatermark must
     reproduce the batch table exactly once per event_id."""
