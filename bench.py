@@ -85,6 +85,7 @@ HEADLINE = [
     "q69_embedding_neardup_ivf",
     "q70_streaming_dedup",
     "q97_streaming_interval_join",
+    "q98_streaming_rollup_maintenance",
     "q72_stratified_sample",
     "q73_pack_shards",
     "q74_dedup_clusters",

@@ -122,6 +122,39 @@ def q97_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "q97_streaming_interval_join_sink", output_mode="append")
 
 
+ROLLUP_MAINT_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("q98_streaming_rollup_maintenance", oracle=ROLLUP_MAINT_ORACLE, tags=("streaming", "incremental", "agg"))
+def q98_streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained hourly rollup (streaming/rollup.py):
+    ingest waves upsert per-(hour, event_type) count/DECIMAL-sum
+    partials into a partitioned parquet store, rewriting ONLY the hour
+    partitions each wave touches (dynamic partition overwrite) — the
+    materialized-view maintenance pattern a 100 TB metrics table needs
+    (per-wave cost is O(wave + touched hours), history never
+    recomputed). Additive partials make the store bit-identical to a
+    one-shot batch rollup however ingest was sliced, so this carries a
+    FULL DuckDB oracle; the multi-wave slicing itself is pinned by a
+    three-file test (tests/test_sources_streaming.py)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from bqfetch_spark.streaming.rollup import run_rollup_maintenance
+
+    work = tempfile.mkdtemp(prefix="bqfs_rollup_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return run_rollup_maintenance(spark, sf_dir, work)
+
+
 @register("q71_streaming_incremental_dedup", oracle=None, tags=("streaming", "dedup", "incremental"))
 def q71_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup against a persisted fingerprint store

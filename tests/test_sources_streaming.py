@@ -234,6 +234,51 @@ def test_stream_stream_join_matches_across_microbatches(spark, tmp_path):
     assert lag[4] == 40 * 60 * 1_000_000 and lag[3] == 5 * 60 * 1_000_000
 
 
+def test_rollup_maintenance_upserts_across_waves(spark, tmp_path):
+    """q98's store must equal the one-shot batch rollup when ingest is
+    sliced into THREE waves that revisit the same hours (the upsert
+    path, not just the first-write path), and a wave must only rewrite
+    the hour partitions it touches."""
+    import datetime
+    import os
+
+    from bqfetch_spark.streaming.rollup import upsert_rollup
+
+    t0 = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    schema = "ts timestamp, event_type string, value double"
+
+    def ev(minutes, etype, value):
+        return (t0 + datetime.timedelta(minutes=minutes), etype, value)
+
+    waves = [
+        [ev(0, "click", 1.5), ev(10, "click", 2.0), ev(70, "view", 3.0)],
+        [ev(20, "click", 0.25), ev(80, "view", 1.0)],  # revisits both hours
+        [ev(200, "purchase", 9.0)],  # brand-new hour only
+    ]
+    store = str(tmp_path / "store")
+    for wave in waves:
+        upsert_rollup(spark, spark.createDataFrame(wave, schema), store)
+        mtimes = {
+            d: os.path.getmtime(os.path.join(store, d))
+            for d in os.listdir(store)
+            if d.startswith("hr=")
+        }
+    # wave 3 touched only hour 15: hours 12/13 kept their wave-2 files
+    assert set(mtimes) == {"hr=2025030112", "hr=2025030113", "hr=2025030115"}
+
+    got = {
+        (r.bucket_start, r.event_type): (r.n_events, float(r.sum_value))
+        for r in spark.read.parquet(store).collect()
+    }
+    batch = (
+        spark.createDataFrame([e for w in waves for e in w], schema)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(18,6)")).alias("s"))
+    )
+    want = {(r.bucket_start, r.event_type): (r.n, float(r.s)) for r in batch.collect()}
+    assert got == want
+
+
 def test_streaming_dedup_matches_batch(spark):
     """q70: doubled delivery through dropDuplicatesWithinWatermark must
     reproduce the batch table exactly once per event_id."""
