@@ -86,6 +86,7 @@ HEADLINE = [
     "q70_streaming_dedup",
     "q97_streaming_interval_join",
     "q98_streaming_rollup_maintenance",
+    "q99_python_datasource_scan",
     "q72_stratified_sample",
     "q73_pack_shards",
     "q74_dedup_clusters",

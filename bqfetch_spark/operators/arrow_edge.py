@@ -122,6 +122,47 @@ def q97_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "q97_streaming_interval_join_sink", output_mode="append")
 
 
+PYDS_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_quantity >= 45
+GROUP BY l_returnflag
+"""
+
+
+@register("q99_python_datasource_scan", oracle=PYDS_ORACLE, tags=("source", "arrow"))
+def q99_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over the custom Python DataSource
+    (sources/chunked_source.py — the reference's Storage-API read
+    session as a registered Spark source): row-group partition
+    planning from footer metadata, the l_quantity restriction pushed
+    into the source (pyarrow evaluates it; Spark receives only
+    surviving rows — typed row_restriction parity), Arrow batches on
+    the wire. Same oracle as reading the parquet directly, which is
+    the point: the source is swappable below an unchanged query."""
+    import os
+
+    from bqfetch_spark.sources.chunked_source import ChunkedParquetDataSource
+
+    spark.dataSource.register(ChunkedParquetDataSource)
+    df = (
+        spark.read.format("bqfetch_chunked")
+        .option("path", os.path.join(sf_dir, "lineitem.parquet"))
+        .option("rows_per_partition", "200000")
+        .load()
+    )
+    return (
+        df.filter(F.col("l_quantity") >= 45)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
 ROLLUP_MAINT_ORACLE = """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
        event_type,

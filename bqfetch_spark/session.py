@@ -37,6 +37,9 @@ def get_session(app_name: str = "bqfetch-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # let Python DataSources (sources/chunked_source.py) receive
+        # pushed filters — the reference's row_restriction contract
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # runtime bloom-filter semi-join pruning: a selective dimension
         # filter (q06/q18/q88 shapes) builds a bloom filter that prunes
         # the fact-side SCAN before the shuffle — at 100 TB this is the

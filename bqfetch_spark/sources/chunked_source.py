@@ -1,0 +1,180 @@
+"""The reference's columnar read-session layer as a first-class Spark
+DataSource (PySpark 4 Python DataSource API).
+
+Reference parity (bqfetch/bqfetch.py:457-502): a fetch opens one
+Storage-API read session per chunk (``max_stream_count=1``) and pulls
+Arrow record batches with an optional ``row_restriction`` filter
+evaluated at the source. Here the same contract is a registered source:
+
+    spark.dataSource.register(ChunkedParquetDataSource)
+    spark.read.format("bqfetch_chunked")
+        .option("path", ".../lineitem.parquet")
+        .option("rows_per_partition", "200000")
+        .load()
+
+- ``partitions()`` plans one InputPartition per row-group run, from
+  parquet FOOTER metadata only — the analogue of the reference planning
+  chunks from BigQuery metadata queries (SQL A2/A3) without touching
+  data. Partition count scales with file row groups, so a 100 TB table
+  yields as many source tasks as it has row groups — Spark schedules
+  them like any other scan.
+- ``pushFilters()`` accepts the comparison/IN/null filters pyarrow can
+  evaluate and RETAINS the rest for Spark — the ``row_restriction``
+  contract, typed (no stringified literals, unlike the reference's
+  :483-484).
+- ``read()`` yields Arrow RecordBatches straight from pyarrow — the
+  wire stays columnar end to end, like the reference's
+  ``DataFormat.ARROW`` sessions.
+
+This source exists to prove the engine's source layer is pluggable at
+the Spark API level (swap in a real remote reader by replacing the
+pyarrow calls); the engine's own queries keep using the built-in
+vectorized parquet reader, which is faster (JVM, codegen) for local
+files.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+DEFAULT_ROWS_PER_PARTITION = 1_000_000
+
+
+@dataclass
+class RowGroupRun(InputPartition):
+    """A run of consecutive parquet row groups read by one task."""
+
+    row_groups: tuple[int, ...]
+
+
+def _simple_filters(filters: list[Filter]):
+    """Split pushed filters into (pyarrow-evaluable specs, retained).
+
+    Specs are plain picklable tuples (op, column, value) rebuilt into
+    pyarrow.compute expressions executor-side."""
+    supported, retained = [], []
+    for f in filters:
+        if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In)):
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if col is None:  # nested fields stay with Spark
+                retained.append(f)
+                continue
+            op = type(f).__name__
+            val = f.value if not isinstance(f, In) else tuple(f.value)
+            supported.append((op, col, val))
+        elif isinstance(f, (IsNull, IsNotNull)):
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if col is None:
+                retained.append(f)
+                continue
+            supported.append((type(f).__name__, col, None))
+        else:
+            retained.append(f)
+    return supported, retained
+
+
+def _to_arrow_expr(specs):
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    expr = None
+    for op, col, val in specs:
+        field = ds.field(col)
+        e = {
+            "EqualTo": lambda: field == val,
+            "GreaterThan": lambda: field > val,
+            "GreaterThanOrEqual": lambda: field >= val,
+            "LessThan": lambda: field < val,
+            "LessThanOrEqual": lambda: field <= val,
+            "In": lambda: field.isin(list(val)),
+            "IsNull": lambda: field.is_null(),
+            "IsNotNull": lambda: ~field.is_null(),
+        }[op]()
+        expr = e if expr is None else (expr & e)
+    _ = pc  # imported for side-effect-free clarity; expressions above bind it
+    return expr
+
+
+class ChunkedParquetReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bqfetch_chunked requires option 'path'")
+        self.rows_per_partition = int(
+            options.get("rows_per_partition", DEFAULT_ROWS_PER_PARTITION)
+        )
+        self._filter_specs: list = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        supported, retained = _simple_filters(filters)
+        self._filter_specs = supported
+        return iter(retained)
+
+    def partitions(self) -> list[RowGroupRun]:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(self.path).metadata  # footer only, no data
+        runs, run, run_rows = [], [], 0
+        for i in range(md.num_row_groups):
+            run.append(i)
+            run_rows += md.row_group(i).num_rows
+            if run_rows >= self.rows_per_partition:
+                runs.append(RowGroupRun(tuple(run)))
+                run, run_rows = [], 0
+        if run:
+            runs.append(RowGroupRun(tuple(run)))
+        return runs or [RowGroupRun(())]
+
+    def read(self, partition: RowGroupRun):
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(self.path)
+        if not partition.row_groups:
+            return
+        tbl = pf.read_row_groups(list(partition.row_groups))
+        expr = _to_arrow_expr(self._filter_specs)
+        if expr is not None:
+            import pyarrow.dataset as ds
+
+            # evaluate the pushed restriction at the source (reference
+            # row_restriction parity) — rows never reach Spark
+            tbl = ds.dataset(tbl).to_table(filter=expr)
+        yield from tbl.to_batches()
+
+
+class ChunkedParquetDataSource(DataSource):
+    """``format("bqfetch_chunked")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "bqfetch_chunked"
+
+    def schema(self) -> StructType:
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("bqfetch_chunked requires option 'path'")
+        return from_arrow_schema(pq.ParquetFile(path).schema_arrow)
+
+    def reader(self, schema: StructType) -> ChunkedParquetReader:
+        return ChunkedParquetReader(self.options)

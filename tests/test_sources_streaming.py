@@ -58,6 +58,69 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     assert back.count() == orders.filter(F.col("o_orderstatus") == "F").count()
 
 
+def test_python_datasource_matches_parquet(spark, tmp_path):
+    """The custom Python DataSource (chunked_source.py) must return the
+    same rows as the built-in parquet reader, split into one partition
+    per ROW-GROUP run (the atomic unit of parquet decode), with naive
+    timestamps surfaced as the catalog's normalized TimestampType."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import TimestampType
+
+    from bqfetch_spark.sources.chunked_source import ChunkedParquetDataSource
+
+    spark.dataSource.register(ChunkedParquetDataSource)
+    # craft a 4-row-group file so partition planning has something to
+    # split (the fixture files are single-row-group)
+    src = f"{SF_SMOKE}/lineitem.parquet"
+    p = str(tmp_path / "lineitem_rg.parquet")
+    tbl = pq.read_table(src)
+    pq.write_table(tbl, p, row_group_size=1500)  # 6000 rows -> 4 groups
+    assert pq.ParquetFile(p).metadata.num_row_groups == 4
+
+    df = (
+        spark.read.format("bqfetch_chunked")
+        .option("path", p)
+        .option("rows_per_partition", "3000")  # 2 row groups per task
+        .load()
+    )
+    ref = spark.read.parquet(p)
+    assert df.rdd.getNumPartitions() == 2  # runs of [2, 2] row groups
+    assert df.count() == ref.count() == tbl.num_rows
+    assert [f.name for f in df.schema.fields] == [f.name for f in ref.schema.fields]
+    assert isinstance(df.schema["l_shipdate"].dataType, TimestampType)
+    a = df.filter(F.col("l_orderkey") == 7).orderBy("l_linenumber").drop("l_shipdate")
+    b = ref.filter(F.col("l_orderkey") == 7).orderBy("l_linenumber").drop("l_shipdate")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_python_datasource_filter_pushdown(spark):
+    """Supported comparison/IN filters are evaluated INSIDE the source
+    (no Filter node survives in the optimized plan); unsupported ones
+    are retained by Spark and still correct."""
+    from bqfetch_spark.sources.chunked_source import ChunkedParquetDataSource
+
+    spark.dataSource.register(ChunkedParquetDataSource)
+    p = f"{SF_SMOKE}/customer.parquet"
+    df = spark.read.format("bqfetch_chunked").option("path", p).load()
+    ref = spark.read.parquet(p)
+
+    pushed = df.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") > 50)
+    )
+    plan = pushed._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan, plan  # fully pushed into the source
+    want = ref.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") > 50))
+    assert pushed.count() == want.count() > 0
+
+    mixed = df.filter(F.col("c_name").contains("25") & (F.col("c_custkey") > 10))
+    plan = mixed._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" in plan  # the contains() predicate stays with Spark
+    assert mixed.count() == ref.filter(
+        F.col("c_name").contains("25") & (F.col("c_custkey") > 10)
+    ).count()
+
+
 def test_multimodal_features_match_payload(spark):
     import hashlib
 
