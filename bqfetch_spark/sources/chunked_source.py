@@ -41,6 +41,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -159,8 +160,55 @@ class ChunkedParquetReader(DataSourceReader):
         yield from tbl.to_batches()
 
 
+class ChunkedParquetStreamReader(DataSourceStreamReader):
+    """Replay the table as a micro-batch STREAM of row groups — the
+    reference's chunk-by-chunk fetch loop (bqfetch/bqfetch.py:335-364)
+    as a Structured Streaming source. Offsets are row-group indices
+    (``{"rg": n}`` = groups [0, n) consumed), so checkpoint recovery
+    replays exactly the uncommitted groups; within a micro-batch each
+    row group is its own InputPartition, so the read is distributed
+    exactly like the batch source. ``groups_per_batch`` paces the
+    replay (rate limiting lives in latestOffset, the one driver-side
+    hook the API gives a source author)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bqfetch_chunked requires option 'path'")
+        self.groups_per_batch = int(options.get("groups_per_batch", "1"))
+        import pyarrow.parquet as pq
+
+        self._total = pq.ParquetFile(self.path).metadata.num_row_groups
+        self._emitted = 0
+
+    def initialOffset(self) -> dict:
+        return {"rg": 0}
+
+    def latestOffset(self) -> dict:
+        self._emitted = min(self._total, self._emitted + self.groups_per_batch)
+        return {"rg": self._emitted}
+
+    def partitions(self, start: dict, end: dict):
+        return [RowGroupRun((i,)) for i in range(start["rg"], end["rg"])] or [
+            RowGroupRun(())
+        ]
+
+    def read(self, partition: RowGroupRun):
+        import pyarrow.parquet as pq
+
+        if not partition.row_groups:
+            return
+        tbl = pq.ParquetFile(self.path).read_row_groups(list(partition.row_groups))
+        yield from tbl.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # source data is immutable; nothing to GC
+
+
 class ChunkedParquetDataSource(DataSource):
-    """``format("bqfetch_chunked")`` — see module docstring."""
+    """``format("bqfetch_chunked")`` — see module docstring. One
+    registration serves both ``spark.read`` (ChunkedParquetReader) and
+    ``spark.readStream`` (ChunkedParquetStreamReader)."""
 
     @classmethod
     def name(cls) -> str:
@@ -178,3 +226,6 @@ class ChunkedParquetDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ChunkedParquetReader:
         return ChunkedParquetReader(self.options)
+
+    def streamReader(self, schema: StructType) -> ChunkedParquetStreamReader:
+        return ChunkedParquetStreamReader(self.options)
