@@ -32,7 +32,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-DEC_SUM = "decimal(18,6)"
+DEC_SUM = "decimal(18,6)"  # per-row cast before summing
+# The STORED sum type is pinned wider and identical in EVERY write
+# path: Spark widens sum(decimal(18,6)) to decimal(28,6), so letting
+# the first-write path store the widened type while the merge path
+# re-cast produced mixed decimal widths across partitions of one store
+# — unreadable as a whole (physical FIXED_LEN_BYTE_ARRAY width varies
+# with precision). (38,6) is also the overflow-safe choice for a
+# 100 TB store.
+STORE_SUM = "decimal(38,6)"
 
 
 def _partials(batch: DataFrame) -> DataFrame:
@@ -42,7 +50,7 @@ def _partials(batch: DataFrame) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast(DEC_SUM)).alias("sum_value"),
+        F.sum(F.col("value").cast(DEC_SUM)).cast(STORE_SUM).alias("sum_value"),
     )
 
 
@@ -50,7 +58,7 @@ def upsert_rollup(spark: SparkSession, batch: DataFrame, store_dir: str) -> None
     """Merge one wave's partials into the store, rewriting only the
     hour partitions the wave touches."""
     partials = _partials(batch).withColumn(
-        "hr", F.date_format("bucket_start", "yyyyMMddHH")
+        "hr", F.date_format("bucket_start", "yyyyMMddHH").cast("long")
     )
     if not os.path.isdir(store_dir) or not any(
         e.startswith("hr=") for e in os.listdir(store_dir)
@@ -58,14 +66,27 @@ def upsert_rollup(spark: SparkSession, batch: DataFrame, store_dir: str) -> None
         merged = partials
     else:
         affected = [r["hr"] for r in partials.select("hr").distinct().collect()]
-        store = spark.read.parquet(store_dir)
-        existing = store.filter(F.col("hr").isin(affected))
+        # read ONLY the touched hour directories (basePath keeps the hr
+        # partition column). A full-store read + filter is wrong twice
+        # at scale: the listing alone is O(history), and dir-name type
+        # inference (hr= digits → int) defeated isin pruning against
+        # string literals — caught by scripts/scale_check.py, where the
+        # wave cost scaled 6× with a 10× store instead of staying flat.
+        touched = [
+            p
+            for h in affected
+            if os.path.isdir(p := os.path.join(store_dir, f"hr={h}"))
+        ]
+        if not touched:
+            existing = None
+        else:
+            existing = spark.read.option("basePath", store_dir).parquet(*touched)
         merged = (
-            existing.unionByName(partials)
+            (partials if existing is None else existing.unionByName(partials))
             .groupBy("bucket_start", "event_type", "hr")
             .agg(
                 F.sum("n_events").alias("n_events"),
-                F.sum("sum_value").cast(DEC_SUM).alias("sum_value"),
+                F.sum("sum_value").cast(STORE_SUM).alias("sum_value"),
             )
             # materialize BEFORE the write: the write overwrites the very
             # partitions `existing` reads (self-overwrite is otherwise an

@@ -228,6 +228,44 @@ def main() -> None:
             print(f"{label} round{i}: small={ts:.2f}s ({ns}) big={tb:.2f}s ({nb}) ratio={ratio:.1f}")
         assert worst <= 20, f"{label} super-linear: worst ratio {worst:.1f}"
         print(f"{label} scaling OK")
+
+    # --- incremental rollup maintenance: wave cost vs history size ---
+    # q98's claim is per-wave cost O(wave + touched hours), INDEPENDENT
+    # of store history. Build a 1x-history store and a 10x-history
+    # store (replicas shifted by whole months -> 10x hour partitions),
+    # then upsert the SAME small wave into each: the ratio must be ~1,
+    # not ~10 (a history-rescanning design would scale with the store).
+    from bqfetch_spark.streaming.rollup import upsert_rollup
+
+    store1 = f"{tmp}/rollup_1x"
+    store10 = f"{tmp}/rollup_10x"
+    ev_shift = (
+        ev0.crossJoin(reps)
+        .select(
+            (F.col("ts") + F.make_interval(months=F.col("rep").cast("int"))).alias("ts"),
+            "event_type",
+            "value",
+        )
+    )
+    upsert_rollup(spark, ev0.select("ts", "event_type", "value"), store1)
+    upsert_rollup(spark, ev_shift, store10)
+    n1 = len([d for d in os.listdir(store1) if d.startswith("hr=")])
+    n10 = len([d for d in os.listdir(store10) if d.startswith("hr=")])
+    print(f"rollup stores: {n1} vs {n10} hour partitions")
+    wave = ev0.select("ts", "event_type", "value").limit(2000).localCheckpoint(eager=True)
+    worst = 0.0
+    for i in range(2):
+        t0 = time.time()
+        upsert_rollup(spark, wave, store1)
+        t1x = time.time() - t0
+        t0 = time.time()
+        upsert_rollup(spark, wave, store10)
+        t10x = time.time() - t0
+        ratio = t10x / t1x
+        worst = max(worst, ratio)
+        print(f"rollup-upsert round{i}: 1x={t1x:.2f}s 10x={t10x:.2f}s ratio={ratio:.1f}")
+    assert worst <= 3, f"wave cost scales with history: worst ratio {worst:.1f}"
+    print("rollup maintenance scaling OK (wave cost flat in history size)")
     shutil.rmtree(tmp, ignore_errors=True)
 
 
