@@ -87,6 +87,7 @@ HEADLINE = [
     "q97_streaming_interval_join",
     "q98_streaming_rollup_maintenance",
     "q99_python_datasource_scan",
+    "q100_streaming_token_quota",
     "q72_stratified_sample",
     "q73_pack_shards",
     "q74_dedup_clusters",

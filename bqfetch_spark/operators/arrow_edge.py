@@ -163,6 +163,47 @@ def q99_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUOTA_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM cum WHERE cum_tokens <= 800
+"""
+
+
+@register("q100_streaming_token_quota", oracle=QUOTA_ORACLE, tags=("streaming", "stateful", "curation"))
+def q100_streaming_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful per-source token-budget admission (streaming/quota.py):
+    documents stream through a GroupState-keyed quota operator that
+    admits each source's docs in arrival order until its running token
+    count exceeds the budget — the streaming enforcement of the batch
+    curation budgets (q73/q81). With doc_id-ordered arrival the
+    admitted set is the per-source cumulative-sum prefix, so this
+    stateful operator carries a FULL DuckDB oracle (a plain window);
+    cross-micro-batch state carry is pinned by a two-wave test."""
+    from bqfetch_spark.streaming.quota import enforce_quota_stream
+    from bqfetch_spark.streaming.windows import run_to_memory
+
+    import os
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return run_to_memory(
+        enforce_quota_stream(stream), "q100_quota_sink", output_mode="append"
+    )
+
+
 ROLLUP_MAINT_ORACLE = """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
        event_type,

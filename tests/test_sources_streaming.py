@@ -391,6 +391,57 @@ def test_rollup_maintenance_upserts_across_waves(spark, tmp_path):
     assert got == want
 
 
+def test_token_quota_state_carries_across_microbatches(spark, tmp_path):
+    """q100's budget counter must persist in GroupState across waves:
+    two doc_id-ranged files arrive as separate micro-batches, and the
+    admitted set equals the one-shot per-source cumulative-sum prefix —
+    including a source whose budget fills mid-run and admits nothing
+    afterwards."""
+    from pyspark.sql.window import Window
+
+    from bqfetch_spark.streaming.quota import (
+        TOKEN_BUDGET_PER_SOURCE,
+        enforce_quota_stream,
+        with_token_counts,
+    )
+    from bqfetch_spark.streaming.windows import run_to_memory
+
+    docs = load_catalog(spark, SF_SMOKE).table("documents")
+    lo = docs.filter(F.col("doc_id") < 250)
+    hi = docs.filter(F.col("doc_id") >= 250)
+    lo.coalesce(1).write.parquet(str(tmp_path / "w1"))
+    hi.coalesce(1).write.parquet(str(tmp_path / "w2"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path))
+    )
+    result = run_to_memory(
+        enforce_quota_stream(stream), "quota_xbatch_test", output_mode="append"
+    )
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want_df = (
+        with_token_counts(docs)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+    )
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in want_df.select(*result.columns).collect()}
+    assert got == want and len(got) > 0
+    # wave split actually exercised state carry: some admissions in
+    # each wave's doc_id range
+    ids = {r[0] for r in got}
+    assert any(i < 250 for i in ids) and any(i >= 250 for i in ids)
+
+
 def test_streaming_dedup_matches_batch(spark):
     """q70: doubled delivery through dropDuplicatesWithinWatermark must
     reproduce the batch table exactly once per event_id."""
