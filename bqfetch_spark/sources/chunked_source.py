@@ -40,6 +40,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -52,6 +53,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -60,9 +62,25 @@ DEFAULT_ROWS_PER_PARTITION = 1_000_000
 
 @dataclass
 class RowGroupRun(InputPartition):
-    """A run of consecutive parquet row groups read by one task."""
+    """A run of consecutive row groups of one parquet file, read by
+    one task (``path`` empty = the source's single-file path)."""
 
     row_groups: tuple[int, ...]
+    path: str = ""
+
+
+def _part_files(path: str) -> list[str]:
+    """A source path is either one parquet file or a directory of
+    part files (what ChunkedParquetWriter produces)."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            raise ValueError(f"no parquet files under {path}")
+        return files
+    return [path]
 
 
 def _simple_filters(filters: list[Filter]):
@@ -131,24 +149,26 @@ class ChunkedParquetReader(DataSourceReader):
     def partitions(self) -> list[RowGroupRun]:
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(self.path).metadata  # footer only, no data
-        runs, run, run_rows = [], [], 0
-        for i in range(md.num_row_groups):
-            run.append(i)
-            run_rows += md.row_group(i).num_rows
-            if run_rows >= self.rows_per_partition:
-                runs.append(RowGroupRun(tuple(run)))
-                run, run_rows = [], 0
-        if run:
-            runs.append(RowGroupRun(tuple(run)))
+        runs = []
+        for f in _part_files(self.path):
+            md = pq.ParquetFile(f).metadata  # footer only, no data
+            run, run_rows = [], 0
+            for i in range(md.num_row_groups):
+                run.append(i)
+                run_rows += md.row_group(i).num_rows
+                if run_rows >= self.rows_per_partition:
+                    runs.append(RowGroupRun(tuple(run), f))
+                    run, run_rows = [], 0
+            if run:
+                runs.append(RowGroupRun(tuple(run), f))
         return runs or [RowGroupRun(())]
 
     def read(self, partition: RowGroupRun):
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(self.path)
         if not partition.row_groups:
             return
+        pf = pq.ParquetFile(partition.path or self.path)
         tbl = pf.read_row_groups(list(partition.row_groups))
         expr = _to_arrow_expr(self._filter_specs)
         if expr is not None:
@@ -205,10 +225,78 @@ class ChunkedParquetStreamReader(DataSourceStreamReader):
         pass  # source data is immutable; nothing to GC
 
 
+@dataclass
+class _WrittenFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class ChunkedParquetWriter(DataSourceArrowWriter):
+    """Task-side Arrow writer with a two-phase commit: every task
+    writes its batches to a UUID-named staging file under
+    ``_staging/``; the driver's ``commit()`` renames the staged files
+    into the target directory (publish), ``abort()`` removes them.
+    A reader never observes a partially-written task, which is the
+    commit contract the built-in file sinks implement JVM-side —
+    re-expressed here at the Python DataSource layer."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bqfetch_chunked requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        stage_dir = os.path.join(self.path, "_staging")
+        os.makedirs(stage_dir, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        staged = os.path.join(stage_dir, fname)
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(staged, batch.schema)
+            writer.write_table(pa.Table.from_batches([batch]))
+            rows += batch.num_rows
+        if writer is None:  # empty partition: nothing staged
+            return _WrittenFile(path="", rows=0)
+        writer.close()
+        return _WrittenFile(path=fname, rows=rows)
+
+    def commit(self, messages):
+        import glob
+        import os
+        import shutil
+
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "part-*.parquet")):
+                os.remove(old)
+        stage_dir = os.path.join(self.path, "_staging")
+        for m in messages:
+            if m is not None and m.path:
+                os.replace(os.path.join(stage_dir, m.path), os.path.join(self.path, m.path))
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        if not os.listdir(self.path):
+            os.rmdir(self.path)
+
+
 class ChunkedParquetDataSource(DataSource):
     """``format("bqfetch_chunked")`` — see module docstring. One
-    registration serves both ``spark.read`` (ChunkedParquetReader) and
-    ``spark.readStream`` (ChunkedParquetStreamReader)."""
+    registration serves ``spark.read`` (ChunkedParquetReader),
+    ``spark.readStream`` (ChunkedParquetStreamReader), and
+    ``df.write`` (ChunkedParquetWriter)."""
 
     @classmethod
     def name(cls) -> str:
@@ -222,10 +310,13 @@ class ChunkedParquetDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("bqfetch_chunked requires option 'path'")
-        return from_arrow_schema(pq.ParquetFile(path).schema_arrow)
+        return from_arrow_schema(pq.ParquetFile(_part_files(path)[0]).schema_arrow)
 
     def reader(self, schema: StructType) -> ChunkedParquetReader:
         return ChunkedParquetReader(self.options)
 
     def streamReader(self, schema: StructType) -> ChunkedParquetStreamReader:
         return ChunkedParquetStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> ChunkedParquetWriter:
+        return ChunkedParquetWriter(self.options, overwrite)

@@ -93,9 +93,17 @@ def upsert_rollup(spark: SparkSession, batch: DataFrame, store_dir: str) -> None
             # AnalysisException / a correctness hazard)
             .localCheckpoint(eager=True)
         )
-    # dynamic mode replaces only the hr= partitions present in `merged`
+    # dynamic mode replaces only the hr= partitions present in `merged`.
+    # repartition on hr (not coalesce(1)): each hour still lands in ONE
+    # file, but a wide wave (e.g. the backfill writing every hour) fans
+    # its partition writes across tasks instead of one task writing
+    # hundreds of directories sequentially. On local FS the backfill is
+    # bounded by per-directory create/commit (~11 s for 720 hours at
+    # sf0.1 either way); on a real cluster the parallel spelling is the
+    # one that scales. Steady-state waves touch few hours and run in
+    # ~0.5 s regardless of history size (scripts/scale_check.py).
     (
-        merged.coalesce(1)
+        merged.repartition(F.col("hr"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("hr")

@@ -121,6 +121,42 @@ def test_python_datasource_filter_pushdown(spark):
     ).count()
 
 
+def test_python_datasource_write_roundtrip(spark, tmp_path):
+    """The custom source's write path: task-staged part files published
+    atomically on commit (no _staging residue), readable back through
+    BOTH the same format and the built-in parquet reader; overwrite
+    mode replaces prior parts instead of accumulating them."""
+    import os
+
+    from bqfetch_spark.sources.chunked_source import ChunkedParquetDataSource
+
+    spark.dataSource.register(ChunkedParquetDataSource)
+    nation = load_catalog(spark, SF_SMOKE).table("nation")
+    out = str(tmp_path / "nation_out")
+
+    # Python DataSources accept only append/overwrite save modes
+    nation.repartition(4).write.format("bqfetch_chunked").option("path", out).mode(
+        "append"
+    ).save()
+    assert not os.path.isdir(os.path.join(out, "_staging"))
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(parts) == 4  # one published file per non-empty task
+
+    back_own = spark.read.format("bqfetch_chunked").option("path", out).load()
+    back_ref = spark.read.parquet(out)
+    want = sorted(tuple(r) for r in nation.collect())
+    assert sorted(tuple(r) for r in back_own.collect()) == want
+    assert sorted(tuple(r) for r in back_ref.collect()) == want
+
+    # overwrite replaces, never accumulates
+    nation.limit(5).repartition(1).write.format("bqfetch_chunked").option(
+        "path", out
+    ).mode("overwrite").save()
+    again = spark.read.format("bqfetch_chunked").option("path", out).load()
+    assert again.count() == 5
+    assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 1
+
+
 def test_python_datasource_stream_replays_in_paced_batches(spark, tmp_path):
     """The same registered source serves readStream: row groups replay
     as paced micro-batches (groups_per_batch=2 over 4 groups -> 2
