@@ -138,3 +138,71 @@ def test_hll_rolling_distinct_near_exact(spark):
     assert approx.keys() == exact.keys()
     for day, est in approx.items():
         assert abs(est - exact[day]) <= max(2, 0.05 * exact[day]), (day, est, exact[day])
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for driving _enforce_group directly."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=40),
+    cuts=st.lists(st.integers(min_value=0, max_value=39), max_size=3),
+)
+@settings(max_examples=200)
+def test_quota_admission_equals_prefix_regardless_of_wave_slicing(tokens, cuts):
+    """streaming/quota._enforce_group is the engine's stateful admission
+    kernel: however the doc stream is sliced into waves, the admitted
+    set must equal the cumulative-sum-<=-budget PREFIX of the full
+    doc_id-ordered stream (the SQL-window oracle's semantics), and the
+    carried state must equal the total tokens seen."""
+    import pandas as pd
+
+    from bqfetch_spark.streaming.quota import (
+        TOKEN_BUDGET_PER_SOURCE,
+        _enforce_group,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(tokens)),
+            "source": "s",
+            "n_tokens": tokens,
+        }
+    )
+    # slice into waves at the (sorted, de-duplicated, in-range) cuts
+    points = sorted({c for c in cuts if 0 < c < len(tokens)})
+    bounds = [0, *points, len(tokens)]
+    waves = [docs.iloc[a:b] for a, b in zip(bounds, bounds[1:]) if a < b]
+
+    state = _FakeGroupState()
+    admitted = []
+    for wave in waves:
+        admitted.extend(
+            pdf for pdf in _enforce_group(("s",), iter([wave]), state)
+        )
+    got = (
+        pd.concat(admitted, ignore_index=True)
+        if admitted
+        else pd.DataFrame(columns=["doc_id", "source", "n_tokens", "cum_tokens"])
+    )
+
+    cum = docs["n_tokens"].cumsum()
+    want = docs.loc[cum <= TOKEN_BUDGET_PER_SOURCE].copy()
+    want["cum_tokens"] = cum[want.index]
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["cum_tokens"]) == list(want["cum_tokens"])
+    assert state.get[0] == int(cum.iloc[-1])  # every seen doc counted
