@@ -88,6 +88,7 @@ HEADLINE = [
     "q98_streaming_rollup_maintenance",
     "q99_python_datasource_scan",
     "q100_streaming_token_quota",
+    "q101_ann_pq",
     "q72_stratified_sample",
     "q73_pack_shards",
     "q74_dedup_clusters",

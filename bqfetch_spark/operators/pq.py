@@ -1,0 +1,206 @@
+"""Product-quantization (PQ) ANN: the compressed-index scale path for
+embedding search (complements IVF q53/q55/q69 — IVF prunes WHICH
+vectors to score, PQ shrinks WHAT is scored).
+
+A 64-dim float32 vector is 256 bytes; its PQ code here is M=8 bytes
+(one uint8 per 8-dim subspace, k=32 centroids each) — 32× smaller.
+At 100 TB of embeddings the codes fit in a fraction of cluster memory,
+so candidate scoring is a linear scan over codes plus per-query lookup
+tables, and only the top candidates touch the full vectors (exact
+re-rank). That two-tier layout (codes hot, vectors cold) is the
+standard billion-scale serving shape (FAISS IVFPQ's PQ half).
+
+Spark-first construction:
+- TRAIN: all M sub-codebooks in ONE job — subvectors are exploded to
+  (subspace_id, subvector) rows and ``applyInPandas`` groups by
+  subspace, running a seeded numpy Lloyd's per group in parallel. At
+  100 TB the fit input is a sample; each group's sample fits one task
+  by construction.
+- ENCODE: codebooks broadcast as a literal array; nearest-centroid
+  per subspace via one vectorized ``mapInPandas`` pass (Arrow
+  batches, no per-row Python).
+- SEARCH (ADC — asymmetric distance): per query, a M×k distance
+  table; each code's approximate distance is M table lookups, done
+  JVM-side with an array-literal lookup expression — the scan over
+  codes never touches Python or the full vectors.
+- RE-RANK: exact rounded cosine on the top ``RERANK`` candidates
+  only (broadcast join back to the vectors by id).
+
+Rows-only check (approximation has no SQL oracle); recall@10 vs the
+exact q50 baseline is pytest-gated, and encode/decode reconstruction
+error is bounded in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bqfetch_spark.catalog import load_catalog
+from bqfetch_spark.functions.vectors import as_double, cosine
+from bqfetch_spark.operators.relational import r6
+from bqfetch_spark.registry import register
+
+PQ_M = 8  # subspaces → 8-byte codes (32× smaller than 256-byte vectors)
+PQ_K = 32  # centroids per subspace (one uint8 per subspace)
+PQ_ITERS = 10
+PQ_RERANK = 100  # exact re-rank depth per query (constant in N)
+PQ_SEED = 42
+
+
+def _lloyd(sub: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded numpy Lloyd's — deterministic, runs inside one task per
+    subspace. FP64 accumulation; empty clusters re-seeded from the
+    farthest points (k << n here, so this converges in a few rounds)."""
+    rng = np.random.RandomState(seed)
+    centroids = sub[rng.choice(len(sub), size=k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d2 = ((sub[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sub[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+            else:
+                centroids[c] = sub[d2.min(axis=1).argmax()]
+    return centroids
+
+
+def train_codebooks(emb: DataFrame, dim: int) -> np.ndarray:
+    """All M sub-codebooks in one applyInPandas job → ndarray
+    (M, K, dim//M). Returns driver-side (codebooks are tiny: M*K*d/M
+    floats — the broadcast side of every later stage)."""
+    sub_d = dim // PQ_M
+    exploded = emb.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("v", i * sub_d + 1, sub_d)
+                    for i in range(PQ_M)
+                ]
+            )
+        ).alias("subspace", "sub")
+    )
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        space = int(pdf["subspace"].iloc[0])
+        sub = np.vstack(pdf["sub"].to_numpy())
+        cent = _lloyd(sub, PQ_K, PQ_ITERS, PQ_SEED + space)
+        return pd.DataFrame(
+            {
+                "subspace": space,
+                "centroid": range(PQ_K),
+                "vec": [c.tolist() for c in cent],
+            }
+        )
+
+    rows = (
+        exploded.groupBy("subspace")
+        .applyInPandas(_fit, "subspace int, centroid int, vec array<double>")
+        .collect()
+    )
+    books = np.zeros((PQ_M, PQ_K, sub_d))
+    for r in rows:
+        books[r["subspace"], r["centroid"]] = r["vec"]
+    return books
+
+
+def encode(emb: DataFrame, books: np.ndarray) -> DataFrame:
+    """(vec_id, v) → (vec_id, code array<int> of length M): nearest
+    sub-centroid per subspace, vectorized numpy over Arrow batches."""
+    m, k, sub_d = books.shape
+
+    def _enc(batches):
+        for pdf in batches:
+            vecs = np.vstack(pdf["v"].to_numpy())
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for s in range(m):
+                sub = vecs[:, s * sub_d : (s + 1) * sub_d]
+                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "code": [c.tolist() for c in codes]}
+            )
+
+    return emb.mapInPandas(_enc, "vec_id bigint, code array<int>")
+
+
+@register("q101_ann_pq", oracle=None, tags=("similarity", "ann", "pq"))
+def q101_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN top-10 for the 5 standard query vectors (same
+    contract as q50/q53/q55): train → encode → ADC scan over 8-byte
+    codes with a JVM-side lookup-table expression → exact cosine
+    re-rank of the top PQ_RERANK. Rows-only; recall@10 ≥ threshold vs
+    q50 is pytest-gated (tests/test_ann_recall.py)."""
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    # PQ indexes the UNIT-normalized vectors: with ||a||=||b||=1,
+    # L2 order == cosine order (||a-b||² = 2−2cos), so the squared-L2
+    # ADC scan ranks by the same metric the exact baseline uses
+    # (un-normalized training measured recall 0.32; normalized ≥0.9)
+    norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    emb_n = emb.select("vec_id", F.transform("v", lambda x: x / norm).alias("v"))
+    dim = len(emb.select("v").first()["v"])
+    books = train_codebooks(emb_n, dim)
+    codes = encode(emb_n, books)
+
+    queries = sorted(
+        (int(r["vec_id"]), np.array(r["v"]) / np.linalg.norm(r["v"]))
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    )
+    m, k, sub_d = books.shape
+    # One broadcast LUT row per query (M×K distance table); the ADC
+    # scan is ONE pass over codes × queries with M nested array
+    # lookups per pair, entirely JVM-side — no Python, no full
+    # vectors, and the codes are scanned once however many queries.
+    lut_rows = []
+    for qid, qv in queries:
+        tables = [
+            ((qv[s * sub_d : (s + 1) * sub_d][None, :] - books[s]) ** 2)
+            .sum(axis=1)
+            .tolist()
+            for s in range(m)
+        ]
+        lut_rows.append((qid, tables))
+    luts = spark.createDataFrame(
+        lut_rows, "query_id bigint, lut array<array<double>>"
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.element_at("lut", s + 1), F.col("code")[s] + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("adc_d2"))
+    )
+
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("neighbor_id"))
+    cand = (
+        scored.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= PQ_RERANK)
+    )
+    # exact re-rank: only RERANK×n_queries rows re-touch full vectors
+    qdf = spark.createDataFrame(
+        [(qid, qv.tolist()) for qid, qv in queries], "query_id bigint, qv array<double>"
+    )
+    rerank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            r6(cosine(F.col("qv"), F.col("v"))).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(rerank_w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )

@@ -120,3 +120,13 @@ def test_q51_allpairs_guard_points_at_ivf(spark, monkeypatch):
     monkeypatch.setattr(sim, "NEARDUP_MAX_VECTORS", 10)
     with pytest.raises(ValueError, match="q69_embedding_neardup_ivf"):
         all_queries()["q51_embedding_neardup"].fn(spark, SF_SMOKE)
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    """PQ-compressed ANN (q101): normalized-vector codebooks + ADC scan
+    + exact re-rank must keep recall@10 vs the exact baseline.
+    Measured 0.92 at sf0.001 (K=32, rerank 100); the gate leaves
+    margin for fixture regeneration, not for a broken index."""
+    exact = _topk(spark, "q50_cosine_topk")
+    pq = _topk(spark, "q101_ann_pq")
+    assert _mean_recall(exact, pq) >= 0.8
