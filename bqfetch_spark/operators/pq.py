@@ -75,6 +75,9 @@ def train_codebooks(emb: DataFrame, dim: int) -> np.ndarray:
     (M, K, dim//M). Returns driver-side (codebooks are tiny: M*K*d/M
     floats — the broadcast side of every later stage)."""
     sub_d = dim // PQ_M
+    # few-partition explode: the fit input is sample-sized by design
+    # (see q69's fit note) — per-task overhead dominates at 32 slots
+    emb = emb.coalesce(8)
     exploded = emb.select(
         F.posexplode(
             F.array(
@@ -145,14 +148,14 @@ def q101_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (un-normalized training measured recall 0.32; normalized ≥0.9)
     norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     emb_n = emb.select("vec_id", F.transform("v", lambda x: x / norm).alias("v"))
-    dim = len(emb.select("v").first()["v"])
-    books = train_codebooks(emb_n, dim)
-    codes = encode(emb_n, books)
-
+    # queries double as the dim probe — one collect, one fewer job
     queries = sorted(
         (int(r["vec_id"]), np.array(r["v"]) / np.linalg.norm(r["v"]))
         for r in emb.filter(F.col("vec_id") < 5).collect()
     )
+    dim = len(queries[0][1])
+    books = train_codebooks(emb_n, dim)
+    codes = encode(emb_n, books)
     m, k, sub_d = books.shape
     # One broadcast LUT row per query (M×K distance table); the ADC
     # scan is ONE pass over codes × queries with M nested array
