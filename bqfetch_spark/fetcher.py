@@ -183,8 +183,10 @@ class Fetcher:
         identical to the range mode (same ntile over the same sorted
         domain) — only the chunk representation changes. Driver memory
         becomes O(domain), so the planner refuses domains larger than
-        ``max_values`` (probed with a bounded limit-scan, never a full
-        count) and points at the range mode."""
+        ``max_values`` (probed with a limit over the persisted counts
+        aggregate — bounds the driver payload, and the aggregate is
+        computed once for probe and boundaries together) and points at
+        the range mode."""
         if (by_nb_chunks is None) == (by_chunk_size_in_GB is None):
             raise ValueError(
                 "exactly one of by_nb_chunks / by_chunk_size_in_GB must be given"
@@ -198,6 +200,15 @@ class Fetcher:
         counts = self._value_counts(ref, column)
         persisted = False
         try:
+            if by_values:
+                # the domain probe and the boundary job below both read
+                # the counts aggregate — persist so the table is
+                # aggregated once (the probe's limit cannot short-
+                # circuit an aggregation; what it bounds is the DRIVER
+                # payload, and with the persist it also costs no second
+                # scan)
+                counts = counts.persist()
+                persisted = True
             if by_chunk_size_in_GB is not None:
                 nbytes = table_bytes(
                     load_catalog(self.spark, ref.sf_dir).path(ref.name)
@@ -211,8 +222,9 @@ class Fetcher:
                 )
                 # skew stats and bucket boundaries both derive from the
                 # SAME materialized per-value counts — one table scan
-                counts = counts.persist()
-                persisted = True
+                if not persisted:
+                    counts = counts.persist()
+                    persisted = True
                 self._skew_fraction(ref, column, counts)
 
             domain = counts.select(column)

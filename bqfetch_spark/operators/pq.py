@@ -183,10 +183,27 @@ def q101_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", adc.alias("adc_d2"))
     )
 
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("neighbor_id"))
+    # Two-phase top-PQ_RERANK per query: a plain per-query window would
+    # sort ALL code rows in n_queries tasks (the single-task-sort shape
+    # plans/ranks.py exists to avoid). Phase 1 takes the local top-K in
+    # each (query, salt) slice — SALT_BUCKETS-way parallel, each task
+    # sorts N/SALT_BUCKETS rows; phase 2's exact window then runs over
+    # at most n_queries × SALT_BUCKETS × K survivor rows (tiny).
+    SALT_BUCKETS = 32
+    scored = scored.withColumnRenamed("vec_id", "neighbor_id")
+    local_w = Window.partitionBy("query_id", "salt").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id")
+    )
+    final_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id")
+    )
     cand = (
-        scored.withColumnRenamed("vec_id", "neighbor_id")
-        .withColumn("adc_rank", F.row_number().over(w))
+        scored.withColumn(
+            "salt", F.pmod(F.xxhash64("neighbor_id"), F.lit(SALT_BUCKETS)).cast("int")
+        )
+        .withColumn("local_rank", F.row_number().over(local_w))
+        .filter(F.col("local_rank") <= PQ_RERANK)
+        .withColumn("adc_rank", F.row_number().over(final_w))
         .filter(F.col("adc_rank") <= PQ_RERANK)
     )
     # exact re-rank: only RERANK×n_queries rows re-touch full vectors

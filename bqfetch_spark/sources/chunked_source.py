@@ -110,7 +110,6 @@ def _simple_filters(filters: list[Filter]):
 
 
 def _to_arrow_expr(specs):
-    import pyarrow.compute as pc
     import pyarrow.dataset as ds
 
     expr = None
@@ -127,7 +126,6 @@ def _to_arrow_expr(specs):
             "IsNotNull": lambda: ~field.is_null(),
         }[op]()
         expr = e if expr is None else (expr & e)
-    _ = pc  # imported for side-effect-free clarity; expressions above bind it
     return expr
 
 
@@ -183,13 +181,22 @@ class ChunkedParquetReader(DataSourceReader):
 class ChunkedParquetStreamReader(DataSourceStreamReader):
     """Replay the table as a micro-batch STREAM of row groups — the
     reference's chunk-by-chunk fetch loop (bqfetch/bqfetch.py:335-364)
-    as a Structured Streaming source. Offsets are row-group indices
-    (``{"rg": n}`` = groups [0, n) consumed), so checkpoint recovery
-    replays exactly the uncommitted groups; within a micro-batch each
-    row group is its own InputPartition, so the read is distributed
-    exactly like the batch source. ``groups_per_batch`` paces the
-    replay (rate limiting lives in latestOffset, the one driver-side
-    hook the API gives a source author)."""
+    as a Structured Streaming source. Offsets index the flattened
+    (file, row-group) unit list (``{"rg": n}`` = units [0, n)
+    consumed), so a directory of part files streams exactly like a
+    single file; within a micro-batch each unit is its own
+    InputPartition, so the read is distributed exactly like the batch
+    source. ``groups_per_batch`` paces the replay.
+
+    Restart semantics: pacing state is instance-local, so a
+    checkpoint-recovered reader starts with ``_emitted = 0`` while the
+    offset LOG holds the true high-water. latestOffset (the only
+    driver hook the API exposes — it receives no start offset) may
+    therefore briefly return an offset BELOW the committed one; the
+    exactly-once guarantee lives in ``partitions``, which ratchets a
+    floor to the highest start Spark has ever passed and never yields
+    a unit below it — a transiently regressed log entry produces an
+    empty batch, never a re-read."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -198,31 +205,46 @@ class ChunkedParquetStreamReader(DataSourceStreamReader):
         self.groups_per_batch = int(options.get("groups_per_batch", "1"))
         import pyarrow.parquet as pq
 
-        self._total = pq.ParquetFile(self.path).metadata.num_row_groups
+        self._units: list[tuple[str, int]] = [
+            (f, rg)
+            for f in _part_files(self.path)
+            for rg in range(pq.ParquetFile(f).metadata.num_row_groups)
+        ]
         self._emitted = 0
+        self._floor = 0  # highest committed start observed this run
 
     def initialOffset(self) -> dict:
         return {"rg": 0}
 
     def latestOffset(self) -> dict:
-        self._emitted = min(self._total, self._emitted + self.groups_per_batch)
+        self._emitted = min(
+            len(self._units), max(self._emitted, self._floor) + self.groups_per_batch
+        )
         return {"rg": self._emitted}
 
     def partitions(self, start: dict, end: dict):
-        return [RowGroupRun((i,)) for i in range(start["rg"], end["rg"])] or [
-            RowGroupRun(())
-        ]
+        self._floor = max(self._floor, start["rg"])
+        lo = max(start["rg"], self._floor)
+        hi = min(end["rg"], len(self._units))
+        if hi <= lo:
+            # post-restart regressed range: emit nothing, fast-forward
+            # pacing to the committed high-water so the next offset
+            # resumes from it
+            self._emitted = max(self._emitted, lo)
+            return [RowGroupRun(())]
+        return [RowGroupRun((rg,), f) for f, rg in self._units[lo:hi]]
 
     def read(self, partition: RowGroupRun):
         import pyarrow.parquet as pq
 
         if not partition.row_groups:
             return
-        tbl = pq.ParquetFile(self.path).read_row_groups(list(partition.row_groups))
+        pf = pq.ParquetFile(partition.path or self.path)
+        tbl = pf.read_row_groups(list(partition.row_groups))
         yield from tbl.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # source data is immutable; nothing to GC
+        self._floor = max(self._floor, end["rg"])  # source immutable; just ratchet
 
 
 @dataclass
@@ -288,7 +310,9 @@ class ChunkedParquetWriter(DataSourceArrowWriter):
         import shutil
 
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
-        if not os.listdir(self.path):
+        # the job may have failed before any task created the target
+        # dir; abort must never mask the original failure
+        if os.path.isdir(self.path) and not os.listdir(self.path):
             os.rmdir(self.path)
 
 

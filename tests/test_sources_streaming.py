@@ -206,6 +206,55 @@ def test_python_datasource_stream_replays_in_paced_batches(spark, tmp_path):
     assert got == sorted(r.n_name for r in ref.collect())
 
 
+def test_python_datasource_stream_restart_never_reemits(spark, tmp_path):
+    """Offset-protocol pin for checkpoint recovery: a fresh reader
+    instance (restart) knows nothing of the committed high-water, so
+    its first latestOffset may regress — but partitions() must ratchet
+    to the highest start Spark passes and NEVER re-emit a committed
+    unit. Also: a directory of part files streams like a single file."""
+    import pyarrow.parquet as pq
+
+    from bqfetch_spark.sources.chunked_source import ChunkedParquetStreamReader
+
+    d = tmp_path / "parts"
+    d.mkdir()
+    tbl = pq.read_table(f"{SF_SMOKE}/nation.parquet")
+    pq.write_table(tbl.slice(0, 13), str(d / "a.parquet"), row_group_size=7)  # 2 groups
+    pq.write_table(tbl.slice(13), str(d / "b.parquet"), row_group_size=7)  # 2 groups
+
+    opts = {"path": str(d), "groups_per_batch": "2"}
+    run1 = ChunkedParquetStreamReader(opts)
+    assert len(run1._units) == 4  # directory flattened to (file, rg) units
+    assert run1.latestOffset() == {"rg": 2}
+    first = run1.partitions({"rg": 0}, {"rg": 2})
+    assert [(p.path.endswith("a.parquet"), p.row_groups) for p in first] == [
+        (True, (0,)),
+        (True, (1,)),
+    ]
+    run1.commit({"rg": 2})
+
+    # crash + restart after committing {"rg": 2}: fresh instance
+    run2 = ChunkedParquetStreamReader(opts)
+    regressed = run2.latestOffset()  # pacing counter reset -> may regress
+    assert regressed == {"rg": 2}
+    # Spark hands the COMMITTED offset as start; nothing may re-emit
+    parts = run2.partitions({"rg": 2}, regressed)
+    assert [p.row_groups for p in parts] == [()]  # empty batch, no re-read
+    nxt = run2.latestOffset()
+    assert nxt == {"rg": 4}
+    parts = run2.partitions({"rg": 2}, nxt)
+    # only the uncommitted units (file b), never a unit below the floor
+    assert [(p.path.endswith("b.parquet"), p.row_groups) for p in parts] == [
+        (True, (0,)),
+        (True, (1,)),
+    ]
+    # rows across both runs cover the table exactly once
+    got = []
+    for p in first + parts:
+        got.extend(b.num_rows for b in run2.read(p))
+    assert sum(got) == tbl.num_rows
+
+
 def test_multimodal_features_match_payload(spark):
     import hashlib
 
