@@ -174,7 +174,8 @@ cum AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
   FROM toks
 )
-SELECT doc_id, source, n_tokens, cum_tokens FROM cum WHERE cum_tokens <= 800
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= 800
 """
 
 

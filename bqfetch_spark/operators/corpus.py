@@ -115,7 +115,7 @@ cum AS (
   FROM toks
 )
 SELECT
-  (c - n_tokens) // {PACK_BUDGET} AS shard_id,
+  CAST((c - n_tokens) // {PACK_BUDGET} AS BIGINT) AS shard_id,
   count(*) AS n_docs,
   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
   min(doc_id) AS first_doc,

@@ -61,12 +61,23 @@ def _lloyd(sub: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     for _ in range(iters):
         d2 = ((sub[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
+        empties = []
         for c in range(k):
             members = sub[assign == c]
             if len(members):
                 centroids[c] = members.mean(axis=0)
             else:
-                centroids[c] = sub[d2.min(axis=1).argmax()]
+                empties.append(c)
+        if empties:
+            # reseed AFTER this round's mean updates, against fresh
+            # distances, giving the i-th empty cluster the i-th farthest
+            # point — the old spelling reused one stale farthest point
+            # for every empty cluster in the round, collapsing them onto
+            # a single centroid (round-4 advice, quality-only)
+            d2_new = ((sub[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2_new.min(axis=1))[::-1]
+            for i, c in enumerate(empties):
+                centroids[c] = sub[order[i % len(order)]]
     return centroids
 
 

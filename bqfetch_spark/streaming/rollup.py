@@ -2,24 +2,37 @@
 pattern for the engine's time-window aggregates (batch: q30/q85).
 
 A nightly/continuous pipeline doesn't recompute its hourly metrics
-table from 100 TB of history — it UPSERTS the hours each ingest wave
+table from 100 TB of history — it UPSERTS the buckets each ingest wave
 touches. Topology (same external-state stance as incremental.py's
 dedup store):
 
 - The STORE is a parquet table of per-(hour, event_type) partials —
-  count + exact DECIMAL sum — hash-partitioned into hour directories
-  (``hr=...``). It is the only artifact that persists between waves;
-  what a Delta/Hudi table would be in production.
+  count + exact DECIMAL sum — partitioned into DAY directories
+  (``day=...``; rows stay hour-grain). It is the only artifact that
+  persists between waves; what a Delta/Hudi table would be in
+  production. Day grain (round-5 change, was ``hr=``) is the
+  scale-correct layout twice over: a month of history is ~30
+  directories instead of ~720 (the hour-grain backfill spent ~11 s of
+  its ~11.6 s in per-directory commits on local FS; day grain cuts the
+  same wave to ~number-of-days commits), and hourly partials are so
+  small (24 × n_event_types rows per day) that hour directories are a
+  small-files antipattern at 100 TB.
 - Each micro-batch (foreachBatch) aggregates ITS OWN rows to partials
   (map-side combine over at most one wave of data), then merges them
-  with the store rows for the AFFECTED HOURS ONLY and rewrites just
-  those hour partitions (dynamic partition overwrite). Hours not
-  touched by the wave are never read or written — per-wave cost is
-  O(wave + touched-hours), independent of history size.
+  with the store rows for the AFFECTED DAYS ONLY and rewrites just
+  those day partitions (dynamic partition overwrite). Days not touched
+  by the wave are never read or written — per-wave cost is
+  O(wave + touched-days), independent of history size.
 - Merging is exact because the partials are ADDITIVE (counts add,
   DECIMAL sums add); the final read renders the decimal as a rounded
   double, so the result is bit-identical to a one-shot batch rollup
   regardless of how ingest was sliced into waves.
+- NULL-ts events land in a NULL bucket, stored under Spark's
+  ``day=__HIVE_DEFAULT_PARTITION__`` directory; the touched-partition
+  probe maps the NULL day to that directory name so prior NULL-bucket
+  partials merge instead of being overwritten (round-4 advice: the
+  old probe looked for a literal ``hr=None`` path and silently
+  dropped NULL-bucket history).
 
 The streaming query itself holds no state (foreachBatch + external
 store), so a restart resumes from the checkpoint + the store.
@@ -42,6 +55,9 @@ DEC_SUM = "decimal(18,6)"  # per-row cast before summing
 # 100 TB store.
 STORE_SUM = "decimal(38,6)"
 
+# Spark's directory name for a NULL partition value.
+HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
 
 def _partials(batch: DataFrame) -> DataFrame:
     """Additive per-(hour, event_type) partial aggregates of one wave."""
@@ -54,28 +70,32 @@ def _partials(batch: DataFrame) -> DataFrame:
     )
 
 
+def _day_dir(store_dir: str, day) -> str:
+    part = HIVE_NULL_PART if day is None else str(day)
+    return os.path.join(store_dir, f"day={part}")
+
+
 def upsert_rollup(spark: SparkSession, batch: DataFrame, store_dir: str) -> None:
     """Merge one wave's partials into the store, rewriting only the
-    hour partitions the wave touches."""
+    day partitions the wave touches."""
     partials = _partials(batch).withColumn(
-        "hr", F.date_format("bucket_start", "yyyyMMddHH").cast("long")
+        "day", F.date_format("bucket_start", "yyyyMMdd").cast("long")
     )
     if not os.path.isdir(store_dir) or not any(
-        e.startswith("hr=") for e in os.listdir(store_dir)
+        e.startswith("day=") for e in os.listdir(store_dir)
     ):
         merged = partials
     else:
-        affected = [r["hr"] for r in partials.select("hr").distinct().collect()]
-        # read ONLY the touched hour directories (basePath keeps the hr
+        affected = [r["day"] for r in partials.select("day").distinct().collect()]
+        # read ONLY the touched day directories (basePath keeps the day
         # partition column). A full-store read + filter is wrong twice
         # at scale: the listing alone is O(history), and dir-name type
-        # inference (hr= digits → int) defeated isin pruning against
+        # inference (day= digits → int) defeated isin pruning against
         # string literals — caught by scripts/scale_check.py, where the
         # wave cost scaled 6× with a 10× store instead of staying flat.
+        # NULL days probe the __HIVE_DEFAULT_PARTITION__ directory.
         touched = [
-            p
-            for h in affected
-            if os.path.isdir(p := os.path.join(store_dir, f"hr={h}"))
+            p for d in affected if os.path.isdir(p := _day_dir(store_dir, d))
         ]
         if not touched:
             existing = None
@@ -83,7 +103,7 @@ def upsert_rollup(spark: SparkSession, batch: DataFrame, store_dir: str) -> None
             existing = spark.read.option("basePath", store_dir).parquet(*touched)
         merged = (
             (partials if existing is None else existing.unionByName(partials))
-            .groupBy("bucket_start", "event_type", "hr")
+            .groupBy("bucket_start", "event_type", "day")
             .agg(
                 F.sum("n_events").alias("n_events"),
                 F.sum("sum_value").cast(STORE_SUM).alias("sum_value"),
@@ -93,20 +113,18 @@ def upsert_rollup(spark: SparkSession, batch: DataFrame, store_dir: str) -> None
             # AnalysisException / a correctness hazard)
             .localCheckpoint(eager=True)
         )
-    # dynamic mode replaces only the hr= partitions present in `merged`.
-    # repartition on hr (not coalesce(1)): each hour still lands in ONE
-    # file, but a wide wave (e.g. the backfill writing every hour) fans
-    # its partition writes across tasks instead of one task writing
-    # hundreds of directories sequentially. On local FS the backfill is
-    # bounded by per-directory create/commit (~11 s for 720 hours at
-    # sf0.1 either way); on a real cluster the parallel spelling is the
-    # one that scales. Steady-state waves touch few hours and run in
-    # ~0.5 s regardless of history size (scripts/scale_check.py).
+    # dynamic mode replaces only the day= partitions present in `merged`.
+    # repartition on day (not coalesce(1)): each day still lands in ONE
+    # file, but a wide wave (e.g. a backfill writing a month) fans its
+    # partition writes across tasks instead of one task writing dozens
+    # of directories sequentially. Steady-state waves touch 1-2 days
+    # and run in ~0.5 s regardless of history size
+    # (scripts/scale_check.py).
     (
-        merged.repartition(F.col("hr"))
+        merged.repartition(F.col("day"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("hr")
+        .partitionBy("day")
         .parquet(store_dir)
     )
 

@@ -230,9 +230,9 @@ def main() -> None:
         print(f"{label} scaling OK")
 
     # --- incremental rollup maintenance: wave cost vs history size ---
-    # q98's claim is per-wave cost O(wave + touched hours), INDEPENDENT
+    # q98's claim is per-wave cost O(wave + touched days), INDEPENDENT
     # of store history. Build a 1x-history store and a 10x-history
-    # store (replicas shifted by whole months -> 10x hour partitions),
+    # store (replicas shifted by whole months -> 10x day partitions),
     # then upsert the SAME small wave into each: the ratio must be ~1,
     # not ~10 (a history-rescanning design would scale with the store).
     from bqfetch_spark.streaming.rollup import upsert_rollup
@@ -249,9 +249,9 @@ def main() -> None:
     )
     upsert_rollup(spark, ev0.select("ts", "event_type", "value"), store1)
     upsert_rollup(spark, ev_shift, store10)
-    n1 = len([d for d in os.listdir(store1) if d.startswith("hr=")])
-    n10 = len([d for d in os.listdir(store10) if d.startswith("hr=")])
-    print(f"rollup stores: {n1} vs {n10} hour partitions")
+    n1 = len([d for d in os.listdir(store1) if d.startswith("day=")])
+    n10 = len([d for d in os.listdir(store10) if d.startswith("day=")])
+    print(f"rollup stores: {n1} vs {n10} day partitions")
     wave = ev0.select("ts", "event_type", "value").limit(2000).localCheckpoint(eager=True)
     worst = 0.0
     for i in range(2):

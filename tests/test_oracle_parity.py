@@ -33,6 +33,27 @@ def test_q25_scalable_spelling_parity(spark, duck, monkeypatch):
     compare_to_oracle(q.fn(spark, SF_CORRECT), duck, q.oracle)
 
 
+def test_uncast_hugeint_oracle_fails(spark, duck):
+    """The comparator must be as dtype-strict as the driver's hash: a
+    DuckDB windowed sum(BIGINT) comes back HUGEINT → pandas float64,
+    which must NOT compare equal to Spark's int64 even when every value
+    is numerically identical (the round-4 q100 failure class). An
+    intentionally un-CAST oracle therefore has to FAIL this gate."""
+    sdf = spark.createDataFrame([(1, 1), (2, 3), (3, 6)], "id bigint, cum bigint")
+    uncast_sql = (
+        "SELECT CAST(id AS BIGINT) AS id, sum(id) OVER (ORDER BY id) AS cum "
+        "FROM (VALUES (1), (2), (3)) t(id)"
+    )
+    with pytest.raises(AssertionError, match="value mismatch"):
+        compare_to_oracle(sdf, duck, uncast_sql)
+    cast_sql = (
+        "SELECT CAST(id AS BIGINT) AS id, "
+        "CAST(sum(id) OVER (ORDER BY id) AS BIGINT) AS cum "
+        "FROM (VALUES (1), (2), (3)) t(id)"
+    )
+    compare_to_oracle(sdf, duck, cast_sql)
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_runs(spark, name):
     q = QUERIES[name]

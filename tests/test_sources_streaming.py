@@ -433,9 +433,10 @@ def test_stream_stream_join_matches_across_microbatches(spark, tmp_path):
 
 def test_rollup_maintenance_upserts_across_waves(spark, tmp_path):
     """q98's store must equal the one-shot batch rollup when ingest is
-    sliced into THREE waves that revisit the same hours (the upsert
-    path, not just the first-write path), and a wave must only rewrite
-    the hour partitions it touches."""
+    sliced into THREE waves that revisit the same hours AND days (the
+    upsert path, not just the first-write path), and a wave must only
+    rewrite the day partitions it touches — a day another wave owns
+    keeps its exact files (mtime-pinned)."""
     import datetime
     import os
 
@@ -447,21 +448,28 @@ def test_rollup_maintenance_upserts_across_waves(spark, tmp_path):
     def ev(minutes, etype, value):
         return (t0 + datetime.timedelta(minutes=minutes), etype, value)
 
+    day = 24 * 60
     waves = [
         [ev(0, "click", 1.5), ev(10, "click", 2.0), ev(70, "view", 3.0)],
-        [ev(20, "click", 0.25), ev(80, "view", 1.0)],  # revisits both hours
-        [ev(200, "purchase", 9.0)],  # brand-new hour only
+        # revisits both day-1 hours, opens day 2
+        [ev(20, "click", 0.25), ev(80, "view", 1.0), ev(day, "view", 4.0)],
+        [ev(2 * day, "purchase", 9.0)],  # brand-new day only
     ]
     store = str(tmp_path / "store")
+    mtimes_by_wave = []
     for wave in waves:
         upsert_rollup(spark, spark.createDataFrame(wave, schema), store)
-        mtimes = {
-            d: os.path.getmtime(os.path.join(store, d))
-            for d in os.listdir(store)
-            if d.startswith("hr=")
-        }
-    # wave 3 touched only hour 15: hours 12/13 kept their wave-2 files
-    assert set(mtimes) == {"hr=2025030112", "hr=2025030113", "hr=2025030115"}
+        mtimes_by_wave.append(
+            {
+                d: os.path.getmtime(os.path.join(store, d))
+                for d in os.listdir(store)
+                if d.startswith("day=")
+            }
+        )
+    assert set(mtimes_by_wave[-1]) == {"day=20250301", "day=20250302", "day=20250303"}
+    # wave 3 touched only day 3: days 1/2 kept their wave-2 files
+    for d in ("day=20250301", "day=20250302"):
+        assert mtimes_by_wave[2][d] == mtimes_by_wave[1][d]
 
     got = {
         (r.bucket_start, r.event_type): (r.n_events, float(r.sum_value))
@@ -474,6 +482,33 @@ def test_rollup_maintenance_upserts_across_waves(spark, tmp_path):
     )
     want = {(r.bucket_start, r.event_type): (r.n, float(r.s)) for r in batch.collect()}
     assert got == want
+
+
+def test_rollup_null_ts_bucket_merges_across_waves(spark, tmp_path):
+    """NULL-ts events land in the __HIVE_DEFAULT_PARTITION__ day; a
+    later wave touching the NULL bucket must MERGE with (not replace)
+    the stored NULL-bucket partials — round-4 advice: the old probe
+    looked for a literal 'hr=None' path, never matched the hive
+    default directory, and silently dropped NULL-bucket history."""
+    import datetime
+
+    from bqfetch_spark.streaming.rollup import upsert_rollup
+
+    schema = "ts timestamp, event_type string, value double"
+    t0 = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    waves = [
+        [(None, "click", 1.0), (t0, "click", 2.0)],
+        [(None, "click", 10.0)],  # revisits ONLY the NULL bucket
+    ]
+    store = str(tmp_path / "store")
+    for wave in waves:
+        upsert_rollup(spark, spark.createDataFrame(wave, schema), store)
+    rows = {
+        (r.bucket_start, r.event_type): (r.n_events, float(r.sum_value))
+        for r in spark.read.parquet(store).collect()
+    }
+    assert rows[(None, "click")] == (2, 11.0)
+    assert rows[(t0, "click")] == (1, 2.0)
 
 
 def test_token_quota_state_carries_across_microbatches(spark, tmp_path):
