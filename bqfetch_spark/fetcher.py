@@ -73,11 +73,27 @@ class FetchingChunk:
     upper: Any
     n_values: int
     elements: tuple = None  # type: ignore[assignment]
+    # True when this chunk also owns the NULL rows of the chunk column.
+    # Neither BETWEEN nor IN matches NULL, and collect_list drops it, so
+    # without this flag a nullable chunk column silently lost its NULL
+    # rows from every chunk (union(chunks) != table — round-4 advice).
+    # The planner sets it on whichever bucket the NULL domain value
+    # sorted into; predicate() adds an IS NULL disjunct there.
+    includes_null: bool = False
 
     def predicate(self) -> F.Column:
+        base = None
         if self.elements is not None:
-            return F.col(self.column).isin(*self.elements)
-        return F.col(self.column).between(F.lit(self.lower), F.lit(self.upper))
+            if self.elements:
+                base = F.col(self.column).isin(*self.elements)
+        elif self.lower is not None:
+            base = F.col(self.column).between(F.lit(self.lower), F.lit(self.upper))
+        if self.includes_null:
+            nullp = F.col(self.column).isNull()
+            return nullp if base is None else (base | nullp)
+        if base is None:  # degenerate: empty chunk matches nothing
+            return F.lit(False)
+        return base
 
 
 class Fetcher:
@@ -248,6 +264,11 @@ class Fetcher:
                 F.min(column).alias("lo"),
                 F.max(column).alias("hi"),
                 F.count(F.lit(1)).alias("n"),
+                # a NULL domain value is invisible to min/max/collect_list
+                # and unmatched by BETWEEN/IN — flag the bucket it sorted
+                # into so its chunk predicate gains an IS NULL disjunct
+                # and union(chunks) stays exactly the table
+                F.sum(F.col(column).isNull().cast("long")).alias("n_nulls"),
             ]
             if by_values:
                 agg_cols.append(F.sort_array(F.collect_list(column)).alias("els"))
@@ -264,6 +285,7 @@ class Fetcher:
                 upper=row["hi"],
                 n_values=row["n"],
                 elements=tuple(row["els"]) if by_values else None,
+                includes_null=row["n_nulls"] > 0,
             )
             for row in bounds
         ]

@@ -49,13 +49,25 @@ def q63_pandas_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q64_streaming_tumbling", oracle=None, tags=("streaming",))
+STREAM_TUMBLING_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("q64_streaming_tumbling", oracle=STREAM_TUMBLING_ORACLE, tags=("streaming",))
 def q64_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Structured Streaming tumbling-window pipeline run as a
     bounded stream (AvailableNow trigger → memory sink). Semantically
     identical to q30's batch aggregation minus the per-window distinct
-    (streaming state keeps counts, not user sets); equality with batch
-    is asserted in tests/test_sources_streaming.py."""
+    (streaming state keeps counts, not user sets). Over a bounded
+    replay of one file nothing is later than the watermark, so the
+    complete-mode output equals the batch GROUP BY exactly — a FULL
+    DuckDB oracle (upgraded from rows-only in round 5); the
+    batch-equality pin also lives in tests/test_sources_streaming.py."""
     from bqfetch_spark.streaming.windows import (
         run_to_memory,
         streaming_events,
@@ -66,7 +78,12 @@ def q64_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(stream, "q64_streaming_tumbling_sink")
 
 
-@register("q70_streaming_dedup", oracle=None, tags=("streaming", "dedup"))
+STREAM_DEDUP_ORACLE = """
+SELECT event_id, user_id, ts, event_type FROM events
+"""
+
+
+@register("q70_streaming_dedup", oracle=STREAM_DEDUP_ORACLE, tags=("streaming", "dedup"))
 def q70_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup run as a bounded stream: the events
     source unioned with itself (every row delivered twice — a replay/
@@ -74,7 +91,8 @@ def q70_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicatesWithinWatermark keeps per-key state only inside the
     lateness horizon — bounded state at 100 TB/day ingest, which a
     plain streaming dropDuplicates (state grows forever) is not.
-    Rows-only; equality with the batch table is pytest-asserted."""
+    Deduped-exactly-once output IS the events table, so this carries a
+    FULL DuckDB oracle (upgraded from rows-only in round 5)."""
     from bqfetch_spark.streaming.windows import (
         dedup_stream,
         run_to_memory,

@@ -193,16 +193,37 @@ class ChunkedParquetStreamReader(DataSourceStreamReader):
     offset LOG holds the true high-water. latestOffset (the only
     driver hook the API exposes — it receives no start offset) may
     therefore briefly return an offset BELOW the committed one; the
-    exactly-once guarantee lives in ``partitions``, which ratchets a
-    floor to the highest start Spark has ever passed and never yields
-    a unit below it — a transiently regressed log entry produces an
-    empty batch, never a re-read."""
+    in-run guarantee lives in ``partitions``, which ratchets a floor
+    to the highest start Spark has ever passed and never yields a unit
+    below it — a transiently regressed log entry produces an empty
+    batch, never a re-read.
+
+    That in-memory ratchet covers ONE restart. Because Spark compares
+    Python-source offsets by equality, a regressed latestOffset is
+    still LOGGED as a new batch end, and a SECOND restart would resume
+    from that regressed entry and re-emit committed row groups
+    (round-4 advice). Exactly-once across arbitrary restarts therefore
+    needs the DURABLE high-water: pass ``state_dir`` (any writable
+    directory, e.g. next to the checkpoint) and ``commit()`` persists
+    the committed offset to ``state_dir/highwater.json`` (atomic
+    tmp+rename); a recovered reader seeds its floor from the sidecar,
+    so latestOffset never returns below the durably committed offset
+    and a regressed entry can never enter the offset log. Without
+    ``state_dir`` the source is at-least-once across multiple crashes
+    (single-restart safe), which tests pin explicitly."""
 
     def __init__(self, options):
+        import os
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("bqfetch_chunked requires option 'path'")
         self.groups_per_batch = int(options.get("groups_per_batch", "1"))
+        state_dir = options.get("state_dir")
+        self.state_path = None
+        if state_dir:
+            os.makedirs(state_dir, exist_ok=True)
+            self.state_path = os.path.join(state_dir, "highwater.json")
         import pyarrow.parquet as pq
 
         self._units: list[tuple[str, int]] = [
@@ -211,7 +232,20 @@ class ChunkedParquetStreamReader(DataSourceStreamReader):
             for rg in range(pq.ParquetFile(f).metadata.num_row_groups)
         ]
         self._emitted = 0
-        self._floor = 0  # highest committed start observed this run
+        # highest committed start observed this run, seeded from the
+        # durable sidecar when configured (crash recovery)
+        self._floor = self._durable_floor()
+
+    def _durable_floor(self) -> int:
+        import json
+
+        if not self.state_path:
+            return 0
+        try:
+            with open(self.state_path) as fh:
+                return int(json.load(fh)["rg"])
+        except (OSError, ValueError, KeyError):
+            return 0
 
     def initialOffset(self) -> dict:
         return {"rg": 0}
@@ -244,7 +278,15 @@ class ChunkedParquetStreamReader(DataSourceStreamReader):
         yield from tbl.to_batches()
 
     def commit(self, end: dict) -> None:
-        self._floor = max(self._floor, end["rg"])  # source immutable; just ratchet
+        self._floor = max(self._floor, end["rg"])
+        if self.state_path:
+            import json
+            import os
+
+            tmp = self.state_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"rg": self._floor}, fh)
+            os.replace(tmp, self.state_path)  # atomic publish
 
 
 @dataclass

@@ -266,6 +266,137 @@ def main() -> None:
         print(f"rollup-upsert round{i}: 1x={t1x:.2f}s 10x={t10x:.2f}s ratio={ratio:.1f}")
     assert worst <= 3, f"wave cost scales with history: worst ratio {worst:.1f}"
     print("rollup maintenance scaling OK (wave cost flat in history size)")
+
+    # --- q97: stream-stream interval join at 10× users ---------------
+    # user_id-shifted replicas grow the KEY COUNT 10× while per-user
+    # histories stay fixed — watermark-bounded join state must grow in
+    # keys, not history, so wall time scales ≈linearly (a design whose
+    # state or probe cost grew super-linearly in keys would blow past
+    # the cap). The streams replay bounded (AvailableNow → memory).
+    from bqfetch_spark.streaming.joins import click_purchase_join_stream
+    from bqfetch_spark.streaming.windows import run_to_memory
+
+    def events_stream(path: str):
+        raw = spark.read.parquet(path).schema
+        return normalize_table(
+            "events", spark.readStream.schema(raw).parquet(path)
+        )
+
+    worst = 0.0
+    for i in range(2):
+        t0 = time.time()
+        ns = run_to_memory(
+            click_purchase_join_stream(events_stream(f"{base}/events.parquet")),
+            f"sc_join_small_{i}",
+            output_mode="append",
+        ).count()
+        ts = time.time() - t0
+        t0 = time.time()
+        nb = run_to_memory(
+            click_purchase_join_stream(events_stream(f"{tmp}/events.parquet")),
+            f"sc_join_big_{i}",
+            output_mode="append",
+        ).count()
+        tb = time.time() - t0
+        ratio = tb / ts
+        worst = max(worst, ratio)
+        print(f"stream-join round{i}: small={ts:.2f}s ({ns}) big={tb:.2f}s ({nb}) ratio={ratio:.1f}")
+    assert worst <= 20, f"stream-join super-linear: worst ratio {worst:.1f}"
+    print("stream-stream interval join scaling OK")
+
+    # --- q99: Python DataSource partition planning at 10× row groups -
+    # partitions() reads FOOTERS only; planning a 10× table (here also
+    # split across 32 part files) must stay metadata-cheap, and the
+    # pushed-filter read itself must scale ≈linearly in data.
+    from bqfetch_spark.sources.chunked_source import (
+        ChunkedParquetDataSource,
+        ChunkedParquetReader,
+    )
+
+    t0 = time.time()
+    n_small_parts = len(
+        ChunkedParquetReader({"path": f"{base}/lineitem.parquet", "rows_per_partition": "200000"}).partitions()
+    )
+    plan_s = time.time() - t0
+    t0 = time.time()
+    n_big_parts = len(
+        ChunkedParquetReader({"path": f"{tmp}/lineitem.parquet", "rows_per_partition": "200000"}).partitions()
+    )
+    plan_b = time.time() - t0
+    print(
+        f"pyds planning: small={plan_s:.3f}s ({n_small_parts} parts) "
+        f"big={plan_b:.3f}s ({n_big_parts} parts) ratio={plan_b / plan_s:.1f}"
+    )
+    assert plan_b / max(plan_s, 1e-3) <= 40, "footer planning scales super-linearly"
+
+    spark.dataSource.register(ChunkedParquetDataSource)
+
+    def pyds_agg(path: str):
+        return (
+            spark.read.format("bqfetch_chunked")
+            .option("path", path)
+            .option("rows_per_partition", "200000")
+            .load()
+            .filter(F.col("l_quantity") >= 45)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    worst = 0.0
+    for i in range(2):
+        t0 = time.time()
+        ns = pyds_agg(f"{base}/lineitem.parquet").count()
+        ts = time.time() - t0
+        t0 = time.time()
+        nb = pyds_agg(f"{tmp}/lineitem.parquet").count()
+        tb = time.time() - t0
+        ratio = tb / ts
+        worst = max(worst, ratio)
+        print(f"pyds-scan round{i}: small={ts:.2f}s big={tb:.2f}s ratio={ratio:.1f}")
+    assert worst <= 20, f"pyds scan super-linear: worst ratio {worst:.1f}"
+    print("python-datasource scaling OK (footer planning + pushed-filter scan)")
+
+    # --- q100: stateful quota at 10× sources -------------------------
+    # replica-suffixed sources grow the GroupState KEY COUNT 10× with
+    # per-key work fixed — the axis a crawl grows on. Wall time must
+    # scale ≈linearly in keys (state lookups are O(1) per key).
+    from bqfetch_spark.streaming.quota import enforce_quota_stream
+
+    docs_src = spark.read.parquet(f"{base}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    docs10q = (
+        docs_src.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            F.concat(F.col("source"), F.lit("_r"), F.col("rep")).alias("source"),
+            "text",
+        )
+    )
+    docs10q.repartition(32).write.mode("overwrite").parquet(f"{tmp}/documents_q.parquet")
+
+    def quota_run(path: str, name: str):
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        return run_to_memory(
+            enforce_quota_stream(stream), name, output_mode="append"
+        ).count()
+
+    worst = 0.0
+    for i in range(2):
+        t0 = time.time()
+        ns = quota_run(f"{base}/documents.parquet", f"sc_quota_small_{i}")
+        ts = time.time() - t0
+        t0 = time.time()
+        nb = quota_run(f"{tmp}/documents_q.parquet", f"sc_quota_big_{i}")
+        tb = time.time() - t0
+        ratio = tb / ts
+        worst = max(worst, ratio)
+        print(f"quota round{i}: small={ts:.2f}s ({ns}) big={tb:.2f}s ({nb}) ratio={ratio:.1f}")
+    assert worst <= 20, f"quota super-linear: worst ratio {worst:.1f}"
+    print("stateful quota scaling OK (key-count axis)")
+
     shutil.rmtree(tmp, ignore_errors=True)
 
 

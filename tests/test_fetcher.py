@@ -51,6 +51,45 @@ def test_chunks_more_than_values_degrades(spark, fetcher):
     assert sum(fetcher.fetch(ref, c).count() for c in chunks) == 150
 
 
+@pytest.mark.parametrize("by_values", [False, True])
+def test_chunks_cover_null_domain_values(spark, fetcher, tmp_path, by_values):
+    """A nullable chunk column must still satisfy union(chunks) ==
+    table: BETWEEN and IN both reject NULL and collect_list drops it,
+    so the planner flags whichever bucket the NULL value sorted into
+    and that chunk's predicate gains an IS NULL disjunct (round-4
+    advice: NULL rows were silently lost from every chunk)."""
+    import os
+
+    from bqfetch_spark.catalog import TABLES
+
+    # the catalog loads every fixture table for a directory: symlink the
+    # untouched ones, rewrite only customer with NULLs injected
+    for t in TABLES:
+        if t != "customer":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", str(tmp_path / f"{t}.parquet"))
+    base = fetcher.table(TableRef(SF_SMOKE, "customer"))
+    nulled = base.withColumn(
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit(None)).otherwise(F.col("c_nationkey")),
+    )
+    nulled.write.parquet(str(tmp_path / "customer.parquet"))
+    ref = TableRef(str(tmp_path), "customer")
+    tbl = fetcher.table(ref)
+    n_rows = tbl.count()
+    n_null_rows = tbl.filter(F.col("c_nationkey").isNull()).count()
+    assert n_null_rows > 0  # fixture sanity
+
+    chunks = fetcher.chunks(ref, "c_nationkey", by_nb_chunks=4, by_values=by_values)
+    assert sum(c.includes_null for c in chunks) == 1
+    counts = [fetcher.fetch(ref, c).count() for c in chunks]
+    assert sum(counts) == n_rows  # NULL rows fetched exactly once
+    null_chunk = next(c for c in chunks if c.includes_null)
+    got_nulls = (
+        fetcher.fetch(ref, null_chunk).filter(F.col("c_nationkey").isNull()).count()
+    )
+    assert got_nulls == n_null_rows
+
+
 def test_full_table_fetch_none_chunk(spark, fetcher):
     ref = TableRef(SF_SMOKE, "nation")
     assert fetcher.fetch(ref, None).count() == 25

@@ -255,6 +255,67 @@ def test_python_datasource_stream_restart_never_reemits(spark, tmp_path):
     assert sum(got) == tbl.num_rows
 
 
+def test_python_datasource_stream_durable_highwater_survives_double_restart(
+    spark, tmp_path
+):
+    """With state_dir, the committed high-water is durable: across TWO
+    crash/restarts a fresh reader's latestOffset never regresses below
+    the durably committed offset, so a regressed entry can never enter
+    Spark's offset log and committed row groups are never re-emitted —
+    the round-4 advice scenario (in-memory floor covers only one
+    restart) closed. Every emitted unit across all three incarnations
+    covers the table exactly once."""
+    import pyarrow.parquet as pq
+
+    from bqfetch_spark.sources.chunked_source import ChunkedParquetStreamReader
+
+    d = tmp_path / "parts"
+    d.mkdir()
+    tbl = pq.read_table(f"{SF_SMOKE}/nation.parquet")
+    pq.write_table(tbl.slice(0, 13), str(d / "a.parquet"), row_group_size=7)  # 2 groups
+    pq.write_table(tbl.slice(13), str(d / "b.parquet"), row_group_size=7)  # 2 groups
+
+    opts = {
+        "path": str(d),
+        "groups_per_batch": "1",
+        "state_dir": str(tmp_path / "state"),
+    }
+    run1 = ChunkedParquetStreamReader(opts)
+    assert run1.latestOffset() == {"rg": 1}
+    emitted = run1.partitions({"rg": 0}, {"rg": 1})
+    run1.commit({"rg": 1})
+    assert run1.latestOffset() == {"rg": 2}
+    emitted += run1.partitions({"rg": 1}, {"rg": 2})
+    run1.commit({"rg": 2})
+
+    # crash #1: the fresh instance seeds its floor from the sidecar —
+    # pacing resumes ABOVE the committed high-water, never below it
+    run2 = ChunkedParquetStreamReader(opts)
+    off = run2.latestOffset()
+    assert off == {"rg": 3}  # min(4, durable 2 + 1), not a regressed 1
+    emitted += run2.partitions({"rg": 2}, off)
+    run2.commit(off)
+
+    # crash #2: same property again (this is the double-restart that
+    # re-emitted with only the in-memory ratchet)
+    run3 = ChunkedParquetStreamReader(opts)
+    off = run3.latestOffset()
+    assert off == {"rg": 4}
+    emitted += run3.partitions({"rg": 3}, off)
+    run3.commit(off)
+    assert run3.latestOffset() == {"rg": 4}  # caught up, no further data
+
+    seen = [(p.path.rsplit("/", 1)[-1], p.row_groups) for p in emitted]
+    assert sorted(seen) == [
+        ("a.parquet", (0,)),
+        ("a.parquet", (1,)),
+        ("b.parquet", (0,)),
+        ("b.parquet", (1,)),
+    ]
+    rows = sum(b.num_rows for p in emitted for b in run3.read(p))
+    assert rows == tbl.num_rows
+
+
 def test_multimodal_features_match_payload(spark):
     import hashlib
 
