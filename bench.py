@@ -89,6 +89,7 @@ HEADLINE = [
     "q99_python_datasource_scan",
     "q100_streaming_token_quota",
     "q101_ann_pq",
+    "q102_ann_ivfpq",
     "q72_stratified_sample",
     "q73_pack_shards",
     "q74_dedup_clusters",

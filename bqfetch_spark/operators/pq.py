@@ -123,9 +123,11 @@ def train_codebooks(emb: DataFrame, dim: int) -> np.ndarray:
     return books
 
 
-def encode(emb: DataFrame, books: np.ndarray) -> DataFrame:
-    """(vec_id, v) → (vec_id, code array<int> of length M): nearest
-    sub-centroid per subspace, vectorized numpy over Arrow batches."""
+def encode(emb: DataFrame, books: np.ndarray, extra: tuple = ()) -> DataFrame:
+    """(vec_id, v[, *extra]) → (vec_id[, *extra], code array<int> of
+    length M): nearest sub-centroid per subspace, vectorized numpy over
+    Arrow batches. ``extra`` columns pass through untouched (IVF-PQ
+    keeps the coarse cell_id alongside the residual code)."""
     m, k, sub_d = books.shape
 
     def _enc(batches):
@@ -136,11 +138,24 @@ def encode(emb: DataFrame, books: np.ndarray) -> DataFrame:
                 sub = vecs[:, s * sub_d : (s + 1) * sub_d]
                 d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
                 codes[:, s] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "code": [c.tolist() for c in codes]}
-            )
+            out = {"vec_id": pdf["vec_id"]}
+            for c in extra:
+                out[c] = pdf[c]
+            out["code"] = [c.tolist() for c in codes]
+            yield pd.DataFrame(out)
 
-    return emb.mapInPandas(_enc, "vec_id bigint, code array<int>")
+    extra_schema = "".join(f", {c} int" for c in extra)
+    return emb.mapInPandas(_enc, f"vec_id bigint{extra_schema}, code array<int>")
+
+
+def unit_normalized(emb: DataFrame) -> DataFrame:
+    """(vec_id, v) with v scaled to unit L2 norm — JVM-side fold. On
+    the unit sphere L2 order == cosine order (||a-b||² = 2-2cos), so
+    squared-L2 PQ/IVF machinery ranks by the exact baseline's metric."""
+    norm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return emb.select("vec_id", F.transform("v", lambda x: x / norm).alias("v"))
 
 
 @register("q101_ann_pq", oracle=None, tags=("similarity", "ann", "pq"))
@@ -153,12 +168,9 @@ def q101_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_catalog(spark, sf_dir).table("embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    # PQ indexes the UNIT-normalized vectors: with ||a||=||b||=1,
-    # L2 order == cosine order (||a-b||² = 2−2cos), so the squared-L2
-    # ADC scan ranks by the same metric the exact baseline uses
-    # (un-normalized training measured recall 0.32; normalized ≥0.9)
-    norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    emb_n = emb.select("vec_id", F.transform("v", lambda x: x / norm).alias("v"))
+    # PQ indexes the UNIT-normalized vectors (un-normalized training
+    # measured recall 0.32; normalized ≥0.9) — see unit_normalized
+    emb_n = unit_normalized(emb)
     # queries double as the dim probe — one collect, one fewer job
     queries = sorted(
         (int(r["vec_id"]), np.array(r["v"]) / np.linalg.norm(r["v"]))
@@ -218,6 +230,133 @@ def q101_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("adc_rank") <= PQ_RERANK)
     )
     # exact re-rank: only RERANK×n_queries rows re-touch full vectors
+    qdf = spark.createDataFrame(
+        [(qid, qv.tolist()) for qid, qv in queries], "query_id bigint, qv array<double>"
+    )
+    rerank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            r6(cosine(F.col("qv"), F.col("v"))).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(rerank_w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+IVFPQ_CELLS = 8  # coarse cells (k ∝ √N at scale, like q69)
+IVFPQ_PROBE = 3  # cells scanned per query
+
+
+@register("q102_ann_ivfpq", oracle=None, tags=("similarity", "ann", "ivf", "pq"))
+def q102_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ combined ANN — the full FAISS-IVFPQ serving shape, built
+    from the engine's two halves: the coarse quantizer (trained KMeans
+    cells, q55/q69) prunes WHICH vectors are scored (only IVFPQ_PROBE
+    of IVFPQ_CELLS cells per query), and PQ (q101) shrinks WHAT is
+    scored (8-byte RESIDUAL codes — v minus its cell centroid, the
+    encoding FAISS uses because residuals have ~cells× less variance
+    than raw vectors, so the same 8 bytes quantize finer).
+
+    Plan shape, all stages scale-safe:
+    - one KMeans fit + one broadcast-centroid argmin assignment pass
+      (residuals computed JVM-side with zip_with);
+    - codebooks trained in ONE applyInPandas job on residuals;
+    - the ADC scan is a broadcast equi-JOIN of codes to per-(query,
+      probed-cell) LUT rows on cell_id — a query never touches codes
+      outside its probed cells (candidate fraction ≈ probe/cells,
+      multiplied by PQ's 32× byte shrink);
+    - salted two-phase top-K, exact cosine re-rank of PQ_RERANK only.
+    Rows-only (approximate); recall@10 vs exact q50 is pytest-gated
+    (tests/test_ann_recall.py)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    emb_n = unit_normalized(emb)
+    queries = sorted(
+        (int(r["vec_id"]), np.array(r["v"]))
+        for r in emb_n.filter(F.col("vec_id") < 5).collect()
+    )
+    dim = len(queries[0][1])
+
+    km = KMeans(
+        k=IVFPQ_CELLS, seed=42, maxIter=8,
+        featuresCol="features", predictionCol="__cell",
+    )
+    model = km.fit(emb_n.withColumn("features", array_to_vector("v")).coalesce(8))
+    cents = np.array([[float(x) for x in c] for c in model.clusterCenters()])
+    cent_df = spark.createDataFrame(
+        [(i, c.tolist()) for i, c in enumerate(cents)], "cell_id int, cv array<double>"
+    )
+    # top-1 cell per vector + JVM-side residual (v - centroid)
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+    residuals = (
+        emb_n.crossJoin(F.broadcast(cent_df))
+        .select("vec_id", "v", "cell_id", "cv", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "cell_id", F.zip_with("v", "cv", lambda x, y: x - y).alias("v")
+        )
+    )
+    books = train_codebooks(residuals.select("v"), dim)
+    codes = encode(residuals, books, extra=("cell_id",))
+    m, k, sub_d = books.shape
+
+    # per-(query, probed cell) LUT over the QUERY RESIDUAL vs the
+    # residual codebooks — the asymmetric-distance table of IVFPQ
+    lut_rows = []
+    for qid, qv in queries:
+        probe_cells = np.argsort(((qv[None, :] - cents) ** 2).sum(axis=1))[:IVFPQ_PROBE]
+        for cell in probe_cells:
+            qr = qv - cents[cell]
+            tables = [
+                ((qr[s * sub_d : (s + 1) * sub_d][None, :] - books[s]) ** 2)
+                .sum(axis=1)
+                .tolist()
+                for s in range(m)
+            ]
+            lut_rows.append((qid, int(cell), tables))
+    luts = spark.createDataFrame(
+        lut_rows, "query_id bigint, cell_id int, lut array<array<double>>"
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.element_at("lut", s + 1), F.col("code")[s] + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        codes.join(F.broadcast(luts), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_d2"))
+    )
+
+    SALT_BUCKETS = 32
+    local_w = Window.partitionBy("query_id", "salt").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id")
+    )
+    final_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn(
+            "salt", F.pmod(F.xxhash64("neighbor_id"), F.lit(SALT_BUCKETS)).cast("int")
+        )
+        .withColumn("local_rank", F.row_number().over(local_w))
+        .filter(F.col("local_rank") <= PQ_RERANK)
+        .withColumn("adc_rank", F.row_number().over(final_w))
+        .filter(F.col("adc_rank") <= PQ_RERANK)
+    )
     qdf = spark.createDataFrame(
         [(qid, qv.tolist()) for qid, qv in queries], "query_id bigint, qv array<double>"
     )

@@ -276,11 +276,20 @@ def main() -> None:
     from bqfetch_spark.streaming.joins import click_purchase_join_stream
     from bqfetch_spark.streaming.windows import run_to_memory
 
-    def events_stream(path: str):
+    def file_stream(path: str, table: str):
+        """readStream over a parquet file OR directory (FileStreamSource
+        only accepts directories; single files go through the parent dir
+        + a glob filter, like streaming_events)."""
         raw = spark.read.parquet(path).schema
-        return normalize_table(
-            "events", spark.readStream.schema(raw).parquet(path)
-        )
+        if os.path.isdir(path):
+            s = spark.readStream.schema(raw).parquet(path)
+        else:
+            d, name = os.path.split(path)
+            s = spark.readStream.schema(raw).option("pathGlobFilter", name).parquet(d)
+        return normalize_table(table, s)
+
+    def events_stream(path: str):
+        return file_stream(path, "events")
 
     worst = 0.0
     for i in range(2):
@@ -377,8 +386,7 @@ def main() -> None:
     docs10q.repartition(32).write.mode("overwrite").parquet(f"{tmp}/documents_q.parquet")
 
     def quota_run(path: str, name: str):
-        schema = spark.read.parquet(path).schema
-        stream = spark.readStream.schema(schema).parquet(path)
+        stream = file_stream(path, "documents")
         return run_to_memory(
             enforce_quota_stream(stream), name, output_mode="append"
         ).count()
