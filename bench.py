@@ -90,6 +90,7 @@ HEADLINE = [
     "q100_streaming_token_quota",
     "q101_ann_pq",
     "q102_ann_ivfpq",
+    "q103_streaming_ann_index",
     "q72_stratified_sample",
     "q73_pack_shards",
     "q74_dedup_clusters",

@@ -256,6 +256,28 @@ def q98_streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     return run_rollup_maintenance(spark, sf_dir, work)
 
 
+@register("q103_streaming_ann_index", oracle=None, tags=("streaming", "ann", "incremental"))
+def q103_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained IVF-PQ index (streaming/ann_index.py):
+    60% of the embeddings build frozen artifacts (centroids +
+    residual codebooks) and the initial code store; the remaining 40%
+    arrives as two streamed waves whose codes are appended against the
+    FROZEN artifacts — FAISS train-once/add-many as an external-state
+    streaming topology (per-wave cost O(wave), history never read).
+    Returns the IVF-PQ top-10 search over the maintained store.
+    Rows-only; wave-vs-one-shot code equality and recall@10 are
+    pytest-gated (tests/test_ann_recall.py)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from bqfetch_spark.streaming.ann_index import run_incremental_ann_index
+
+    work = tempfile.mkdtemp(prefix="bqfs_annidx_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return run_incremental_ann_index(spark, sf_dir, work)
+
+
 @register("q71_streaming_incremental_dedup", oracle=None, tags=("streaming", "dedup", "incremental"))
 def q71_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup against a persisted fingerprint store

@@ -253,55 +253,33 @@ IVFPQ_CELLS = 8  # coarse cells (k ∝ √N at scale, like q69)
 IVFPQ_PROBE = 3  # cells scanned per query
 
 
-@register("q102_ann_ivfpq", oracle=None, tags=("similarity", "ann", "ivf", "pq"))
-def q102_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ combined ANN — the full FAISS-IVFPQ serving shape, built
-    from the engine's two halves: the coarse quantizer (trained KMeans
-    cells, q55/q69) prunes WHICH vectors are scored (only IVFPQ_PROBE
-    of IVFPQ_CELLS cells per query), and PQ (q101) shrinks WHAT is
-    scored (8-byte RESIDUAL codes — v minus its cell centroid, the
-    encoding FAISS uses because residuals have ~cells× less variance
-    than raw vectors, so the same 8 bytes quantize finer).
-
-    Plan shape, all stages scale-safe:
-    - one KMeans fit + one broadcast-centroid argmin assignment pass
-      (residuals computed JVM-side with zip_with);
-    - codebooks trained in ONE applyInPandas job on residuals;
-    - the ADC scan is a broadcast equi-JOIN of codes to per-(query,
-      probed-cell) LUT rows on cell_id — a query never touches codes
-      outside its probed cells (candidate fraction ≈ probe/cells,
-      multiplied by PQ's 32× byte shrink);
-    - salted two-phase top-K, exact cosine re-rank of PQ_RERANK only.
-    Rows-only (approximate); recall@10 vs exact q50 is pytest-gated
-    (tests/test_ann_recall.py)."""
+def train_coarse_centroids(spark: SparkSession, emb_n: DataFrame) -> np.ndarray:
+    """Trained coarse quantizer (seeded KMeans, few-partition fit —
+    same rationale as q69): returns (IVFPQ_CELLS, dim) centroids."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-
-    emb = load_catalog(spark, sf_dir).table("embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    emb_n = unit_normalized(emb)
-    queries = sorted(
-        (int(r["vec_id"]), np.array(r["v"]))
-        for r in emb_n.filter(F.col("vec_id") < 5).collect()
-    )
-    dim = len(queries[0][1])
 
     km = KMeans(
         k=IVFPQ_CELLS, seed=42, maxIter=8,
         featuresCol="features", predictionCol="__cell",
     )
     model = km.fit(emb_n.withColumn("features", array_to_vector("v")).coalesce(8))
-    cents = np.array([[float(x) for x in c] for c in model.clusterCenters()])
+    return np.array([[float(x) for x in c] for c in model.clusterCenters()])
+
+
+def ivfpq_residuals(
+    spark: SparkSession, emb_n: DataFrame, cents: np.ndarray
+) -> DataFrame:
+    """(vec_id, v) → (vec_id, cell_id, v=residual): top-1 cell via a
+    broadcast-centroid argmin, residual computed JVM-side (zip_with)."""
     cent_df = spark.createDataFrame(
         [(i, c.tolist()) for i, c in enumerate(cents)], "cell_id int, cv array<double>"
     )
-    # top-1 cell per vector + JVM-side residual (v - centroid)
     d2 = F.aggregate(
         F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
     )
     assign_w = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
-    residuals = (
+    return (
         emb_n.crossJoin(F.broadcast(cent_df))
         .select("vec_id", "v", "cell_id", "cv", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(assign_w))
@@ -310,12 +288,36 @@ def q102_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "cell_id", F.zip_with("v", "cv", lambda x, y: x - y).alias("v")
         )
     )
-    books = train_codebooks(residuals.select("v"), dim)
-    codes = encode(residuals, books, extra=("cell_id",))
-    m, k, sub_d = books.shape
 
-    # per-(query, probed cell) LUT over the QUERY RESIDUAL vs the
-    # residual codebooks — the asymmetric-distance table of IVFPQ
+
+def ivfpq_encode(
+    spark: SparkSession, emb_n: DataFrame, cents: np.ndarray, books: np.ndarray
+) -> DataFrame:
+    """Assign + residual-encode a (vec_id, v) frame against FROZEN
+    index artifacts → (vec_id, cell_id, code). One broadcast join plus
+    one Arrow-batched numpy pass; O(wave) however large the existing
+    index is — the insert path of an IVF-PQ index."""
+    return encode(ivfpq_residuals(spark, emb_n, cents), books, extra=("cell_id",))
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    codes: DataFrame,
+    emb: DataFrame,
+    queries: list,
+    cents: np.ndarray,
+    books: np.ndarray,
+) -> DataFrame:
+    """ADC scan + exact re-rank over an IVF-PQ code table (shared by
+    q102's one-shot build and q103's incrementally-maintained store).
+
+    Per query: probe the IVFPQ_PROBE nearest cells, build an M×K LUT
+    over the QUERY RESIDUAL per probed cell (the asymmetric-distance
+    table of IVF-PQ), broadcast the LUT rows onto a cell_id equi-join
+    with the codes — a query never touches codes outside its probed
+    cells — then salted two-phase top-PQ_RERANK and an exact cosine
+    re-rank of only those candidates."""
+    m, k, sub_d = books.shape
     lut_rows = []
     for qid, qv in queries:
         probe_cells = np.argsort(((qv[None, :] - cents) ** 2).sum(axis=1))[:IVFPQ_PROBE]
@@ -374,3 +376,38 @@ def q102_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rerank_w).cast("bigint"))
         .filter(F.col("rank") <= 10)
     )
+
+
+@register("q102_ann_ivfpq", oracle=None, tags=("similarity", "ann", "ivf", "pq"))
+def q102_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ combined ANN — the full FAISS-IVFPQ serving shape, built
+    from the engine's two halves: the coarse quantizer (trained KMeans
+    cells, q55/q69) prunes WHICH vectors are scored (only IVFPQ_PROBE
+    of IVFPQ_CELLS cells per query), and PQ (q101) shrinks WHAT is
+    scored (8-byte RESIDUAL codes — v minus its cell centroid, the
+    encoding FAISS uses because residuals have ~cells× less variance
+    than raw vectors, so the same 8 bytes quantize finer).
+
+    Plan shape, all stages scale-safe:
+    - one KMeans fit + one broadcast-centroid argmin assignment pass
+      (residuals computed JVM-side with zip_with);
+    - codebooks trained in ONE applyInPandas job on residuals;
+    - the ADC scan is a broadcast equi-JOIN of codes to per-(query,
+      probed-cell) LUT rows on cell_id (ivfpq_search);
+    - salted two-phase top-K, exact cosine re-rank of PQ_RERANK only.
+    Rows-only (approximate); recall@10 vs exact q50 is pytest-gated
+    (tests/test_ann_recall.py)."""
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    emb_n = unit_normalized(emb)
+    queries = sorted(
+        (int(r["vec_id"]), np.array(r["v"]))
+        for r in emb_n.filter(F.col("vec_id") < 5).collect()
+    )
+    dim = len(queries[0][1])
+    cents = train_coarse_centroids(spark, emb_n)
+    residuals = ivfpq_residuals(spark, emb_n, cents)
+    books = train_codebooks(residuals.select("v"), dim)
+    codes = encode(residuals, books, extra=("cell_id",))
+    return ivfpq_search(spark, codes, emb, queries, cents, books)

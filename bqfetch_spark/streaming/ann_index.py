@@ -1,0 +1,166 @@
+"""Incrementally-maintained IVF-PQ index — the streaming leg of the
+ANN family (one-shot build: q102), and the vector twin of the
+incremental dedup store (streaming/incremental.py).
+
+A production vector index doesn't retrain on every insert: the coarse
+centroids and PQ codebooks are trained once (on a sample) and FROZEN
+as index artifacts; each ingest wave of new vectors is assigned to its
+nearest frozen cell, residual-encoded with the frozen codebooks, and
+its 8-byte codes APPENDED to the code store — FAISS's ``add``
+after ``train``, as an external-state streaming topology:
+
+- The ARTIFACTS (centroids + codebooks, a few KB) and the CODE STORE
+  (vec_id, cell_id, 8-byte code — partitioned by cell_id so a probed
+  search reads only its cells' directories) are the only state that
+  persists between waves; the streaming query itself holds none.
+- Per-wave cost is O(wave): one broadcast-centroid argmin + one
+  Arrow-batched encode pass + an append. History is never read.
+  At 100 TB of embeddings the store is ~32× smaller than the vectors
+  and the waves never touch the vectors already indexed.
+- Because the artifacts are frozen, wave-encoded codes are
+  BIT-IDENTICAL to one-shot-encoded codes over the same corpus
+  (pytest-pinned) — slicing ingest differently cannot change the
+  index, the same additivity stance as the rollup store partials.
+- Retraining (drift) is an offline rebuild: new artifacts, re-encode,
+  swap — deliberately out of the wave path.
+
+Search over the maintained store goes through the same
+``ivfpq_search`` ADC scan + exact re-rank as q102; recall@10 vs the
+exact baseline is gated in tests/test_ann_recall.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bqfetch_spark.operators.pq import (
+    ivfpq_encode,
+    ivfpq_residuals,
+    train_codebooks,
+    train_coarse_centroids,
+    unit_normalized,
+)
+
+# deterministic 3-way ingest split: 60% initial build, two 20% waves
+_WAVE_OF = F.pmod(F.col("vec_id"), F.lit(5))
+
+
+def build_index(
+    spark: SparkSession, emb_n: DataFrame, dim: int, index_dir: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train centroids + residual codebooks on the initial corpus and
+    persist them as the frozen index artifacts."""
+    cents = train_coarse_centroids(spark, emb_n)
+    books = train_codebooks(ivfpq_residuals(spark, emb_n, cents).select("v"), dim)
+    m, k, sub_d = books.shape
+    spark.createDataFrame(
+        [(i, c.tolist()) for i, c in enumerate(cents)], "cell_id int, cv array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    spark.createDataFrame(
+        [
+            (s, c, books[s, c].tolist())
+            for s in range(m)
+            for c in range(k)
+        ],
+        "subspace int, centroid int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "codebooks"))
+    return cents, books
+
+
+def load_index(spark: SparkSession, index_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Frozen artifacts back as numpy (a few KB — the broadcast side
+    of every encode/search stage)."""
+    crows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    cents = np.zeros((len(crows), len(crows[0]["cv"])))
+    for r in crows:
+        cents[r["cell_id"]] = r["cv"]
+    brows = spark.read.parquet(os.path.join(index_dir, "codebooks")).collect()
+    m = max(r["subspace"] for r in brows) + 1
+    k = max(r["centroid"] for r in brows) + 1
+    books = np.zeros((m, k, len(brows[0]["vec"])))
+    for r in brows:
+        books[r["subspace"], r["centroid"]] = r["vec"]
+    return cents, books
+
+
+def append_wave(
+    spark: SparkSession, wave_emb_n: DataFrame, index_dir: str
+) -> None:
+    """One ingest wave: encode against the FROZEN artifacts, append
+    codes to the store (partitioned by cell_id — a probed search lists
+    only its cells' directories). O(wave); never reads the store."""
+    cents, books = load_index(spark, index_dir)
+    (
+        ivfpq_encode(spark, wave_emb_n, cents, books)
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
+
+
+def run_incremental_ann_index(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Bounded streaming run: 60% of the embeddings build the index;
+    the rest arrives as two wave files through a foreachBatch stream
+    that appends codes against the frozen artifacts. Returns the
+    IVF-PQ top-10 search over the maintained store (ivfpq_search)."""
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.functions.vectors import as_double
+    from bqfetch_spark.operators.pq import ivfpq_search
+
+    index_dir = os.path.join(work_dir, "index")
+    incoming_dir = os.path.join(work_dir, "incoming")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    emb_n = unit_normalized(emb)
+    initial = emb_n.filter(_WAVE_OF <= 2)
+    dim = emb_n.select(F.size("v").alias("d")).first()["d"]
+    cents, books = build_index(spark, initial, dim, index_dir)
+    (
+        ivfpq_encode(spark, initial, cents, books)
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
+
+    # the two remaining slices arrive as separate files → separate
+    # micro-batches (maxFilesPerTrigger=1)
+    os.makedirs(incoming_dir, exist_ok=True)
+    for wave in (3, 4):
+        emb_n.filter(_WAVE_OF == wave).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(incoming_dir, f"wave_{wave}")
+        )
+    schema = spark.read.parquet(os.path.join(incoming_dir, "wave_3")).schema
+    incoming = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(incoming_dir, "wave_*"))
+    )
+
+    def _ingest(batch: DataFrame, _batch_id: int) -> None:
+        append_wave(spark, batch, index_dir)
+
+    q = (
+        incoming.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    queries = sorted(
+        (int(r["vec_id"]), np.array(r["v"]))
+        for r in emb_n.filter(F.col("vec_id") < 5).collect()
+    )
+    cents, books = load_index(spark, index_dir)
+    return ivfpq_search(spark, codes, emb, queries, cents, books)

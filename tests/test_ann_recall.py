@@ -32,6 +32,50 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert _mean_recall(exact, _topk(spark, "q55_ann_ivf_kmeans")) >= 0.5
     # combined IVF-PQ (residual codes, probe 3/8 cells): measured 0.78
     assert _mean_recall(exact, _topk(spark, "q102_ann_ivfpq")) >= 0.6
+    # incrementally-maintained IVF-PQ store (artifacts trained on the
+    # 60% build slice only) must stay useful over the full corpus
+    assert _mean_recall(exact, _topk(spark, "q103_streaming_ann_index")) >= 0.5
+
+
+def test_incremental_ann_index_waves_equal_one_shot(spark, tmp_path):
+    """Frozen artifacts make the index insert-order-invariant: codes
+    appended wave-by-wave must be BIT-IDENTICAL to encoding the same
+    corpus in one shot against the same artifacts — the additivity
+    stance of the rollup store, for vectors. Also pins that the store
+    covers every vector exactly once after the streamed run."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.functions.vectors import as_double
+    from bqfetch_spark.operators.pq import ivfpq_encode, unit_normalized
+    from bqfetch_spark.streaming.ann_index import (
+        build_index,
+        load_index,
+        run_incremental_ann_index,
+    )
+
+    work = str(tmp_path / "annidx")
+    res = run_incremental_ann_index(spark, SF_SMOKE, work)
+    assert res.count() == 50  # 5 queries × top-10
+
+    emb_n = unit_normalized(
+        load_catalog(spark, SF_SMOKE)
+        .table("embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+    )
+    store = spark.read.parquet(f"{work}/index/codes")
+    n_vecs = emb_n.count()
+    assert store.count() == n_vecs
+    assert store.select("vec_id").distinct().count() == n_vecs
+
+    cents, books = load_index(spark, f"{work}/index")
+    one_shot = ivfpq_encode(spark, emb_n, cents, books)
+    joined = store.alias("s").join(one_shot.alias("o"), "vec_id")
+    mism = joined.filter(
+        (F.col("s.cell_id") != F.col("o.cell_id"))
+        | (F.col("s.code") != F.col("o.code"))
+    ).count()
+    assert mism == 0
 
 
 def test_kmeans_cells_are_balanced(spark):
