@@ -89,8 +89,8 @@ HEADLINE = [
     "q99_python_datasource_scan",
     "q100_streaming_token_quota",
     "q101_ann_pq",
-    "q102_ann_ivfpq",
-    "q103_streaming_ann_index",
+    "q56_ann_ivfpq",
+    "q57_streaming_ann_index",
     "q72_stratified_sample",
     "q73_pack_shards",
     "q74_dedup_clusters",

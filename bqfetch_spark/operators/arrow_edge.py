@@ -256,8 +256,8 @@ def q98_streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     return run_rollup_maintenance(spark, sf_dir, work)
 
 
-@register("q103_streaming_ann_index", oracle=None, tags=("streaming", "ann", "incremental"))
-def q103_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q57_streaming_ann_index", oracle=None, tags=("streaming", "ann", "incremental"))
+def q57_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained IVF-PQ index (streaming/ann_index.py):
     60% of the embeddings build frozen artifacts (centroids +
     residual codebooks) and the initial code store; the remaining 40%

@@ -309,7 +309,7 @@ def ivfpq_search(
     books: np.ndarray,
 ) -> DataFrame:
     """ADC scan + exact re-rank over an IVF-PQ code table (shared by
-    q102's one-shot build and q103's incrementally-maintained store).
+    q56's one-shot build and q57's incrementally-maintained store).
 
     Per query: probe the IVFPQ_PROBE nearest cells, build an M×K LUT
     over the QUERY RESIDUAL per probed cell (the asymmetric-distance
@@ -378,8 +378,8 @@ def ivfpq_search(
     )
 
 
-@register("q102_ann_ivfpq", oracle=None, tags=("similarity", "ann", "ivf", "pq"))
-def q102_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q56_ann_ivfpq", oracle=None, tags=("similarity", "ann", "ivf", "pq"))
+def q56_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ combined ANN — the full FAISS-IVFPQ serving shape, built
     from the engine's two halves: the coarse quantizer (trained KMeans
     cells, q55/q69) prunes WHICH vectors are scored (only IVFPQ_PROBE

@@ -1,5 +1,5 @@
 """Incrementally-maintained IVF-PQ index — the streaming leg of the
-ANN family (one-shot build: q102), and the vector twin of the
+ANN family (one-shot build: q56_ann_ivfpq), and the vector twin of the
 incremental dedup store (streaming/incremental.py).
 
 A production vector index doesn't retrain on every insert: the coarse
@@ -25,7 +25,7 @@ after ``train``, as an external-state streaming topology:
   swap — deliberately out of the wave path.
 
 Search over the maintained store goes through the same
-``ivfpq_search`` ADC scan + exact re-rank as q102; recall@10 vs the
+``ivfpq_search`` ADC scan + exact re-rank as q56_ann_ivfpq; recall@10 vs the
 exact baseline is gated in tests/test_ann_recall.py.
 """
 

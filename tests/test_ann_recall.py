@@ -31,10 +31,10 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert _mean_recall(exact, _topk(spark, "q53_ann_ivf")) >= 0.6
     assert _mean_recall(exact, _topk(spark, "q55_ann_ivf_kmeans")) >= 0.5
     # combined IVF-PQ (residual codes, probe 3/8 cells): measured 0.78
-    assert _mean_recall(exact, _topk(spark, "q102_ann_ivfpq")) >= 0.6
+    assert _mean_recall(exact, _topk(spark, "q56_ann_ivfpq")) >= 0.6
     # incrementally-maintained IVF-PQ store (artifacts trained on the
     # 60% build slice only) must stay useful over the full corpus
-    assert _mean_recall(exact, _topk(spark, "q103_streaming_ann_index")) >= 0.5
+    assert _mean_recall(exact, _topk(spark, "q57_streaming_ann_index")) >= 0.5
 
 
 def test_incremental_ann_index_waves_equal_one_shot(spark, tmp_path):
