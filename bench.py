@@ -91,6 +91,10 @@ HEADLINE = [
     "q101_ann_pq",
     "q56_ann_ivfpq",
     "q57_streaming_ann_index",
+    "q35_cdc_merge",
+    "q38_partition_pruned_scan",
+    "q39_compact_small_files",
+    "q58_scd2_history",
     "q72_stratified_sample",
     "q73_pack_shards",
     "q74_dedup_clusters",

@@ -1,0 +1,280 @@
+"""Lakehouse table-maintenance operators: CDC merge, partition-pruned
+layout, small-file compaction, SCD2 change history.
+
+The reference's data model is a managed warehouse (BigQuery tables,
+bqfetch/bqfetch.py:457-502 reads them; CTAS/DROP mutate them —
+SURVEY §2.A A4/A5). On a Spark lakehouse the same user owns the table
+LAYOUT too, and the four operators here are the maintenance loop every
+100 TB parquet deployment runs daily:
+
+- q35 MERGE (CDC apply): upsert + delete a change set into a snapshot
+  — one key anti-join plus a union, the merge-on-read shape.
+- q38 partition-pruned scan: hive-partitioned layout written by the
+  engine, then a day query whose scan reads ONLY that day's directory
+  (PartitionFilters — plan-asserted in tests/test_plan_shapes.py).
+- q39 compaction: bin-pack a small-file directory (the debris every
+  streaming sink leaves) to target-sized files; content-identity is
+  the oracle, the file-count drop is pytest-pinned.
+- q58 SCD2 history: gaps-and-islands run-length encoding of per-user
+  state changes into (valid_from, valid_to] versioned rows.
+
+All four carry full DuckDB oracles: the merge/history are pure SQL;
+the layout ops' oracles aggregate the SAME rows from the original
+table, so the driver's value hash proves the rewrite preserved
+content byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bqfetch_spark.catalog import load_catalog
+from bqfetch_spark.operators.relational import r6
+from bqfetch_spark.registry import register
+
+DEC_VALUE = "decimal(18,6)"
+
+MERGE_ORACLE = """
+WITH upd AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         c_acctbal + 100.0 AS c_acctbal,
+         'MIGRATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 4
+),
+ins AS (
+  SELECT c_custkey + 1000000 AS c_custkey,
+         'NEW#' || CAST(c_custkey + 1000000 AS VARCHAR) AS c_name,
+         c_nationkey,
+         CAST(0.0 AS DOUBLE) AS c_acctbal,
+         'NEW' AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 5
+),
+kept AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 NOT IN (3, 4)
+)
+SELECT * FROM kept
+UNION ALL SELECT * FROM upd
+UNION ALL SELECT * FROM ins
+"""
+
+
+@register("q35_cdc_merge", oracle=MERGE_ORACLE, tags=("lakehouse", "merge", "cdc"))
+def q35_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a CDC change set (deletes / updates / inserts, derived
+    deterministically from the key so the oracle can derive the same)
+    into the customer snapshot. Spark-first merge-on-read: ONE anti
+    join of the base against the touched-key set (shuffle or broadcast
+    by change-set size — at 100 TB the change set is the small side),
+    then a union with the new row images. No row of the base is
+    rewritten unless its key changed — the I/O contract a Delta/
+    Iceberg MERGE compiles to."""
+    base = load_catalog(spark, sf_dir).table("customer")
+    mod = F.col("c_custkey") % 10
+
+    updates = base.filter(mod == 4).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("MIGRATED").alias("c_mktsegment"),
+    )
+    inserts = base.filter(mod == 5).select(
+        (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+        F.concat(
+            F.lit("NEW#"), (F.col("c_custkey") + F.lit(1000000)).cast("string")
+        ).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    # deletes (key%10==3) and updates (key%10==4) both remove the old
+    # image; one anti join handles both
+    touched = base.filter(mod.isin(3, 4)).select("c_custkey")
+    kept = base.join(F.broadcast(touched), "c_custkey", "left_anti")
+    return kept.unionByName(updates).unionByName(inserts)
+
+
+PRUNED_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+GROUP BY event_type
+"""
+
+PRUNE_DAY = "2024-01-02"
+
+
+def write_partitioned_events(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Lay events out hive-partitioned by event day (the layout an
+    ingest job writes once; queries prune against it forever). Skips
+    the rewrite when the layout for this sf_dir already exists."""
+    marker = os.path.join(out_dir, "_layout_of")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == sf_dir:
+                return out_dir
+    ev = load_catalog(spark, sf_dir).table("events")
+    (
+        ev.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition("event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out_dir)
+    )
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
+    return out_dir
+
+
+@register("q38_partition_pruned_scan", oracle=PRUNED_ORACLE, tags=("lakehouse", "layout", "pruning"))
+def q38_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day aggregate over a hive-partitioned layout the engine wrote:
+    the filter on the PARTITION column becomes a PartitionFilter, so
+    the scan lists and reads exactly one ``event_date=.../`` directory
+    however many days the table holds (plan-asserted in
+    tests/test_plan_shapes.py). The oracle aggregates the same day
+    from the ORIGINAL table — the value hash proves the partitioned
+    rewrite lost and duplicated nothing for the probed day.
+    ``repartition("event_date")`` at write time yields one file per
+    day-partition per shuffle bucket rather than files x tasks
+    fan-out (the small-file trap q39 exists to clean up)."""
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"bqfs_layout_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    write_partitioned_events(spark, sf_dir, out_dir)
+    day = spark.read.parquet(out_dir).filter(F.col("event_date") == PRUNE_DAY)
+    return day.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r6(F.sum(F.col("value").cast(DEC_VALUE)).cast("double")).alias("total_value"),
+    )
+
+
+COMPACT_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT event_id) AS n_ids,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+COMPACT_TARGET_BYTES = 128 << 20  # target compacted file size
+
+
+def compact_parquet_dir(spark: SparkSession, src_dir: str, dst_dir: str,
+                        target_bytes: int = COMPACT_TARGET_BYTES) -> int:
+    """Bin-pack a parquet directory into ceil(total/target) files:
+    size from a driver-side listing (O(n_files) metadata, no data
+    read), one round-robin repartition to the target count, one
+    write. Returns the target file count. At 100 TB this runs
+    per-partition-directory with target counts in the hundreds — the
+    repartition is the parallelism, not a bottleneck."""
+    total = sum(
+        os.path.getsize(os.path.join(src_dir, f))
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src_dir).repartition(n_files).write.mode("overwrite").parquet(dst_dir)
+    return n_files
+
+
+@register("q39_compact_small_files", oracle=COMPACT_ORACLE, tags=("lakehouse", "compaction"))
+def q39_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: stage events as 64 undersized files (the
+    debris a micro-batching sink leaves), bin-pack them to
+    target-sized files (compact_parquet_dir), and return a content
+    aggregate READ FROM THE COMPACTED STORE. The oracle computes the
+    same aggregate from the original table, so the driver's value
+    hash certifies the compactor preserved every row and value; the
+    64 -> ceil(bytes/target) file-count drop is pinned in pytest."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bqfs_compact_")
+    staging = os.path.join(work, "staging")
+    compacted = os.path.join(work, "compacted")
+    ev = load_catalog(spark, sf_dir).table("events")
+    ev.repartition(64).write.mode("overwrite").parquet(staging)
+    compact_parquet_dir(spark, staging, compacted)
+    out = spark.read.parquet(compacted)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_ids"),
+        r6(F.sum(F.col("value").cast(DEC_VALUE)).cast("double")).alias("total_value"),
+    )
+
+
+SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM ordered
+),
+versioned AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS version
+  FROM flagged
+),
+islands AS (
+  SELECT user_id, version, min(event_type) AS event_type,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM versioned GROUP BY user_id, version
+)
+SELECT user_id,
+       CAST(version AS BIGINT) AS version,
+       event_type,
+       valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+       CAST(n_events AS BIGINT) AS n_events
+FROM islands
+"""
+
+
+@register("q58_scd2_history", oracle=SCD2_ORACLE, tags=("lakehouse", "scd2", "islands"))
+def q58_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 change history via gaps-and-islands: collapse each
+    user's consecutive same-``event_type`` runs into one versioned row
+    with ``[valid_from, valid_to)`` effectivity (open ``valid_to`` =
+    current state). Run-length detection is the lag-compare /
+    running-sum idiom; every window and the island groupBy partition
+    on ``user_id``, so the whole plan is ONE exchange on the user key
+    — the sorts and the aggregation reuse it. The un-CAST DuckDB
+    ``sum() OVER`` would widen to HUGEINT (the q100 drift class), so
+    the oracle casts version/n_events back to BIGINT."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w_ord)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    versioned = ev.withColumn("chg", chg).withColumn(
+        "version",
+        F.sum("chg").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = versioned.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("version")
+    return islands.select(
+        "user_id",
+        F.col("version").cast("bigint").alias("version"),
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_ver).alias("valid_to"),
+        "n_events",
+    )

@@ -58,6 +58,7 @@ def load_all_modules() -> None:
     from bqfetch_spark.operators import llm_pipeline  # noqa: F401
     from bqfetch_spark.operators import corpus  # noqa: F401
     from bqfetch_spark.operators import quality  # noqa: F401
+    from bqfetch_spark.operators import lakehouse  # noqa: F401
     from bqfetch_spark.operators import pq  # noqa: F401
     from bqfetch_spark.operators import similarity  # noqa: F401
     from bqfetch_spark.operators import temporal  # noqa: F401

@@ -1,0 +1,104 @@
+"""Lakehouse maintenance operators (operators/lakehouse.py): the
+properties the oracle-parity hash can't see — physical layout effects
+(partition pruning, file counts) and merge key-set semantics."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bqfetch_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+REG = all_queries()
+
+
+def test_q38_scan_is_partition_pruned(spark):
+    """The day filter must land in PartitionFilters (directory-level
+    pruning), not as a data filter over every file."""
+    df = REG["q38_partition_pruned_scan"].fn(spark, SF_SMOKE)
+    from bqfetch_spark.sources.readers import spark_explain_mode
+
+    plan = df._jdf.queryExecution().explainString(spark_explain_mode("formatted"))
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    # prove the pruned scan equals the unpruned-filter spelling
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bqfs_layout_{os.path.basename(os.path.normpath(SF_SMOKE))}",
+    )
+    full = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("event_date") == "2024-01-02")
+        .count()
+    )
+    assert sum(r["n_events"] for r in df.collect()) == full
+
+
+def test_q39_compaction_reduces_file_count(spark, tmp_path):
+    """64 staged small files must bin-pack to ceil(bytes/target) — one
+    file at fixture scale — with every byte of content preserved."""
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.lakehouse import compact_parquet_dir
+
+    staging = str(tmp_path / "staging")
+    compacted = str(tmp_path / "compacted")
+    ev = load_catalog(spark, SF_SMOKE).table("events")
+    ev.repartition(64).write.mode("overwrite").parquet(staging)
+    n_staged = len([f for f in os.listdir(staging) if f.endswith(".parquet")])
+    assert n_staged == 64
+
+    target = compact_parquet_dir(spark, staging, compacted)
+    n_compacted = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
+    assert n_compacted == target < n_staged
+
+    fp = F.sum(F.xxhash64("event_id", "event_type").cast("decimal(38,0)")).alias("h")
+    before = ev.select(fp).first()["h"]
+    after = spark.read.parquet(compacted).select(fp).first()["h"]
+    assert before == after
+
+
+def test_q35_merge_key_semantics(spark):
+    """Deleted keys gone, updated keys keep ONE row with the new
+    image, inserted keys present, untouched keys byte-identical."""
+    from bqfetch_spark.catalog import load_catalog
+
+    base = load_catalog(spark, SF_SMOKE).table("customer")
+    merged = REG["q35_cdc_merge"].fn(spark, SF_SMOKE)
+    mod = F.col("c_custkey") % 10
+
+    assert merged.filter(mod == 3).count() == 0  # deletes applied
+    upd = merged.filter((mod == 4) & (F.col("c_custkey") < 1000000))
+    n_upd_base = base.filter(mod == 4).count()
+    assert upd.count() == n_upd_base
+    assert upd.filter(F.col("c_mktsegment") != "MIGRATED").count() == 0
+    n_ins = base.filter(mod == 5).count()
+    assert merged.filter(F.col("c_custkey") >= 1000000).count() == n_ins
+    # untouched rows pass through bit-identical
+    untouched_base = base.filter(~mod.isin(3, 4))
+    untouched_merged = merged.filter(
+        ~mod.isin(3, 4, 5) | ((mod == 5) & (F.col("c_custkey") < 1000000))
+    )
+    assert untouched_base.exceptAll(untouched_merged).count() == 0
+
+
+def test_q58_islands_cover_every_event(spark):
+    """SCD2 rows partition each user's timeline: n_events sums to the
+    event count, versions are 1..n dense per user, and exactly one
+    open (valid_to IS NULL) row per user."""
+    from bqfetch_spark.catalog import load_catalog
+
+    hist = REG["q58_scd2_history"].fn(spark, SF_SMOKE)
+    ev = load_catalog(spark, SF_SMOKE).table("events")
+    assert hist.agg(F.sum("n_events")).first()[0] == ev.count()
+    open_rows = hist.filter(F.col("valid_to").isNull()).groupBy("user_id").count()
+    assert open_rows.filter(F.col("count") != 1).count() == 0
+    dense = hist.groupBy("user_id").agg(
+        F.min("version").alias("lo"),
+        F.max("version").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert dense.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
