@@ -95,6 +95,7 @@ HEADLINE = [
     "q38_partition_pruned_scan",
     "q39_compact_small_files",
     "q58_scd2_history",
+    "q59_schema_evolution",
     "q72_stratified_sample",
     "q73_pack_shards",
     "q74_dedup_clusters",

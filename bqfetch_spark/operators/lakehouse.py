@@ -214,6 +214,58 @@ def q39_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVOLVE_ORACLE = """
+SELECT COALESCE(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-03'
+                     THEN (CASE WHEN value >= 10.0 THEN 'high' ELSE 'low' END)
+                END, '__missing__') AS quality_tier,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+EVOLVE_CUTOVER = "2024-01-03"
+
+
+@register("q59_schema_evolution", oracle=EVOLVE_ORACLE, tags=("lakehouse", "schema-evolution"))
+def q59_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: generation 1 (events
+    before the cutover day) is written WITHOUT ``quality_tier``;
+    generation 2 carries the added column. One ``mergeSchema`` read
+    unions both generations — old files surface NULL for the new
+    column, exactly the contract a 100 TB table relies on when a
+    column is added without rewriting history. The aggregate buckets
+    the NULLs explicitly (``__missing__``) so the oracle — which
+    derives the same generational split from ``ts`` on the original
+    table — hash-checks that no old row was dropped, duplicated, or
+    backfilled. Schema merging costs one footer read per FILE GROUP
+    (not per row); the data scan is unchanged."""
+    import tempfile
+
+    ev = load_catalog(spark, sf_dir).table("events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="bqfs_evolve_")
+    cut = F.to_date(F.col("ts")) >= F.lit(EVOLVE_CUTOVER).cast("date")
+    ev.filter(~cut).write.mode("overwrite").parquet(os.path.join(work, "gen=1"))
+    (
+        ev.filter(cut)
+        .withColumn(
+            "quality_tier",
+            F.when(F.col("value") >= 10.0, "high").otherwise("low"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(work, "gen=2"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(work)
+    return merged.groupBy(
+        F.coalesce("quality_tier", F.lit("__missing__")).alias("quality_tier")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r6(F.sum(F.col("value").cast(DEC_VALUE)).cast("double")).alias("total_value"),
+    )
+
+
 SCD2_ORACLE = """
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,

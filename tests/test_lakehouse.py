@@ -85,6 +85,33 @@ def test_q35_merge_key_semantics(spark):
     assert untouched_base.exceptAll(untouched_merged).count() == 0
 
 
+def test_q59_old_generation_files_not_rewritten(spark, tmp_path):
+    """The point of mergeSchema evolution: generation-1 files must NOT
+    contain the added column (history is never rewritten), yet the
+    merged read surfaces it as NULL for exactly those rows."""
+    import pyarrow.parquet as pq
+
+    from bqfetch_spark.catalog import load_catalog
+
+    ev = load_catalog(spark, SF_SMOKE).table("events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    gen1 = str(tmp_path / "gen=1")
+    gen2 = str(tmp_path / "gen=2")
+    cut = F.to_date(F.col("ts")) >= F.lit("2024-01-02").cast("date")
+    ev.filter(~cut).write.parquet(gen1)
+    ev.filter(cut).withColumn("quality_tier", F.lit("high")).write.parquet(gen2)
+
+    g1_file = next(f for f in os.listdir(gen1) if f.endswith(".parquet"))
+    g1_schema = pq.ParquetFile(os.path.join(gen1, g1_file)).schema_arrow
+    assert "quality_tier" not in g1_schema.names
+
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path))
+    n_gen1 = ev.filter(~cut).count()
+    assert merged.filter(F.col("quality_tier").isNull()).count() == n_gen1
+    assert merged.count() == ev.count()
+
+
 def test_q58_islands_cover_every_event(spark):
     """SCD2 rows partition each user's timeline: n_events sums to the
     event count, versions are 1..n dense per user, and exactly one
