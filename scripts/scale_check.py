@@ -405,6 +405,66 @@ def main() -> None:
     assert worst <= 20, f"quota super-linear: worst ratio {worst:.1f}"
     print("stateful quota scaling OK (key-count axis)")
 
+    # --- lakehouse surface: merge, SCD2 islands, compaction ----------
+    # q35's shape: anti-join base against touched keys + union of new
+    # images — must scale linearly in base size when the touched
+    # fraction is fixed (the 100 TB axis: bigger base, same CDC rate).
+    def merge_shape(df):
+        mod = F.col("event_id") % 10
+        touched = df.filter(mod.isin(3, 4)).select("event_id")
+        upd = df.filter(mod == 4).withColumn("value", F.col("value") + F.lit(1.0))
+        return df.join(touched, "event_id", "left_anti").unionByName(upd)
+
+    # q58's shape: lag-compare/running-sum islands, user_id-partitioned
+    def scd2_shape(df):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        prev = F.lag("event_type").over(w)
+        chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+        cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return (
+            df.withColumn("version", F.sum(chg).over(cum))
+            .groupBy("user_id", "version")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    for label, shape in (("cdc-merge", merge_shape), ("scd2-islands", scd2_shape)):
+        worst = 0.0
+        for i in range(2):
+            t0 = time.time()
+            ns = shape(small_e).count()
+            ts = time.time() - t0
+            t0 = time.time()
+            nb = shape(big_e).count()
+            tb = time.time() - t0
+            ratio = tb / ts
+            worst = max(worst, ratio)
+            print(f"{label} round{i}: small={ts:.2f}s ({ns}) big={tb:.2f}s ({nb}) ratio={ratio:.1f}")
+        assert worst <= 20, f"{label} super-linear: worst ratio {worst:.1f}"
+        print(f"{label} scaling OK")
+
+    # q39's compactor: driver-side metadata sizing + one repartition —
+    # 10× the files and bytes must cost ≈10× (listing is O(files),
+    # the write is the data volume), never O(files²).
+    from bqfetch_spark.operators.lakehouse import compact_parquet_dir
+
+    small_e.write.mode("overwrite").parquet(f"{tmp}/frag_small")  # 32 files
+    big_e.repartition(320).write.mode("overwrite").parquet(f"{tmp}/frag_big")
+    worst = 0.0
+    for i in range(2):
+        t0 = time.time()
+        compact_parquet_dir(spark, f"{tmp}/frag_small", f"{tmp}/compact_small_{i}")
+        ts = time.time() - t0
+        t0 = time.time()
+        compact_parquet_dir(spark, f"{tmp}/frag_big", f"{tmp}/compact_big_{i}")
+        tb = time.time() - t0
+        ratio = tb / ts
+        worst = max(worst, ratio)
+        print(f"compaction round{i}: small={ts:.2f}s big={tb:.2f}s ratio={ratio:.1f}")
+    assert worst <= 20, f"compaction super-linear: worst ratio {worst:.1f}"
+    print("compaction scaling OK (10x files ~ 10x cost)")
+
     shutil.rmtree(tmp, ignore_errors=True)
 
 
