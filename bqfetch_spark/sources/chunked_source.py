@@ -22,6 +22,15 @@ evaluated at the source. Here the same contract is a registered source:
   evaluate and RETAINS the rest for Spark — the ``row_restriction``
   contract, typed (no stringified literals, unlike the reference's
   :483-484).
+- ``option("columns", "a,b")`` projects AT THE SOURCE — the
+  ``selected_fields`` half of the same Storage-API
+  ``TableReadOptions`` whose ``row_restriction`` half the reference
+  uses (bqfetch/bqfetch.py:484). The Python DataSource API has no
+  automatic column-pruning hook (unlike the JVM
+  ``SupportsPushDownRequiredColumns``), so a 2-of-16-column query
+  would otherwise drag every column across the Arrow wire; with the
+  option, the pruned schema is the source schema and pyarrow reads
+  only those column chunks.
 - ``read()`` yields Arrow RecordBatches straight from pyarrow — the
   wire stays columnar end to end, like the reference's
   ``DataFormat.ARROW`` sessions.
@@ -129,6 +138,13 @@ def _to_arrow_expr(specs):
     return expr
 
 
+def _columns_option(options) -> list[str] | None:
+    cols = options.get("columns")
+    if not cols:
+        return None
+    return [c.strip() for c in cols.split(",") if c.strip()]
+
+
 class ChunkedParquetReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
@@ -137,6 +153,7 @@ class ChunkedParquetReader(DataSourceReader):
         self.rows_per_partition = int(
             options.get("rows_per_partition", DEFAULT_ROWS_PER_PARTITION)
         )
+        self.columns = _columns_option(options)
         self._filter_specs: list = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -167,7 +184,10 @@ class ChunkedParquetReader(DataSourceReader):
         if not partition.row_groups:
             return
         pf = pq.ParquetFile(partition.path or self.path)
-        tbl = pf.read_row_groups(list(partition.row_groups))
+        # selected_fields parity: only the projected column chunks are
+        # decoded and shipped (pushed filters reference schema columns,
+        # which under a columns option ARE the projected ones)
+        tbl = pf.read_row_groups(list(partition.row_groups), columns=self.columns)
         expr = _to_arrow_expr(self._filter_specs)
         if expr is not None:
             import pyarrow.dataset as ds
@@ -219,6 +239,7 @@ class ChunkedParquetStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("bqfetch_chunked requires option 'path'")
         self.groups_per_batch = int(options.get("groups_per_batch", "1"))
+        self.columns = _columns_option(options)
         state_dir = options.get("state_dir")
         self.state_path = None
         if state_dir:
@@ -274,7 +295,7 @@ class ChunkedParquetStreamReader(DataSourceStreamReader):
         if not partition.row_groups:
             return
         pf = pq.ParquetFile(partition.path or self.path)
-        tbl = pf.read_row_groups(list(partition.row_groups))
+        tbl = pf.read_row_groups(list(partition.row_groups), columns=self.columns)
         yield from tbl.to_batches()
 
     def commit(self, end: dict) -> None:
@@ -376,7 +397,16 @@ class ChunkedParquetDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("bqfetch_chunked requires option 'path'")
-        return from_arrow_schema(pq.ParquetFile(_part_files(path)[0]).schema_arrow)
+        arrow = pq.ParquetFile(_part_files(path)[0]).schema_arrow
+        cols = _columns_option(self.options)
+        if cols:
+            missing = [c for c in cols if arrow.get_field_index(c) < 0]
+            if missing:
+                raise ValueError(f"columns not in parquet schema: {missing}")
+            import pyarrow as pa
+
+            arrow = pa.schema([arrow.field(c) for c in cols])
+        return from_arrow_schema(arrow)
 
     def reader(self, schema: StructType) -> ChunkedParquetReader:
         return ChunkedParquetReader(self.options)

@@ -121,6 +121,42 @@ def test_python_datasource_filter_pushdown(spark):
     ).count()
 
 
+def test_python_datasource_columns_projection(spark):
+    """``columns`` option (Storage-API selected_fields parity):
+    the source schema IS the projection — values match a parquet read
+    of the same columns, order is honored, a pushed filter on a
+    projected column still evaluates source-side, and an unknown
+    column fails fast."""
+    import pytest
+
+    from bqfetch_spark.sources.chunked_source import ChunkedParquetDataSource
+
+    spark.dataSource.register(ChunkedParquetDataSource)
+    p = f"{SF_SMOKE}/customer.parquet"
+    df = (
+        spark.read.format("bqfetch_chunked")
+        .option("path", p)
+        .option("columns", "c_mktsegment,c_custkey")
+        .load()
+    )
+    assert df.columns == ["c_mktsegment", "c_custkey"]
+    ref = spark.read.parquet(p).select("c_mktsegment", "c_custkey")
+    assert df.exceptAll(ref).count() == 0 and ref.exceptAll(df).count() == 0
+
+    pushed = df.filter(F.col("c_custkey") > 50)
+    plan = pushed._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan, plan  # restriction + projection compose
+    assert pushed.count() == ref.filter(F.col("c_custkey") > 50).count() > 0
+
+    with pytest.raises(Exception, match="columns not in parquet schema"):
+        (
+            spark.read.format("bqfetch_chunked")
+            .option("path", p)
+            .option("columns", "c_custkey,nope")
+            .load()
+        )
+
+
 def test_python_datasource_write_roundtrip(spark, tmp_path):
     """The custom source's write path: task-staged part files published
     atomically on commit (no _staging residue), readable back through
