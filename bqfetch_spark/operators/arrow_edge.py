@@ -75,7 +75,7 @@ def q64_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = tumbling_counts_stream(streaming_events(spark, sf_dir))
-    return run_to_memory(stream, "q64_streaming_tumbling_sink")
+    return run_to_memory(stream, "q64_streaming_tumbling_sink", state_partitions=8)
 
 
 STREAM_DEDUP_ORACLE = """
@@ -102,7 +102,9 @@ def q70_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming_events(spark, sf_dir)
     doubled = ev.union(streaming_events(spark, sf_dir))
     deduped = dedup_stream(doubled).select("event_id", "user_id", "ts", "event_type")
-    return run_to_memory(deduped, "q70_streaming_dedup_sink", output_mode="append")
+    return run_to_memory(
+        deduped, "q70_streaming_dedup_sink", output_mode="append", state_partitions=8
+    )
 
 
 STREAM_JOIN_ORACLE = """
@@ -137,7 +139,10 @@ def q97_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bqfetch_spark.streaming.windows import run_to_memory, streaming_events
 
     joined = click_purchase_join_stream(streaming_events(spark, sf_dir))
-    return run_to_memory(joined, "q97_streaming_interval_join_sink", output_mode="append")
+    return run_to_memory(
+        joined, "q97_streaming_interval_join_sink", output_mode="append",
+        state_partitions=8,
+    )
 
 
 PYDS_ORACLE = """
@@ -219,7 +224,8 @@ def q100_streaming_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return run_to_memory(
-        enforce_quota_stream(stream), "q100_quota_sink", output_mode="append"
+        enforce_quota_stream(stream), "q100_quota_sink", output_mode="append",
+        state_partitions=8,
     )
 
 

@@ -51,20 +51,43 @@ def tumbling_counts_stream(
     )
 
 
-def run_to_memory(result: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    result: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Execute a bounded stream (AvailableNow) into a memory sink and
-    return the materialized result as a DataFrame."""
+    return the materialized result as a DataFrame.
+
+    ``state_partitions`` sets the shuffle/state-partition count for
+    THIS stream. Unlike batch (where AQE coalesces at runtime),
+    streaming state sharding is captured by the first checkpoint and
+    can never adapt afterwards — it is an explicit deployment choice
+    sized to target key volume. Each stateful operator commits one
+    state store PER partition PER micro-batch, so the session's
+    scale-default of 32 is pure commit overhead for a fixture-sized
+    replay (measured: the q97 join spends most of its wall in 64
+    store commits/batch); a production deployment of the same
+    topology passes hundreds. The session default is restored after
+    the bounded run."""
     spark = result.sparkSession
-    with tempfile.TemporaryDirectory(prefix="bqfs_ckpt_") as ckpt:
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        with tempfile.TemporaryDirectory(prefix="bqfs_ckpt_") as ckpt:
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
