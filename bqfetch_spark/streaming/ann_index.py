@@ -45,8 +45,11 @@ from bqfetch_spark.operators.pq import (
     unit_normalized,
 )
 
-# deterministic 3-way ingest split: 60% initial build, two 20% waves
-_WAVE_OF = F.pmod(F.col("vec_id"), F.lit(5))
+# deterministic 3-way ingest split: 60% initial build, two 20% waves.
+# A function, not a module-level Column: building a Column requires an
+# active SparkContext, which must not be an import-time prerequisite.
+def _wave_of() -> "F.Column":
+    return F.pmod(F.col("vec_id"), F.lit(5))
 
 
 def build_index(
@@ -107,6 +110,17 @@ def load_index(spark: SparkSession, index_dir: str) -> tuple[np.ndarray, np.ndar
     return cents, books
 
 
+def _clustered_for_store(codes: DataFrame) -> DataFrame:
+    """Cluster codes on (cell_id, bounded salt) before the partitioned
+    write: a raw ``partitionBy`` writes tasks × cells files (256 per
+    wave at 32 slots — the small-file debris q39's compactor exists to
+    clean up); clustering bounds it at salt files per cell per wave
+    while the salt keeps the write parallel at scale."""
+    return codes.repartition(
+        F.col("cell_id"), F.pmod(F.xxhash64("vec_id"), F.lit(4))
+    )
+
+
 def append_wave(
     spark: SparkSession, wave_emb_n: DataFrame, index_dir: str
 ) -> None:
@@ -115,7 +129,7 @@ def append_wave(
     only its cells' directories). O(wave); never reads the store."""
     cents, books = load_index(spark, index_dir)
     (
-        ivfpq_encode(spark, wave_emb_n, cents, books)
+        _clustered_for_store(ivfpq_encode(spark, wave_emb_n, cents, books))
         .write.mode("append")
         .partitionBy("cell_id")
         .parquet(os.path.join(index_dir, "codes"))
@@ -141,11 +155,11 @@ def run_incremental_ann_index(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     emb_n = unit_normalized(emb)
-    initial = emb_n.filter(_WAVE_OF <= 2)
+    initial = emb_n.filter(_wave_of() <= 2)
     dim = emb_n.select(F.size("v").alias("d")).first()["d"]
     cents, books = build_index(spark, initial, dim, index_dir)
     (
-        ivfpq_encode(spark, initial, cents, books)
+        _clustered_for_store(ivfpq_encode(spark, initial, cents, books))
         .write.mode("overwrite")
         .partitionBy("cell_id")
         .parquet(os.path.join(index_dir, "codes"))
@@ -155,7 +169,7 @@ def run_incremental_ann_index(
     # micro-batches (maxFilesPerTrigger=1)
     os.makedirs(incoming_dir, exist_ok=True)
     for wave in (3, 4):
-        emb_n.filter(_WAVE_OF == wave).coalesce(1).write.mode("overwrite").parquet(
+        emb_n.filter(_wave_of() == wave).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(incoming_dir, f"wave_{wave}")
         )
     schema = spark.read.parquet(os.path.join(incoming_dir, "wave_3")).schema
