@@ -282,21 +282,43 @@ def q69_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slots (measured 2.6 s → 1.2 s, centroids bit-identical); at
     # 100 TB the fit input is a small sample anyway
     model = km.fit(feats.coalesce(8))
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell_id int, cv array<double>",
+    # top-PROBE cells as a NARROW JVM expression over literal
+    # centroids (array_sort + array_position — the same
+    # no-shuffle argmin spelling as operators/pq.ivfpq_residuals,
+    # generalized to top-k): the earlier broadcast crossJoin +
+    # per-vec_id row_number shuffled k×N rows to keep PROBE of k.
+    # Equal-distance ties collapse via array_distinct (measure-zero
+    # on doubles; recall-gated regardless).
+    d2s = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "v",
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            for c in model.clusterCenters()
+        ]
     )
-    d2 = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
+    # top-k via one sort of (distance, cell) structs: d2s is referenced
+    # exactly ONCE (Catalyst does no cross-subexpression CSE — an
+    # array_position spelling re-ran all k folds per probe slot,
+    # measured 2.9 s → 3.8 s), struct order breaks distance ties on the
+    # lowest cell_id like the window spelling did
+    pairs = F.zip_with(
+        d2s,
+        F.sequence(F.lit(0), F.lit(NEARDUP_IVF_CELLS - 1)),
+        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+    probed = F.transform(
+        F.slice(F.array_sort(pairs), 1, NEARDUP_IVF_PROBE), lambda s: s["i"]
+    )
     n_parts = shuffle_partitions(spark)
-    assigned = (
-        emb.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "v", "cell_id", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= NEARDUP_IVF_PROBE)
-        .select("vec_id", "cell_id")
+    assigned = emb.select("vec_id", F.explode(probed).alias("cell_id")).select(
+        "vec_id", F.col("cell_id").cast("int").alias("cell_id")
     )
     a = assigned.withColumn(
         "salt", F.pmod(F.xxhash64("vec_id"), F.lit(NEARDUP_SALT)).cast("int")
