@@ -115,6 +115,7 @@ HEADLINE = [
     "q89_funnel",
     "q90_approx_percentiles",
     "q91_multimodal_transform",
+    "q102_video_frame_sample",
     "q92_attribution",
     "q93_cohort_retention",
     "q94_rolling_distinct_hll",

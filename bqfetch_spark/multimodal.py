@@ -412,6 +412,121 @@ def q91_multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transform_media_df(synthesize_media(docs))
 
 
+def encode_video(doc_id: int) -> bytes:
+    """Deterministic synthetic 'video': a stream of concatenated BMP
+    frames (the raw-frame analogue of an MJPEG track — every frame a
+    complete, individually-decodable image). Real codec containers
+    (MP4/H.264) need decoder libraries absent in this container; the
+    byte-walking, frame-boundary, and sampling plumbing is identical."""
+    n_frames = doc_id % 7 + 2
+    w = doc_id % 32 + 1
+    h = doc_id % 24 + 1
+    return encode_bmp(w, h) * n_frames  # constant dims per video
+
+
+FRAME_STRIDE = 2  # keep every 2nd frame
+
+VIDEO_SCHEMA = (
+    "doc_id bigint, n_frames int, n_sampled int, frame_w int, frame_h int, "
+    "frame_bytes bigint, total_bytes bigint"
+)
+
+
+def sample_video_frames(payload: bytes, stride: int = FRAME_STRIDE) -> dict:
+    """Walk the frame stream OUT OF THE RAW BYTES: each BMP header's
+    file-size field (uint32 at offset 2) gives the jump to the next
+    frame — no index, no fixed frame size assumed. Keeps every
+    ``stride``-th frame (the temporal downsampling every video
+    training pipeline runs before feature extraction) and returns the
+    stream geometry."""
+    import struct
+
+    offsets = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"BM":
+            raise ValueError(f"bad frame magic at offset {pos}")
+        size = struct.unpack_from("<I", payload, pos + 2)[0]
+        offsets.append((pos, size))
+        pos += size
+    if pos != len(payload):
+        raise ValueError("trailing bytes after last frame")
+    sampled = offsets[::stride]
+    w, h = struct.unpack_from("<ii", payload, offsets[0][0] + 18)
+    return {
+        "n_frames": len(offsets),
+        "n_sampled": len(sampled),
+        "frame_w": w,
+        "frame_h": abs(h),
+        "frame_bytes": offsets[0][1],
+        "total_bytes": len(payload),
+    }
+
+
+def sample_video_frames_df(media: DataFrame) -> DataFrame:
+    """Arrow-batched frame sampling over (doc_id, payload) rows."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [sample_video_frames(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": pd.array([r["n_frames"] for r in rows], dtype="Int32"),
+                    "n_sampled": pd.array([r["n_sampled"] for r in rows], dtype="Int32"),
+                    "frame_w": pd.array([r["frame_w"] for r in rows], dtype="Int32"),
+                    "frame_h": pd.array([r["frame_h"] for r in rows], dtype="Int32"),
+                    "frame_bytes": pd.array([r["frame_bytes"] for r in rows], dtype="Int64"),
+                    "total_bytes": pd.array([r["total_bytes"] for r in rows], dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(_sample, VIDEO_SCHEMA)
+
+
+VIDEO_SAMPLE_ORACLE = """
+SELECT doc_id,
+  CAST(doc_id % 7 + 2 AS INT) AS n_frames,
+  CAST((doc_id % 7 + 2 + 1) // 2 AS INT) AS n_sampled,
+  CAST(doc_id % 32 + 1 AS INT) AS frame_w,
+  CAST(doc_id % 24 + 1 AS INT) AS frame_h,
+  CAST(54 + ((doc_id % 32 + 1) * 3 + 3) // 4 * 4 * (doc_id % 24 + 1) AS BIGINT)
+    AS frame_bytes,
+  CAST((doc_id % 7 + 2) *
+       (54 + ((doc_id % 32 + 1) * 3 + 3) // 4 * 4 * (doc_id % 24 + 1)) AS BIGINT)
+    AS total_bytes
+FROM documents
+"""
+
+
+@register("q102_video_frame_sample", oracle=VIDEO_SAMPLE_ORACLE, tags=("multimodal", "video"))
+def q102_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling: synthesize multi-frame payloads (a
+    concatenated-BMP raw-frame stream, encode_video), then walk frame
+    boundaries out of the raw bytes by each header's file-size field
+    and keep every FRAME_STRIDE-th frame (sample_video_frames) in an
+    Arrow-batched mapInPandas stage. The DuckDB oracle recomputes
+    frame counts, sampled counts, dimensions, and byte geometry
+    arithmetically from doc_id — a mis-encoded header, a wrong jump,
+    or an off-by-one in the stride breaks the hash. At 100 TB the
+    synthesis stage is replaced by real payload columns; the sampling
+    stage (the standard temporal downsample before frame feature
+    extraction) is unchanged."""
+    docs = load_catalog(spark, sf_dir).table("documents").select("doc_id")
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_video(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    media = docs.mapInPandas(_synth, "doc_id bigint, payload binary")
+    return sample_video_frames_df(media)
+
+
 @register("q62_multimodal_meta", oracle=MEDIA_META_ORACLE, tags=("multimodal",))
 def q62_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata/checksum pass over binary payloads — the JVM-side part

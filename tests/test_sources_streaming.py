@@ -352,6 +352,27 @@ def test_python_datasource_stream_durable_highwater_survives_double_restart(
     assert rows == tbl.num_rows
 
 
+def test_video_frame_sampling_walks_real_boundaries():
+    """sample_video_frames must find frame boundaries from the BMP
+    size fields alone — mixed frame sizes parse correctly, the stride
+    is inclusive of frame 0, and corrupt magic / truncation raise."""
+    import pytest
+
+    from bqfetch_spark.multimodal import encode_bmp, sample_video_frames
+
+    payload = encode_bmp(4, 3) * 5
+    got = sample_video_frames(payload, stride=2)
+    assert got["n_frames"] == 5 and got["n_sampled"] == 3  # frames 0,2,4
+    assert (got["frame_w"], got["frame_h"]) == (4, 3)
+    assert got["total_bytes"] == len(payload)
+    assert got["frame_bytes"] * 5 == len(payload)
+
+    with pytest.raises(ValueError, match="bad frame magic"):
+        sample_video_frames(b"XX" + payload)
+    with pytest.raises(ValueError, match="trailing bytes"):
+        sample_video_frames(payload[:-4])  # truncated final frame
+
+
 def test_multimodal_features_match_payload(spark):
     import hashlib
 
