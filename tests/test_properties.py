@@ -206,3 +206,25 @@ def test_quota_admission_equals_prefix_regardless_of_wave_slicing(tokens, cuts):
     assert list(got["doc_id"]) == list(want["doc_id"])
     assert list(got["cum_tokens"]) == list(want["cum_tokens"])
     assert state.get[0] == int(cum.iloc[-1])  # every seen doc counted
+
+
+@given(
+    n_frames=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=64),
+    h=st.integers(min_value=1, max_value=64),
+    stride=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=100)
+def test_video_frame_sampling_geometry(n_frames, w, h, stride):
+    """q102's byte-walker over arbitrary frame streams: counts come
+    from the walked boundaries (ceil(n/stride) sampled), dimensions
+    round-trip through the header, and the frames exactly tile the
+    payload."""
+    from bqfetch_spark.multimodal import encode_bmp, sample_video_frames
+
+    payload = encode_bmp(w, h) * n_frames
+    got = sample_video_frames(payload, stride=stride)
+    assert got["n_frames"] == n_frames
+    assert got["n_sampled"] == -(-n_frames // stride)
+    assert (got["frame_w"], got["frame_h"]) == (w, h)
+    assert got["total_bytes"] == len(payload) == got["frame_bytes"] * n_frames
