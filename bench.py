@@ -97,6 +97,7 @@ HEADLINE = [
     "q58_scd2_history",
     "q59_schema_evolution",
     "q72_stratified_sample",
+    "q103_source_cap_sample",
     "q73_pack_shards",
     "q74_dedup_clusters",
     "q75_repetition_stats",

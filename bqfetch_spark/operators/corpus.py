@@ -284,3 +284,55 @@ def q86_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+SOURCE_CAP = 50  # max docs admitted per source
+CAP_SALT_BUCKETS = 16
+
+SOURCE_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {SOURCE_CAP}
+"""
+
+
+@register("q103_source_cap_sample", oracle=SOURCE_CAP_ORACLE, tags=("sampling", "curation"))
+def q103_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the "no single domain dominates" rule
+    every web-corpus curation applies: keep a deterministic uniform
+    sample of exactly SOURCE_CAP docs per source (the docs with the
+    smallest md5(doc_id), so reruns/retries agree like q72's keep
+    rule, and the oracle is one SQL window).
+
+    Scale shape: a plain per-source row_number sorts EVERY doc of a
+    source in one task — the single-task-sort trap (plans/ranks.py)
+    when one domain holds terabytes. The cap is therefore salted
+    two-phase: phase 1 takes the local top-CAP inside each
+    (source, salt) slice — CAP_SALT_BUCKETS-way parallel per source —
+    and phase 2's exact window ranks only the ≤ CAP×SALT_BUCKETS
+    survivors per source. Identical output (a per-slice top-CAP is a
+    superset of the global top-CAP), bounded task size at any skew."""
+    from pyspark.sql.window import Window
+
+    docs = load_catalog(spark, sf_dir).table("documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    local_w = Window.partitionBy("source", "salt").orderBy("key", "doc_id")
+    final_w = Window.partitionBy("source").orderBy("key", "doc_id")
+    return (
+        docs.select("doc_id", "source", key.alias("key"))
+        .withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(CAP_SALT_BUCKETS)).cast("int")
+        )
+        .withColumn("lrn", F.row_number().over(local_w))
+        .filter(F.col("lrn") <= SOURCE_CAP)
+        .withColumn("rn", F.row_number().over(final_w).cast("bigint"))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("doc_id", "source", "rn")
+    )

@@ -69,3 +69,31 @@ def test_stratified_sample_rates(spark):
 
 def test_sample_rates_cover_fixture_langs():
     assert set(SAMPLE_RATES) == {"en", "de", "es", "fr", "zh"}
+
+
+def test_q103_salted_cap_equals_plain_window(spark):
+    """The salted two-phase per-source cap must return EXACTLY the rows
+    a plain per-source window would (a per-slice top-CAP is a superset
+    of the global top-CAP), and never more than CAP per source."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.corpus import SOURCE_CAP, q103_source_cap_sample
+    from tests.conftest import SF_SMOKE
+
+    got = q103_source_cap_sample(spark, SF_SMOKE)
+    per_source = got.groupBy("source").count()
+    assert per_source.filter(F.col("count") > SOURCE_CAP).count() == 0
+
+    docs = load_catalog(spark, SF_SMOKE).table("documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    plain = (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= SOURCE_CAP)
+    )
+    assert got.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got).count() == 0
