@@ -112,6 +112,24 @@ def test_q59_old_generation_files_not_rewritten(spark, tmp_path):
     assert merged.count() == ev.count()
 
 
+def test_q35_anti_join_is_broadcast(spark):
+    """The merge's touched-key set must join broadcast (the change set
+    is the small side of a MERGE by construction)."""
+    df = REG["q35_cdc_merge"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q58_single_exchange(spark):
+    """Both windows and the island groupBy partition on user_id, so
+    the whole SCD2 plan must shuffle exactly once."""
+    import re
+
+    df = REG["q58_scd2_history"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
 def test_q58_islands_cover_every_event(spark):
     """SCD2 rows partition each user's timeline: n_events sums to the
     event count, versions are 1..n dense per user, and exactly one
