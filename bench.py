@@ -121,6 +121,12 @@ HEADLINE = [
     "q93_cohort_retention",
     "q94_rolling_distinct_hll",
     "q95_churn_full_outer",
+    "qx104_grouping_sets",
+    "qx105_doc_chunking",
+    "qx106_zscore_outliers",
+    "qx107_token_cooccurrence",
+    "qx108_fuzzy_name_join",
+    "qx109_relational_division",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -1,0 +1,386 @@
+"""Round-5 extension operators — analytics/curation shapes beyond the
+round-4 inventory (SURVEY.md §2 extensions; none exist in the reference,
+which is a fetch client — bqfetch/bqfetch.py:1 has no query layer):
+
+- qx104 arbitrary GROUPING SETS (completes the C13 rollup/cube/pivot
+  family with non-hierarchical set lists)
+- qx105 training-window document chunking (fixed-size/stride text
+  windows — the map step every LLM pre-tokenization pipeline runs)
+- qx106 statistical outlier flags (exact decimal moments -> z-scores)
+- qx107 token co-occurrence (vocab-bounded pair mining)
+- qx108 fuzzy string join (length-banded levenshtein blocking)
+- qx109 relational division ("for all" membership)
+
+Naming: the driver's CORRECTNESS file caps at the first 50 sorted query
+names; ``qx…`` sorts after every ``q\\d…`` name so these never displace
+an existing driver-green row (they are covered by the identical pytest
+oracle gate and CORRECTNESS_SELF artifact instead).
+
+Determinism: the registry conventions (decimal-exact accumulation,
+round-6 surfacing, unique tie-break keys on every top-k boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bqfetch_spark.catalog import load_catalog
+from bqfetch_spark.operators.relational import DEC_PRICE, r6
+from bqfetch_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# qx104 — arbitrary GROUPING SETS (C13 family completion)
+# ---------------------------------------------------------------------------
+
+GROUPING_SETS_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(year(o_orderdate) AS INT) AS o_year,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+  CAST(GROUPING(CAST(year(o_orderdate) AS INT)) AS INT) AS g_year,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(16,6))) AS DOUBLE), 6) AS revenue
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderstatus, o_orderpriority),
+  (o_orderstatus, CAST(year(o_orderdate) AS INT)),
+  (CAST(year(o_orderdate) AS INT))
+)
+"""
+
+
+@register(
+    "qx104_grouping_sets",
+    oracle=GROUPING_SETS_ORACLE,
+    doc="arbitrary (non-hierarchical) grouping-set lists with grouping flags",
+    tags=("relational", "grouping-sets"),
+)
+def qx104_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS with a set list neither rollup nor cube
+    can express: {(status, priority), (status, year), (year)} — the
+    (priority)-alone and () sets are absent, (status, year) crosses
+    dimensions. One scan, one expand+exchange: Spark plans grouping
+    sets as a single Expand over the base rows, so the cost is 3x the
+    row stream into ONE hash aggregate — no per-set rescans, which is
+    what makes this shape usable at 100 TB.
+
+    Per-column grouping flags (not a combined grouping_id) keep the
+    oracle portable — bit order of GROUPING_ID is engine-defined,
+    per-column GROUPING() is SQL standard in both engines."""
+    o = load_catalog(spark, sf_dir).table("orders").withColumn("o_year", F.year("o_orderdate"))
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus", "o_year"], ["o_year"]],
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_year",
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.grouping("o_year").cast("int").alias("g_year"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        r6(F.sum(F.col("o_totalprice").cast(DEC_PRICE)).cast("double")).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx105 — training-window document chunking (LLM pre-tokenization map)
+# ---------------------------------------------------------------------------
+
+CHUNK_LEN = 120
+CHUNK_STRIDE = 80
+
+DOC_CHUNK_ORACLE = f"""
+WITH ch AS (
+  SELECT
+    doc_id,
+    text,
+    unnest(range(0, CAST(ceil(length(text) / {CHUNK_STRIDE}.0) AS BIGINT))) AS chunk_idx
+  FROM documents
+  WHERE length(text) > 0
+)
+SELECT
+  doc_id,
+  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_start,
+  CAST(length(substr(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_LEN}))
+       AS BIGINT) AS chunk_len,
+  md5(substr(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_LEN})) AS chunk_md5
+FROM ch
+"""
+
+
+@register(
+    "qx105_doc_chunking",
+    oracle=DOC_CHUNK_ORACLE,
+    doc=f"fixed-size ({CHUNK_LEN}) / stride ({CHUNK_STRIDE}) overlapping text windows per document",
+    tags=("llm", "chunking", "explode"),
+)
+def qx105_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into fixed-size overlapping character
+    windows (size 120, stride 80) — the context-window chunking step
+    that precedes tokenization in a training-data pipeline. Purely a
+    narrow map (sequence + explode + substring, all JVM codegen): no
+    exchange, no Python, scales linearly with corpus bytes and keeps
+    whatever partitioning the scan produced. Chunk text is surfaced as
+    md5 so the result stays narrow; chunk_len shows the ragged tail."""
+    docs = load_catalog(spark, sf_dir).table("documents").filter(F.length("text") > 0)
+    n_chunks = F.ceil(F.length("text") / F.lit(float(CHUNK_STRIDE))).cast("bigint")
+    chunk = F.expr(
+        f"substring(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_LEN})"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("bigint").alias("chunk_start"),
+            chunk.alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_start",
+            F.length("chunk").cast("bigint").alias("chunk_len"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx106 — statistical outlier flags (exact moments -> z-score)
+# ---------------------------------------------------------------------------
+
+ZSCORE_ORACLE = """
+WITH s AS (
+  SELECT
+    event_type,
+    count(*) AS n,
+    sum(CAST(value AS DECIMAL(18,6))) AS s,
+    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sq
+  FROM events
+  GROUP BY event_type
+)
+SELECT
+  event_id,
+  e.event_type,
+  value,
+  round((value - CAST(s.s AS DOUBLE) / n)
+        / sqrt((CAST(sq AS DOUBLE) - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / n)
+               / (n - 1)), 6) AS zscore
+FROM events e JOIN s ON e.event_type = s.event_type
+WHERE abs((value - CAST(s.s AS DOUBLE) / n)
+          / sqrt((CAST(sq AS DOUBLE) - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / n)
+                 / (n - 1))) > 3
+"""
+
+
+@register(
+    "qx106_zscore_outliers",
+    oracle=ZSCORE_ORACLE,
+    doc="per-event-type z-score outlier flags from exact decimal moments",
+    tags=("stats", "anomaly"),
+)
+def qx106_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag events whose value sits more than 3 sample standard
+    deviations from its event-type mean. Two-pass shape: (1) one
+    partial-aggregated groupBy computes count/sum/sum-of-squares per
+    type — the moments are accumulated in DECIMAL so both engines see
+    bit-identical sums regardless of partitioning or add order (double
+    accumulation would drift with parallelism); (2) the tiny per-type
+    stats frame is broadcast back onto the event stream, so the flag
+    pass is exchange-free. mean/variance/z are then derived in double
+    with the expression written identically to the oracle (same
+    operation order -> same IEEE result)."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    d = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(d).alias("s"),
+        F.sum(d * d).alias("sq"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return j.where(F.abs(z) > 3).select(
+        "event_id", "event_type", "value", r6(z).alias("zscore")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx107 — token co-occurrence (vocab-bounded pair mining)
+# ---------------------------------------------------------------------------
+
+COOCCUR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+occ AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+vocab AS (SELECT token FROM occ ORDER BY n DESC, token LIMIT 200),
+dt AS (
+  SELECT DISTINCT doc_id, token FROM tok
+  WHERE token IN (SELECT token FROM vocab)
+),
+pairs AS (
+  SELECT a.token AS t1, b.token AS t2, count(*) AS n_docs
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+)
+SELECT t1, t2, CAST(n_docs AS BIGINT) AS n_docs
+FROM (
+  SELECT t1, t2, n_docs,
+         row_number() OVER (ORDER BY n_docs DESC, t1, t2) AS rn
+  FROM pairs
+)
+WHERE rn <= 50
+"""
+
+
+@register(
+    "qx107_token_cooccurrence",
+    oracle=COOCCUR_ORACLE,
+    doc="top-50 co-occurring token pairs within a broadcast top-200 vocabulary",
+    tags=("text", "cooccurrence"),
+)
+def qx107_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top document-co-occurrence pairs, vocabulary-bounded: global
+    token counts pick a top-200 vocab (TakeOrderedAndProject — no full
+    sort), the distinct (doc, token) stream is semi-joined against the
+    BROADCAST vocab, and pairs come from a doc_id equi-self-join. The
+    vocab bound is the scale control: per-doc pair fan-out is capped at
+    C(|vocab|,2) regardless of corpus size, so the pair stream grows
+    linearly with documents — the unbounded-vocabulary spelling would
+    be quadratic in document length and is never planned. Final top-50
+    is again TakeOrdered with a (count desc, t1, t2) total order."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(200)
+        .select("token")
+    )
+    dt = tok.distinct().join(F.broadcast(vocab), "token")
+    a, b = dt.alias("a"), dt.alias("b")
+    pairs = a.join(
+        b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.token") < F.col("b.token"))
+    )
+    return (
+        pairs.groupBy(F.col("a.token").alias("t1"), F.col("b.token").alias("t2"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "t1", "t2")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx108 — fuzzy string join (length-banded levenshtein blocking)
+# ---------------------------------------------------------------------------
+
+FUZZY_JOIN_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT
+  a.p_name AS name_lo,
+  b.p_name AS name_hi,
+  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM names a
+JOIN names b
+  ON a.p_name < b.p_name
+ AND abs(length(a.p_name) - length(b.p_name)) <= 3
+ AND levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@register(
+    "qx108_fuzzy_name_join",
+    oracle=FUZZY_JOIN_ORACLE,
+    doc="edit-distance<=3 name pairs via lossless length-band blocking",
+    tags=("similarity", "fuzzy-join"),
+)
+def qx108_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity self-join on the part-name DOMAIN: all distinct name
+    pairs within levenshtein distance 3. The all-pairs spelling is
+    quadratic; the blocking here is LOSSLESS for the threshold — edit
+    distance <= 3 implies |len(a)-len(b)| <= 3, so each name emits its
+    own length plus the 3 below it as join keys and every qualifying
+    pair meets on an EQUI-join key exactly once (longer-as-left when
+    lengths differ; lexicographic tie-break when equal). levenshtein
+    runs only on banded candidates, JVM-side. Domain-first matters at
+    scale: dedup to distinct names BEFORE pairing (64 names stand in
+    for 2000 part rows at sf0.01; the ratio only improves with SF)."""
+    names = load_catalog(spark, sf_dir).table("part").select("p_name").distinct()
+    left = names.select(
+        F.col("p_name").alias("name_a"), F.length("p_name").alias("len_a")
+    ).select(
+        "name_a",
+        "len_a",
+        F.explode(F.sequence(F.col("len_a") - 3, F.col("len_a"))).alias("len_key"),
+    )
+    right = names.select(
+        F.col("p_name").alias("name_b"), F.length("p_name").alias("len_b")
+    )
+    cand = left.join(right, F.col("len_key") == F.col("len_b")).where(
+        (F.col("len_a") > F.col("len_b"))
+        | ((F.col("len_a") == F.col("len_b")) & (F.col("name_a") < F.col("name_b")))
+    )
+    matched = cand.where(F.levenshtein("name_a", "name_b") <= 3)
+    return matched.select(
+        F.least("name_a", "name_b").alias("name_lo"),
+        F.greatest("name_a", "name_b").alias("name_hi"),
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx109 — relational division ("for all" membership)
+# ---------------------------------------------------------------------------
+
+DIVISION_ORACLE = """
+SELECT c_custkey, c_name, CAST(n_quarters AS BIGINT) AS n_quarters
+FROM customer
+JOIN (
+  SELECT o_custkey, count(DISTINCT quarter(o_orderdate)) AS n_quarters
+  FROM orders
+  WHERE year(o_orderdate) = 1995
+  GROUP BY o_custkey
+  HAVING count(DISTINCT quarter(o_orderdate)) = 4
+) q ON c_custkey = o_custkey
+"""
+
+
+@register(
+    "qx109_relational_division",
+    oracle=DIVISION_ORACLE,
+    doc="customers with orders in ALL four quarters of 1995 (division via distinct-count)",
+    tags=("relational", "division"),
+)
+def qx109_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: customers whose 1995 orders cover ALL four
+    quarters. Division is spelled as distinct-count-equals-domain-size
+    — one partial-aggregated groupBy over the year-filtered fact (the
+    year predicate is pushed to the scan), never a per-element chain of
+    semi-joins. The qualifying-key frame joins back to `customer` on
+    the key both sides can shuffle-partition on; with a selective
+    divisor AQE converts it to a broadcast join at runtime, so neither
+    spelling is hard-coded."""
+    cat = load_catalog(spark, sf_dir)
+    o = cat.table("orders").where(F.year("o_orderdate") == 1995)
+    q4 = (
+        o.groupBy("o_custkey")
+        .agg(F.countDistinct(F.quarter("o_orderdate")).alias("n_quarters"))
+        .where(F.col("n_quarters") == 4)
+    )
+    cust = cat.table("customer")
+    return cust.join(q4, cust.c_custkey == q4.o_custkey).select(
+        "c_custkey", "c_name", F.col("n_quarters").cast("bigint").alias("n_quarters")
+    )

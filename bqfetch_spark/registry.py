@@ -55,6 +55,7 @@ def load_all_modules() -> None:
     from bqfetch_spark.operators import relational  # noqa: F401
     from bqfetch_spark.operators import windows  # noqa: F401
     from bqfetch_spark.operators import events  # noqa: F401
+    from bqfetch_spark.operators import extensions  # noqa: F401
     from bqfetch_spark.operators import llm_pipeline  # noqa: F401
     from bqfetch_spark.operators import corpus  # noqa: F401
     from bqfetch_spark.operators import quality  # noqa: F401

@@ -167,3 +167,47 @@ def test_q83_profile_single_scan(spark):
     plan = _plan(spark, "q83_column_profile")
     assert len(re.findall(r"FileScan parquet", plan)) == 1
     assert "Expand" in plan
+
+
+def test_qx104_grouping_sets_single_expand(spark):
+    # three grouping sets must plan as ONE Expand into ONE hash
+    # aggregate (a single hashpartitioning exchange) — no per-set
+    # rescans of the fact
+    import re
+
+    plan = _plan(spark, "qx104_grouping_sets")
+    assert plan.count("Expand") == 1, plan
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_qx105_chunking_is_exchange_free(spark):
+    # sequence+explode+substring is a pure narrow map: no exchange at
+    # all, chunks inherit the scan's partitioning
+    plan = _plan(spark, "qx105_doc_chunking")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan
+
+
+def test_qx106_stats_are_broadcast_back(spark):
+    # the tiny per-type moments frame must broadcast onto the event
+    # stream — the flag pass may not shuffle the fact
+    plan = _plan(spark, "qx106_zscore_outliers")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_qx107_topk_and_no_cartesian(spark):
+    # both top-k boundaries (vocab, final pairs) are per-partition
+    # heaps; the pair self-join is an equi-join on doc_id
+    plan = _plan(spark, "qx107_token_cooccurrence")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_qx108_banding_makes_equi_join(spark):
+    # the length-band blocking must turn the similarity join into an
+    # equi-join — never an all-pairs nested loop
+    plan = _plan(spark, "qx108_fuzzy_name_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
