@@ -127,6 +127,8 @@ HEADLINE = [
     "qx107_token_cooccurrence",
     "qx108_fuzzy_name_join",
     "qx109_relational_division",
+    "qx110_correlation",
+    "qx111_value_histogram",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -384,3 +384,133 @@ def qx109_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(q4, cust.c_custkey == q4.o_custkey).select(
         "c_custkey", "c_name", F.col("n_quarters").cast("bigint").alias("n_quarters")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx110 — Pearson correlation from exact decimal moments
+# ---------------------------------------------------------------------------
+
+CORRELATION_ORACLE = """
+WITH per_order AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS xc,
+         CAST(year(o_orderdate) AS INT) AS o_year,
+         count(*) AS n_items
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_totalprice, year(o_orderdate)
+),
+m AS (
+  SELECT o_year,
+    count(*) AS n,
+    CAST(sum(xc) AS DOUBLE) AS sx,
+    CAST(sum(CAST(n_items AS BIGINT)) AS DOUBLE) AS sy,
+    CAST(sum(xc * xc) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(n_items AS BIGINT) * CAST(n_items AS BIGINT)) AS DOUBLE) AS syy,
+    CAST(sum(xc * CAST(n_items AS BIGINT)) AS DOUBLE) AS sxy
+  FROM per_order
+  GROUP BY o_year
+)
+SELECT o_year,
+  CAST(n AS BIGINT) AS n_orders,
+  round((n * sxy - sx * sy)
+        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+    AS price_items_corr
+FROM m
+"""
+
+
+@register(
+    "qx110_correlation",
+    oracle=CORRELATION_ORACLE,
+    doc="per-year Pearson corr(order price, item count) from exact decimal moments",
+    tags=("stats", "correlation"),
+)
+def qx110_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics: per-year Pearson correlation between an
+    order's total price and its lineitem count. Built-in ``F.corr``
+    accumulates in double, so its result depends on partitioning/add
+    order; here the five moments (Σx, Σy, Σx², Σy², Σxy) accumulate
+    EXACTLY — prices become integer cents (2-dp money survives the
+    double round-trip bit-exactly; Pearson is scale-invariant so the
+    ×100 cancels), per-row products stay inside int64, and the sums
+    run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact,
+    order-independent, mergeable map-side. The correlation is then
+    derived in double from the exact sums with the expression mirrored
+    in the oracle. Two exchanges total: the orderkey join/group (one
+    partitioning serves both) and the tiny per-year moment agg."""
+    cat = load_catalog(spark, sf_dir)
+    xc = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per_order = (
+        cat.table("orders")
+        .join(cat.table("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice", F.year("o_orderdate").alias("o_year"))
+        .agg(F.count("*").alias("n_items"))
+        .select(xc.alias("xc"), F.col("n_items").cast("bigint").alias("y"), "o_year")
+    )
+    big = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    m = per_order.groupBy("o_year").agg(
+        F.count("*").alias("n"),
+        big(F.col("xc")).alias("sx"),
+        big(F.col("y")).alias("sy"),
+        big(F.col("xc") * F.col("xc")).alias("sxx"),
+        big(F.col("y") * F.col("y")).alias("syy"),
+        big(F.col("xc") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return m.select(
+        "o_year", n.cast("bigint").alias("n_orders"), r6(corr).alias("price_items_corr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx111 — fixed-width histogram (profiling)
+# ---------------------------------------------------------------------------
+
+HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT CAST(floor(value / 25.0) AS INT) AS bucket, count(*) AS n
+  FROM events
+  GROUP BY 1
+)
+SELECT
+  bucket,
+  CAST(bucket * 25 AS DOUBLE) AS lo,
+  CAST((bucket + 1) * 25 AS DOUBLE) AS hi,
+  CAST(n AS BIGINT) AS n,
+  round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS frac
+FROM b
+"""
+
+
+@register(
+    "qx111_value_histogram",
+    oracle=HISTOGRAM_ORACLE,
+    doc="fixed-width (25.0) histogram of event values with mass fractions",
+    tags=("stats", "profiling", "histogram"),
+)
+def qx111_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram — the profiling shape behind range
+    partition advice and skew reports. One partial-aggregated groupBy
+    on floor(value/width) reduces the fact to ~dozens of bucket rows;
+    the normalizing total is a window over that REDUCED frame (a
+    single-partition pass over bucket counts, never over events).
+    Portable spelling: floor-division buckets, not width_bucket —
+    identical semantics in both engines including negatives."""
+    from pyspark.sql import Window
+
+    ev = load_catalog(spark, sf_dir).table("events")
+    b = (
+        ev.groupBy(F.floor(F.col("value") / 25.0).cast("int").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return b.select(
+        "bucket",
+        (F.col("bucket") * 25).cast("double").alias("lo"),
+        ((F.col("bucket") + 1) * 25).cast("double").alias("hi"),
+        F.col("n").cast("bigint").alias("n"),
+        r6(F.col("n").cast("double") / total).alias("frac"),
+    )

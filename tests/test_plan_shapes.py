@@ -211,3 +211,22 @@ def test_qx108_banding_makes_equi_join(spark):
     plan = _plan(spark, "qx108_fuzzy_name_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_qx110_moments_single_scan_per_table(spark):
+    # the five exact moments must come from ONE pass over the join —
+    # no per-moment rescans (2 scans total: orders + lineitem)
+    import re
+
+    plan = _plan(spark, "qx110_correlation")
+    assert len(re.findall(r"FileScan parquet", plan)) == 2, plan
+
+
+def test_qx111_window_runs_on_reduced_frame(spark):
+    # the normalizing total is a window over bucket COUNTS (post-agg),
+    # never a single-partition pass over raw events: the aggregate
+    # must appear below the window in the plan tree
+    plan = _plan(spark, "qx111_value_histogram")
+    assert "Window" in plan
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], plan
