@@ -465,6 +465,55 @@ def main() -> None:
     assert worst <= 20, f"compaction super-linear: worst ratio {worst:.1f}"
     print("compaction scaling OK (10x files ~ 10x cost)")
 
+    # --- round-5 extension ops at 10× documents ---------------------
+    # chunking is a pure narrow map: 10× docs must cost ≈10× with zero
+    # exchanges; co-occurrence is vocab-bounded, so the pair stream
+    # grows linearly in documents (the quadratic all-vocab spelling
+    # would show ~100×)
+    def chunk_shape(df):
+        n_chunks = F.ceil(F.length("text") / F.lit(80.0)).cast("bigint")
+        return (
+            df.filter(F.length("text") > 0)
+            .select(
+                "doc_id",
+                "text",
+                F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("i"),
+            )
+            .select(F.md5(F.expr("substring(text, CAST(i*80+1 AS INT), 120)")).alias("h"))
+        )
+
+    def cooccur_shape(df):
+        tok = df.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        vocab = (
+            tok.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "token")
+            .limit(200)
+            .select("token")
+        )
+        dt = tok.distinct().join(F.broadcast(vocab), "token")
+        a, b = dt.alias("a"), dt.alias("b")
+        return (
+            a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.token") < F.col("b.token")))
+            .groupBy(F.col("a.token"), F.col("b.token"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    for label, shape in (("doc-chunking", chunk_shape), ("cooccurrence", cooccur_shape)):
+        worst = 0.0
+        for i in range(2):
+            t0 = time.time()
+            ns = shape(small_d).count()
+            ts = time.time() - t0
+            t0 = time.time()
+            nb = shape(big_d).count()
+            tb = time.time() - t0
+            ratio = tb / ts
+            worst = max(worst, ratio)
+            print(f"{label} round{i}: small={ts:.2f}s ({ns}) big={tb:.2f}s ({nb}) ratio={ratio:.1f}")
+        assert worst <= 20, f"{label} super-linear: worst ratio {worst:.1f}"
+        print(f"{label} scaling OK")
+
     shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -228,3 +228,62 @@ def test_video_frame_sampling_geometry(n_frames, w, h, stride):
     assert got["n_sampled"] == -(-n_frames // stride)
     assert (got["frame_w"], got["frame_h"]) == (w, h)
     assert got["total_bytes"] == len(payload) == got["frame_bytes"] * n_frames
+
+
+# ---------------------------------------------------------------------------
+# qx105 chunking geometry: the sequence/explode/substring spelling in
+# operators/extensions.py must tile every text completely
+# ---------------------------------------------------------------------------
+
+
+@given(length=st.integers(min_value=1, max_value=5000))
+@settings(max_examples=200)
+def test_doc_chunking_tiles_whole_text(length):
+    from bqfetch_spark.operators.extensions import CHUNK_LEN, CHUNK_STRIDE
+
+    n_chunks = math.ceil(length / CHUNK_STRIDE)
+    starts = [i * CHUNK_STRIDE for i in range(n_chunks)]
+    # every chunk starts inside the text (no empty trailing chunks)
+    assert all(s < length for s in starts)
+    # chunks cover [0, length): each position is inside some window
+    covered_to = 0
+    for s in starts:
+        assert s <= covered_to  # no gap between consecutive windows
+        covered_to = max(covered_to, min(s + CHUNK_LEN, length))
+    assert covered_to == length
+    # overlap between consecutive full windows is CHUNK_LEN - STRIDE
+    if n_chunks > 1:
+        assert starts[1] - starts[0] == CHUNK_STRIDE
+        assert CHUNK_LEN - CHUNK_STRIDE > 0  # windows genuinely overlap
+
+
+# ---------------------------------------------------------------------------
+# qx108 band blocking: the explode-down-range + orientation rule must
+# yield EXACTLY the |len diff|<=3 pairs, each exactly once
+# ---------------------------------------------------------------------------
+
+
+@given(names=st.lists(st.text(alphabet="abcdef", min_size=0, max_size=9), min_size=0, max_size=25, unique=True))
+@settings(max_examples=300)
+def test_fuzzy_band_blocking_is_lossless_and_duplicate_free(names):
+    BAND = 3
+    # reference: all unordered pairs within the length band
+    want = {
+        tuple(sorted((a, b)))
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if abs(len(a) - len(b)) <= BAND
+    }
+    # the operator's plan: left explodes len-3..len as join keys,
+    # meets right on key == len(right), keeps longer-as-left or
+    # lexicographic tie-break on equal lengths
+    got = []
+    for a in names:
+        for key in range(len(a) - BAND, len(a) + 1):
+            for b in names:
+                if b is a or len(b) != key:
+                    continue
+                if (len(a) > len(b)) or (len(a) == len(b) and a < b):
+                    got.append(tuple(sorted((a, b))))
+    assert len(got) == len(set(got)), "pair emitted twice"
+    assert set(got) == want
