@@ -25,8 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from bqfetch_spark.catalog import load_catalog
-from bqfetch_spark.operators.relational import DEC_PRICE, r6
+from bqfetch_spark.operators.relational import dsum, r6
 from bqfetch_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -81,7 +83,7 @@ def qx104_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
         F.grouping("o_year").cast("int").alias("g_year"),
         F.count("*").cast("bigint").alias("n_orders"),
-        r6(F.sum(F.col("o_totalprice").cast(DEC_PRICE)).cast("double")).alias("revenue"),
+        r6(dsum(F.col("o_totalprice"))).alias("revenue"),
     )
 
 
@@ -207,10 +209,14 @@ def qx106_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = ev.join(F.broadcast(stats), "event_type")
     mean = F.col("s").cast("double") / F.col("n")
-    var = (
-        F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
-    ) / (F.col("n") - 1)
-    z = (F.col("value") - mean) / F.sqrt(var)
+    # try_divide: a singleton group (n=1) or zero-variance group must
+    # yield NULL z (filtered out, matching the oracle's NaN falling out
+    # of the > 3 predicate), not an ANSI DIVIDE_BY_ZERO crash
+    var = F.try_divide(
+        F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n"),
+        (F.col("n") - 1).cast("double"),
+    )
+    z = F.try_divide(F.col("value") - mean, F.sqrt(var))
     return j.where(F.abs(z) > 3).select(
         "event_id", "event_type", "value", r6(z).alias("zscore")
     )
@@ -459,7 +465,12 @@ def qx110_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     sx, sy = F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    # try_divide: a degenerate year (one order, or constant price /
+    # item count) has zero variance on one axis — corr is NULL there
+    # (the oracle's NaN canonicalizes the same), not an ANSI crash
+    corr = F.try_divide(
+        n * sxy - sx * sy, F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
     return m.select(
         "o_year", n.cast("bigint").alias("n_orders"), r6(corr).alias("price_items_corr")
     )
@@ -499,8 +510,6 @@ def qx111_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition pass over bucket counts, never over events).
     Portable spelling: floor-division buckets, not width_bucket —
     identical semantics in both engines including negatives."""
-    from pyspark.sql import Window
-
     ev = load_catalog(spark, sf_dir).table("events")
     b = (
         ev.groupBy(F.floor(F.col("value") / 25.0).cast("int").alias("bucket"))
