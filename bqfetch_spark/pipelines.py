@@ -103,9 +103,11 @@ def q65_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(STOPWORD_PATTERN), 0)).cast("double")
         / F.size(F.split(F.col("text"), " "))
     )
-    punct_ratio = (
-        F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", "")).cast("double")
-        / F.length("text")
+    # try_divide: an empty text must yield NULL punct_ratio (the
+    # oracle's double/0 NaN canonicalizes the same), not an ANSI crash
+    punct_ratio = F.try_divide(
+        F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", "")).cast("double"),
+        F.length("text").cast("double"),
     )
     quality = r6(
         F.lit(0.4) * stop_ratio

@@ -62,3 +62,16 @@ def test_qx110_degenerate_year_yields_null_corr(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["n_orders"] == 1
     assert rows[0]["price_items_corr"] is None  # NULL, not a crash
+
+
+def test_q43_empty_text_yields_null_quality_not_crash(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"documents"})
+    docs = spark.createDataFrame(
+        [(1, "", "en", "web", 0), (2, "a fine text", "en", "web", 11)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    rows = {r["doc_id"]: r for r in REG["q43_quality_score"].fn(spark, sf).collect()}
+    assert len(rows) == 2  # empty doc present, not crashed away
+    assert rows[1]["quality_score"] is None  # NULL like the oracle's NaN
+    assert rows[2]["quality_score"] is not None
