@@ -129,6 +129,7 @@ HEADLINE = [
     "qx109_relational_division",
     "qx110_correlation",
     "qx111_value_histogram",
+    "qx112_hopping_window",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

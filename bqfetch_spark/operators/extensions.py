@@ -523,3 +523,60 @@ def qx111_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         r6(F.col("n").cast("double") / total).alias("frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx112 — hopping (sliding) time windows (C16 family completion)
+# ---------------------------------------------------------------------------
+
+HOP_US = 30 * 60 * 1_000_000  # 30-minute hop
+SIZE_US = 60 * 60 * 1_000_000  # 1-hour window
+
+HOPPING_ORACLE = f"""
+WITH expanded AS (
+  SELECT
+    make_timestamp((epoch_us(ts) // {HOP_US}) * {HOP_US} - i * {HOP_US}) AS window_start,
+    event_type,
+    value
+  FROM events, unnest(range(0, {SIZE_US // HOP_US})) AS t(i)
+)
+SELECT
+  window_start,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+FROM expanded
+GROUP BY window_start, event_type
+"""
+
+
+@register(
+    "qx112_hopping_window",
+    oracle=HOPPING_ORACLE,
+    doc="1-hour windows hopping every 30 min (each event in 2 overlapping windows)",
+    tags=("events", "window-agg", "sliding"),
+)
+def qx112_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) time-window aggregation — the overlapping
+    companion to q30's tumbling windows: 1-hour windows every 30
+    minutes, so each event lands in exactly size/hop = 2 windows.
+    Native ``F.window(ts, size, hop)`` plans the expansion as a single
+    Expand (factor size/hop) feeding one partial-aggregated hash agg —
+    the same one-exchange shape as a plain groupBy, with cost linear in
+    events × overlap factor. Epoch-aligned starts in both engines, so
+    the oracle reconstructs identical window assignment from integer
+    microsecond arithmetic. The spelling is streaming-portable: the
+    identical ``F.window`` call runs under readStream with a watermark
+    (streaming/windows.py does exactly this for tumbling)."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            r6(F.sum(F.col("value").cast("decimal(18,6)")).cast("double")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )

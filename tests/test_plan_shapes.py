@@ -230,3 +230,14 @@ def test_qx111_window_runs_on_reduced_frame(spark):
     assert "Window" in plan
     w = plan.index("Window")
     assert "HashAggregate" in plan[w:], plan
+
+
+def test_qx112_hopping_is_one_expand_one_exchange(spark):
+    # the 2x window expansion must be a single Expand into ONE
+    # partial-aggregated hash agg — never per-window rescans
+    import re
+
+    plan = _plan(spark, "qx112_hopping_window")
+    assert plan.count("Expand") == 1, plan
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
