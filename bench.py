@@ -130,6 +130,7 @@ HEADLINE = [
     "qx110_correlation",
     "qx111_value_histogram",
     "qx112_hopping_window",
+    "qx113_streaming_hopping",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

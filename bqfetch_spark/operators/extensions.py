@@ -580,3 +580,42 @@ def qx112_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
+
+
+STREAM_HOPPING_ORACLE = f"""
+WITH expanded AS (
+  SELECT
+    make_timestamp((epoch_us(ts) // {HOP_US}) * {HOP_US} - i * {HOP_US}) AS window_start,
+    event_type
+  FROM events, unnest(range(0, {SIZE_US // HOP_US})) AS t(i)
+)
+SELECT
+  window_start,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM expanded
+GROUP BY window_start, event_type
+"""
+
+
+@register(
+    "qx113_streaming_hopping",
+    oracle=STREAM_HOPPING_ORACLE,
+    doc="qx112's hopping windows run incrementally under a watermark",
+    tags=("streaming", "window-agg", "sliding"),
+)
+def qx113_streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows as a STREAM: the identical F.window(size, slide)
+    aggregation run incrementally (AvailableNow replay, complete mode)
+    — with a bounded replay no rows are late, so the result must equal
+    the batch/oracle answer exactly. State is bounded by watermark
+    horizon × overlap factor; 8 state partitions for the fixture-sized
+    replay (the deployment-sized knob run_to_memory documents)."""
+    from bqfetch_spark.streaming.windows import (
+        hopping_counts_stream,
+        run_to_memory,
+        streaming_events,
+    )
+
+    stream = hopping_counts_stream(streaming_events(spark, sf_dir))
+    return run_to_memory(stream, "qx113_streaming_hopping_sink", state_partitions=8)

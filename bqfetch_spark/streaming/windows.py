@@ -51,6 +51,24 @@ def tumbling_counts_stream(
     )
 
 
+def hopping_counts_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked HOPPING-window aggregation (qx112's batch shape run
+    incrementally): each event lands in window/slide overlapping
+    windows; state per open window is bounded by the watermark horizon
+    × overlap factor — the overlap multiplies state size, not history."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
 def run_to_memory(
     result: DataFrame,
     name: str,
