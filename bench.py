@@ -165,6 +165,17 @@ ADJUDICATIONS = {
         "micro-batch-machinery-bound at sf0.1 (historically 7.1s in r4 "
         "before state-shard sizing, 2.1-3.7s since, tracking box load)."
     ),
+    "q69_embedding_neardup_ivf": (
+        "r5 intra-round flag 3.86->6.43s adjudicated as ambient noise: "
+        "similarity.py is byte-identical across the two benched runs "
+        "(same commit), the flagged repeats [11.3, 15.8, 6.4] carry "
+        "spread_frac 1.46 (suite median 0.80), and two isolated "
+        "min-of-3/4 re-measures on a quieting box give 5.5s then 4.57s "
+        "warm (first run is always 16-18s: MLlib KMeans fit + codegen "
+        "warm-up dominates cold). The same plan recorded 3.38s earlier "
+        "in r5 — the query's KMeans stage tracks box load, the plan "
+        "shape (bucketed candidate join, salted, pair-dedup) unchanged."
+    ),
 }
 
 
