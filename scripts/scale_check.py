@@ -470,8 +470,10 @@ def main() -> None:
     # exchanges; co-occurrence is vocab-bounded, so the pair stream
     # grows linearly in documents (the quadratic all-vocab spelling
     # would show ~100×)
+    from bqfetch_spark.operators.extensions import CHUNK_LEN, CHUNK_STRIDE
+
     def chunk_shape(df):
-        n_chunks = F.ceil(F.length("text") / F.lit(80.0)).cast("bigint")
+        n_chunks = F.ceil(F.length("text") / F.lit(float(CHUNK_STRIDE))).cast("bigint")
         return (
             df.filter(F.length("text") > 0)
             .select(
@@ -479,7 +481,13 @@ def main() -> None:
                 "text",
                 F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("i"),
             )
-            .select(F.md5(F.expr("substring(text, CAST(i*80+1 AS INT), 120)")).alias("h"))
+            .select(
+                F.md5(
+                    F.expr(
+                        f"substring(text, CAST(i*{CHUNK_STRIDE}+1 AS INT), {CHUNK_LEN})"
+                    )
+                ).alias("h")
+            )
         )
 
     def cooccur_shape(df):
@@ -499,14 +507,29 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
-    for label, shape in (("doc-chunking", chunk_shape), ("cooccurrence", cooccur_shape)):
+    # co-occurrence needs a SHARED token space across replicas (the
+    # replica-prefixed corpus would dilute the top-200 vocab ~10x per
+    # document and hide a pair-fan-out regression): same texts, shifted
+    # doc_ids, so in-vocab tokens per doc match small_d exactly and the
+    # pair stream must grow truly linearly in documents
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    docs10_same = docs0.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text"
+    )
+    docs10_same.repartition(32).write.mode("overwrite").parquet(f"{tmp}/documents_same.parquet")
+    big_d_same = spark.read.parquet(f"{tmp}/documents_same.parquet")
+
+    for label, shape, big_frame in (
+        ("doc-chunking", chunk_shape, big_d),
+        ("cooccurrence", cooccur_shape, big_d_same),
+    ):
         worst = 0.0
         for i in range(2):
             t0 = time.time()
             ns = shape(small_d).count()
             ts = time.time() - t0
             t0 = time.time()
-            nb = shape(big_d).count()
+            nb = shape(big_frame).count()
             tb = time.time() - t0
             ratio = tb / ts
             worst = max(worst, ratio)
