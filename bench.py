@@ -131,6 +131,7 @@ HEADLINE = [
     "qx111_value_histogram",
     "qx112_hopping_window",
     "qx113_streaming_hopping",
+    "qx114_chisquare",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

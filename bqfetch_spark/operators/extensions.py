@@ -619,3 +619,79 @@ def qx113_streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = hopping_counts_stream(streaming_events(spark, sf_dir))
     return run_to_memory(stream, "qx113_streaming_hopping_sink", state_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# qx114 — chi-square independence test (contingency analysis)
+# ---------------------------------------------------------------------------
+
+CHISQUARE_ORACLE = """
+WITH cells AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS pri, count(*) AS cnt
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_orderpriority
+),
+tot AS (
+  SELECT seg, pri, cnt,
+    sum(cnt) OVER (PARTITION BY seg) AS row_tot,
+    sum(cnt) OVER (PARTITION BY pri) AS col_tot,
+    sum(cnt) OVER () AS grand
+  FROM cells
+)
+SELECT
+  round(sum(
+    (CAST(cnt AS DOUBLE)
+     - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(grand AS DOUBLE))
+    * (CAST(cnt AS DOUBLE)
+       - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(grand AS DOUBLE))
+    / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(grand AS DOUBLE))
+  ), 6) AS chi2,
+  CAST((count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1) AS BIGINT) AS dof,
+  CAST(max(grand) AS BIGINT) AS n_obs
+FROM tot
+"""
+
+
+@register(
+    "qx114_chisquare",
+    oracle=CHISQUARE_ORACLE,
+    doc="chi-square independence of market segment vs order priority",
+    tags=("stats", "contingency"),
+)
+def qx114_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between customer market segment
+    and order priority. The fact join REDUCES to the |seg|x|pri|
+    contingency table first (one partial-aggregated groupBy — the only
+    exchange that touches fact-sized data); the expected-count windows
+    and the statistic then run over the ~25-cell frame, so the test
+    costs the same as a grouped count no matter the SF. Cell counts are
+    exact BIGINTs in both engines; chi2 derives in double with the
+    expression mirrored (expected count spelled identically in all
+    three positions). ``df.stat.crosstab`` pivots the same table but
+    would leave the statistic to the driver — this stays declarative."""
+    cat = load_catalog(spark, sf_dir)
+    cells = (
+        cat.table("orders")
+        .join(cat.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = cells.select(
+        "seg",
+        "pri",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("seg")).alias("row_tot"),
+        F.sum("cnt").over(Window.partitionBy("pri")).alias("col_tot"),
+        F.sum("cnt").over(Window.partitionBy()).alias("grand"),
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot").cast("double") / F.col(
+        "grand"
+    ).cast("double")
+    term = (F.col("cnt").cast("double") - e) * (F.col("cnt").cast("double") - e) / e
+    return tot.agg(
+        r6(F.sum(term)).alias("chi2"),
+        ((F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.max("grand").cast("bigint").alias("n_obs"),
+    )

@@ -241,3 +241,12 @@ def test_qx112_hopping_is_one_expand_one_exchange(spark):
     assert plan.count("Expand") == 1, plan
     assert len(re.findall(r"FileScan parquet", plan)) == 1
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_qx114_windows_run_on_contingency_cells(spark):
+    # expected-count windows must run over the ~25-cell frame: the
+    # fact-reducing aggregate appears BELOW (after, in toString order)
+    # the first Window operator
+    plan = _plan(spark, "qx114_chisquare")
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], plan
