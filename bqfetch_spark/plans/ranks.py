@@ -75,24 +75,46 @@ def with_global_cumsum(
     metadata rows). No single task ever sorts more than one
     partition's rows — this is the scalable spelling of
     ``sum(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)``."""
+    return with_global_cumsums(df, order_cols, {val_col: cum_col}, n_partitions)
+
+
+def with_global_cumsums(
+    df: DataFrame,
+    order_cols: list[str],
+    val_to_cum: dict[str, str],
+    n_partitions: int,
+) -> DataFrame:
+    """Multi-column :func:`with_global_cumsum`: one range exchange and
+    one local sort produce an exact inclusive running sum for EVERY
+    ``val_col -> cum_col`` in ``val_to_cum`` (e.g. the two per-sample
+    CDF counters of a KS test). Sharing the exchange is the point —
+    calling the single-column helper k times would range-shuffle the
+    data k times for the same order."""
     ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
-    totals = ranged.groupBy("__pid").agg(F.sum(val_col).alias("__pt"))
+    totals = ranged.groupBy("__pid").agg(
+        *[F.sum(v).alias(f"__pt_{v}") for v in val_to_cum]
+    )
     prior = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
-        "__pid", F.coalesce(F.sum("__pt").over(prior), F.lit(0)).alias("__offset")
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__pt_{v}").over(prior), F.lit(0)).alias(f"__off_{v}")
+            for v in val_to_cum
+        ],
     )
     local = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        ranged.join(F.broadcast(offsets), "__pid")
-        .withColumn(cum_col, (F.col("__offset") + F.sum(val_col).over(local)).cast("bigint"))
-        .drop("__pid", "__offset")
-    )
+    out = ranged.join(F.broadcast(offsets), "__pid")
+    for v, cum_col in val_to_cum.items():
+        out = out.withColumn(
+            cum_col, (F.col(f"__off_{v}") + F.sum(v).over(local)).cast("bigint")
+        )
+    return out.drop("__pid", *[f"__off_{v}" for v in val_to_cum])
 
 
 # Crossover for the adaptive chooser (VERDICT r3 #6): below this

@@ -1,0 +1,157 @@
+"""Behavior tests for the qx115–qx120 statistical operators: planted
+inputs with hand-computable answers (oracle parity at sf0.01 is covered
+by test_oracle_parity.py; these pin the semantics on degenerate and
+known-answer fixtures)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+from bqfetch_spark.catalog import TABLES
+from bqfetch_spark.registry import all_queries
+
+REG = all_queries()
+SRC = "/root/testdata/sf0.001"
+
+EV_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _fixture_dir(tmp_path, overrides):
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in TABLES:
+        if t not in overrides:
+            os.symlink(f"{SRC}/{t}.parquet", d / f"{t}.parquet")
+    return str(d)
+
+
+def _ts(s):
+    return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_qx115_markov_planted_sequence(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"events"})
+    rows = [  # user 1: A,B,A,B -> (A->B)x2 p=1.0, (B->A)x1 p=1.0
+        (1, _ts(0), 1, "A", 0.0, "{}"),
+        (2, _ts(1), 1, "B", 0.0, "{}"),
+        (3, _ts(2), 1, "A", 0.0, "{}"),
+        (4, _ts(3), 1, "B", 0.0, "{}"),
+        (5, _ts(0), 2, "C", 0.0, "{}"),  # single event: no transition
+    ]
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    out = {
+        (r.prev_type, r.event_type): (r.n_transitions, r.p_transition)
+        for r in REG["qx115_markov_transitions"].fn(spark, sf).collect()
+    }
+    assert out == {("A", "B"): (2, 1.0), ("B", "A"): (1, 1.0)}
+
+
+def test_qx115_probabilities_sum_to_one(spark):
+    rows = REG["qx115_markov_transitions"].fn(spark, SRC).collect()
+    per_prev = {}
+    for r in rows:
+        per_prev[r.prev_type] = per_prev.get(r.prev_type, 0.0) + r.p_transition
+    assert per_prev and all(abs(s - 1.0) < 1e-4 for s in per_prev.values())
+
+
+def test_qx116_twa_step_hold(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"events"})
+    rows = [
+        # user 1: 10.0 held 3s, 20.0 held 1s, terminal event unweighted
+        (1, _ts(0), 1, "A", 10.0, "{}"),
+        (2, _ts(3), 1, "A", 20.0, "{}"),
+        (3, _ts(4), 1, "A", 999.0, "{}"),
+        # user 2: single event -> no interval -> absent
+        (4, _ts(0), 2, "A", 5.0, "{}"),
+        # user 3: duplicate timestamps only -> all dt=0 -> absent
+        (5, _ts(0), 3, "A", 1.0, "{}"),
+        (6, _ts(0), 3, "A", 2.0, "{}"),
+    ]
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    out = {r.user_id: r for r in REG["qx116_time_weighted_avg"].fn(spark, sf).collect()}
+    assert set(out) == {1}
+    assert out[1].n_intervals == 2
+    assert out[1].span_us == 4_000_000
+    assert out[1].twa_value == 12.5  # (10*3 + 20*1) / 4
+
+
+def _ks_fixture(spark, tmp_path, prices_a, prices_b):
+    sf = _fixture_dir(tmp_path, {"orders", "customer"})
+    cust = [(1, "a", 0, 0.0, "BUILDING"), (2, "b", 0, 0.0, "MACHINERY")]
+    spark.createDataFrame(
+        cust,
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(f"{sf}/customer.parquet")
+    od = datetime.datetime(1995, 1, 1)
+    orders = [
+        (i, ck, "O", p, od, "1-URGENT")
+        for i, (ck, p) in enumerate(
+            [(1, p) for p in prices_a] + [(2, p) for p in prices_b]
+        )
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+    return sf
+
+
+def test_qx117_ks_identical_samples_is_zero(spark, tmp_path):
+    sf = _ks_fixture(spark, tmp_path, [10.0, 20.0, 30.0], [10.0, 20.0, 30.0])
+    row = REG["qx117_ks_test"].fn(spark, sf).collect()[0]
+    assert (row.n_a, row.n_b, row.ks_d) == (3, 3, 0.0)
+
+
+def test_qx117_ks_disjoint_samples_is_one(spark, tmp_path):
+    sf = _ks_fixture(spark, tmp_path, [1.0, 2.0], [100.0, 200.0, 300.0])
+    row = REG["qx117_ks_test"].fn(spark, sf).collect()[0]
+    assert (row.n_a, row.n_b, row.ks_d) == (2, 3, 1.0)
+
+
+def test_qx118_entropy_known_distributions(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"documents"})
+    docs = [
+        # 'u': 4 distinct tokens, uniform -> H = log2(4) = 2
+        (1, "a b c d", "u", "s", 7),
+        # 'z': one token repeated -> H = 0
+        (2, "x x x x", "z", "s", 7),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = {r.lang: r for r in REG["qx118_token_entropy"].fn(spark, sf).collect()}
+    assert out["u"].vocab == 4 and out["u"].entropy_bits == 2.0
+    assert out["z"].vocab == 1 and out["z"].entropy_bits == 0.0
+    assert out["u"].n_tokens == out["z"].n_tokens == 4
+
+
+def test_qx119_rolling_median_frame(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"events"})
+    rows = [(i, _ts(i), 1, "A", float(i), "{}") for i in range(10)]
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    out = {r.event_id: r.med7 for r in REG["qx119_rolling_median"].fn(spark, sf).collect()}
+    assert out[0] == 0.0  # frame of one row: the value itself
+    assert out[3] == 1.5  # median(0..3) interpolates the middle pair
+    assert out[9] == 6.0  # trailing 7-row frame: median(3..9)
+
+
+def test_qx120_benford_fracs_form_a_distribution(spark):
+    rows = REG["qx120_benford"].fn(spark, SRC).collect()
+    assert all(1 <= r.digit <= 9 for r in rows)
+    assert abs(sum(r.observed_frac for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.benford_frac - math.log10(1 + 1 / r.digit)) < 1e-6
+        assert r.abs_dev <= 1.0
