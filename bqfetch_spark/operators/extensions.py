@@ -695,3 +695,47 @@ def qx114_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
         F.max("grand").cast("bigint").alias("n_obs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx121 — stream-static enrichment join (lookup topology)
+# ---------------------------------------------------------------------------
+
+STREAM_ENRICH_ORACLE = """
+SELECT
+  c_mktsegment AS segment,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "qx121_streaming_enrich",
+    oracle=STREAM_ENRICH_ORACLE,
+    doc="stream-static broadcast enrichment join + running per-segment totals",
+    tags=("streaming", "join", "enrichment"),
+)
+def qx121_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static lookup join run incrementally: the event stream
+    broadcast-joins the customer dimension per micro-batch (stateless
+    — no join state, no watermark needed on a stream-static inner
+    join), feeding a running per-segment aggregate whose state is a
+    |segments|-row store. With a bounded AvailableNow replay nothing
+    is late, so the result must equal the batch join/group-by oracle
+    exactly (decimal-exact sums, one rounding at the edge). This is
+    the dimension-lookup topology of every production stream; only
+    the source/sink bindings change on a cluster."""
+    from bqfetch_spark.streaming.enrich import enriched_segment_counts_stream
+    from bqfetch_spark.streaming.windows import run_to_memory, streaming_events
+
+    out = enriched_segment_counts_stream(
+        streaming_events(spark, sf_dir), spark, sf_dir
+    )
+    mat = run_to_memory(out, "qx121_streaming_enrich_sink", state_partitions=8)
+    return mat.select(
+        "segment",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        r6(F.col("sum_value").cast("double")).alias("total_value"),
+    )

@@ -9,6 +9,12 @@ query layer):
 - qx118 per-group token entropy (vocab-bounded Shannon entropy)
 - qx119 rolling exact median (frame-bounded window percentile)
 - qx120 Benford leading-digit audit (fraud/quality screen)
+- qx122 MAD robust outliers (median absolute deviation flags)
+- qx123 equi-depth histogram (exact deciles via the scalable ntile)
+- qx124 exponential moving average (recursive; applyInPandas ewm)
+
+(qx121, the stream-static enrichment join, lives with the other
+streaming registrations in operators/extensions.py.)
 
 Naming: ``qx…`` sorts after every ``q\\d…`` name so the driver's
 50-row CORRECTNESS window never displaces an existing green row; the
@@ -432,4 +438,202 @@ def qx120_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(obs).alias("observed_frac"),
         r6(expected).alias("benford_frac"),
         r6(F.abs(obs - expected)).alias("abs_dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx122 — MAD-based robust outliers (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, any_value(med) AS med, median(abs(value - med)) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT
+  event_id,
+  e.event_type,
+  round(CAST(value AS DOUBLE), 6) AS value,
+  round((value - med) / (1.4826 * mad), 6) AS robust_z
+FROM events e JOIN mad USING (event_type)
+WHERE mad > 0 AND abs(value - med) > 3 * 1.4826 * mad
+"""
+
+
+@register(
+    "qx122_mad_outliers",
+    oracle=MAD_ORACLE,
+    doc="robust outlier flags via median absolute deviation (3-sigma-equivalent)",
+    tags=("events", "stats", "robust-stats"),
+)
+def qx122_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |x - median| > 3 x 1.4826 x MAD per
+    event type — the screen qx106's z-scores fail on heavy-tailed
+    data, where outliers inflate the stddev that is supposed to catch
+    them (median and MAD have a 50% breakdown point; 1.4826 rescales
+    MAD to sigma-equivalents under normality). Two grouped exact
+    medians (Spark's `percentile` JVM aggregate — same two-middle
+    interpolation as DuckDB's `median`), each joined back by
+    BROADCAST on the ~5-row per-type stats frame, so the fact table is
+    never shuffled — two scans, zero fact exchanges. Zero-MAD groups
+    are filtered (robust z undefined), mirrored in the oracle; the
+    flag predicate compares expressions derived from bit-identical
+    medians, so the cut is engine-deterministic."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+    )
+    flagged = ev.join(F.broadcast(mad), "event_type")
+    cut = F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    return flagged.where(
+        (F.col("mad") > 0) & (F.abs(F.col("value") - F.col("med")) > cut)
+    ).select(
+        "event_id",
+        "event_type",
+        r6(F.col("value").cast("double")).alias("value"),
+        r6(
+            (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+        ).alias("robust_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx123 — equi-depth histogram (decile buckets over the scalable ntile)
+# ---------------------------------------------------------------------------
+
+EQUIDEPTH_ORACLE = """
+WITH bucketed AS (
+  SELECT
+    o_totalprice AS v,
+    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT
+  CAST(bucket AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(CAST(min(v) AS DOUBLE), 6) AS lo,
+  round(CAST(max(v) AS DOUBLE), 6) AS hi,
+  round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 6) AS bucket_revenue
+FROM bucketed
+GROUP BY bucket
+"""
+
+
+@register(
+    "qx123_equidepth_histogram",
+    oracle=EQUIDEPTH_ORACLE,
+    doc="exact decile (equi-depth) histogram of order prices with bucket bounds",
+    tags=("stats", "histogram", "scalable-window"),
+)
+def qx123_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile histogram of o_totalprice — the companion to
+    qx111's fixed-width bins: every bucket holds the same row count
+    and the [lo, hi] bounds ARE the exact decile boundaries (the shape
+    optimizers and data-profiling UIs want). Bucketing runs through
+    plans/ranks.with_ntile_auto: at fixture scale a single-window
+    ntile, past the measured crossover the range-exchange + offset
+    spelling with no single-task sort — bit-identical bucket
+    membership either way, because offsets derive from actual
+    partition counts and ties break on the unique o_orderkey. The
+    per-bucket reduce then partial-aggregates to 10 rows; revenue
+    accumulates in DECIMAL, exact in both engines."""
+    from bqfetch_spark.plans.ranks import with_ntile_auto
+
+    o = load_catalog(spark, sf_dir).table("orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    bucketed = with_ntile_auto(
+        o, ["v", "o_orderkey"], 10, shuffle_partitions(spark), "bucket"
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        r6(F.min("v").cast("double")).alias("lo"),
+        r6(F.max("v").cast("double")).alias("hi"),
+        r6(F.sum(F.col("v").cast("decimal(18,6)")).cast("double")).alias(
+            "bucket_revenue"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx124 — exponential moving average (recursive smoothing per entity)
+# ---------------------------------------------------------------------------
+
+EMA_ALPHA = 0.2
+
+EMA_ORACLE = f"""
+WITH seq AS (
+  SELECT
+    user_id, event_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS k
+  FROM events
+),
+terms AS (
+  SELECT
+    user_id, event_id, k,
+    CASE WHEN k = 0 THEN value ELSE {EMA_ALPHA} * value END
+      * power({1 - EMA_ALPHA}, -k) AS term
+  FROM seq
+)
+SELECT
+  user_id,
+  event_id,
+  round(
+    power({1 - EMA_ALPHA}, k)
+    * sum(term) OVER (PARTITION BY user_id ORDER BY k),
+    6
+  ) AS ema
+FROM terms
+"""
+
+
+@register(
+    "qx124_ema",
+    oracle=EMA_ORACLE,
+    doc="per-user exponential moving average of value (alpha=0.2, recursive)",
+    tags=("events", "sequence", "pandas-udf"),
+)
+def qx124_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average per user — ema_t = alpha*x_t +
+    (1-alpha)*ema_{t-1}, seeded at the first observation. The
+    recurrence is the canonical operator Spark's declarative windows
+    CANNOT express (each row depends on the previous OUTPUT, not a
+    frame of inputs), so this is an applyInPandas group map: one hash
+    exchange on user_id, then pandas' C-loop `ewm(adjust=False)`
+    inside each Arrow batch — O(n) per key, numerically stable at ANY
+    sequence length. (The algebraic window spelling the ORACLE uses —
+    r^k * cumsum(x_i r^-i) — is JVM-only but its r^-k intermediate
+    overflows past ~3000 rows/key at alpha=0.2; fine for the sf0.01
+    oracle frame, wrong default for 100 TB, hence the UDF side is the
+    engine path.) Sort inside the group is by (ts, event_id) — the
+    same deterministic total order as the oracle's row_number."""
+    import pandas as pd
+
+    ev = load_catalog(spark, sf_dir).table("events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ema = pdf["value"].ewm(alpha=EMA_ALPHA, adjust=False).mean()
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ema": ema.round(6),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        ema_group, "user_id bigint, event_id bigint, ema double"
     )

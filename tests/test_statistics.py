@@ -155,3 +155,51 @@ def test_qx120_benford_fracs_form_a_distribution(spark):
     for r in rows:
         assert abs(r.benford_frac - math.log10(1 + 1 / r.digit)) < 1e-6
         assert r.abs_dev <= 1.0
+
+
+def test_qx122_mad_flags_only_the_planted_outlier(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"events"})
+    vals = [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 100.0]  # med 3.5, MAD 2.0
+    rows = [(i, _ts(i), 1, "A", v, "{}") for i, v in enumerate(vals)]
+    # constant group: MAD 0 -> robust z undefined -> never flagged
+    rows += [(100 + i, _ts(i), 2, "B", 5.0, "{}") for i in range(4)]
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    out = REG["qx122_mad_outliers"].fn(spark, sf).collect()
+    assert [(r.event_id, r.event_type, r.value) for r in out] == [(7, "A", 100.0)]
+    assert abs(out[0].robust_z - 96.5 / (1.4826 * 2.0)) < 1e-4
+
+
+def test_qx123_equidepth_buckets_are_exact_deciles(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"orders"})
+    od = datetime.datetime(1995, 1, 1)
+    orders = [
+        (i, 1, "O", float(i), od, "1-URGENT") for i in range(1, 21)
+    ]  # prices 1..20
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+    out = {
+        r.bucket: r
+        for r in REG["qx123_equidepth_histogram"].fn(spark, sf).collect()
+    }
+    assert set(out) == set(range(1, 11))
+    for b, r in out.items():
+        assert (r.n_orders, r.lo, r.hi) == (2, 2 * b - 1.0, 2 * b * 1.0)
+
+
+def test_qx124_ema_recurrence(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"events"})
+    rows = [
+        (1, _ts(0), 1, "A", 10.0, "{}"),
+        (2, _ts(1), 1, "A", 20.0, "{}"),
+        (3, _ts(2), 1, "A", 30.0, "{}"),
+    ]
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    out = {r.event_id: r.ema for r in REG["qx124_ema"].fn(spark, sf).collect()}
+    assert out == {1: 10.0, 2: 12.0, 3: 15.6}  # seeded, then 0.2x + 0.8*prev
