@@ -132,6 +132,16 @@ HEADLINE = [
     "qx112_hopping_window",
     "qx113_streaming_hopping",
     "qx114_chisquare",
+    "qx115_markov_transitions",
+    "qx116_time_weighted_avg",
+    "qx117_ks_test",
+    "qx118_token_entropy",
+    "qx119_rolling_median",
+    "qx120_benford",
+    "qx121_streaming_enrich",
+    "qx122_mad_outliers",
+    "qx123_equidepth_histogram",
+    "qx124_ema",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

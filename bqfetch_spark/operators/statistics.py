@@ -637,3 +637,300 @@ def qx124_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         ema_group, "user_id bigint, event_id bigint, ema double"
     )
+
+
+# ---------------------------------------------------------------------------
+# qx126 — two-proportion A/B test (deterministic hash assignment + z-test)
+# ---------------------------------------------------------------------------
+
+AB_ORACLE = """
+WITH assign AS (
+  SELECT
+    user_id,
+    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+         THEN 'A' ELSE 'B' END AS variant,
+    max(CASE WHEN event_type = 'purchase'
+             AND ts < TIMESTAMP '2024-01-02 00:00:00'
+             THEN 1 ELSE 0 END) AS converted
+  FROM events
+  GROUP BY user_id
+),
+agg AS (
+  SELECT
+    sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+    sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS c_a,
+    sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b,
+    sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS c_b
+  FROM assign
+)
+SELECT
+  CAST(n_a AS BIGINT) AS n_a,
+  CAST(c_a AS BIGINT) AS conv_a,
+  CAST(n_b AS BIGINT) AS n_b,
+  CAST(c_b AS BIGINT) AS conv_b,
+  round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+  round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+  round(
+    (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+    / nullif(sqrt(
+        (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        * (1.0 / n_a + 1.0 / n_b)
+      ), 0.0),
+    6
+  ) AS z_score
+FROM agg
+"""
+
+
+@register(
+    "qx126_ab_test",
+    oracle=AB_ORACLE,
+    doc="two-proportion z-test over a deterministic hash-assigned A/B split",
+    tags=("stats", "experiment", "hash-assignment"),
+)
+def qx126_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout end-to-end: users are assigned to variants
+    by the first hex digit of md5(user_id) — the q72/q81 keep-rule
+    convention, a pure function of the key, so assignment survives
+    reruns/retries and is identical in any engine — conversion is
+    "ever purchased", and the two-proportion z-statistic compares the
+    rates under the pooled-variance null. ONE user_id exchange
+    (variant is a row-local expression; the per-user conversion flag
+    partial-aggregates) reduces everything to a 1-row frame of exact
+    BIGINT counts; rates and z derive in mirrored single-expression
+    doubles. The z threshold (±1.96 at alpha=.05) is left to the
+    caller — the statistic, not the policy, is the operator."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    early = (F.col("event_type") == "purchase") & (
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(early.cast("int")).alias("converted")
+    )
+    variant_a = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8"
+    agg = per_user.agg(
+        F.sum(variant_a.cast("bigint")).alias("n_a"),
+        F.sum(F.when(variant_a, F.col("converted")).otherwise(0)).alias("c_a"),
+        F.sum((~variant_a).cast("bigint")).alias("n_b"),
+        F.sum(F.when(~variant_a, F.col("converted")).otherwise(0)).alias("c_b"),
+    )
+    n_a, c_a = F.col("n_a").cast("double"), F.col("c_a").cast("double")
+    n_b, c_b = F.col("n_b").cast("double"), F.col("c_b").cast("double")
+    pooled = (c_a + c_b) / (F.col("n_a") + F.col("n_b"))
+    # a saturated metric (everyone or no one converts) has zero pooled
+    # variance: z is undefined -> NULL, mirrored via nullif in the oracle
+    z = F.try_divide(
+        c_a / n_a - c_b / n_b,
+        F.sqrt(pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n_a + F.lit(1.0) / n_b)),
+    )
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("c_a").cast("bigint").alias("conv_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("c_b").cast("bigint").alias("conv_b"),
+        r6(c_a / n_a).alias("rate_a"),
+        r6(c_b / n_b).alias("rate_b"),
+        r6(z).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx127 — weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 50
+
+WSAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT
+    doc_id,
+    n_chars,
+    pow(
+      (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+        / 4294967296.0,
+      1.0 / n_chars
+    ) AS k
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, round(k, 6) AS sample_key
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT {WSAMPLE_K}
+"""
+
+
+@register(
+    "qx127_weighted_sample",
+    oracle=WSAMPLE_ORACLE,
+    doc="deterministic weighted sample without replacement (Efraimidis-Spirakis top-k)",
+    tags=("sampling", "curation", "top-k"),
+)
+def qx127_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via the Efraimidis-
+    Spirakis one-pass reduction: give every row the key u^(1/w) (u a
+    uniform in (0,1), w its weight — document length here, the
+    longer-docs-sampled-more-often curation rule) and keep the global
+    top-k keys. That turns weighted sampling into a TakeOrdered — the
+    same O(k)-driver-memory, no-global-sort plan as q82's holdout —
+    so it runs in one pass at any SF. u derives from the first 8 hex
+    digits of md5(doc_id) (+0.5, /2^32: strictly inside (0,1), so
+    pow never hits 0^x), a pure function of the key: reruns, retries
+    and both engines agree on the whole sample, not just its
+    distribution. Ties on doc_id make the boundary a total order."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = docs.where(F.col("n_chars") > 0).select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.pow(u, F.lit(1.0) / F.col("n_chars")).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.desc("k"), "doc_id")
+        .limit(WSAMPLE_K)
+        .select("doc_id", "n_chars", r6(F.col("k")).alias("sample_key"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx128 — winsorization (percentile clipping per group)
+# ---------------------------------------------------------------------------
+
+WINSOR_ORACLE = """
+WITH pct AS (
+  SELECT
+    event_type,
+    quantile_cont(value, 0.05) AS p05,
+    quantile_cont(value, 0.95) AS p95
+  FROM events
+  GROUP BY event_type
+)
+SELECT
+  event_id,
+  e.event_type,
+  round(CAST(value AS DOUBLE), 6) AS value,
+  round(least(greatest(value, p05), p95), 6) AS winsorized,
+  CAST(value < p05 OR value > p95 AS INTEGER) AS was_clipped
+FROM events e JOIN pct USING (event_type)
+"""
+
+
+@register(
+    "qx128_winsorize",
+    oracle=WINSOR_ORACLE,
+    doc="per-group p05/p95 winsorization (tail clipping) with clip flags",
+    tags=("events", "stats", "cleaning"),
+)
+def qx128_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — clip each event's value into its type's
+    [p05, p95] band, the standard tail-taming step before training on
+    heavy-tailed metrics (vs qx122, which FLAGS outliers, this
+    REPAIRS them). Exact percentiles per type (Spark's `percentile`
+    aggregate, DuckDB's quantile_cont — same (n-1)p interpolation rule,
+    already parity-proven by qx119's rolling median), broadcast back
+    as a ~5-row stats frame: the fact table is never shuffled, and
+    the clip itself is a row-local least/greatest — every output value
+    a single mirrored double op."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    return ev.join(F.broadcast(pct), "event_type").select(
+        "event_id",
+        "event_type",
+        r6(F.col("value").cast("double")).alias("value"),
+        r6(F.least(F.greatest("value", "p05"), F.col("p95"))).alias("winsorized"),
+        ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")))
+        .cast("int")
+        .alias("was_clipped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx129 — group-wise OLS trend (exact-moment linear regression)
+# ---------------------------------------------------------------------------
+
+# Fixed x-axis anchor (2024-01-01 UTC): keeps per-row x, x², x·y inside
+# int64 for the fixture's 2024 event horizon without a data-dependent
+# (hence nondeterministic-at-plan-time) centering pass.
+TREND_ANCHOR_S = 1_704_067_200
+
+OLS_ORACLE = f"""
+WITH pts AS (
+  SELECT
+    event_type,
+    epoch_us(ts) // 1000000 - {TREND_ANCHOR_S} AS x,
+    CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+m AS (
+  SELECT
+    event_type,
+    count(*) AS n,
+    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+    CAST(sum(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy
+  FROM pts
+  GROUP BY event_type
+)
+SELECT
+  event_type,
+  CAST(n AS BIGINT) AS n_events,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 * 86400.0, 6)
+    AS slope_per_day,
+  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 100.0, 6)
+    AS intercept
+FROM m
+"""
+
+
+@register(
+    "qx129_ols_trend",
+    oracle=OLS_ORACLE,
+    doc="per-type OLS trend (slope/intercept) of value over time, exact moments",
+    tags=("stats", "regression", "temporal"),
+)
+def qx129_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of `value` over time per event type — the
+    drift detector behind every "is this metric degrading" dashboard.
+    qx110's exact-moment discipline applied to regression: x is whole
+    seconds from a FIXED anchor (int64-safe products without a
+    data-dependent centering pass), y is integer cents, and the four
+    moments Σx, Σy, Σx², Σxy accumulate in DECIMAL(38,0)/HUGEINT —
+    exact, add-order-independent, partial-aggregable, so the whole
+    fit is ONE map-side-combined exchange of 5 numbers per type.
+    Slope and intercept then derive in mirrored double expressions
+    (slope re-derived inline for the intercept rather than chained,
+    so both engines run literally the same tree); /100 undoes cents,
+    ×86400 surfaces per-day units."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    pts = ev.select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 1000000") - F.lit(TREND_ANCHOR_S)).alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    big = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    m = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        big(F.col("x")).alias("sx"),
+        big(F.col("y")).alias("sy"),
+        big(F.col("x") * F.col("x")).alias("sxx"),
+        big(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy, sxx, sxy = F.col("sx"), F.col("sy"), F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_events"),
+        r6(slope / F.lit(100.0) * F.lit(86400.0)).alias("slope_per_day"),
+        r6((sy - slope * sx) / n / F.lit(100.0)).alias("intercept"),
+    )

@@ -62,6 +62,7 @@ def load_all_modules() -> None:
     from bqfetch_spark.operators import lakehouse  # noqa: F401
     from bqfetch_spark.operators import pq  # noqa: F401
     from bqfetch_spark.operators import similarity  # noqa: F401
+    from bqfetch_spark.operators import graph  # noqa: F401
     from bqfetch_spark.operators import statistics  # noqa: F401
     from bqfetch_spark.operators import temporal  # noqa: F401
     from bqfetch_spark import fetcher  # noqa: F401

@@ -537,6 +537,70 @@ def main() -> None:
         assert worst <= 20, f"{label} super-linear: worst ratio {worst:.1f}"
         print(f"{label} scaling OK")
 
+    # --- round-5 statistical shapes at 10x -------------------------
+    # KS: the two-counter range-exchange cumsum over a 10x-larger
+    # distinct value domain (with_global_cumsums — the machinery that
+    # replaces the single-task ordered window); EMA: applyInPandas
+    # recurrence over 10x users (per-user groups stay the same size, so
+    # the Arrow-batch axis grows, which is the 100 TB axis); equi-depth
+    # ntile: with_ntile_auto over 10x rows (may legitimately cross the
+    # single-sort crossover and switch to the range-exchange spelling).
+    from bqfetch_spark.plans.ranks import with_global_cumsums, with_ntile_auto
+
+    def ks_shape(df):
+        # v offsets by user_id (replica-shifted) so the DISTINCT value
+        # domain — the axis the range exchange partitions — genuinely
+        # grows 10x; raw `value` repeats across replicas and would
+        # only deepen counters on a same-sized domain
+        counts = (
+            df.select(
+                (F.col("value") + F.col("user_id")).alias("v"),
+                (F.col("event_type") < F.lit("n")).cast("bigint").alias("in_a"),
+            )
+            .groupBy("v")
+            .agg(F.sum("in_a").alias("c_a"), F.sum(F.lit(1) - F.col("in_a")).alias("c_b"))
+        )
+        return with_global_cumsums(counts, ["v"], {"c_a": "cum_a", "c_b": "cum_b"}, 32)
+
+    def ema_shape(df):
+        import pandas as pd
+
+        from bqfetch_spark.operators.statistics import EMA_ALPHA
+
+        def grp(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            return pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "ema": pdf["value"].ewm(alpha=EMA_ALPHA, adjust=False).mean(),
+                }
+            )
+
+        return df.select("user_id", "event_id", "ts", "value").groupBy("user_id").applyInPandas(
+            grp, "user_id bigint, event_id bigint, ema double"
+        )
+
+    def ntile_shape(df):
+        return with_ntile_auto(
+            df.select(F.col("value").alias("v"), "event_id"), ["v", "event_id"], 10, 32, "bucket"
+        ).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+    for label, shape in (("ks-cumsum", ks_shape), ("ema-pandas", ema_shape), ("equidepth-ntile", ntile_shape)):
+        worst = 0.0
+        for i in range(2):
+            t0 = time.time()
+            ns = shape(small_e).count()
+            ts = time.time() - t0
+            t0 = time.time()
+            nb = shape(big_e).count()
+            tb = time.time() - t0
+            ratio = tb / ts
+            worst = max(worst, ratio)
+            print(f"{label} round{i}: small={ts:.2f}s ({ns}) big={tb:.2f}s ({nb}) ratio={ratio:.1f}")
+        assert worst <= 20, f"{label} super-linear: worst ratio {worst:.1f}"
+        print(f"{label} scaling OK")
+
     shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -31,7 +31,7 @@ def _fixture_dir(tmp_path, overrides):
 
 
 def _ts(s):
-    return datetime.datetime(2024, 1, 1, 0, 0, s)
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
 
 
 def test_qx115_markov_planted_sequence(spark, tmp_path):
@@ -203,3 +203,67 @@ def test_qx124_ema_recurrence(spark, tmp_path):
     )
     out = {r.event_id: r.ema for r in REG["qx124_ema"].fn(spark, sf).collect()}
     assert out == {1: 10.0, 2: 12.0, 3: 15.6}  # seeded, then 0.2x + 0.8*prev
+
+
+def test_qx125_pagerank_is_a_distribution(spark):
+    rows = REG["qx125_pagerank"].fn(spark, SRC).collect()
+    assert len(rows) == 25  # every nation ranked
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-3  # rank mass conserved
+    floor = (1 - 0.85) / 25
+    assert all(r.pagerank >= floor - 1e-9 for r in rows)
+
+
+def test_qx126_saturated_metric_yields_null_z(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"events"})
+    rows = [  # every user purchases on day one -> both rates 1.0
+        (i, _ts(i), i, "purchase", 1.0, "{}") for i in range(8)
+    ]
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    row = REG["qx126_ab_test"].fn(spark, sf).collect()[0]
+    assert row.rate_a == row.rate_b == 1.0
+    assert row.z_score is None  # zero pooled variance: undefined, not a crash
+    assert row.n_a + row.n_b == 8
+
+
+def test_qx127_weighted_sample_shape(spark):
+    rows = REG["qx127_weighted_sample"].fn(spark, SRC).collect()
+    from bqfetch_spark.operators.statistics import WSAMPLE_K
+
+    assert len(rows) == WSAMPLE_K
+    keys = [r.sample_key for r in rows]
+    assert keys == sorted(keys, reverse=True)  # top-k by key desc
+    assert all(0.0 < k <= 1.0 for k in keys)  # u^(1/w) stays in (0, 1]
+
+
+def test_qx128_winsorize_clips_exact_tails(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"events"})
+    rows = [(i, _ts(i), 1, "A", float(i + 1), "{}") for i in range(100)]  # 1..100
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    out = REG["qx128_winsorize"].fn(spark, sf).collect()
+    clipped = [r for r in out if r.was_clipped]
+    assert len(clipped) == 10  # 1..5 below p05=5.95, 96..100 above p95=95.05
+    lo = min(r.winsorized for r in out)
+    hi = max(r.winsorized for r in out)
+    assert (lo, hi) == (5.95, 95.05)  # (n-1)p interpolated percentiles
+    untouched = [r for r in out if not r.was_clipped]
+    assert all(r.winsorized == r.value for r in untouched)
+
+
+def test_qx129_ols_recovers_a_planted_line(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"events"})
+    # value = 0.02 * t_seconds + 5 exactly (cents stay integral)
+    rows = [
+        (i, _ts(10 * i), 1, "A", 0.02 * (10 * i) + 5.0, "{}") for i in range(6)
+    ]
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    row = REG["qx129_ols_trend"].fn(spark, sf).collect()[0]
+    assert row.n_events == 6
+    assert abs(row.slope_per_day - 0.02 * 86400) < 1e-6  # 1728 $/day
+    assert abs(row.intercept - 5.0) < 1e-6
