@@ -142,6 +142,17 @@ HEADLINE = [
     "qx122_mad_outliers",
     "qx123_equidepth_histogram",
     "qx124_ema",
+    "qx125_pagerank",
+    "qx126_ab_test",
+    "qx127_weighted_sample",
+    "qx128_winsorize",
+    "qx129_ols_trend",
+    "qx130_user_journey",
+    "qx131_multiformat_roundtrip",
+    "qx132_embedding_centroid",
+    "qx133_knn_classify",
+    "qx134_percent_rank",
+    "qx135_streaming_topk",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -739,3 +739,103 @@ def qx121_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         r6(F.col("sum_value").cast("double")).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx134 — percent_rank / cume_dist (relative-standing window functions)
+# ---------------------------------------------------------------------------
+
+PCTRANK_ORACLE = """
+SELECT
+  event_id,
+  event_type,
+  round(CAST(value AS DOUBLE), 6) AS value,
+  round(percent_rank() OVER (
+    PARTITION BY event_type ORDER BY value, event_id
+  ), 6) AS pct_rank,
+  round(cume_dist() OVER (
+    PARTITION BY event_type ORDER BY value, event_id
+  ), 6) AS cume
+FROM events
+"""
+
+
+@register(
+    "qx134_percent_rank",
+    oracle=PCTRANK_ORACLE,
+    doc="percent_rank and cume_dist relative standing per event type",
+    tags=("events", "window-rank", "stats"),
+)
+def qx134_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing — completes the C11 ranking family beyond
+    row_number/rank/ntile: percent_rank ((rank-1)/(n-1), the "better
+    than X% of peers" number) and cume_dist (rows ≤ current / n, the
+    empirical CDF evaluated at each row). Both are rational functions
+    of exact integer ranks, so engine parity is exact-division-exact.
+    Partitioned by event_type: the window sorts per-type partitions,
+    never globally — the same one-exchange shape as the other event
+    sequence operators, and the (value, event_id) tie-break makes
+    every rank a deterministic total order."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        r6(F.col("value").cast("double")).alias("value"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx135 — streaming top-k (continuous leaderboard)
+# ---------------------------------------------------------------------------
+
+STREAM_TOPK_ORACLE = """
+SELECT event_type, n_events, total_value
+FROM (
+  SELECT
+    event_type,
+    CAST(count(*) AS BIGINT) AS n_events,
+    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value,
+    row_number() OVER (ORDER BY count(*) DESC, event_type) AS rn
+  FROM events
+  GROUP BY event_type
+)
+WHERE rn <= 3
+"""
+
+
+@register(
+    "qx135_streaming_topk",
+    oracle=STREAM_TOPK_ORACLE,
+    doc="continuous top-3 leaderboard over an event stream (complete-mode rank)",
+    tags=("streaming", "top-k"),
+)
+def qx135_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous leaderboard: the top-3 event types by running count,
+    maintained incrementally — complete output mode is what licenses
+    sort+limit on a stream (append mode cannot retract a displaced
+    leader; the |types|-row aggregate state makes complete mode cheap
+    here, the standard trade). Each micro-batch updates the running
+    per-type counts/sums in state and re-ranks the tiny aggregate
+    frame; with a bounded AvailableNow replay the final leaderboard
+    must equal the batch top-k oracle exactly (decimal-exact sums,
+    count-then-name tie-break)."""
+    from bqfetch_spark.streaming.windows import run_to_memory, streaming_events
+
+    agg = (
+        streaming_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+    )
+    ranked = agg.orderBy(F.desc("n_events"), "event_type").limit(3)
+    mat = run_to_memory(ranked, "qx135_streaming_topk_sink", state_partitions=8)
+    return mat.select(
+        "event_type",
+        "n_events",
+        r6(F.col("sum_value").cast("double")).alias("total_value"),
+    )

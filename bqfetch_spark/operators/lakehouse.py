@@ -330,3 +330,102 @@ def q58_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w_ver).alias("valid_to"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# qx131 — multi-format source round-trip (JSON / CSV interchange)
+# ---------------------------------------------------------------------------
+
+# Microsecond-precision timestamp pattern: Spark's DEFAULT json/csv
+# timestamp format truncates to millis on write, which would silently
+# lose the fixture's microsecond event times — the exact class of
+# interchange bug this operator exists to catch.
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+MULTIFORMAT_ORACLE = """
+SELECT fmt, n_rows, n_users, sum_cents, min_us, max_us
+FROM (
+  SELECT 1 AS ord, 'csv' AS fmt,
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+    CAST(sum(CAST(round(value * 100) AS HUGEINT)) AS BIGINT) AS sum_cents,
+    CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+    CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+  FROM events
+  UNION ALL
+  SELECT 2, 'json',
+    CAST(count(*) AS BIGINT),
+    CAST(count(DISTINCT user_id) AS BIGINT),
+    CAST(sum(CAST(round(value * 100) AS HUGEINT)) AS BIGINT),
+    CAST(min(epoch_us(ts)) AS BIGINT),
+    CAST(max(epoch_us(ts)) AS BIGINT)
+  FROM events
+) ORDER BY ord
+"""
+
+
+@register(
+    "qx131_multiformat_roundtrip",
+    oracle=MULTIFORMAT_ORACLE,
+    doc="JSON/CSV source round-trip: re-exported events must checksum like parquet",
+    tags=("sources", "formats", "interchange"),
+)
+def qx131_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format breadth, value-checked: export the events table
+    to line-delimited JSON and to CSV, read each back through the
+    matching Spark source, and emit per-format content checksums
+    (row count, distinct users, integer-cents value sum, min/max
+    epoch-microseconds). The ORACLE computes the same checksums from
+    the PARQUET original — so the query only matches if both
+    round-trips are LOSSLESS, which is exactly what it exists to
+    prove (and what the default writer settings would fail: JSON/CSV
+    timestamps truncate to milliseconds without an explicit
+    microsecond timestampFormat, CSV needs explicit schema + quoting
+    for the embedded-JSON props column). Both reads are real
+    DataSource scans — schema projection and partitioned reads work
+    the same as parquet's; the checksum aggregation is one
+    partial-combined pass per format."""
+    import os
+    import tempfile
+
+    ev = load_catalog(spark, sf_dir).table("events")
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"bqfs_formats_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    jdir, cdir = os.path.join(work, "json"), os.path.join(work, "csv")
+    (
+        ev.write.mode("overwrite")
+        .option("timestampFormat", _TS_FMT)
+        .json(jdir)
+    )
+    (
+        ev.write.mode("overwrite")
+        .option("header", True)
+        .option("timestampFormat", _TS_FMT)
+        .option("quoteAll", True)
+        .csv(cdir)
+    )
+    schema = ev.schema
+    back = {
+        "json": spark.read.schema(schema)
+        .option("timestampFormat", _TS_FMT)
+        .json(jdir),
+        "csv": spark.read.schema(schema)
+        .option("header", True)
+        .option("timestampFormat", _TS_FMT)
+        .csv(cdir),
+    }
+
+    def checksum(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.min(F.unix_micros("ts")).cast("bigint").alias("min_us"),
+            F.max(F.unix_micros("ts")).cast("bigint").alias("max_us"),
+        )
+    return checksum(back["csv"], "csv").unionAll(checksum(back["json"], "json"))

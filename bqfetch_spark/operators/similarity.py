@@ -418,3 +418,157 @@ def q55_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rank_w).cast("bigint"))
         .filter(F.col("rank") <= 10)
     )
+
+# ---------------------------------------------------------------------------
+# qx132 — per-label embedding centroids (class prototypes)
+# ---------------------------------------------------------------------------
+
+CENTROID_ORACLE = """
+SELECT
+  CAST(label AS INT) AS label,
+  CAST(pos AS INT) AS pos,
+  CAST(count(*) AS BIGINT) AS n_vectors,
+  round(avg(comp), 6) AS centroid_val
+FROM (
+  SELECT label, v[i] AS comp, i - 1 AS pos
+  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       unnest(range(1, len(v) + 1)) AS t(i)
+)
+GROUP BY label, pos
+"""
+
+
+@register(
+    "qx132_embedding_centroid",
+    oracle=CENTROID_ORACLE,
+    doc="per-label mean embedding (class prototype vectors), componentwise",
+    tags=("similarity", "vectors", "stats"),
+)
+def qx132_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class prototypes: the componentwise mean embedding per label —
+    the building block of nearest-centroid classifiers, IVF coarse
+    quantizers (q53/q55 train these iteratively) and drift monitors
+    (centroid movement over time). posexplode unrolls vectors to
+    (label, pos, component) — a narrow map, no Python — and ONE
+    partial-aggregated groupBy on (label, pos) reduces to
+    |labels|×dim rows: componentwise partial sums are exactly how a
+    100 TB centroid job should shuffle (dim doubles per label per map
+    task, not vectors). Components are float32 exact in double; the
+    ~500-term avg carries sub-ulp add-order drift, orders below the
+    round-6 surface."""
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "comp")
+    )
+    return emb.groupBy(
+        F.col("label").cast("int").alias("label"),
+        F.col("pos").cast("int").alias("pos"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        r6(F.avg("comp")).alias("centroid_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx133 — k-NN majority-vote classification
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+KNN_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id, label, v FROM e WHERE vec_id % 20 = 0),
+pairs AS (
+  SELECT
+    q.vec_id AS query_id,
+    q.label AS true_label,
+    c.label AS neighbor_label,
+    round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+    c.vec_id AS neighbor_id
+  FROM q JOIN e c ON c.vec_id % 20 <> 0
+),
+topk AS (
+  SELECT query_id, true_label, neighbor_label
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rn
+    FROM pairs
+  )
+  WHERE rn <= {KNN_K}
+),
+votes AS (
+  SELECT query_id, true_label, neighbor_label, count(*) AS n_votes
+  FROM topk GROUP BY query_id, true_label, neighbor_label
+)
+SELECT
+  query_id,
+  CAST(true_label AS INT) AS true_label,
+  CAST(neighbor_label AS INT) AS predicted_label,
+  CAST(n_votes AS BIGINT) AS n_votes
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY n_votes DESC, neighbor_label
+  ) AS vr
+  FROM votes
+)
+WHERE vr = 1
+"""
+
+
+@register(
+    "qx133_knn_classify",
+    oracle=KNN_ORACLE,
+    doc="k-NN majority-vote label prediction over held-out query vectors",
+    tags=("similarity", "ann", "classification"),
+)
+def qx133_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification end-to-end: every 20th vector is held out
+    as a query, its {k} nearest corpus neighbors by cosine vote on its
+    label, majority wins (ties break to the smaller label — a total
+    order, mirrored in the oracle). The labeling workhorse of
+    weak-supervision pipelines: propagate labels from a small labeled
+    set to an unlabeled corpus. Queries are BROADCAST so the corpus
+    streams through once with no shuffle (q50's brute-force shape);
+    ranking uses the ROUNDED cosine + neighbor_id so float noise can't
+    reorder the cut, and the vote reduce touches |queries|×|labels|
+    rows. At real scale the same vote runs over q53/q55/q101's
+    IVF/PQ candidate sets instead of the exact scan — the top-k
+    contract is identical.""".format(k=KNN_K)
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    is_query = F.col("vec_id") % 20 == 0
+    q = emb.where(is_query).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    pairs = emb.where(~is_query).crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        F.col("label").alias("neighbor_label"),
+        r6(cosine(F.col("qv"), F.col("v"))).alias("cosine"),
+        F.col("vec_id").alias("neighbor_id"),
+    )
+    nn = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    votes = (
+        pairs.withColumn("rn", F.row_number().over(nn))
+        .where(F.col("rn") <= KNN_K)
+        .groupBy("query_id", "true_label", "neighbor_label")
+        .agg(F.count("*").cast("bigint").alias("n_votes"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), "neighbor_label"
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(win))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("neighbor_label").cast("int").alias("predicted_label"),
+            "n_votes",
+        )
+    )

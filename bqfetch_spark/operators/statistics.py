@@ -934,3 +934,69 @@ def qx129_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(slope / F.lit(100.0) * F.lit(86400.0)).alias("slope_per_day"),
         r6((sy - slope * sx) / n / F.lit(100.0)).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx130 — common user journeys (ordered aggregation / path mining)
+# ---------------------------------------------------------------------------
+
+JOURNEY_LEN = 8
+JOURNEY_TOPK = 20
+
+JOURNEY_ORACLE = f"""
+WITH paths AS (
+  SELECT
+    user_id,
+    array_to_string(
+      list_slice(list(event_type ORDER BY ts, event_id), 1, {JOURNEY_LEN}),
+      '>'
+    ) AS journey
+  FROM events
+  GROUP BY user_id
+)
+SELECT journey, n_users
+FROM (
+  SELECT
+    journey,
+    CAST(count(*) AS BIGINT) AS n_users,
+    row_number() OVER (ORDER BY count(*) DESC, journey) AS rn
+  FROM paths
+  GROUP BY journey
+)
+WHERE rn <= {JOURNEY_TOPK}
+"""
+
+
+@register(
+    "qx130_user_journey",
+    oracle=JOURNEY_ORACLE,
+    doc="most common first-8-step user journeys (ordered path aggregation)",
+    tags=("events", "sequence", "path-mining"),
+)
+def qx130_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: each user's first {n} event types in time order,
+    joined into a journey string, then the {k} most common journeys —
+    the "what do users actually do" query every product-analytics tool
+    ships. Ordered aggregation is the operator here: Spark has no
+    ORDER BY inside collect_list, so order is imposed structurally —
+    collect (ts, event_id, event_type) structs, array_sort (struct
+    comparison = lexicographic on fields, and (ts, event_id) is a
+    unique total order, so the trailing event_type never decides), then
+    slice BEFORE the journey string exists, bounding each row at {n}
+    steps. One user_id exchange builds paths (per-user arrays bounded
+    by the events-per-user horizon — at 100 TB you'd pre-filter the
+    lookback window, same plan); journey counting partial-aggregates,
+    and the final top-k is TakeOrdered with a journey tie-break, no
+    global sort.""".format(n=JOURNEY_LEN, k=JOURNEY_TOPK)
+    ev = load_catalog(spark, sf_dir).table("events")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    journey = F.array_join(
+        F.slice(F.transform(arr, lambda x: x["event_type"]), 1, JOURNEY_LEN), ">"
+    )
+    paths = ev.groupBy("user_id").agg(journey.alias("journey"))
+    return (
+        paths.groupBy("journey")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "journey")
+        .limit(JOURNEY_TOPK)
+    )

@@ -267,3 +267,46 @@ def test_qx129_ols_recovers_a_planted_line(spark, tmp_path):
     assert row.n_events == 6
     assert abs(row.slope_per_day - 0.02 * 86400) < 1e-6  # 1728 $/day
     assert abs(row.intercept - 5.0) < 1e-6
+
+
+def test_qx130_journey_is_time_ordered_and_sliced(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"events"})
+    # 10 events, types t0..t9 in time order -> journey = first 8 only
+    rows = [(i, _ts(i), 1, f"t{i}", 0.0, "{}") for i in range(10)]
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    out = REG["qx130_user_journey"].fn(spark, sf).collect()
+    assert [(r.journey, r.n_users) for r in out] == [
+        (">".join(f"t{i}" for i in range(8)), 1)
+    ]
+
+
+def test_qx131_formats_agree_with_each_other(spark):
+    rows = REG["qx131_multiformat_roundtrip"].fn(spark, SRC).collect()
+    assert sorted(r.fmt for r in rows) == ["csv", "json"]
+    sig = {(r.n_rows, r.n_users, r.sum_cents, r.min_us, r.max_us) for r in rows}
+    assert len(sig) == 1  # both round-trips carry identical content
+
+
+def test_qx132_centroid_shape_and_mass(spark):
+    rows = REG["qx132_embedding_centroid"].fn(spark, SRC).collect()
+    labels = {r.label for r in rows}
+    poss = {r.pos for r in rows}
+    assert poss == set(range(64))  # full fixture dim
+    assert len(rows) == len(labels) * 64
+    n_by_label = {}
+    for r in rows:
+        n_by_label.setdefault(r.label, set()).add(r.n_vectors)
+    assert all(len(v) == 1 for v in n_by_label.values())  # consistent counts
+
+
+def test_qx133_knn_votes_are_bounded_and_informative(spark):
+    from bqfetch_spark.operators.similarity import KNN_K
+
+    rows = REG["qx133_knn_classify"].fn(spark, SRC).collect()
+    assert rows and all(1 <= r.n_votes <= KNN_K for r in rows)
+    # synthetic embeddings cluster by label: kNN should beat chance
+    acc = sum(r.predicted_label == r.true_label for r in rows) / len(rows)
+    n_labels = len({r.true_label for r in rows} | {r.predicted_label for r in rows})
+    assert acc >= 1.0 / max(n_labels, 2)
