@@ -250,3 +250,79 @@ def test_qx114_windows_run_on_contingency_cells(spark):
     plan = _plan(spark, "qx114_chisquare")
     w = plan.index("Window")
     assert "HashAggregate" in plan[w:], plan
+
+
+def test_qx115_single_user_exchange_serves_window_and_agg(spark):
+    # the lag window and the pair aggregation must ride ONE user_id
+    # hash exchange; the pair agg partial-combines map-side
+    import re
+
+    plan = _plan(spark, "qx115_markov_transitions")
+    user_ex = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(user_ex) == 1, plan
+
+
+def test_qx116_single_user_exchange_serves_window_and_agg(spark):
+    import re
+
+    plan = _plan(spark, "qx116_time_weighted_avg")
+    user_ex = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(user_ex) == 1, plan
+
+
+def test_qx117_ks_uses_range_exchange_not_single_sort(spark):
+    # the CDF counters must ride the range exchange (with_global_cumsums);
+    # the fact join broadcasts the filtered customer side
+    plan = _plan(spark, "qx117_ks_test")
+    assert "Exchange rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_qx120_benford_partial_aggregates(spark):
+    # the 9-digit count must partial-combine map-side: each map task
+    # sends <=9 rows into the single exchange
+    plan = _formatted(spark, "qx120_benford")
+    assert "partial_count" in plan
+
+
+def test_qx122_mad_never_shuffles_the_fact(spark):
+    # both stats frames broadcast back; the only hash exchanges are
+    # the two tiny per-type percentile aggregations
+    import re
+
+    plan = _plan(spark, "qx122_mad_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    fact_ex = re.findall(r"Exchange hashpartitioning\(event_type[^)]*\), 3[0-9]", plan)
+    assert len(fact_ex) <= 2, plan
+
+
+def test_qx127_weighted_sample_is_take_ordered(spark):
+    # Efraimidis-Spirakis reduces weighted sampling to top-k: the plan
+    # must be per-partition heaps + O(k) merge, never a global sort
+    plan = _plan(spark, "qx127_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_qx128_winsorize_broadcasts_percentiles(spark):
+    plan = _plan(spark, "qx128_winsorize")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_qx130_journey_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "qx130_user_journey")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_qx133_knn_broadcasts_queries(spark):
+    # the corpus streams once with the query block broadcast — no
+    # corpus shuffle, no cartesian fallback
+    plan = _plan(spark, "qx133_knn_classify")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_qx134_no_single_partition_exchange(spark):
+    # percent_rank/cume_dist partition by event_type: the plan must
+    # never coalesce to one task for a global window
+    plan = _plan(spark, "qx134_percent_rank")
+    assert "Exchange SinglePartition" not in plan, plan
