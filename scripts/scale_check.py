@@ -601,6 +601,91 @@ def main() -> None:
         assert worst <= 20, f"{label} super-linear: worst ratio {worst:.1f}"
         print(f"{label} scaling OK")
 
+    # --- graph/vector shapes at 10x ---------------------------------
+    # pagerank fact-reduction: the 6-table edge aggregation at 10x
+    # lineitem+orders (matching shifted orderkeys so the join fans out
+    # truly 10x; the 625-edge output and the iteration cost stay
+    # constant — only the reduction grows). knn: brute-force cosine
+    # vote at 10x corpus vectors (queries broadcast, corpus streamed).
+    ords0 = spark.read.parquet(f"{base}/orders.parquet")
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    ords10 = (
+        ords0.crossJoin(reps)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    ords10.repartition(32).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    big_o = spark.read.parquet(f"{tmp}/orders.parquet")
+    small_o = ords0.repartition(32)
+    cust = spark.read.parquet(f"{base}/customer.parquet")
+    supp = spark.read.parquet(f"{base}/supplier.parquet")
+    nat = spark.read.parquet(f"{base}/nation.parquet")
+
+    def edges_shape(li, o):
+        n1 = nat.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src"))
+        n2 = nat.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst"))
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n1), F.col("c_nationkey") == F.col("ck"))
+            .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sk"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+
+    worst = 0.0
+    for i in range(2):
+        t0 = time.time()
+        ns = edges_shape(small, small_o).count()
+        ts = time.time() - t0
+        t0 = time.time()
+        nb = edges_shape(big, big_o).count()
+        tb = time.time() - t0
+        ratio = tb / ts
+        worst = max(worst, ratio)
+        print(f"pagerank-reduce round{i}: small={ts:.2f}s ({ns}) big={tb:.2f}s ({nb}) ratio={ratio:.1f}")
+    assert worst <= 20, f"pagerank-reduce super-linear: worst ratio {worst:.1f}"
+    print("pagerank-reduce scaling OK")
+
+    from bqfetch_spark.functions.vectors import as_double, cosine
+
+    emb0 = spark.read.parquet(f"{base}/embeddings.parquet")
+    emb10 = (
+        emb0.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    emb10.repartition(32).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+    big_v = spark.read.parquet(f"{tmp}/embeddings.parquet")
+    small_v = emb0.repartition(32)
+
+    def knn_shape(df):
+        e = df.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+        q = e.filter(F.col("vec_id") % 20 == 0).limit(25).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        )
+        return (
+            e.crossJoin(F.broadcast(q))
+            .select("qid", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("c"))
+            .groupBy("qid")
+            .agg(F.max("c").alias("best"))
+        )
+
+    worst = 0.0
+    for i in range(2):
+        t0 = time.time()
+        ns = knn_shape(small_v).count()
+        ts = time.time() - t0
+        t0 = time.time()
+        nb = knn_shape(big_v).count()
+        tb = time.time() - t0
+        ratio = tb / ts
+        worst = max(worst, ratio)
+        print(f"knn-broadcast round{i}: small={ts:.2f}s ({ns}) big={tb:.2f}s ({nb}) ratio={ratio:.1f}")
+    assert worst <= 20, f"knn-broadcast super-linear: worst ratio {worst:.1f}"
+    print("knn-broadcast scaling OK")
+
     shutil.rmtree(tmp, ignore_errors=True)
 
 

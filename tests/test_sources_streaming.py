@@ -743,3 +743,53 @@ def test_multimodal_transform_samples_real_pixels():
     assert dmeta["sample_rate"] == 4000 and dmeta["channels"] == 1
     kept = [struct.unpack_from("<h", ds, 44 + i * 2)[0] for i in range(3)]
     assert kept == [0, 2000, 4000]
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """The watermark contract itself: a straggler arriving below the
+    operative watermark must be dropped by the stateful aggregation,
+    and append mode must emit each finalized window EXACTLY once.
+    Batch 1 advances event time to 13:00 (watermark 12:50); batch 2 is
+    a propagation batch (Spark applies the late-record filter with the
+    PREVIOUS batch's operative watermark, one batch behind eviction —
+    measured via numRowsDroppedByWatermark); batch 3 then delivers a
+    12:05 straggler for the long-closed 12:00 window. If the straggler
+    were admitted it would re-open the evicted window state and append
+    mode would emit a DUPLICATE (12:00, 1) row — so asserting exactly
+    one finalized row proves the drop."""
+    import datetime
+
+    t = lambda h, m: datetime.datetime(2025, 3, 1, h, m)  # noqa: E731
+    schema = "user_id bigint, ts timestamp"
+    for i, rows in enumerate(
+        [
+            [(1, t(12, 0)), (1, t(13, 0))],  # on-time; advances watermark
+            [(1, t(13, 1))],  # propagation batch: filter catches up
+            [(1, t(12, 5))],  # straggler, far below watermark 12:50
+        ]
+    ):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"batch{i}")
+        )
+        import time
+
+        time.sleep(1.1)  # distinct mtimes keep file->micro-batch order
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    result = run_to_memory(agg, "watermark_drop_test", output_mode="append")
+    rows = [(r.window_start, r.n) for r in result.collect()]
+    # exactly ONE finalized row: the 12:00 window with only its on-time
+    # event; the straggler neither incremented it nor re-opened it, and
+    # the 13:00/13:01 window never finalized inside the bounded replay
+    assert rows == [(t(12, 0), 1)], rows
