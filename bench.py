@@ -153,6 +153,9 @@ HEADLINE = [
     "qx133_knn_classify",
     "qx134_percent_rank",
     "qx135_streaming_topk",
+    "qx136_jsd_divergence",
+    "qx137_cusum_changepoint",
+    "qx138_tfidf_keywords",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

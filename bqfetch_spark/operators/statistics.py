@@ -1000,3 +1000,245 @@ def qx130_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "journey")
         .limit(JOURNEY_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# qx136 — Jensen-Shannon divergence per source vs the corpus
+# ---------------------------------------------------------------------------
+
+JSD_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+sc AS (
+  SELECT source, token, count(*) AS c FROM tok GROUP BY source, token
+),
+st AS (SELECT source, sum(c) AS n FROM sc GROUP BY source),
+cc AS (SELECT token, count(*) AS cc FROM tok GROUP BY token),
+ct AS (SELECT sum(cc) AS nn FROM cc),
+terms AS (
+  SELECT
+    sc.source,
+    CAST(sc.c AS DOUBLE) / st.n AS p,
+    CAST(cc.cc AS DOUBLE) / ct.nn AS q
+  FROM sc
+  JOIN st ON sc.source = st.source
+  JOIN cc ON sc.token = cc.token
+  CROSS JOIN ct
+)
+SELECT
+  source,
+  round(
+    0.5 * sum(p * log2(2.0 * p / (p + q)))
+    + 0.5 * (sum(q * log2(2.0 * q / (p + q))) + (1.0 - sum(q))),
+    6
+  ) AS jsd_bits
+FROM terms
+GROUP BY source
+"""
+
+
+@register(
+    "qx136_jsd_divergence",
+    oracle=JSD_ORACLE,
+    doc="Jensen-Shannon divergence of each source's token distribution vs the corpus",
+    tags=("text", "stats", "quality"),
+)
+def qx136_jsd_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How far each source's token distribution sits from the corpus
+    mixture — the domain-shift number a curation pipeline watches when
+    a new crawl lands (JSD is symmetric, bounded [0,1] in bits, and
+    defined even where KL blows up on missing tokens). The q-side sum
+    over tokens a source LACKS has the closed form (1 − Σ_{t∈S} q_t)
+    — log2(2q/(0+q)) is exactly 1 bit — so the whole statistic needs
+    only the source∩corpus INNER join: one vocab-bounded token
+    exchange serving both count layers, never a per-source scan of
+    the full vocabulary. p/q are exact-count ratios; the log2 sums
+    carry ~ulp-per-term drift, orders below round-6 (qx118's
+    entropy argument)."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    tok = docs.select("source", F.explode(F.split("text", " ", -1)).alias("token"))
+    sc = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    cc = tok.groupBy("token").agg(F.count("*").alias("cc"))
+    ct = cc.agg(F.sum("cc").alias("nn"))
+    terms = (
+        sc.join(F.broadcast(st), "source")
+        .join(cc, "token")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            (F.col("c").cast("double") / F.col("n")).alias("p"),
+            (F.col("cc").cast("double") / F.col("nn")).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    return terms.groupBy("source").agg(
+        r6(
+            F.lit(0.5) * F.sum(p * F.log2(F.lit(2.0) * p / (p + q)))
+            + F.lit(0.5)
+            * (
+                F.sum(q * F.log2(F.lit(2.0) * q / (p + q)))
+                + (F.lit(1.0) - F.sum(q))
+            )
+        ).alias("jsd_bits")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx137 — CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+CUSUM_ORACLE = """
+WITH m AS (
+  SELECT
+    event_type,
+    CAST(sum(CAST(round(value * 100) AS HUGEINT)) AS DOUBLE)
+      / count(*) / 100.0 AS mu
+  FROM events GROUP BY event_type
+),
+cusum AS (
+  SELECT
+    e.event_type,
+    ts,
+    event_id,
+    sum(value - mu) OVER (
+      PARTITION BY e.event_type ORDER BY ts, event_id
+    ) AS s
+  FROM events e JOIN m ON e.event_type = m.event_type
+)
+SELECT event_type, ts AS changepoint_ts, round(abs(s), 6) AS cusum_peak
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY abs(s) DESC, ts, event_id
+  ) AS rn
+  FROM cusum
+)
+WHERE rn = 1
+"""
+
+
+@register(
+    "qx137_cusum_changepoint",
+    oracle=CUSUM_ORACLE,
+    doc="CUSUM level-shift changepoint per event type (peak cumulative deviation)",
+    tags=("events", "stats", "changepoint"),
+)
+def qx137_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where did the level shift? The CUSUM statistic — the running
+    sum of deviations from the series mean — peaks in magnitude at the
+    most likely changepoint, the classic single-shift detector behind
+    metric-drift alerts. The mean comes from exact integer-cents sums
+    (qx110's discipline: order-independent, engine-identical); the
+    running sum then evaluates in FRAME order, which the (ts,
+    event_id) tie-break makes a deterministic total order — both
+    engines add the same doubles in the same sequence, so even the
+    intermediate CUSUM values are bit-identical. One per-type hash
+    exchange serves the window and the argmax; the peak is a per-type
+    row_number over the same partitioning, no global sort."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    m = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).cast("double")
+            / F.count("*")
+            / F.lit(100.0)
+        ).alias("mu")
+    )
+    seq = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cusum = ev.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(F.col("value") - F.col("mu"))
+        .over(seq.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("s"),
+    )
+    peak = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), "ts", "event_id"
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(peak))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("changepoint_ts"),
+            r6(F.abs(F.col("s"))).alias("cusum_peak"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx138 — TF-IDF keyword extraction (top terms per document)
+# ---------------------------------------------------------------------------
+
+KEYWORDS_PER_DOC = 3
+
+TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(DISTINCT doc_id) AS n_docs FROM tok GROUP BY token
+),
+n AS (SELECT count(*) AS n_total FROM documents),
+scored AS (
+  SELECT
+    tf.doc_id,
+    tf.token,
+    round(tf.tf * ln(CAST(n.n_total AS DOUBLE) / df.n_docs), 6) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT doc_id, token, tfidf, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token
+  ) AS rn
+  FROM scored
+)
+WHERE rn <= {KEYWORDS_PER_DOC}
+"""
+
+
+@register(
+    "qx138_tfidf_keywords",
+    oracle=TFIDF_ORACLE,
+    doc="top-3 TF-IDF keywords per document (keyword extraction / tagging)",
+    tags=("text", "tfidf", "top-k"),
+)
+def qx138_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's {k} highest-TF-IDF terms —
+    the tagging step that turns a raw corpus into something
+    searchable/groupable (q80 scores docs by rarity; this names WHICH
+    terms make each doc distinctive). tf and df ride the SAME
+    token-keyed exchange (one explode feeds both aggregations); the
+    document-frequency join is vocabulary-bounded; ranking partitions
+    per doc_id with the ROUNDED score + token tie-break so float noise
+    can't flip the cut (q50's rounded-rank convention). ln() here, not
+    log2 — mirroring q80's IDF definition so the two operators
+    compose.""".format(k=KEYWORDS_PER_DOC)
+    docs = load_catalog(spark, sf_dir).table("documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("n_docs"))
+    n_total = docs.agg(F.count("*").alias("n_total"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "token",
+            r6(
+                F.col("tf")
+                * F.log(F.col("n_total").cast("double") / F.col("n_docs"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= KEYWORDS_PER_DOC)
+        .select("doc_id", "token", "tfidf", "rank")
+    )

@@ -310,3 +310,55 @@ def test_qx133_knn_votes_are_bounded_and_informative(spark):
     acc = sum(r.predicted_label == r.true_label for r in rows) / len(rows)
     n_labels = len({r.true_label for r in rows} | {r.predicted_label for r in rows})
     assert acc >= 1.0 / max(n_labels, 2)
+
+
+def test_qx136_identical_sources_have_zero_jsd(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"documents"})
+    docs = [  # both sources carry the same distribution -> JSD = 0
+        (1, "a b c", "en", "s1", 5),
+        (2, "a b c", "en", "s2", 5),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = {r.source: r.jsd_bits for r in REG["qx136_jsd_divergence"].fn(spark, sf).collect()}
+    assert out == {"s1": 0.0, "s2": 0.0}
+
+
+def test_qx136_jsd_is_bounded(spark):
+    rows = REG["qx136_jsd_divergence"].fn(spark, SRC).collect()
+    assert rows and all(0.0 <= r.jsd_bits <= 1.0 for r in rows)
+
+
+def test_qx137_cusum_finds_the_planted_shift(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"events"})
+    # level shift at index 5: five 0.0s then five 10.0s (mean 5.0)
+    rows = [(i, _ts(i), 1, "A", 0.0 if i < 5 else 10.0, "{}") for i in range(10)]
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    out = REG["qx137_cusum_changepoint"].fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    # cusum walks -5,-10,...,-25 then recovers: peak 25 at the last
+    # pre-shift event (index 4) — the changepoint
+    assert (r.changepoint_ts, r.cusum_peak) == (_ts(4), 25.0)
+
+
+def test_qx138_tfidf_names_the_distinctive_terms(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"documents"})
+    docs = [
+        (1, "a a b", "en", "s", 5),  # 'a' unique to doc 1, tf=2
+        (2, "b c", "en", "s", 3),  # 'c' unique to doc 2
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        (r.doc_id, r.rank): (r.token, r.tfidf)
+        for r in REG["qx138_tfidf_keywords"].fn(spark, sf).collect()
+    }
+    assert out[(1, 1)][0] == "a" and out[(2, 1)][0] == "c"
+    assert out[(1, 1)][1] > 0 and out[(2, 1)][1] > 0
+    # 'b' appears in every doc: IDF ln(2/2)=0 -> score 0, ranked below
+    assert out[(1, 2)] == ("b", 0.0)
