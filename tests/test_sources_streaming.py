@@ -39,6 +39,24 @@ def test_csv_json_roundtrip(spark, tmp_path):
     )
 
 
+def test_orc_roundtrip_preserves_types_and_values(spark, tmp_path):
+    """ORC leg of the source matrix: events (timestamps at microsecond
+    precision, doubles, strings) must survive an ORC write/read with
+    schema and values intact — ORC stores its own schema, so unlike
+    CSV/JSON no reader hints are needed."""
+    from bqfetch_spark.sources.readers import read_orc
+    from bqfetch_spark.sources.writers import write_orc
+
+    ev = load_catalog(spark, SF_SMOKE).table("events")
+    path = str(tmp_path / "events_orc")
+    write_orc(ev, path)
+    back = read_orc(spark, path)
+    assert back.schema == ev.schema
+    a = sorted(map(tuple, ev.select("event_id", "ts", "value").collect()))
+    b = sorted(map(tuple, back.select("event_id", "ts", "value").collect()))
+    assert a == b
+
+
 def test_partitioned_parquet_prunes(spark, tmp_path):
     orders = load_catalog(spark, SF_SMOKE).table("orders")
     path = str(tmp_path / "orders_part")
