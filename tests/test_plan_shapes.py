@@ -326,3 +326,40 @@ def test_qx134_no_single_partition_exchange(spark):
     # never coalesce to one task for a global window
     plan = _plan(spark, "qx134_percent_rank")
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Spark's runtime Bloom-filter join pruning — the 100 TB lever
+    that pre-filters the fact shuffle with a bloom built from the
+    selective dimension side. The application-side threshold defaults
+    to 10 GB (it triggers naturally at warehouse scale); lowering it
+    here proves the machinery fires on this engine's join shape: the
+    plan must build `bloom_filter_agg` over the filtered orders keys
+    and probe it (`might_contain`) on the lineitem side before the
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
