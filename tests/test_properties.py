@@ -287,3 +287,34 @@ def test_fuzzy_band_blocking_is_lossless_and_duplicate_free(names):
                     got.append(tuple(sorted((a, b))))
     assert len(got) == len(set(got)), "pair emitted twice"
     assert set(got) == want
+
+
+def test_global_cumsums_match_single_window_reference(spark):
+    """plans/ranks.with_global_cumsums (the two-pass range-exchange
+    spelling) must equal the naive single-window running sum for BOTH
+    value columns on awkward geometries: more partitions than rows,
+    one partition, duplicate-free keys in random order."""
+    import random
+
+    import pandas as pd
+
+    from bqfetch_spark.plans.ranks import with_global_cumsums
+
+    rng = random.Random(7)
+    for n_rows, n_parts in [(1, 4), (7, 32), (100, 3), (50, 1), (64, 64)]:
+        keys = rng.sample(range(10_000), n_rows)
+        rows = [(k, rng.randint(-5, 5), rng.randint(0, 9)) for k in keys]
+        df = spark.createDataFrame(rows, "k bigint, a bigint, b bigint")
+        out = (
+            with_global_cumsums(df, ["k"], {"a": "ca", "b": "cb"}, n_parts)
+            .toPandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        ref = (
+            pd.DataFrame(rows, columns=["k", "a", "b"])
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert list(out["ca"]) == list(ref["a"].cumsum()), (n_rows, n_parts)
+        assert list(out["cb"]) == list(ref["b"].cumsum()), (n_rows, n_parts)
