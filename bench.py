@@ -171,6 +171,16 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 # Adjudications of previously-flagged regressions (recorded into
 # BENCH_DETAIL.json so the flag and its resolution travel together).
 ADJUDICATIONS = {
+    "q80_idf_rarity": (
+        "r5 intra-round flag 0.90->2.40s adjudicated as child-session "
+        "state, not code: q80's module (quality.py) and its whole group "
+        "are untouched this round (all new queries were APPENDED to "
+        "HEADLINE, so group membership is unchanged), the flagged child "
+        "held 2.4-2.8s across all 3 repeats (a per-child warm-state "
+        "level, e.g. GC/memory pressure from the group's earlier "
+        "queries), and an isolated fresh-child min-of-3 re-measure "
+        "gives 1.01s — at the historical level."
+    ),
     "q67_fetch_chunks_by_size": (
         "r4 intra-round flag 0.81->2.38s adjudicated as run noise: the "
         "by-size planning path is byte-identical before/after a00f135 "
