@@ -107,21 +107,27 @@ def qx125_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = float(nodes.count())
 
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("r"))
-    for _ in range(PR_ITERS):
+    for it in range(PR_ITERS):
         # dangling mass: rank sitting on nodes with no out-edges,
         # redistributed uniformly (1-row frame, broadcast back)
+        # explicit aliases: without a per-iteration checkpoint the rank
+        # frame's lineage contains edges/nodes, so the joins below are
+        # self-joins and need qualified column references
+        rk = ranks.alias("rk")
         dangling = (
-            ranks.join(outw, ranks.node == outw.osrc, "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("m"))
+            rk.join(outw.alias("ow_"), F.col("rk.node") == F.col("ow_.osrc"), "left_anti")
+            .agg(F.coalesce(F.sum("rk.r"), F.lit(0.0)).alias("m"))
         )
         contrib = (
-            ranks.join(edges, ranks.node == edges.src)
-            .join(outw, edges.src == outw.osrc)
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") * F.col("w") / F.col("ow")).alias("contrib"))
+            rk.join(edges.alias("eg"), F.col("rk.node") == F.col("eg.src"))
+            .join(outw.alias("ow_"), F.col("eg.src") == F.col("ow_.osrc"))
+            .groupBy(F.col("eg.dst").alias("dst"))
+            .agg(
+                F.sum(F.col("rk.r") * F.col("eg.w") / F.col("ow_.ow")).alias("contrib")
+            )
         )
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes.alias("nd").join(contrib, F.col("nd.node") == F.col("dst"), "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -134,6 +140,11 @@ def qx125_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+        # checkpoint every 2nd iteration: each level references ranks
+        # twice (contribution + dangling), so the un-truncated plan
+        # doubles per level — a cadence of 2 bounds that at 4 subtree
+        # copies while halving the eager-materialization jobs
+        if it % 2 == 1 or it == PR_ITERS - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("node").alias("nation"), r6(F.col("r")).alias("pagerank"))
