@@ -156,6 +156,8 @@ HEADLINE = [
     "qx136_jsd_divergence",
     "qx137_cusum_changepoint",
     "qx138_tfidf_keywords",
+    "qx139_embedding_clusters",
+    "qx140_market_basket",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -572,3 +572,80 @@ def qx133_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx139 — cosine-threshold graph clustering (embedding communities)
+# ---------------------------------------------------------------------------
+
+EMB_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src
+),
+labels AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+all_labels AS (
+  SELECT e.vec_id, coalesce(l.cluster_id, e.vec_id) AS cluster_id
+  FROM e LEFT JOIN labels l ON e.vec_id = l.vec_id
+)
+SELECT
+  vec_id,
+  cluster_id,
+  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM all_labels
+"""
+
+
+@register(
+    "qx139_embedding_clusters",
+    oracle=EMB_CLUSTERS_ORACLE,
+    doc="cosine-threshold graph clustering of embeddings (connected components)",
+    tags=("similarity", "clustering", "graph"),
+)
+def qx139_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graph communities: vectors whose pairwise cosine
+    clears q51's near-dup threshold form edges; connected components
+    resolve them into clusters and every isolated vector keeps itself
+    as a singleton cluster — the grouping step that turns pairwise
+    similarity into "these N embeddings are the same thing" (the
+    vector twin of q74's text dedup clusters, sharing its hash-min
+    label propagation). Pair generation IS q51's exact baseline —
+    same rounded-cosine cut, same >100k-vector refusal pointing at the
+    q69 bucketed path, so the composition inherits both the oracle
+    exactness and the scale posture. The singleton fill is a left
+    join against the id projection (no vectors move), and cluster
+    sizes come from a window over cluster_id — component-bounded
+    partitions, never a global sort. Oracle: recursive-CTE transitive
+    closure over the identical pair set (exact but O(component²),
+    fine at oracle scale)."""
+    from bqfetch_spark.operators.corpus import connected_components
+
+    pairs = q51_embedding_neardup(spark, sf_dir)
+    cc = connected_components(pairs, "vec_a", "vec_b")
+    ids = load_catalog(spark, sf_dir).table("embeddings").select("vec_id")
+    labeled = ids.join(cc, ids.vec_id == cc.node, "left").select(
+        "vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id")
+    )
+    size = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "vec_id",
+        "cluster_id",
+        F.count("*").over(size).cast("bigint").alias("cluster_size"),
+    )

@@ -1242,3 +1242,91 @@ def qx138_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= KEYWORDS_PER_DOC)
         .select("doc_id", "token", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx140 — market-basket affinity (item-pair co-occurrence + lift)
+# ---------------------------------------------------------------------------
+
+BASKET_TOPK = 20
+
+BASKET_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+),
+n AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+ic AS (SELECT part, count(*) AS c FROM items GROUP BY part),
+pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b, count(*) AS c_ab
+  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY 1, 2
+)
+SELECT
+  part_a,
+  part_b,
+  CAST(c_ab AS BIGINT) AS n_cooccur,
+  round(CAST(c_ab AS DOUBLE) * n.n_orders / (ca.c * cb.c), 6) AS lift
+FROM pairs
+JOIN ic ca ON part_a = ca.part
+JOIN ic cb ON part_b = cb.part
+CROSS JOIN n
+ORDER BY n_cooccur DESC, part_a, part_b
+LIMIT {BASKET_TOPK}
+"""
+
+
+@register(
+    "qx140_market_basket",
+    oracle=BASKET_ORACLE,
+    doc="top item-pair affinities by basket co-occurrence with lift scores",
+    tags=("relational", "association", "top-k"),
+)
+def qx140_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: which parts ship together more than
+    chance — the association-rule primitive behind every
+    "frequently bought together" feature. The pair stream is the
+    within-basket self-join on l_orderkey, so fan-out is bounded by
+    items-per-basket² (a per-order constant), NOT catalog²: the same
+    linear-growth argument as qx107's vocab-bounded co-occurrence,
+    with the basket as the bounding scope. lift = P(a,b)/(P(a)P(b))
+    derives from exact BIGINT supports in one mirrored double
+    expression; the per-item support table is catalog-sized and
+    broadcast onto the pair stream. Final top-k is TakeOrdered on
+    (count, part_a, part_b) — a deterministic total order, no global
+    sort."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = items.agg(F.countDistinct("okey").alias("n_orders"))
+    ic = items.groupBy("part").agg(F.count("*").alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey")) & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count("*").alias("c_ab"))
+    )
+    ca = ic.select(F.col("part").alias("part_a"), F.col("c").alias("ca"))
+    cb = ic.select(F.col("part").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").cast("bigint").alias("n_cooccur"),
+            r6(
+                F.col("c_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("ca") * F.col("cb"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_cooccur"), "part_a", "part_b")
+        .limit(BASKET_TOPK)
+    )

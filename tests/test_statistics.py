@@ -362,3 +362,42 @@ def test_qx138_tfidf_names_the_distinctive_terms(spark, tmp_path):
     assert out[(1, 1)][1] > 0 and out[(2, 1)][1] > 0
     # 'b' appears in every doc: IDF ln(2/2)=0 -> score 0, ranked below
     assert out[(1, 2)] == ("b", 0.0)
+
+
+def test_qx139_clusters_partition_all_vectors(spark):
+    rows = REG["qx139_embedding_clusters"].fn(spark, SRC).collect()
+    n = len(rows)
+    assert n > 0 and len({r.vec_id for r in rows}) == n  # every vector, once
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.vec_id for m in members)  # label = min member
+        assert all(m.cluster_size == len(members) for m in members)
+
+
+def test_qx140_planted_basket_affinity(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"lineitem"})
+    od = datetime.datetime(1995, 1, 1)
+    # parts 1+2 co-occur in 2 of 4 baskets; parts 3+4 once; part 5 alone
+    baskets = {1: [1, 2], 2: [1, 2], 3: [3, 4], 4: [5]}
+    rows = []
+    for okey, parts in baskets.items():
+        for i, p in enumerate(parts):
+            rows.append((okey, p, 100 + p, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O", od))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    out = REG["qx140_market_basket"].fn(spark, sf).collect()
+    assert [(r.part_a, r.part_b, r.n_cooccur) for r in out] == [
+        (1, 2, 2),
+        (3, 4, 1),
+    ]
+    # lift(1,2) = P(1,2)/(P(1)P(2)) = (2/4)/((2/4)*(2/4)) = 2.0
+    assert out[0].lift == 2.0
+    # lift(3,4) = (1/4)/((1/4)*(1/4)) = 4.0 — rarer but perfectly coupled
+    assert out[1].lift == 4.0
