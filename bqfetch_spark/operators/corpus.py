@@ -173,14 +173,16 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str, max_iters: in
     driver-side data beyond the 1-row convergence aggregate — and
     localCheckpoint truncates lineage so round N's plan doesn't
     replay rounds 1..N-1."""
-    # materialize the edge list ONCE: every iteration joins against it,
-    # and without the barrier each round would replay the (expensive)
-    # upstream pair-generation plan — e.g. q46's whole shingle join
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    # materialize the PAIRS once, then the edge list once: every
+    # iteration joins against edges, and without the barriers each
+    # round would replay the (expensive) upstream pair-generation plan;
+    # worse, the symmetrizing union evaluates its input twice, so an
+    # un-checkpointed pairs plan (q46's shingle join, qx139's all-pairs
+    # cosine) would run double even in the single edge materialization
+    p = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    edges = p.union(p.select(F.col("dst"), F.col("src"))).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
