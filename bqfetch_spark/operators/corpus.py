@@ -196,11 +196,25 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str, max_iters: in
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer jump (path compression): follow each label to ITS
+        # label — every label is itself a node, so the hop is a self
+        # equi-join. Plain hash-min needs O(diameter) rounds (a chain
+        # component converges one hop per round — measured 11 rounds on
+        # the sf0.1 cosine graph); the jump makes label depth halve per
+        # round, so convergence is O(log diameter) — the difference
+        # between ~40 and ~6 rounds on a 1e12-edge graph's long chains.
+        x, p = stepped.alias("x"), stepped.alias("p")
         labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            x.join(p, F.col("x.label") == F.col("p.node"), "left")
             .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.col("x.node").alias("node"),
+                F.least(
+                    F.col("x.label"), F.coalesce(F.col("p.label"), F.col("x.label"))
+                ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
