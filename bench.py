@@ -158,6 +158,8 @@ HEADLINE = [
     "qx138_tfidf_keywords",
     "qx139_embedding_clusters",
     "qx140_market_basket",
+    "qx141_kfold_assignment",
+    "qx142_oversample_minority",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -1330,3 +1330,143 @@ def qx140_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_cooccur"), "part_a", "part_b")
         .limit(BASKET_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# qx141 — deterministic group k-fold assignment (leakage-safe CV splits)
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+KFOLD_ORACLE = f"""
+WITH assigned AS (
+  SELECT
+    user_id,
+    CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+         % {KFOLD_K} AS INT) AS fold,
+    count(*) AS n_events
+  FROM events
+  GROUP BY user_id
+)
+SELECT
+  fold,
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(n_events) AS BIGINT) AS n_events
+FROM assigned
+GROUP BY fold
+"""
+
+
+@register(
+    "qx141_kfold_assignment",
+    oracle=KFOLD_ORACLE,
+    doc="deterministic group k-fold split (every user's events share one fold)",
+    tags=("sampling", "curation", "hash-assignment"),
+)
+def qx141_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group k-fold cross-validation splits: the fold is a pure
+    function of the GROUP key (md5-derived, the q72/qx126 convention),
+    so all of a user's events land in one fold — the leakage guard a
+    row-level split violates (a user in both train and eval leaks
+    identity features). Deterministic: reruns, retries, and engines
+    agree on the entire assignment, and adding new users never moves
+    existing ones between folds (hash, not modulo-of-row-number).
+    ONE user_id exchange produces per-user rows; the per-fold rollup
+    is a {k}-group aggregate.""".format(k=KFOLD_K)
+    ev = load_catalog(spark, sf_dir).table("events")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % KFOLD_K
+    ).cast("int")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    return (
+        per_user.select(fold.alias("fold"), "n_events")
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx142 — minority-class oversampling (deterministic replication balance)
+# ---------------------------------------------------------------------------
+
+OVERSAMPLE_ORACLE = """
+WITH cc AS (
+  SELECT event_type, count(*) AS c FROM events GROUP BY event_type
+),
+tgt AS (SELECT max(c) AS target FROM cc),
+replicated AS (
+  SELECT
+    e.event_type,
+    e.event_id,
+    copy,
+    row_number() OVER (
+      PARTITION BY e.event_type ORDER BY e.event_id, copy
+    ) AS rn
+  FROM events e
+  JOIN cc ON e.event_type = cc.event_type
+  CROSS JOIN tgt
+  CROSS JOIN unnest(range(1, CAST(ceil(CAST(target AS DOUBLE) / c) AS BIGINT) + 1))
+    AS t(copy)
+)
+SELECT
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(DISTINCT event_id) AS BIGINT) AS n_source_events,
+  CAST(max(copy) AS BIGINT) AS max_copy
+FROM replicated
+CROSS JOIN tgt
+WHERE rn <= target
+GROUP BY event_type
+"""
+
+
+@register(
+    "qx142_oversample_minority",
+    oracle=OVERSAMPLE_ORACLE,
+    doc="balance classes by deterministic replication up to the majority count",
+    tags=("sampling", "curation", "rebalancing"),
+)
+def qx142_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing by replication: every event type is brought
+    up to EXACTLY the majority class's row count — each row replicates
+    ceil(target/c) times (explode over a sequence, a narrow map), then
+    a per-class row_number over the deterministic (event_id, copy)
+    order trims the overshoot, so the balanced set is a pure function
+    of the input (no RNG — the rebalancing twin of q72's md5 DOWN-
+    sampling). The class-count frame is tiny and broadcast; the only
+    data-sized exchange is the per-class trim window, partitioned by
+    class — and since replication factors are per-CLASS constants, the
+    explode fan-out is bounded by target/c per row, never quadratic.
+    Surfaced per class: balanced row count (== target for every
+    class), distinct source events, and the replication ceiling."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    cc = ev.groupBy("event_type").agg(F.count("*").alias("c"))
+    tgt = cc.agg(F.max("c").alias("target"))
+    factor = F.ceil(F.col("target").cast("double") / F.col("c")).cast("bigint")
+    replicated = (
+        ev.select("event_type", "event_id")
+        .join(F.broadcast(cc), "event_type")
+        .crossJoin(F.broadcast(tgt))
+        .select(
+            "event_type",
+            "event_id",
+            "target",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), factor)).alias("copy"),
+        )
+    )
+    trim = Window.partitionBy("event_type").orderBy("event_id", "copy")
+    return (
+        replicated.withColumn("rn", F.row_number().over(trim))
+        .where(F.col("rn") <= F.col("target"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("event_id").cast("bigint").alias("n_source_events"),
+            F.max("copy").cast("bigint").alias("max_copy"),
+        )
+    )

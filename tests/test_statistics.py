@@ -401,3 +401,32 @@ def test_qx140_planted_basket_affinity(spark, tmp_path):
     assert out[0].lift == 2.0
     # lift(3,4) = (1/4)/((1/4)*(1/4)) = 4.0 — rarer but perfectly coupled
     assert out[1].lift == 4.0
+
+
+def test_qx141_folds_partition_users(spark):
+    from bqfetch_spark.operators.statistics import KFOLD_K
+
+    rows = REG["qx141_kfold_assignment"].fn(spark, SRC).collect()
+    assert {r.fold for r in rows} <= set(range(KFOLD_K))
+    import duckdb
+
+    truth = duckdb.sql(
+        f"SELECT count(DISTINCT user_id), count(*) FROM '{SRC}/events.parquet'"
+    ).fetchone()
+    assert sum(r.n_users for r in rows) == truth[0]  # every user, once
+    assert sum(r.n_events for r in rows) == truth[1]  # every event, once
+
+
+def test_qx142_balances_exactly_to_majority(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"events"})
+    # class A: 5 rows (majority); class B: 2 rows -> each B row
+    # replicates ceil(5/2)=3x, then trimmed to exactly 5
+    rows = [(i, _ts(i), 1, "A", 0.0, "{}") for i in range(5)]
+    rows += [(10 + i, _ts(i), 1, "B", 0.0, "{}") for i in range(2)]
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    out = {r.event_type: r for r in REG["qx142_oversample_minority"].fn(spark, sf).collect()}
+    assert out["A"].n_rows == out["B"].n_rows == 5  # balanced exactly
+    assert out["A"].n_source_events == 5 and out["A"].max_copy == 1
+    assert out["B"].n_source_events == 2 and out["B"].max_copy == 3
