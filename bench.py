@@ -160,6 +160,8 @@ HEADLINE = [
     "qx140_market_basket",
     "qx141_kfold_assignment",
     "qx142_oversample_minority",
+    "qx143_seasonal_anomalies",
+    "qx144_lag_features",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -1470,3 +1470,170 @@ def qx142_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("copy").cast("bigint").alias("max_copy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx143 — seasonal baseline + residual anomalies (hour-of-day profile)
+# ---------------------------------------------------------------------------
+
+SEASONAL_Z = 3.0
+
+SEASONAL_ORACLE = f"""
+WITH prof AS (
+  SELECT
+    event_type,
+    CAST(hour(ts) AS INT) AS hod,
+    CAST(sum(CAST(round(value * 100) AS HUGEINT)) AS DOUBLE)
+      / count(*) / 100.0 AS mu,
+    count(*) AS n,
+    CAST(sum(CAST(round(value * 100) AS HUGEINT)
+             * CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) AS sx
+  FROM events
+  GROUP BY event_type, hour(ts)
+)
+SELECT
+  event_id,
+  e.event_type,
+  e.hod AS hod,
+  round(CAST(value AS DOUBLE), 6) AS value,
+  round((value - mu) / sigma, 6) AS seasonal_z
+FROM (
+  SELECT
+    event_type, hod, mu,
+    sqrt((sxx - sx * sx / n) / (n - 1)) / 100.0 AS sigma
+  FROM prof
+  WHERE n > 1
+) p
+JOIN (SELECT *, CAST(hour(ts) AS INT) AS hod FROM events) e
+  ON e.event_type = p.event_type AND e.hod = p.hod
+WHERE sigma > 0 AND abs((value - mu) / sigma) > {SEASONAL_Z}
+"""
+
+
+@register(
+    "qx143_seasonal_anomalies",
+    oracle=SEASONAL_ORACLE,
+    doc="anomalies vs an hour-of-day seasonal baseline (per type+hour z-scores)",
+    tags=("events", "temporal", "anomaly"),
+)
+def qx143_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: a metric that is normal at
+    peak hour is anomalous at 3 AM — flat thresholds (qx106) can't see
+    that, so the baseline here is the (event_type, hour-of-day)
+    profile: exact-cents mean and sample stddev per cell, a ≤|types|×24
+    frame built in ONE partial-aggregated pass and BROADCAST back onto
+    the events, which are never shuffled. Moments follow the qx110
+    discipline (integer cents, HUGEINT/DECIMAL sums → mirrored double
+    derivation); degenerate cells (n≤1 or zero variance) are excluded
+    on both sides, and the flag predicate compares bit-identical
+    expressions, so the anomaly set is engine-deterministic."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    cents = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    prof = (
+        ev.groupBy("event_type", F.hour("ts").cast("int").alias("hod"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents).cast("double").alias("sx"),
+            F.sum(cents * cents).cast("double").alias("sxx"),
+        )
+        .where(F.col("n") > 1)
+        .select(
+            "event_type",
+            "hod",
+            (F.col("sx") / F.col("n") / F.lit(100.0)).alias("mu"),
+            (
+                F.sqrt(
+                    (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                    / (F.col("n") - 1)
+                )
+                / F.lit(100.0)
+            ).alias("sigma"),
+        )
+        .where(F.col("sigma") > 0)
+    )
+    evh = ev.select(
+        "event_id", "event_type", "value", F.hour("ts").cast("int").alias("hod")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        evh.join(F.broadcast(prof), ["event_type", "hod"])
+        .where(F.abs(z) > SEASONAL_Z)
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            r6(F.col("value").cast("double")).alias("value"),
+            r6(z).alias("seasonal_z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx144 — lag-feature generation (ML feature engineering)
+# ---------------------------------------------------------------------------
+
+LAG_FEATURES_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  round(CAST(value AS DOUBLE), 6) AS value,
+  round(CAST(lag(value, 1) OVER w AS DOUBLE), 6) AS lag1,
+  round(CAST(lag(value, 2) OVER w AS DOUBLE), 6) AS lag2,
+  round(CAST(value - lag(value, 1) OVER w AS DOUBLE), 6) AS delta1,
+  round(
+    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+    ) AS DOUBLE)
+    / count(*) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+    ),
+    6
+  ) AS mean3,
+  CAST(count(*) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) - 1 AS BIGINT) AS n_prior
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register(
+    "qx144_lag_features",
+    oracle=LAG_FEATURES_ORACLE,
+    doc="per-user lag/delta/rolling-mean feature matrix for sequence models",
+    tags=("events", "feature-engineering", "window-analytic"),
+)
+def qx144_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature engineering for sequence models: each observation gains
+    its two lags, the first difference, a trailing 3-row mean and its
+    prior-observation count — the standard tabular features a
+    forecasting/churn model trains on, produced as ONE pass. Every
+    window shares the identical (user_id | ts, event_id) spec, so
+    Catalyst evaluates all five features in a single Window operator
+    over a single user_id exchange — the feature count scales without
+    re-sorting. The rolling mean accumulates in DECIMAL (exact in both
+    engines) over the explicit frame; leading rows yield NULL lags,
+    exactly what a leakage-safe training join wants."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame3 = w.rowsBetween(-2, 0)
+    hist = w.rowsBetween(Window.unboundedPreceding, 0)
+    dec = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        r6(F.col("value").cast("double")).alias("value"),
+        r6(F.lag("value", 1).over(w).cast("double")).alias("lag1"),
+        r6(F.lag("value", 2).over(w).cast("double")).alias("lag2"),
+        r6((F.col("value") - F.lag("value", 1).over(w)).cast("double")).alias(
+            "delta1"
+        ),
+        r6(
+            F.sum(dec).over(frame3).cast("double") / F.count("*").over(frame3)
+        ).alias("mean3"),
+        (F.count("*").over(hist) - 1).cast("bigint").alias("n_prior"),
+    )

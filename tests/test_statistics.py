@@ -430,3 +430,35 @@ def test_qx142_balances_exactly_to_majority(spark, tmp_path):
     assert out["A"].n_rows == out["B"].n_rows == 5  # balanced exactly
     assert out["A"].n_source_events == 5 and out["A"].max_copy == 1
     assert out["B"].n_source_events == 2 and out["B"].max_copy == 3
+
+
+def test_qx143_flags_only_the_planted_offhour_spike(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"events"})
+    rows = []
+    # hour 0 profile for type A: values 10±1 over 30 events (enough
+    # baseline mass that the spike can't inflate sigma below the cut —
+    # a tiny-sample spike masks itself)
+    for i in range(30):
+        rows.append((i, _ts(i), 1, "A", 10.0 + (1.0 if i % 2 else -1.0), "{}"))
+    # ...plus one 3 AM-style spike far outside the hour-0 band
+    rows.append((100, _ts(40), 1, "A", 50.0, "{}"))
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    out = REG["qx143_seasonal_anomalies"].fn(spark, sf).collect()
+    assert [r.event_id for r in out] == [100]
+    assert out[0].hod == 0 and out[0].seasonal_z > 3
+
+
+def test_qx144_lag_features_planted_sequence(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"events"})
+    rows = [(i, _ts(i), 1, "A", float(10 * (i + 1)), "{}") for i in range(4)]
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    out = {r.event_id: r for r in REG["qx144_lag_features"].fn(spark, sf).collect()}
+    assert (out[0].lag1, out[0].lag2, out[0].delta1) == (None, None, None)
+    assert out[0].mean3 == 10.0 and out[0].n_prior == 0
+    assert (out[2].lag1, out[2].lag2, out[2].delta1) == (20.0, 10.0, 10.0)
+    assert out[2].mean3 == 20.0  # (10+20+30)/3
+    assert out[3].mean3 == 30.0 and out[3].n_prior == 3  # (20+30+40)/3
