@@ -1058,9 +1058,19 @@ def qx136_jsd_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy argument)."""
     docs = load_catalog(spark, sf_dir).table("documents")
     tok = docs.select("source", F.explode(F.split("text", " ", -1)).alias("token"))
-    sc = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    # MATERIALIZE the (source, token) frame once: every coarser count
+    # layer derives from it, and as separate lazy branches each layer
+    # would re-scan and re-explode the corpus (measured 4 scans —
+    # column pruning differentiates the subtrees, so ReuseExchange
+    # cannot dedup them). The frame is vocab-bounded — exactly what a
+    # 100 TB run would cache before fanning out count layers.
+    sc = (
+        tok.groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     st = sc.groupBy("source").agg(F.sum("c").alias("n"))
-    cc = tok.groupBy("token").agg(F.count("*").alias("cc"))
+    cc = sc.groupBy("token").agg(F.sum("c").alias("cc"))
     ct = cc.agg(F.sum("cc").alias("nn"))
     terms = (
         sc.join(F.broadcast(st), "source")
@@ -1222,10 +1232,16 @@ def qx138_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_catalog(spark, sf_dir).table("documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("n_docs"))
+    # tf already holds one row per (doc, token), so document frequency
+    # is a WINDOW count over tf partitioned by token — a branch-free
+    # chain (one scan, one explode), where a separate df aggregate
+    # joined back would re-scan and re-explode the corpus (column
+    # pruning blocks ReuseExchange across the branches); per-token
+    # partitions are bounded by document frequency
+    df_w = Window.partitionBy("token")
     n_total = docs.agg(F.count("*").alias("n_total"))
     scored = (
-        tf.join(df_, "token")
+        tf.withColumn("n_docs", F.count("*").over(df_w))
         .crossJoin(F.broadcast(n_total))
         .select(
             "doc_id",

@@ -363,3 +363,14 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_qx138_tfidf_single_corpus_scan(spark):
+    # tf and df must share ONE scan+explode: df is a window over the
+    # tf frame, not a second aggregate branch (which would re-explode
+    # the corpus — measured 3 scans before the chain spelling). The
+    # only other scan is the pruned count(*) for N.
+    import re
+
+    plan = _plan(spark, "qx138_tfidf_keywords")
+    assert len(re.findall(r"FileScan parquet", plan)) == 2, plan
