@@ -89,7 +89,7 @@ def qx125_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins orders broadcast-dimension-style down to a <=|nations|² edge
     list in one partially-aggregated pass; the 100 TB posture is that
     iteration never touches facts. The power iteration itself runs
-    {iters} fixed rounds on the tiny rank frame (localCheckpoint per
+    10 (PR_ITERS) fixed rounds on the tiny rank frame (localCheckpoint per
     round keeps the plan from growing superlinearly), with the
     standard damping + uniform dangling-mass redistribution:
     r'(v) = (1-d)/N + d * (sum_in r(u) w(u,v)/outw(u) + dangling/N).
@@ -97,7 +97,7 @@ def qx125_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point is value-checked, not just shape-checked. Determinism:
     weights/out-weights are exact BIGINTs; each per-node contribution
     is a <=|nodes|-term double sum — mirrored expression, ~ulp drift,
-    stable at round-6.""".format(iters=PR_ITERS)
+    stable at round-6."""
     cat = load_catalog(spark, sf_dir)
     for t in ("lineitem", "orders", "customer", "supplier", "nation"):
         cat.table(t).createOrReplaceTempView(t)

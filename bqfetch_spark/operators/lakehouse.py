@@ -386,13 +386,13 @@ def qx131_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same as parquet's; the checksum aggregation is one
     partial-combined pass per format."""
     import os
+    import shutil
     import tempfile
 
     ev = load_catalog(spark, sf_dir).table("events")
-    work = os.path.join(
-        tempfile.gettempdir(),
-        f"bqfs_formats_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    # Per-invocation scratch dir: a fixed path keyed on the fixture
+    # basename races when two sessions overwrite/read concurrently.
+    work = tempfile.mkdtemp(prefix="bqfs_formats_")
     jdir, cdir = os.path.join(work, "json"), os.path.join(work, "csv")
     (
         ev.write.mode("overwrite")
@@ -428,4 +428,9 @@ def qx131_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.unix_micros("ts")).cast("bigint").alias("min_us"),
             F.max(F.unix_micros("ts")).cast("bigint").alias("max_us"),
         )
-    return checksum(back["csv"], "csv").unionAll(checksum(back["json"], "json"))
+    lazy = checksum(back["csv"], "csv").unionAll(checksum(back["json"], "json"))
+    # Materialize the 2-row checksum eagerly so the scratch dir can be
+    # removed before returning (the result no longer references it).
+    rows, out_schema = lazy.collect(), lazy.schema
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)

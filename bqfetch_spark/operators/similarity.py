@@ -523,7 +523,7 @@ WHERE vr = 1
 )
 def qx133_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN classification end-to-end: every 20th vector is held out
-    as a query, its {k} nearest corpus neighbors by cosine vote on its
+    as a query, its 5 (KNN_K) nearest corpus neighbors by cosine vote on its
     label, majority wins (ties break to the smaller label — a total
     order, mirrored in the oracle). The labeling workhorse of
     weak-supervision pipelines: propagate labels from a small labeled
@@ -533,7 +533,7 @@ def qx133_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     reorder the cut, and the vote reduce touches |queries|×|labels|
     rows. At real scale the same vote runs over q53/q55/q101's
     IVF/PQ candidate sets instead of the exact scan — the top-k
-    contract is identical.""".format(k=KNN_K)
+    contract is identical."""
     emb = load_catalog(spark, sf_dir).table("embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )

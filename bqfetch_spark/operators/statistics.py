@@ -981,20 +981,20 @@ WHERE rn <= {JOURNEY_TOPK}
     tags=("events", "sequence", "path-mining"),
 )
 def qx130_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Path mining: each user's first {n} event types in time order,
-    joined into a journey string, then the {k} most common journeys —
+    """Path mining: each user's first 8 (JOURNEY_LEN) event types in time order,
+    joined into a journey string, then the 20 (JOURNEY_TOPK) most common journeys —
     the "what do users actually do" query every product-analytics tool
     ships. Ordered aggregation is the operator here: Spark has no
     ORDER BY inside collect_list, so order is imposed structurally —
     collect (ts, event_id, event_type) structs, array_sort (struct
     comparison = lexicographic on fields, and (ts, event_id) is a
     unique total order, so the trailing event_type never decides), then
-    slice BEFORE the journey string exists, bounding each row at {n}
+    slice BEFORE the journey string exists, bounding each row at 8 (JOURNEY_LEN)
     steps. One user_id exchange builds paths (per-user arrays bounded
     by the events-per-user horizon — at 100 TB you'd pre-filter the
     lookback window, same plan); journey counting partial-aggregates,
     and the final top-k is TakeOrdered with a journey tie-break, no
-    global sort.""".format(n=JOURNEY_LEN, k=JOURNEY_TOPK)
+    global sort."""
     ev = load_catalog(spark, sf_dir).table("events")
     arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
     journey = F.array_join(
@@ -1127,7 +1127,7 @@ cusum AS (
 SELECT event_type, ts AS changepoint_ts, round(abs(s), 6) AS cusum_peak
 FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY event_type ORDER BY abs(s) DESC, ts, event_id
+    PARTITION BY event_type ORDER BY round(abs(s), 6) DESC, ts, event_id
   ) AS rn
   FROM cusum
 )
@@ -1171,7 +1171,7 @@ def qx137_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s"),
     )
     peak = Window.partitionBy("event_type").orderBy(
-        F.abs(F.col("s")).desc(), "ts", "event_id"
+        r6(F.abs(F.col("s"))).desc(), "ts", "event_id"
     )
     return (
         cusum.withColumn("rn", F.row_number().over(peak))
@@ -1226,7 +1226,7 @@ WHERE rn <= {KEYWORDS_PER_DOC}
     tags=("text", "tfidf", "top-k"),
 )
 def qx138_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyword extraction: each document's {k} highest-TF-IDF terms —
+    """Keyword extraction: each document's 3 (KEYWORDS_PER_DOC) highest-TF-IDF terms —
     the tagging step that turns a raw corpus into something
     searchable/groupable (q80 scores docs by rarity; this names WHICH
     terms make each doc distinctive). tf and df ride the SAME
@@ -1235,7 +1235,7 @@ def qx138_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc_id with the ROUNDED score + token tie-break so float noise
     can't flip the cut (q50's rounded-rank convention). ln() here, not
     log2 — mirroring q80's IDF definition so the two operators
-    compose.""".format(k=KEYWORDS_PER_DOC)
+    compose."""
     docs = load_catalog(spark, sf_dir).table("documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
@@ -1395,7 +1395,7 @@ def qx141_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree on the entire assignment, and adding new users never moves
     existing ones between folds (hash, not modulo-of-row-number).
     ONE user_id exchange produces per-user rows; the per-fold rollup
-    is a {k}-group aggregate.""".format(k=KFOLD_K)
+    is a 5 (KFOLD_K)-group aggregate."""
     ev = load_catalog(spark, sf_dir).table("events")
     fold = (
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
