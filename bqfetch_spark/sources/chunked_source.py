@@ -223,26 +223,50 @@ class ChunkedParquetStreamReader(DataSourceStreamReader):
     still LOGGED as a new batch end, and a SECOND restart would resume
     from that regressed entry and re-emit committed row groups
     (round-4 advice). Exactly-once across arbitrary restarts therefore
-    needs the DURABLE high-water: pass ``state_dir`` (any writable
-    directory, e.g. next to the checkpoint) and ``commit()`` persists
-    the committed offset to ``state_dir/highwater.json`` (atomic
-    tmp+rename); a recovered reader seeds its floor from the sidecar,
-    so latestOffset never returns below the durably committed offset
-    and a regressed entry can never enter the offset log. Without
-    ``state_dir`` the source is at-least-once across multiple crashes
-    (single-restart safe), which tests pin explicitly."""
+    needs a DURABLE high-water, and it is ON BY DEFAULT: ``commit()``
+    persists the committed offset to ``<state_dir>/highwater.json``
+    (atomic tmp+rename); a recovered reader seeds its floor from the
+    sidecar, so latestOffset never returns below the durably committed
+    offset and a regressed entry can never enter the offset log.
+
+    The sidecar's location: ``option("state_dir", ...)`` when given
+    (put it next to the checkpoint); otherwise a directory derived
+    from the absolute data path + ``option("stream_id")`` fingerprint
+    under the system temp dir. The Python DataSource API never shows
+    the source the query's checkpointLocation (only readStream options
+    arrive — probed empirically on Spark 4.1), so path identity is the
+    best automatic key. Fresh-vs-restart disambiguation rides the
+    offset protocol itself: Spark calls ``initialOffset()`` ONLY when
+    the checkpoint has no offset log, and that hook RESETS the sidecar
+    — a brand-new query over the same path replays from zero, while a
+    crash-recovered query (no initialOffset call) keeps the durable
+    floor. The one configuration that still needs explicit options is
+    two CONCURRENT fresh queries replaying the same path: give each a
+    distinct ``stream_id`` (or ``state_dir``) so they don't share a
+    floor. ``option("durable_state", "false")`` turns the sidecar off
+    (reverting to the single-restart in-memory ratchet)."""
 
     def __init__(self, options):
+        import hashlib
         import os
+        import tempfile
 
         self.path = options.get("path")
         if not self.path:
             raise ValueError("bqfetch_chunked requires option 'path'")
         self.groups_per_batch = int(options.get("groups_per_batch", "1"))
         self.columns = _columns_option(options)
+        durable = options.get("durable_state", "true").lower() != "false"
         state_dir = options.get("state_dir")
+        if durable and not state_dir:
+            ident = os.path.abspath(self.path) + "\x00" + options.get("stream_id", "")
+            state_dir = os.path.join(
+                tempfile.gettempdir(),
+                "bqfetch_chunked_state",
+                hashlib.sha1(ident.encode()).hexdigest(),
+            )
         self.state_path = None
-        if state_dir:
+        if durable and state_dir:
             os.makedirs(state_dir, exist_ok=True)
             self.state_path = os.path.join(state_dir, "highwater.json")
         import pyarrow.parquet as pq
@@ -269,6 +293,19 @@ class ChunkedParquetStreamReader(DataSourceStreamReader):
             return 0
 
     def initialOffset(self) -> dict:
+        # Spark invokes this ONLY when the checkpoint has no offset
+        # log — i.e. a brand-new query, never a crash recovery. Reset
+        # the durable sidecar so a fresh query over a previously
+        # streamed path replays from zero instead of inheriting a
+        # dead query's floor.
+        self._floor = 0
+        self._emitted = 0
+        if self.state_path:
+            import contextlib
+            import os
+
+            with contextlib.suppress(OSError):
+                os.remove(self.state_path)
         return {"rg": 0}
 
     def latestOffset(self) -> dict:

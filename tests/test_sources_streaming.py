@@ -261,7 +261,8 @@ def test_python_datasource_stream_replays_in_paced_batches(spark, tmp_path):
 
 
 def test_python_datasource_stream_restart_never_reemits(spark, tmp_path):
-    """Offset-protocol pin for checkpoint recovery: a fresh reader
+    """Offset-protocol pin for checkpoint recovery with the durable
+    sidecar explicitly DISABLED (durable_state=false): a fresh reader
     instance (restart) knows nothing of the committed high-water, so
     its first latestOffset may regress — but partitions() must ratchet
     to the highest start Spark passes and NEVER re-emit a committed
@@ -276,7 +277,7 @@ def test_python_datasource_stream_restart_never_reemits(spark, tmp_path):
     pq.write_table(tbl.slice(0, 13), str(d / "a.parquet"), row_group_size=7)  # 2 groups
     pq.write_table(tbl.slice(13), str(d / "b.parquet"), row_group_size=7)  # 2 groups
 
-    opts = {"path": str(d), "groups_per_batch": "2"}
+    opts = {"path": str(d), "groups_per_batch": "2", "durable_state": "false"}
     run1 = ChunkedParquetStreamReader(opts)
     assert len(run1._units) == 4  # directory flattened to (file, rg) units
     assert run1.latestOffset() == {"rg": 2}
@@ -312,9 +313,10 @@ def test_python_datasource_stream_restart_never_reemits(spark, tmp_path):
 def test_python_datasource_stream_durable_highwater_survives_double_restart(
     spark, tmp_path
 ):
-    """With state_dir, the committed high-water is durable: across TWO
-    crash/restarts a fresh reader's latestOffset never regresses below
-    the durably committed offset, so a regressed entry can never enter
+    """Durable high-water is DEFAULT-ON (no state_dir option): across
+    TWO crash/restarts a fresh reader's latestOffset never regresses
+    below the durably committed offset (sidecar derived from the data
+    path under the temp dir), so a regressed entry can never enter
     Spark's offset log and committed row groups are never re-emitted —
     the round-4 advice scenario (in-memory floor covers only one
     restart) closed. Every emitted unit across all three incarnations
@@ -329,12 +331,9 @@ def test_python_datasource_stream_durable_highwater_survives_double_restart(
     pq.write_table(tbl.slice(0, 13), str(d / "a.parquet"), row_group_size=7)  # 2 groups
     pq.write_table(tbl.slice(13), str(d / "b.parquet"), row_group_size=7)  # 2 groups
 
-    opts = {
-        "path": str(d),
-        "groups_per_batch": "1",
-        "state_dir": str(tmp_path / "state"),
-    }
+    opts = {"path": str(d), "groups_per_batch": "1"}
     run1 = ChunkedParquetStreamReader(opts)
+    run1.initialOffset()  # fresh query: Spark calls this exactly once
     assert run1.latestOffset() == {"rg": 1}
     emitted = run1.partitions({"rg": 0}, {"rg": 1})
     run1.commit({"rg": 1})
@@ -368,6 +367,41 @@ def test_python_datasource_stream_durable_highwater_survives_double_restart(
     ]
     rows = sum(b.num_rows for p in emitted for b in run3.read(p))
     assert rows == tbl.num_rows
+
+
+def test_python_datasource_stream_fresh_query_resets_durable_floor(tmp_path):
+    """A brand-new query over a previously streamed path must replay
+    from zero: Spark calls initialOffset() only on a fresh checkpoint,
+    and that hook resets the path-derived sidecar — otherwise a dead
+    query's durable floor would silently swallow the new query's data.
+    A distinct stream_id keys a distinct sidecar (concurrent queries)."""
+    import pyarrow.parquet as pq
+
+    from bqfetch_spark.sources.chunked_source import ChunkedParquetStreamReader
+
+    p = str(tmp_path / "nation.parquet")
+    pq.write_table(pq.read_table(f"{SF_SMOKE}/nation.parquet"), p, row_group_size=7)
+
+    opts = {"path": p, "groups_per_batch": "2"}
+    run1 = ChunkedParquetStreamReader(opts)
+    run1.initialOffset()
+    run1.partitions({"rg": 0}, run1.latestOffset())
+    run1.commit({"rg": 2})  # durable floor now 2
+
+    # crash recovery (no initialOffset): floor honored
+    recovered = ChunkedParquetStreamReader(opts)
+    assert recovered.latestOffset() == {"rg": 4}
+
+    # fresh query (initialOffset called): sidecar reset, replay from 0
+    fresh = ChunkedParquetStreamReader(opts)
+    assert fresh.initialOffset() == {"rg": 0}
+    assert fresh.latestOffset() == {"rg": 2}
+    parts = fresh.partitions({"rg": 0}, {"rg": 2})
+    assert [pt.row_groups for pt in parts] == [(0,), (1,)]
+
+    # distinct stream_id -> independent sidecar, unaffected by run1
+    other = ChunkedParquetStreamReader({**opts, "stream_id": "b"})
+    assert other.latestOffset() == {"rg": 2}
 
 
 def test_video_frame_sampling_walks_real_boundaries():
