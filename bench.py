@@ -177,6 +177,25 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 # Adjudications of previously-flagged regressions (recorded into
 # BENCH_DETAIL.json so the flag and its resolution travel together).
 ADJUDICATIONS = {
+    "q36_range_frame": (
+        "r5 flag 0.44->0.67s (the round's only n_regressions entry) "
+        "adjudicated as noise in r6: operators/temporal.py is untouched "
+        "since the r4 bench, and an isolated fresh-child min-of-5 "
+        "re-measure gives 0.43s (runs 1.41/0.62/0.56/0.51/0.43) — "
+        "exactly the r4 level. The 0.67s was in-group warm-state/load "
+        "jitter on a 0.5s-scale query, below the 1s-absolute regression "
+        "threshold the harness applies for exactly this reason."
+    ),
+    "qx135_streaming_topk": (
+        "flag 0.75->1.75s in the last r5 BENCH_DETAIL adjudicated as "
+        "micro-batch warm-up jitter in r6: streaming/ code is unchanged "
+        "between the runs, and an isolated fresh-child min-of-5 "
+        "re-measure gives 0.88s (runs 2.45/1.01/0.93/0.88/0.88) — back "
+        "within spread of the 0.75s record. Streaming queries pay a "
+        "per-session trigger/state warm-up their first run; the min-of-"
+        "repeats policy usually absorbs it, but a loaded box can keep "
+        "all repeats hot (see load_flagged)."
+    ),
     "q80_idf_rarity": (
         "r5 intra-round flag 0.90->2.40s adjudicated as child-session "
         "state, not code: q80's module (quality.py) and its whole group "
@@ -287,7 +306,12 @@ def child_scan() -> None:
     """Baseline-comparable fetch metric in a fresh session (BASELINE.md:
     the reference fetched a remote table to pandas at ≈0.051 GB/s /
     78 k rows/s; we time the same contract — full lineitem scan
-    materialized to pandas via Arrow). Min-of-2 sheds ambient load."""
+    materialized to pandas via Arrow). Round-5 lesson: this metric
+    wandered 0.131–0.181 GB/s with box load, so the headline now
+    carries min AND median of 5 runs plus the full run list — a
+    future reader can see the spread instead of guessing."""
+    import statistics
+
     from bqfetch_spark.fetcher import Fetcher, TableRef
     from bqfetch_spark.plans.advisor import table_bytes
     from bqfetch_spark.session import get_session
@@ -299,11 +323,13 @@ def child_scan() -> None:
     # footer reads + codegen (~1.5 s one-time against a ~0.65 s steady
     # state) — session overhead, not fetch throughput
     Fetcher(spark).fetch_to_pandas(TableRef(sf_dir, "lineitem"), None)
-    scan_sec = float("inf")
-    for _ in range(max(2, REPEATS)):
+    runs = []
+    for _ in range(max(5, REPEATS)):
         t0 = time.time()
         pdf = Fetcher(spark).fetch_to_pandas(TableRef(sf_dir, "lineitem"), None)
-        scan_sec = min(scan_sec, time.time() - t0)
+        runs.append(time.time() - t0)
+    scan_sec = min(runs)
+    med_sec = statistics.median(runs)
     raw_gb = table_bytes(os.path.join(sf_dir, "lineitem.parquet")) / 1024**3
     mem_gb = pdf.memory_usage(deep=True).sum() / 1024**3
     print(
@@ -312,6 +338,8 @@ def child_scan() -> None:
                 "scan_to_pandas_sec": round(scan_sec, 3),
                 "scan_to_pandas_rows_per_sec": round(len(pdf) / scan_sec),
                 "scan_to_pandas_gbps": round(mem_gb / scan_sec, 4),
+                "scan_to_pandas_gbps_median": round(mem_gb / med_sec, 4),
+                "scan_runs_sec": [round(r, 3) for r in runs],
                 "lineitem_parquet_gb": round(raw_gb, 4),
                 "lineitem_pandas_gb": round(mem_gb, 4),
             }
@@ -384,6 +412,20 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     suite_t0 = time.time()
+    # Load guard (round-5 VERDICT #4): a busy box quietly inflates every
+    # timing; record 1-min load average per CPU at suite start and flag
+    # the whole artifact when the box wasn't idle, so a "regression"
+    # measured under load is self-describing instead of adjudicated
+    # after the fact.
+    ncpus = os.cpu_count() or 1
+    load1 = os.getloadavg()[0]
+    load_flagged = load1 / ncpus > 0.25
+    if load_flagged:
+        print(
+            f"# WARNING: load1={load1:.1f} on {ncpus} CPUs — timings will "
+            "run hot; results are flagged load_flagged=true",
+            file=sys.stderr,
+        )
     scan = _run_child(["--scan-child"])
 
     timings: dict[str, float] = {}
@@ -436,6 +478,10 @@ def main() -> None:
                 "regressions": regressions,
                 "adjudications": ADJUDICATIONS,
                 "suite_wall_incl_startup_sec": suite_wall,
+                "load1_at_start": round(load1, 2),
+                "ncpus": ncpus,
+                "load_flagged": load_flagged,
+                "load1_at_end": round(os.getloadavg()[0], 2),
                 **scan,
             },
             fh,
@@ -455,6 +501,8 @@ def main() -> None:
                 **scan,
                 "baseline_fetch_rows_per_sec": 78000,
                 "baseline_fetch_gbps": 0.051,
+                "load1_at_start": round(load1, 2),
+                "load_flagged": load_flagged,
                 "n_failures": len(failures),
                 "n_regressions": len(regressions),
                 "detail": "BENCH_DETAIL.json",

@@ -19,13 +19,34 @@ from bqfetch_spark.registry import register
 from bqfetch_spark.session import shuffle_partitions
 
 
-@register("q63_pandas_cosine_topk", oracle=None, tags=("pandas-udf", "similarity"))
+def _q63_oracle() -> str:
+    # q63 computes q50's exact semantics through the pandas-UDF path;
+    # both rank on the rounded cosine, so they share one oracle.
+    from bqfetch_spark.operators.similarity import TOPK_ORACLE
+
+    return TOPK_ORACLE
+
+
+def _q71_oracle() -> str:
+    # At the fixture, documents.parquet is ONE file, so the availableNow
+    # replay is a single micro-batch and the streaming store-anti-join
+    # is value-identical to q66's one-shot spelling — they share its
+    # oracle (upgraded from rows-only, round 6). Multi-batch waves keep
+    # first-batch-wins semantics, pinned separately by pytest.
+    from bqfetch_spark.operators.llm_pipeline import INCR_DEDUP_ORACLE
+
+    return INCR_DEDUP_ORACLE
+
+
+@register("q63_pandas_cosine_topk", oracle=_q63_oracle(), tags=("pandas-udf", "similarity"))
 def q63_pandas_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics as q50_cosine_topk but the similarity is computed
     in an Arrow-batched pandas UDF (numpy) instead of JVM expressions —
-    the C23 surface. Ranking rounds to 6dp, so its results agree with
-    q50 in practice (asserted in tests), but float order inside numpy
-    is BLAS's choice → rows-only check."""
+    the C23 surface. Ranking is on the 6dp-ROUNDED similarity with a
+    neighbor_id tie-break, which makes the cut deterministic across
+    engines (numpy's summation order differs from the JVM's at ~1e-15
+    relative — far below the rounding grain), so the query carries
+    q50's full value-hash oracle (upgraded from rows-only, round 6)."""
     emb = load_catalog(spark, sf_dir).table("embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
@@ -284,7 +305,11 @@ def q57_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_incremental_ann_index(spark, sf_dir, work)
 
 
-@register("q71_streaming_incremental_dedup", oracle=None, tags=("streaming", "dedup", "incremental"))
+@register(
+    "q71_streaming_incremental_dedup",
+    oracle=_q71_oracle(),
+    tags=("streaming", "dedup", "incremental"),
+)
 def q71_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup against a persisted fingerprint store
     (streaming/incremental.py): incoming documents stream through
@@ -292,8 +317,9 @@ def q71_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     store and append their own fingerprints for later waves — the
     external-state topology a nightly 100 TB crawl dedup runs on
     (history never rescanned, streaming query holds no unbounded
-    state). Rows-only; equality with q66's one-shot batch anti-join
-    is pytest-asserted."""
+    state). Carries q66's full oracle (single-file fixture → single
+    micro-batch, see _q71_oracle); multi-batch equality with q66's
+    one-shot batch anti-join is pytest-asserted."""
     import atexit
     import shutil
     import tempfile

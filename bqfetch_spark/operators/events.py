@@ -499,7 +499,32 @@ def q93_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q94_rolling_distinct_hll", oracle=None, tags=("events", "sketch", "window-agg"))
+ROLLING_HLL_ORACLE = """
+WITH daily AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+  FROM events
+),
+fanned AS (
+  SELECT daily.day + o * INTERVAL '1 day' AS day, user_id
+  FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o)
+),
+rolled AS (
+  SELECT
+    day,
+    count(DISTINCT user_id) AS exact_users_7d,
+    abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+      <= 0.05 * count(DISTINCT user_id) AS sketch_within_5pct
+  FROM fanned GROUP BY day
+)
+SELECT r.* FROM rolled r SEMI JOIN daily d ON r.day = d.day
+"""
+
+
+@register(
+    "q94_rolling_distinct_hll",
+    oracle=ROLLING_HLL_ORACLE,
+    tags=("events", "sketch", "window-agg"),
+)
 def q94_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct users per day, the sketch way: one HLL
     sketch per day (hll_sketch_agg over the raw events — map-side
@@ -510,23 +535,53 @@ def q94_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts cannot be summed across days, and an exact rolling
     count-distinct re-scans every event 7 times. Sketches make the
     rolling pass day-granular: 7 × ~1.5 KB binaries per output row,
-    independent of event volume. Rows-only (sketch estimates have no
-    SQL oracle); tests gate the estimate against the exact rolling
-    distinct."""
+    independent of event volume.
+
+    Bounded oracle (upgraded from rows-only, round 6): raw HLL
+    estimates differ across engines, so both sides emit the exact
+    trailing-7d distinct plus a within-±5% assertion on their OWN
+    sketch — hash matches iff the exact rollups agree and each
+    engine's sketch is in-band. The exact leg exists for the oracle
+    contract; at 100 TB you run only the sketch half."""
     ev = load_catalog(spark, sf_dir).table("events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sketch")
     )
     # each day contributes its sketch to itself and the 6 following
     # days: explode a 0..6 offset, re-key, union per target day
-    fanned = daily.withColumn("offset", F.explode(F.sequence(F.lit(0), F.lit(6)))).select(
+    offsets = F.explode(F.sequence(F.lit(0), F.lit(6)))
+    fanned = daily.withColumn("offset", offsets).select(
         F.timestamp_seconds(
             F.unix_timestamp("day") + F.col("offset").cast("long") * 86400
         ).alias("day"),
         "sketch",
     )
+    approx = fanned.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users_7d")
+    )
+    # exact leg: distinct (day, user) pairs fan out over the same
+    # 7-day window — one extra exchange at day grain, oracle-only cost
+    pairs = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    exact = (
+        pairs.withColumn("offset", offsets)
+        .select(
+            F.timestamp_seconds(
+                F.unix_timestamp("day") + F.col("offset").cast("long") * 86400
+            ).alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
     return (
-        fanned.groupBy("day")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users_7d"))
-        .join(daily.select("day"), "day", "left_semi")  # trailing windows only for real days
+        exact.join(approx, "day")
+        .join(daily.select("day"), "day", "left_semi")  # real days only
+        .select(
+            "day",
+            "exact_users_7d",
+            (
+                F.abs(F.col("approx_users_7d") - F.col("exact_users_7d"))
+                <= 0.05 * F.col("exact_users_7d")
+            ).alias("sketch_within_5pct"),
+        )
     )

@@ -426,16 +426,45 @@ def q14_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q15_approx_distinct", oracle=None, tags=("agg", "approx"))
+APPROX_DISTINCT_ORACLE = """
+SELECT
+  count(*) AS n_rows,
+  count(DISTINCT l_partkey) AS exact_parts,
+  count(DISTINCT l_suppkey) AS exact_supps,
+  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+    <= 0.05 * count(DISTINCT l_partkey) AS parts_within_5pct,
+  abs(approx_count_distinct(l_suppkey) - count(DISTINCT l_suppkey))
+    <= 0.05 * count(DISTINCT l_suppkey) AS supps_within_5pct
+FROM lineitem
+"""
+
+
+@register("q15_approx_distinct", oracle=APPROX_DISTINCT_ORACLE, tags=("agg", "approx"))
 def q15_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch — the scale path for COUNT(DISTINCT) at
     100 TB (single pass, fixed memory, no shuffle of raw values).
-    Rows-only check: sketch estimates differ across engines."""
+
+    Bounded oracle (upgraded from rows-only, round 6): raw sketch
+    estimates differ across engines, so BOTH engines emit the exact
+    distinct counts plus a within-±5% assertion on their OWN sketch —
+    the hash then matches iff each engine's HLL lands inside the same
+    tolerance of the same exact values. The exact legs exist for the
+    oracle contract; the sketch remains the demonstrated operator (at
+    100 TB you run only the approx aggregate)."""
     li = load_catalog(spark, sf_dir).table("lineitem")
+    tol = 0.05
     return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        (
+            F.abs(F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey"))
+            <= tol * F.countDistinct("l_partkey")
+        ).alias("parts_within_5pct"),
+        (
+            F.abs(F.approx_count_distinct("l_suppkey") - F.countDistinct("l_suppkey"))
+            <= tol * F.countDistinct("l_suppkey")
+        ).alias("supps_within_5pct"),
     )
 
 

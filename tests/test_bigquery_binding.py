@@ -1,0 +1,104 @@
+"""Contract tests for the gated BigQuery binding (sources/bigquery.py).
+
+The sandbox has no connector jar and no credentials, so the TRUE path
+(`connector_available` returning True → `spark.read.format("bigquery")`
+with a table option) is normally dead code. These tests pin BOTH gate
+branches anyway (round-5 VERDICT #7): the false branch's error message,
+and the true branch's reader plumbing — format name, table option
+naming (`project.dataset.table`, the reference's name triple,
+bqfetch/bqfetch.py:20-41), and column pruning — via an injected fake
+reader that records the calls and serves a parquet fixture.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+
+from bqfetch_spark.sources.bigquery import (
+    CONNECTOR_CLASS,
+    connector_available,
+    read_bigquery_table,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_connector_absent_in_sandbox(spark):
+    """The gate itself: no jar on this classpath."""
+    assert connector_available(spark) is False
+
+
+def test_gated_error_names_the_fix(spark):
+    """A real bqfetch user's first call lands here; the error must say
+    exactly what to add and what to use instead."""
+    with pytest.raises(RuntimeError, match="spark-bigquery-connector"):
+        read_bigquery_table(spark, "proj", "ds", "tbl")
+    with pytest.raises(RuntimeError, match="--packages"):
+        read_bigquery_table(spark, "proj", "ds", "tbl")
+
+
+class _FakeReader:
+    """Records format/options; load() serves a local parquet fixture so
+    downstream pruning runs against a real DataFrame."""
+
+    def __init__(self, spark, serve_path):
+        self._spark = spark
+        self._serve = serve_path
+        self.format_name = None
+        self.options = {}
+
+    def format(self, name):
+        self.format_name = name
+        return self
+
+    def option(self, k, v):
+        self.options[k] = v
+        return self
+
+    def load(self):
+        # bypass the patched property via the internal reader class
+        from pyspark.sql.readwriter import DataFrameReader
+
+        return DataFrameReader(self._spark).parquet(self._serve)
+
+
+@pytest.fixture
+def fake_bigquery(spark, monkeypatch):
+    """connector_available → True, spark.read → recording fake."""
+    import bqfetch_spark.sources.bigquery as bq
+
+    fake = _FakeReader(spark, f"{SF_SMOKE}/customer.parquet")
+    monkeypatch.setattr(bq, "connector_available", lambda s: True)
+    monkeypatch.setattr(SparkSession, "read", property(lambda self: fake))
+    return fake
+
+
+def test_true_path_reader_plumbing(spark, fake_bigquery):
+    df = read_bigquery_table(spark, "my-proj", "sales", "customer")
+    assert fake_bigquery.format_name == "bigquery"
+    assert fake_bigquery.options == {"table": "my-proj.sales.customer"}
+    # full-width load when no columns requested
+    assert len(df.columns) == 5
+    assert df.count() == 150
+
+
+def test_true_path_column_pruning(spark, fake_bigquery):
+    df = read_bigquery_table(
+        spark, "my-proj", "sales", "customer", columns=["c_custkey", "c_name"]
+    )
+    assert df.columns == ["c_custkey", "c_name"]
+    # the projection must reach the scan (ReadSchema), not just the output:
+    # with the connector this is what becomes the Storage API selected_fields
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "c_custkey" in plan
+    assert "c_mktsegment" not in plan.split("ReadSchema")[-1][:200]
+    assert df.count() == 150
+
+
+def test_connector_class_name_is_the_public_one():
+    """Pin the classpath probe target to the connector's documented
+    provider class so a silent rename is caught by review."""
+    assert CONNECTOR_CLASS == (
+        "com.google.cloud.spark.bigquery.BigQueryRelationProvider"
+    )
