@@ -256,31 +256,8 @@ def q29_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 APPROX_ACCURACY = 1000  # percentile_approx accuracy parameter
 
-# Bounded oracle: both engines emit the exact (continuous) percentiles
-# plus an assertion that their OWN sketch estimate lies between the
-# exact quantiles at p±1% — rank error for accuracy=1000 is 0.1%, so
-# the 1% band is ~10 sigma while still catching any gross divergence.
-APPROX_PCT_ORACLE = """
-SELECT
-  l_returnflag,
-  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty_exact,
-  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty_exact,
-  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price_exact,
-  approx_quantile(l_quantity, 0.5)
-    BETWEEN quantile_cont(l_quantity, 0.49) AND quantile_cont(l_quantity, 0.51)
-    AS p50_qty_bounded,
-  approx_quantile(l_quantity, 0.9)
-    BETWEEN quantile_cont(l_quantity, 0.89) AND quantile_cont(l_quantity, 0.91)
-    AS p90_qty_bounded,
-  approx_quantile(l_extendedprice, 0.5)
-    BETWEEN quantile_cont(l_extendedprice, 0.49) AND quantile_cont(l_extendedprice, 0.51)
-    AS p50_price_bounded
-FROM lineitem
-GROUP BY l_returnflag
-"""
 
-
-@register("q90_approx_percentiles", oracle=APPROX_PCT_ORACLE, tags=("agg", "percentile", "sketch"))
+@register("q90_approx_percentiles", oracle=None, tags=("agg", "percentile", "sketch"))
 def q90_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-based scale path q23's docstring points at, as a
     first-class operator: percentile_approx (Greenwald-Khanna summary,
@@ -289,30 +266,19 @@ def q90_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only percentile that works at 100 TB; q23's exact form
     materializes every value per group.
 
-    Bounded oracle (upgraded from rows-only, round 6): the sketch's
-    merge order is partition-dependent so its raw value has no
-    cross-engine oracle, but BOTH engines can assert their own sketch
-    lands between the exact continuous quantiles at p±1% and emit the
-    exact percentiles alongside — hash matches iff the exacts agree
-    AND each sketch is in-band. tests/test_properties.py additionally
-    gates the tighter rank-error bound (<= 2/accuracy)."""
+    Deliberately rows-only (round-6 adjudication): a bounded oracle in
+    the q15/q94 style would need exact continuous percentiles in the
+    query output, and exact percentiles materialize every value per
+    group — a 4× measured slowdown that turns the one percentile
+    operator that works at 100 TB into the one that doesn't. The sketch
+    is instead gated against q23's exact values by
+    tests/test_properties.py (rank error <= 2/accuracy); the merge
+    order being partition-dependent, the raw value itself has no
+    cross-engine oracle."""
     li = load_catalog(spark, sf_dir).table("lineitem")
     acc = F.lit(APPROX_ACCURACY)
-
-    def bounded(col: str, p: float):
-        apx = F.percentile_approx(col, F.lit(p), acc)
-        return apx.between(
-            F.percentile(F.col(col), F.lit(p - 0.01)),
-            F.percentile(F.col(col), F.lit(p + 0.01)),
-        )
-
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 6).alias("p50_qty_exact"),
-        F.round(F.percentile(F.col("l_quantity"), F.lit(0.9)), 6).alias("p90_qty_exact"),
-        F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.5)), 6).alias(
-            "p50_price_exact"
-        ),
-        bounded("l_quantity", 0.5).alias("p50_qty_bounded"),
-        bounded("l_quantity", 0.9).alias("p90_qty_bounded"),
-        bounded("l_extendedprice", 0.5).alias("p50_price_bounded"),
+        F.percentile_approx("l_quantity", F.lit(0.5), acc).alias("p50_qty"),
+        F.percentile_approx("l_quantity", F.lit(0.9), acc).alias("p90_qty"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("p50_price"),
     )

@@ -92,45 +92,21 @@ def test_bigquery_binding_gated():
 
 
 def test_approx_percentiles_near_exact(spark):
-    """The raw GK sketch must land within a small rank tolerance of
-    q23's exact interpolated percentiles on every group, and q90's
-    bounded-oracle output must assert its own in-band flags while its
-    exact legs agree with q23."""
-    from pyspark.sql import functions as F
-
-    from bqfetch_spark.catalog import load_catalog
-    from bqfetch_spark.operators.advanced import APPROX_ACCURACY
+    """q90's sketch values must land within a small rank tolerance of
+    q23's exact interpolated percentiles on every group."""
     from bqfetch_spark.registry import all_queries
 
     reg = all_queries()
+    approx = {r.l_returnflag: r for r in reg["q90_approx_percentiles"].fn(spark, SF_CORRECT).collect()}
     exact = {r.l_returnflag: r for r in reg["q23_percentiles"].fn(spark, SF_CORRECT).collect()}
-    # raw sketch values (q90 now emits bounded flags, not raw values)
-    li = load_catalog(spark, SF_CORRECT).table("lineitem")
-    acc = F.lit(APPROX_ACCURACY)
-    raw = {
-        r.l_returnflag: r
-        for r in li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_quantity", F.lit(0.5), acc).alias("p50_qty"),
-            F.percentile_approx("l_quantity", F.lit(0.9), acc).alias("p90_qty"),
-            F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("p50_price"),
-        )
-        .collect()
-    }
-    assert raw.keys() == exact.keys()
+    assert approx.keys() == exact.keys()
     for flag, e in exact.items():
-        a = raw[flag]
+        a = approx[flag]
         # GK guarantees rank error; translate loosely to value space:
         # quantity is small-integer-valued, price spans ~1e5
         assert abs(a.p50_qty - e.p50_qty) <= max(1.0, 0.02 * e.p50_qty)
         assert abs(a.p90_qty - e.p90_qty) <= max(1.0, 0.02 * e.p90_qty)
         assert abs(a.p50_price - e.p50_price) <= 0.02 * e.p50_price
-    for r in reg["q90_approx_percentiles"].fn(spark, SF_CORRECT).collect():
-        e = exact[r.l_returnflag]
-        assert r.p50_qty_bounded and r.p90_qty_bounded and r.p50_price_bounded
-        assert abs(r.p50_qty_exact - e.p50_qty) <= 1e-6
-        assert abs(r.p90_qty_exact - e.p90_qty) <= 1e-6
-        assert abs(r.p50_price_exact - e.p50_price) <= 1e-6
 
 
 def test_hll_rolling_distinct_near_exact(spark):

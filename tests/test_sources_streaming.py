@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bqfetch_spark.catalog import load_catalog
@@ -730,6 +732,56 @@ def test_token_quota_state_carries_across_microbatches(spark, tmp_path):
     # each wave's doc_id range
     ids = {r[0] for r in got}
     assert any(i < 250 for i in ids) and any(i >= 250 for i in ids)
+
+
+def _tws_ok():
+    from bqfetch_spark.streaming.sessions import tws_available
+
+    return tws_available()
+
+
+@pytest.mark.skipif(
+    not _tws_ok(), reason="google.protobuf not installed (TWS driver worker requires it)"
+)
+def test_token_quota_tws_matches_groupstate(spark, tmp_path):
+    """The transformWithStateInPandas quota spelling must admit the
+    same cumulative-sum prefix as the GroupState form (same two-wave
+    scenario as the test above)."""
+    from pyspark.sql.window import Window
+
+    from bqfetch_spark.streaming.quota import (
+        TOKEN_BUDGET_PER_SOURCE,
+        enforce_quota_stream_tws,
+        with_token_counts,
+    )
+    from bqfetch_spark.streaming.windows import run_to_memory
+
+    docs = load_catalog(spark, SF_SMOKE).table("documents")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(str(tmp_path / "w1"))
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(str(tmp_path / "w2"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path))
+    )
+    result = run_to_memory(
+        enforce_quota_stream_tws(stream), "quota_tws_test", output_mode="append"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want_df = (
+        with_token_counts(docs)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+    )
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in want_df.select(*result.columns).collect()}
+    assert got == want and len(got) > 0
 
 
 def test_streaming_dedup_matches_batch(spark):
