@@ -1150,8 +1150,12 @@ def qx137_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum then evaluates in FRAME order, which the (ts,
     event_id) tie-break makes a deterministic total order — both
     engines add the same doubles in the same sequence, so even the
-    intermediate CUSUM values are bit-identical. One per-type hash
-    exchange serves the window and the argmax; the peak is a per-type
+    intermediate CUSUM values are bit-identical. The argmax itself
+    ranks on the ROUNDED |s| (round-6 advice: near-tied peaks must not
+    flip on sub-6dp summation drift — the repo's rounded-rank
+    convention, same as qx133/qx138), with the (ts, event_id)
+    tie-break deciding exact rounded ties. One per-type hash exchange
+    serves the window and the argmax; the peak is a per-type
     row_number over the same partitioning, no global sort."""
     ev = load_catalog(spark, sf_dir).table("events")
     m = ev.groupBy("event_type").agg(

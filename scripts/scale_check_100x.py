@@ -83,6 +83,16 @@ def check_q47_band_join(spark) -> None:
     docs100.repartition(32).write.mode("overwrite").parquet(
         os.path.join(big_dir, "documents.parquet")
     )
+    # load_catalog eagerly registers every fixture table: symlink the
+    # non-document tables from the base fixture into the synthetic dir
+    from bqfetch_spark.catalog import TABLES
+
+    for t in TABLES:
+        if t == "documents":
+            continue
+        link = os.path.join(big_dir, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(BASE, f"{t}.parquet"), link)
 
     print("q47 minhash-LSH band join, 1x vs 100x documents:")
     ts, ns = timed("1x  (5k docs)", lambda: q47(spark, BASE).count())
@@ -95,7 +105,8 @@ def check_q47_band_join(spark) -> None:
 def check_q69_candidate_join(spark) -> None:
     """q69's salted within-cell join tail at 1× vs 100× vectors with
     cells ∝ N (fixed per-cell occupancy — the documented scale policy)."""
-    from bqfetch_spark.functions.vectors import dot, norm2, r6
+    from bqfetch_spark.functions.vectors import dot, norm2
+    from bqfetch_spark.operators.relational import r6
     from bqfetch_spark.operators.similarity import (
         NEARDUP_IVF_PROBE,
         NEARDUP_SALT,

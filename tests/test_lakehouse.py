@@ -147,3 +147,75 @@ def test_q58_islands_cover_every_event(spark):
         F.count(F.lit(1)).alias("n"),
     )
     assert dense.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
+
+
+def _delta_available() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("delta") is not None
+
+
+import pytest  # noqa: E402  (scoped to the gated test below)
+
+
+@pytest.mark.skipif(
+    not _delta_available(),
+    reason="delta-spark not installed (no pip in this sandbox); the test "
+    "pins the Delta MERGE contract wherever the package exists",
+)
+def test_q35_equivalent_to_delta_merge(spark, tmp_path):
+    """Round-5 VERDICT #5: q35's anti-join+union spelling implements the
+    I/O contract a real Delta MERGE compiles to. Where delta-spark is
+    available, apply the SAME change set via ``DeltaTable.merge`` (plus
+    the standalone insert append, since the change set's inserts carry
+    fresh keys) and assert the resulting table is row-identical to
+    q35's output."""
+    from delta.tables import DeltaTable
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.registry import all_queries
+
+    base = load_catalog(spark, SF_SMOKE).table("customer")
+    path = str(tmp_path / "cust_delta")
+    base.write.format("delta").save(path)
+
+    mod = F.col("c_custkey") % 10
+    updates = base.filter(mod == 4).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("MIGRATED").alias("c_mktsegment"),
+    )
+    deletes = base.filter(mod == 3).select("c_custkey")
+    inserts = base.filter(mod == 5).select(
+        (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+        F.concat(
+            F.lit("NEW#"), (F.col("c_custkey") + F.lit(1000000)).cast("string")
+        ).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+
+    tbl = DeltaTable.forPath(spark, path)
+    (
+        tbl.alias("t")
+        .merge(updates.alias("s"), "t.c_custkey = s.c_custkey")
+        .whenMatchedUpdateAll()
+        .execute()
+    )
+    (
+        tbl.alias("t")
+        .merge(deletes.alias("s"), "t.c_custkey = s.c_custkey")
+        .whenMatchedDelete()
+        .execute()
+    )
+    inserts.write.format("delta").mode("append").save(path)
+
+    got = spark.read.format("delta").load(path)
+    want = all_queries()["q35_cdc_merge"].fn(spark, SF_SMOKE)
+    cols = sorted(want.columns)
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
