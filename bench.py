@@ -162,6 +162,9 @@ HEADLINE = [
     "qx142_oversample_minority",
     "qx143_seasonal_anomalies",
     "qx144_lag_features",
+    "qx145_triangle_count",
+    "qx146_bfs_hops",
+    "qx147_heavy_hitters_cms",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -148,3 +148,161 @@ def qx125_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         if it % 2 == 1 or it == PR_ITERS - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("node").alias("nation"), r6(F.col("r")).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# qx145 — triangle counting on the undirected trade graph
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = f"""
+WITH e AS MATERIALIZED ({_EDGES_SQL}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e WHERE src <> dst
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+member AS (SELECT unnest([a, b, c]) AS nation FROM tri)
+SELECT n.n_name AS nation, CAST(count(member.nation) AS BIGINT) AS n_triangles
+FROM nation n LEFT JOIN member ON member.nation = n.n_name
+GROUP BY 1
+"""
+
+
+@register(
+    "qx145_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    doc="per-nation triangle participation in the undirected trade graph",
+    tags=("graph", "join", "stats"),
+)
+def qx145_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting — the standard graph-cohesion primitive
+    (clustering coefficients, community seeds) — as a three-way
+    self-join on canonically-ordered edges: store each undirected edge
+    once as (u < v), join (a,b)⋈(b,c) to enumerate wedges, then
+    semi-check the closing edge (a,c); a < b < c holds by
+    construction, so every triangle is produced exactly once with no
+    post-hoc dedup. Per-node counts explode the 3 corners and
+    left-join back to the full nation list (zeros kept).
+
+    Scale posture mirrors qx125: the only fact-sized stage is the edge
+    reduction (one partially-aggregated multi-join of lineitem);
+    triangle enumeration runs on the ≤|nations|² edge list. On a graph
+    whose edge list is itself huge, the same plan holds with the
+    standard degree-ordered orientation (u→v iff deg(u)<deg(v)) — the
+    canonical-order join IS that algorithm; integer counts make the
+    oracle exact."""
+    cat = load_catalog(spark, sf_dir)
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        cat.table(t).createOrReplaceTempView(t)
+    e = spark.sql(_EDGES_SQL)
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # referenced 3x below; keep the
+        # fact-join lineage out of the triple self-join
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    )
+    member = tri.select(F.explode(F.array("a", "b", "c")).alias("nation"))
+    nations = cat.table("nation").select(F.col("n_name").alias("nation"))
+    return (
+        nations.join(member.withColumn("hit", F.lit(1)), "nation", "left")
+        .groupBy("nation")
+        .agg(F.count("hit").cast("bigint").alias("n_triangles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx146 — BFS shortest hops over a sparsified trade digraph
+# ---------------------------------------------------------------------------
+
+BFS_SOURCE = "NATION_0"
+BFS_MAX_HOPS = 12  # ≥ any reachable distance on a 25-node out-degree-2 graph? no —
+# a path-like worst case reaches 24; the cap bounds BOTH engines identically, so
+# nodes farther than the cap (none on the fixture) would be NULL on both sides.
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE e AS MATERIALIZED ({_EDGES_SQL}),
+sparse AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+    FROM e WHERE src <> dst
+  ) WHERE rn <= 2
+),
+walk(node, hop) AS (
+  SELECT '{BFS_SOURCE}' AS node, 0 AS hop
+  UNION ALL
+  SELECT s.dst, w.hop + 1
+  FROM walk w JOIN sparse s ON s.src = w.node
+  WHERE w.hop < {BFS_MAX_HOPS} - 1
+),
+dist AS (SELECT node, CAST(min(hop) AS BIGINT) AS hops FROM walk GROUP BY node)
+SELECT n.n_name AS nation, dist.hops
+FROM nation n LEFT JOIN dist ON dist.node = n.n_name
+"""
+
+
+@register(
+    "qx146_bfs_hops",
+    oracle=_BFS_ORACLE,
+    doc="BFS shortest hop counts from one nation over a top-2-out-edge trade digraph",
+    tags=("graph", "iterative"),
+)
+def qx146_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest hops by frontier-expansion BFS — the
+    iterative-dataflow sibling of qx125 (fixed-point ranks) and q74
+    (pointer-jumping components). The graph is deliberately SPARSIFIED
+    (each nation keeps its top-2 trade partners by weight, tie-broken
+    on name) so real multi-hop structure exists; the rank-based rule
+    is engine-exact, unlike a weight-threshold cut.
+
+    Each round joins only the NEW frontier against the edge list and
+    anti-joins already-settled nodes — classic BFS on Pregel and the
+    shape that scales: per-round work is O(frontier out-edges), the
+    settled set is touched only as an 8-byte-keyed anti-join build
+    side, and the loop exits as soon as a frontier comes back empty
+    (the driver check is a count on a ≤|nations| frame). The oracle is
+    a capped recursive CTE taking min(hop); both engines bound the
+    walk at BFS_MAX_HOPS so the semantics agree exactly, NULL for
+    unreachable."""
+    cat = load_catalog(spark, sf_dir)
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        cat.table(t).createOrReplaceTempView(t)
+    from pyspark.sql.window import Window
+
+    e = spark.sql(_EDGES_SQL).filter(F.col("src") != F.col("dst"))
+    rn = F.row_number().over(Window.partitionBy("src").orderBy(F.desc("w"), "dst"))
+    sparse = (
+        e.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.createDataFrame([(BFS_SOURCE, 0)], "node string, hops bigint")
+    frontier = dist
+    for hop in range(1, BFS_MAX_HOPS):
+        frontier = (
+            frontier.join(sparse, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"), F.lit(hop).cast("bigint").alias("hops"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        dist = dist.unionByName(frontier)
+    nations = cat.table("nation").select(F.col("n_name").alias("nation"))
+    return nations.join(
+        dist.withColumnRenamed("node", "nation"), "nation", "left"
+    ).select("nation", "hops")

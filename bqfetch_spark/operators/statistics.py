@@ -1664,3 +1664,87 @@ def qx144_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean3"),
         (F.count("*").over(hist) - 1).cast("bigint").alias("n_prior"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx147 — count-min-sketch heavy hitters (token frequency)
+# ---------------------------------------------------------------------------
+
+CMS_TOPK = 10
+CMS_EPS = 1e-4  # over-estimate bound: eps * total_tokens (w.p. CONFIDENCE)
+CMS_CONFIDENCE = 0.99
+CMS_SEED = 42
+
+HEAVY_HITTERS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS n_exact FROM tok GROUP BY token
+),
+ranked AS (
+  SELECT token, n_exact,
+         row_number() OVER (ORDER BY n_exact DESC, token) AS rn
+  FROM counts
+)
+SELECT token, n_exact, true AS est_in_bounds
+FROM ranked WHERE rn <= {CMS_TOPK}
+"""
+
+
+@register(
+    "qx147_heavy_hitters_cms",
+    oracle=HEAVY_HITTERS_ORACLE,
+    doc="top-10 tokens with a count-min-sketch over-estimate bound check",
+    tags=("sketch", "text", "agg"),
+)
+def qx147_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with a count-min sketch — the third sketch family
+    next to HLL (q15/q94) and GK quantiles (q90). The CMS is the
+    100 TB shape for "what are the frequent tokens in this crawl":
+    fixed O(width×depth) mergeable state per partition, one pass, no
+    token shuffle; only candidate identification needs the exact pass.
+
+    Here both run: the exact top-CMS_TOPK (count desc, token
+    tie-break — deterministic) anchors the cross-engine value check,
+    and Spark's own sketch (count_min_sketch aggregate, deserialized
+    driver-side via the JVM CountMinSketch reader) is probed for each
+    heavy hitter, asserting the CMS guarantee estimate ∈
+    [exact, exact + eps·N]. DuckDB has no CMS, so its flag column is
+    literal true — the bound genuinely checks SPARK's sketch, while
+    the token/count columns are full cross-engine values (the same
+    one-sided-oracle stance as q15/q94, documented rather than
+    hidden). The sketch probe is O(CMS_TOPK) driver work on a
+    kilobyte-scale object."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "token")
+        .limit(CMS_TOPK)
+    )
+    agg = tok.agg(
+        F.count_min_sketch("token", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)).alias("cms"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).first()
+    jvm = spark._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(agg["cms"])
+    )
+    bound = CMS_EPS * agg["n_total"]
+    rows = [
+        (
+            r["token"],
+            r["n_exact"],
+            bool(
+                r["n_exact"]
+                <= sketch.estimateCount(r["token"])
+                <= r["n_exact"] + bound
+            ),
+        )
+        for r in top.collect()
+    ]
+    return spark.createDataFrame(
+        rows, "token string, n_exact bigint, est_in_bounds boolean"
+    )
