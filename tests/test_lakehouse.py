@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bqfetch_spark.registry import all_queries
@@ -154,8 +156,6 @@ def _delta_available() -> bool:
 
     return importlib.util.find_spec("delta") is not None
 
-
-import pytest  # noqa: E402  (scoped to the gated test below)
 
 
 @pytest.mark.skipif(
