@@ -1748,3 +1748,228 @@ def qx147_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "token string, n_exact bigint, est_in_bounds boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# qx148 — BM25 keyword retrieval (top documents for a derived query)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+# query = the tokens ranked 50..54 by document frequency (df desc,
+# token tie-break): mid-frequency terms, so idf actually discriminates;
+# deriving the query from the corpus keeps it deterministic in BOTH
+# engines with no fixture-specific literals
+BM25_QRANK_LO, BM25_QRANK_HI = 50, 54
+
+BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok GROUP BY doc_id, token
+),
+dfr AS (
+  SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token
+),
+qterms AS (
+  SELECT token, df FROM (
+    SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rn
+    FROM dfr
+  ) WHERE rn BETWEEN {BM25_QRANK_LO} AND {BM25_QRANK_HI}
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avg_dl
+  FROM documents
+),
+scored AS (
+  SELECT
+    tf.doc_id,
+    sum(
+      ln((stats.n_docs - qterms.df + 0.5) / (qterms.df + 0.5) + 1.0)
+      * tf.tf * ({BM25_K1} + 1.0)
+      / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avg_dl))
+    ) AS s
+  FROM tf
+  JOIN qterms ON qterms.token = tf.token
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS bm25, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rn
+  FROM scored
+)
+WHERE rn <= {BM25_TOPK}
+"""
+
+
+@register(
+    "qx148_bm25_retrieval",
+    oracle=BM25_ORACLE,
+    doc="BM25 top-10 documents for a df-derived 5-term query",
+    tags=("text", "retrieval", "top-k"),
+)
+def qx148_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval — the ranking function every lexical search
+    stack runs (Lucene's Okapi BM25, idf·tf·(k1+1)/(tf+k1·(1−b+b·|d|/avgdl))
+    with the +1 idf smoothing) — over a query derived from the corpus
+    itself: the tokens df-ranked 50–54, picked via TakeOrdered (no
+    global sort; the rank window runs on the collected top-54 frame).
+    One token explode feeds tf; df and document length are re-aggs of
+    the tiny tf frame; the query side broadcasts onto the tf stream,
+    so the corpus is scanned once and only query-term postings survive
+    the join — the inverted-index access pattern as a DataFrame plan.
+    The final cut ranks on the ROUNDED score with doc_id tie-break
+    (the repo's rounded-rank convention): the ≤5-term score sum drifts
+    ~1 ulp across engines, invisible at 6dp."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("token"))
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfr = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    top_q = dfr.orderBy(F.desc("df"), "token").limit(BM25_QRANK_HI)
+    qw = Window.orderBy(F.desc("df"), "token")  # ≤54 rows: single task fine
+    qterms = (
+        top_q.withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn").between(BM25_QRANK_LO, BM25_QRANK_HI))
+        .select("token", "df")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avg_dl"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avg_dl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(r6(F.sum(term_score)).alias("bm25"))
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")  # ranks a ≤corpus frame,
+    # but the filter below keeps only top-10: TakeOrdered would also work;
+    # the single-task window input is the scored frame (docs containing a
+    # query term), bounded by the query postings
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("doc_id", "bm25", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx149 — bigram language-model fluency score per document
+# ---------------------------------------------------------------------------
+
+BIGRAM_TOPK = 15
+
+BIGRAM_LM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT a.doc_id, a.token AS w1, b.token AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1 FROM c12 GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM tok),
+doc_lp AS (
+  SELECT big.doc_id,
+         avg(ln((c12.c12 + 1.0) / (c1.c1 + v.v))) AS lp,
+         count(*) AS n_bigrams
+  FROM big
+  JOIN c12 ON c12.w1 = big.w1 AND c12.w2 = big.w2
+  JOIN c1 ON c1.w1 = big.w1
+  CROSS JOIN v
+  GROUP BY big.doc_id
+)
+SELECT doc_id, round(lp, 6) AS avg_logprob, CAST(n_bigrams AS BIGINT) AS n_bigrams
+FROM (
+  SELECT *, row_number() OVER (ORDER BY round(lp, 6), doc_id) AS rn
+  FROM doc_lp
+)
+WHERE rn <= {BIGRAM_TOPK}
+"""
+
+
+@register(
+    "qx149_bigram_logprob",
+    oracle=BIGRAM_LM_ORACLE,
+    doc="bottom-15 documents by Laplace-smoothed bigram log-probability (fluency filter)",
+    tags=("text", "quality", "lm"),
+)
+def qx149_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluency scoring with a corpus-fit bigram LM — the step past
+    q87's unigram model: a document whose word PAIRS are unusual for
+    the corpus reads as boilerplate/garble even when its words are
+    common, and the lowest-scoring docs are the curation-review queue.
+    p(w2|w1) is Laplace-smoothed (c12+1)/(c1+V); each doc's score is
+    the mean ln p over its bigrams.
+
+    Plan shape: ONE posexplode produces positioned tokens; bigrams are
+    a self-join on (doc_id, pos+1) — at 100 TB this is the one
+    doc_id-keyed exchange, and per-doc partitions are document-length
+    bounded. The bigram model (c12/c1) lives on vocabulary²-bounded
+    frames that re-aggregate the bigram stream; scoring re-joins the
+    model onto it (AQE picks broadcast where the model is small). The
+    avg is a mean of per-bigram ln() terms — mirrored expressions,
+    ~ulp drift, stable at the 6dp rounded rank (doc_id tie-break)."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ", -1)).alias("pos", "token")
+    )
+    t1, t2 = tok.alias("t1"), tok.alias("t2")
+    big = t1.join(
+        t2,
+        (F.col("t1.doc_id") == F.col("t2.doc_id"))
+        & (F.col("t2.pos") == F.col("t1.pos") + 1),
+    ).select(
+        F.col("t1.doc_id").alias("doc_id"),
+        F.col("t1.token").alias("w1"),
+        F.col("t2.token").alias("w2"),
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = tok.agg(F.countDistinct("token").cast("double").alias("v"))
+    lp = F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+    doc_lp = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            r6(F.avg(lp)).alias("avg_logprob"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        )
+    )
+    w = Window.orderBy(F.col("avg_logprob").asc(), "doc_id")
+    return (
+        doc_lp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BIGRAM_TOPK)
+        .drop("rn")
+    )
