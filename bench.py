@@ -165,6 +165,8 @@ HEADLINE = [
     "qx145_triangle_count",
     "qx146_bfs_hops",
     "qx147_heavy_hitters_cms",
+    "qx148_bm25_retrieval",
+    "qx149_bigram_logprob",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess
