@@ -167,6 +167,7 @@ HEADLINE = [
     "qx147_heavy_hitters_cms",
     "qx148_bm25_retrieval",
     "qx149_bigram_logprob",
+    "qx150_pit_enrich",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -454,3 +454,131 @@ def q54_brp_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("query_id", "euclidean_dist", "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx150 — point-in-time dimension enrichment (PIT join against SCD2)
+# ---------------------------------------------------------------------------
+
+PIT_ORACLE = """
+WITH src AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE event_type IN ('view', 'click')
+),
+tagged AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+            THEN 1 ELSE 0 END AS chg
+  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version,
+         event_type, ts, event_id
+  FROM tagged
+),
+hist AS (
+  SELECT user_id, version, min(event_type) AS browse_state,
+         min(ts) AS valid_from
+  FROM islands GROUP BY user_id, version
+),
+dim AS (
+  SELECT user_id, browse_state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+  FROM hist
+),
+facts AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts, d.browse_state,
+       d.valid_from AS state_since
+FROM facts f
+LEFT JOIN dim d
+  ON d.user_id = f.user_id
+ AND d.valid_from <= f.ts
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
+@register(
+    "qx150_pit_enrich",
+    oracle=PIT_ORACLE,
+    doc="point-in-time join: each purchase enriched with the browsing state valid at its timestamp",
+    tags=("temporal", "lakehouse", "scd2", "asof"),
+)
+def qx150_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal-validity) enrichment — the join every
+    feature store and SCD2 warehouse runs: each fact row picks the ONE
+    dimension version whose [valid_from, valid_to) covers its
+    timestamp, never a later one (leakage-safe backfill). Here the
+    versioned dimension is each user's view/click browsing-state
+    history (q58's islands idiom over a DISJOINT event subset — not
+    circular) and the facts are purchases; a purchase before any
+    browsing history keeps NULL state (left semantics).
+
+    The scalable spelling is the union-scan generalization of q37:
+    version-start rows and fact rows union into ONE user_id exchange,
+    sorted (ts, is_fact, version, event_id) — state rows sort before a
+    fact at the same instant, so valid_from is inclusive exactly like
+    the oracle's range predicate — and last(state, ignorenulls) over
+    the running frame carries the active version onto each fact. No
+    range join, no per-version fan-out: at 100 TB this is one sorted
+    exchange of facts + version boundaries (versions are islands —
+    orders of magnitude fewer than facts). Zero-length versions
+    (shared valid_from) collapse correctly on both sides: the oracle's
+    ts < valid_to excludes them; here the later version's state row
+    sorts last at the tied instant and wins the running last()."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    src = ev.filter(F.col("event_type").isin("view", "click"))
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w_ord)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    islands = (
+        src.withColumn("chg", chg)
+        .withColumn(
+            "version", F.sum("chg").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "version")
+        .agg(F.min("event_type").alias("browse_state"), F.min("ts").alias("valid_from"))
+    )
+    starts = islands.select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_fact"),
+        "version",
+        "browse_state",
+        F.col("valid_from").alias("state_since"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("is_fact"),
+        F.lit(None).cast("bigint").alias("version"),
+        F.lit(None).cast("string").alias("browse_state"),
+        F.lit(None).cast("timestamp").alias("state_since"),
+    )
+    scan = Window.partitionBy("user_id").orderBy(
+        "ts", "is_fact", F.col("version").asc_nulls_last(), "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        starts.unionByName(facts)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "is_fact",
+            F.last("browse_state", ignorenulls=True).over(scan).alias("cur_state"),
+            F.last("state_since", ignorenulls=True).over(scan).alias("cur_since"),
+        )
+        .filter(F.col("is_fact") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("cur_state").alias("browse_state"),
+            F.col("cur_since").alias("state_since"),
+        )
+    )
