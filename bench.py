@@ -168,6 +168,8 @@ HEADLINE = [
     "qx148_bm25_retrieval",
     "qx149_bigram_logprob",
     "qx150_pit_enrich",
+    "qx151_gini_concentration",
+    "qx152_correlation_matrix",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -1975,3 +1975,184 @@ def qx149_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BIGRAM_TOPK)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx151 — Gini concentration of customer revenue (scalable global rank)
+# ---------------------------------------------------------------------------
+
+GINI_ORACLE = """
+WITH rev AS (
+  SELECT c.c_custkey,
+         coalesce(sum(CAST(round(o.o_totalprice * 100) AS DECIMAL(38,0))), 0)
+           AS cents
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+),
+ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, c_custkey) AS DECIMAL(38,0)) AS i
+  FROM rev
+),
+s AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         sum(cents) AS tot,
+         sum(i * cents) AS iw
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(CAST(2 * iw - (n + 1) * tot AS DOUBLE)
+             / CAST(n * tot AS DOUBLE), 6) AS gini
+FROM s
+"""
+
+
+@register(
+    "qx151_gini_concentration",
+    oracle=GINI_ORACLE,
+    doc="Gini coefficient of customer revenue (zero-revenue customers included)",
+    tags=("stats", "rank", "scale-machinery"),
+)
+def qx151_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration as a Gini coefficient — the one-number
+    answer to "how skewed is our customer base" (and, on a corpus, to
+    "how concentrated are our training tokens per source"). Uses the
+    rank formula G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over ascending
+    revenue: every term is EXACT integer-cents DECIMAL arithmetic
+    (qx110's discipline) until the single final double division, so
+    the oracle matches bit-for-bit; blocks of equal x are
+    permutation-invariant in Σi·x, so the custkey tie-break is for
+    determinism of the plan, not the value.
+
+    The global ascending rank is the repo's range-exchange machinery
+    (plans/ranks.with_global_rank — no single-task sort), which is the
+    point at 100 TB: ranking 1.5B customers is exactly the operation a
+    naive Window.orderBy turns into one task. Zero-revenue customers
+    enter via the dimension left join (broadcast by size)."""
+    from bqfetch_spark.plans.ranks import with_global_rank
+    from bqfetch_spark.session import shuffle_partitions
+
+    cat = load_catalog(spark, sf_dir)
+    cents = F.coalesce(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    rev = (
+        cat.table("customer")
+        .join(
+            cat.table("orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(cents.alias("cents"))
+    )
+    ranked = with_global_rank(
+        rev, ["cents", "c_custkey"], shuffle_partitions(spark), rank_col="i"
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("iw"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(
+            (2 * F.col("iw") - (F.col("n") + 1) * F.col("tot")).cast("double")
+            / (F.col("n") * F.col("tot")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx152 — one-pass correlation matrix over lineitem measures
+# ---------------------------------------------------------------------------
+
+# integer-scaled measures (exact DECIMAL sums; scale factors cancel in
+# the correlation, so no descaling is needed)
+_CORR_MEASURES = {
+    "qty": "CAST(l_quantity AS DECIMAL(38,0))",
+    "price": "CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))",
+    "discount": "CAST(round(l_discount * 100) AS DECIMAL(38,0))",
+    "tax": "CAST(round(l_tax * 100) AS DECIMAL(38,0))",
+}
+
+
+def _corr_matrix_oracle() -> str:
+    keys = list(_CORR_MEASURES)
+    cols = ",\n    ".join(
+        f"{expr} AS {k}" for k, expr in _CORR_MEASURES.items()
+    )
+    aggs = ["CAST(count(*) AS DECIMAL(38,0)) AS n"]
+    for k in keys:
+        aggs.append(f"sum({k}) AS s_{k}")
+        aggs.append(f"sum({k} * {k}) AS ss_{k}")
+    pairs = [(a, b) for i, a in enumerate(keys) for b in keys[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(f"sum({a} * {b}) AS sp_{a}_{b}")
+    selects = []
+    for a, b in pairs:
+        num = f"CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+        da = f"CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE)"
+        db = f"CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE)"
+        selects.append(
+            f"SELECT '{a}' AS measure_a, '{b}' AS measure_b,\n"
+            f"       round({num} / sqrt({da} * {db}), 6) AS corr FROM s"
+        )
+    return (
+        f"WITH m AS (\n  SELECT\n    {cols}\n  FROM lineitem\n),\n"
+        f"s AS (\n  SELECT {', '.join(aggs)} FROM m\n)\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+@register(
+    "qx152_correlation_matrix",
+    oracle=_corr_matrix_oracle(),
+    doc="all-pairs Pearson correlation of 4 lineitem measures in one aggregate pass",
+    tags=("stats", "agg", "single-pass"),
+)
+def qx152_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k×k correlation matrix every feature-engineering pass wants
+    — computed in ONE aggregate scan: n, k sums, k sums of squares and
+    k(k−1)/2 cross-products all partial-aggregate map-side (zero extra
+    exchanges; the fact table is read once, whatever k is). The
+    pairwise Pearson r then assembles from those sufficient statistics
+    as a literal expression over one 1-row frame.
+
+    Exactness discipline: measures are integer-scaled DECIMAL(38,0)
+    (cents / hundredths — the scale factors cancel inside r), so every
+    sufficient statistic is exact integer arithmetic in both engines;
+    the only floating-point is the final assemble (correctly-rounded
+    IEEE ops on identical integers → bit-identical at round-6). qx110
+    computes one pair with this discipline; this generalizes it to the
+    matrix without k² scans. Honest bound: n·Σx² must fit
+    DECIMAL(38) — comfortable through ~1e10 rows of cent-scaled
+    measures; past that, drop the n· cross-multiplication in favor of
+    mean-centered double statistics (one extra pass for the means) and
+    accept ~ulp assembly drift."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    keys = list(_CORR_MEASURES)
+    m = li.selectExpr(*[f"{expr} AS {k}" for k, expr in _CORR_MEASURES.items()])
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for k in keys:
+        aggs.append(F.sum(F.col(k)).alias(f"s_{k}"))
+        aggs.append(F.sum(F.col(k) * F.col(k)).alias(f"ss_{k}"))
+    pairs = [(a, b) for i, a in enumerate(keys) for b in keys[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    s = m.agg(*aggs)
+    stack_args = []
+    for a, b in pairs:
+        num = (F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
+        da = (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
+        db = (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
+        stack_args.append(
+            F.struct(
+                F.lit(a).alias("measure_a"),
+                F.lit(b).alias("measure_b"),
+                F.round(num / F.sqrt(da * db), 6).alias("corr"),
+            )
+        )
+    return s.select(F.explode(F.array(*stack_args)).alias("row")).select("row.*")
