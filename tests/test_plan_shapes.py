@@ -374,3 +374,97 @@ def test_qx138_tfidf_single_corpus_scan(spark):
 
     plan = _plan(spark, "qx138_tfidf_keywords")
     assert len(re.findall(r"FileScan parquet", plan)) == 2, plan
+
+
+def test_qx148_query_terms_broadcast_onto_tf(spark):
+    """BM25's query side must broadcast onto the tf stream (the
+    inverted-index access pattern); the corpus-sized side is never the
+    build side of a shuffle join for the 5-term query frame."""
+    plan = _plan(spark, "qx148_bm25_retrieval")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_qx152_single_scan(spark):
+    """The correlation matrix must compute ALL sufficient statistics in
+    one aggregate pass: exactly one lineitem scan in the plan, and one
+    final-aggregate pair (partial + final)."""
+    plan = _plan(spark, "qx152_correlation_matrix")
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+
+
+def test_qx151_no_single_partition_sort_of_customers(spark):
+    """Gini's global ascending rank must come from the range-exchange
+    machinery, not a single-task Window sort of every customer: the
+    plan must contain a rangepartitioning exchange and no
+    SinglePartition window over the customer-revenue frame."""
+    plan = _plan(spark, "qx151_gini_concentration")
+    assert "rangepartitioning(cents" in plan
+    # the row_number window over ranked customers partitions on __pid
+    # (per-range-partition local ranks + broadcast offsets), never a
+    # SinglePartition window over the whole customer frame
+    assert "windowspecdefinition(__pid" in plan
+
+
+def test_qx150_single_user_exchange(spark):
+    """The PIT join is the union-scan idiom: no range/cartesian join in
+    the plan — the enrichment rides hashpartitioning(user_id) windows."""
+    plan = _plan(spark, "qx150_pit_enrich")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_qx146_bfs_visits_each_node_once(spark):
+    """BFS output: hop 0 is exactly the source; every settled node
+    appears once; hops are consistent with edges (no hop jumps)."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.operators.graph import BFS_SOURCE
+
+    rows = REG["qx146_bfs_hops"].fn(spark, SF_CORRECT).collect()
+    by_nation = {r.nation: r.hops for r in rows}
+    assert by_nation[BFS_SOURCE] == 0
+    assert sum(1 for h in by_nation.values() if h == 0) == 1
+    assert len(rows) == len(by_nation) == 25
+    hops = sorted(h for h in by_nation.values() if h is not None)
+    # hop levels are contiguous from 0 (frontier expansion can't skip)
+    assert hops[0] == 0 and all(b - a <= 1 for a, b in zip(hops, hops[1:]))
+
+
+def test_qx145_triangle_total_divisible_by_three(spark):
+    """Each triangle contributes exactly 3 corner participations."""
+    rows = REG["qx145_triangle_count"].fn(spark, SF_CORRECT).collect()
+    assert sum(r.n_triangles for r in rows) % 3 == 0
+    assert len(rows) == 25  # zero-count nations kept
+
+
+def test_qx147_cms_bounds_hold_and_topk_exact(spark):
+    """The CMS flags must all be True (Spark's sketch within the
+    one-sided CMS guarantee) and the top-k must agree with a direct
+    exact recount."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+
+    rows = REG["qx147_heavy_hitters_cms"].fn(spark, SF_CORRECT).collect()
+    assert all(r.est_in_bounds for r in rows)
+    docs = load_catalog(spark, SF_CORRECT).table("documents")
+    exact = dict(
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    for r in rows:
+        assert exact[r.token] == r.n_exact
+
+
+def test_qx150_no_future_leakage(spark):
+    """PIT semantics: every enriched purchase's state_since must be <=
+    its own ts (never a future version) and must be a real version
+    start for that user."""
+    rows = REG["qx150_pit_enrich"].fn(spark, SF_CORRECT).collect()
+    assert len(rows) > 0
+    enriched = [r for r in rows if r.browse_state is not None]
+    assert enriched  # fixture has browsing history before purchases
+    for r in enriched:
+        assert r.state_since <= r.ts
