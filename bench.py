@@ -170,6 +170,8 @@ HEADLINE = [
     "qx150_pit_enrich",
     "qx151_gini_concentration",
     "qx152_correlation_matrix",
+    "qx153_score_auc",
+    "qx154_mutual_information",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -2156,3 +2156,164 @@ def qx152_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return s.select(F.explode(F.array(*stack_args)).alias("row")).select("row.*")
+
+
+# ---------------------------------------------------------------------------
+# qx153 — ROC-AUC of a score against a binary label (exact rank-sum)
+# ---------------------------------------------------------------------------
+
+AUC_HEAVY_BUYS = 14  # label: a "heavy purchaser" (>= this many purchases);
+# every fixture user purchases at least once, so the raw any-purchase
+# label is degenerate — the >= 14 cut splits every SF ~50/50
+
+AUC_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         sum(CAST(round(value * 100) AS BIGINT)) AS score,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS pos
+  FROM events GROUP BY user_id
+),
+per_score AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS n_s, CAST(sum(pos) AS BIGINT) AS p_s
+  FROM u GROUP BY score
+),
+c AS (
+  SELECT *, CAST(sum(n_s) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+  FROM per_score
+),
+tot AS (
+  SELECT CAST(sum(p_s) AS BIGINT) AS n_pos, CAST(sum(n_s - p_s) AS BIGINT) AS n_neg
+  FROM per_score
+),
+s AS (
+  SELECT CAST(sum(p_s * (2 * (cum_n - n_s) + n_s + 1)) AS BIGINT) AS rank2 FROM c
+)
+SELECT tot.n_pos, tot.n_neg,
+       round(CAST(s.rank2 - tot.n_pos * (tot.n_pos + 1) AS DOUBLE)
+             / CAST(2 * tot.n_pos * tot.n_neg AS DOUBLE), 6) AS auc
+FROM s, tot
+"""
+
+
+@register(
+    "qx153_score_auc",
+    oracle=AUC_ORACLE,
+    doc="exact ROC-AUC (midrank Mann-Whitney): does activity value predict heavy purchasing",
+    tags=("stats", "eval", "rank", "scale-machinery"),
+)
+def qx153_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC — the metric every data-quality / conversion classifier
+    is judged by — computed EXACTLY via the midrank Mann-Whitney
+    identity, not trapezoid approximation: AUC = (Σ₂R⁺ − n⁺(n⁺+1)) /
+    (2·n⁺·n⁻) where Σ₂R⁺ = Σ_s p_s·(2·cnt_lt + n_s + 1) over DISTINCT
+    scores s (ties get midranks automatically). Here: does a user's
+    total activity value predict heavy purchasing (≥ AUC_HEAVY_BUYS
+    purchases — the raw any-purchase label is degenerate on the
+    fixture, where every user converts)?
+
+    Every quantity is integer until the single final division, so the
+    oracle matches exactly. The only ordered pass runs on the DISTINCT
+    score frame through plans/ranks.with_global_cumsums — the
+    range-exchange cumsum (no single-task sort), the same machinery as
+    the KS test — so a 1e9-distinct-score corpus ranks in parallel.
+    The rank2 accumulator is Σ p·2·rank ≲ 2·n² — fits BIGINT through
+    ~2e9 users; past that, lift rank2 to DECIMAL(38,0)."""
+    from bqfetch_spark.plans.ranks import with_global_cumsums
+    from bqfetch_spark.session import shuffle_partitions
+
+    ev = load_catalog(spark, sf_dir).table("events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("score"),
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= AUC_HEAVY_BUYS
+        ).cast("int").alias("pos"),
+    )
+    per_score = u.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum("pos").cast("bigint").alias("p_s"),
+    )
+    c = with_global_cumsums(
+        per_score, ["score"], {"n_s": "cum_n"}, shuffle_partitions(spark)
+    )
+    rank2 = F.sum(
+        F.col("p_s") * (2 * (F.col("cum_n") - F.col("n_s")) + F.col("n_s") + 1)
+    ).cast("bigint")
+    agg = c.agg(
+        rank2.alias("rank2"),
+        F.sum("p_s").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n_s") - F.col("p_s")).cast("bigint").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("rank2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx154 — mutual information between two categoricals
+# ---------------------------------------------------------------------------
+
+MI_ORACLE = """
+WITH cells AS (
+  SELECT event_type AS x, CAST(extract(hour FROM ts) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS c_xy
+  FROM events GROUP BY 1, 2
+),
+mx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cells GROUP BY x),
+my AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cells GROUP BY y),
+n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM cells)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       round(sum(
+         (CAST(c_xy AS DOUBLE) / n.n)
+         * ln(CAST(c_xy AS DOUBLE) * n.n / (CAST(c_x AS DOUBLE) * c_y))
+       ), 6) AS mi_nats
+FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+"""
+
+
+@register(
+    "qx154_mutual_information",
+    oracle=MI_ORACLE,
+    doc="mutual information between event type and hour-of-day (dependence screen)",
+    tags=("stats", "agg", "feature-selection"),
+)
+def qx154_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) —
+    the model-free dependence screen feature selection runs before
+    training (here: how much does the hour of day tell you about what
+    users do?). Complements qx114's χ² (significance) with the
+    information-theoretic effect size, and q118's single-variable
+    entropy with the bivariate form.
+
+    One fact pass reduces to the |X|×|Y| joint-count frame; margins
+    are re-aggregations of that tiny frame (broadcast back), so the
+    facts are scanned ONCE and nothing larger than the contingency
+    table is ever exchanged — the same reduce-then-assemble posture as
+    qx125/qx152. Counts are exact BIGINTs; the ≤|X|·|Y| double ln
+    terms assemble identically in both engines at 6dp."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"), F.hour("ts").cast("bigint").alias("y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+    mx = cells.groupBy("x").agg(F.sum("c_xy").cast("bigint").alias("c_x"))
+    my = cells.groupBy("y").agg(F.sum("c_xy").cast("bigint").alias("c_y"))
+    n = cells.agg(F.sum("c_xy").cast("bigint").alias("n"))
+    term = (F.col("c_xy").cast("double") / F.col("n")) * F.log(
+        F.col("c_xy").cast("double") * F.col("n")
+        / (F.col("c_x").cast("double") * F.col("c_y"))
+    )
+    return (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.round(F.sum(term), 6).alias("mi_nats"),
+        )
+    )
