@@ -315,3 +315,37 @@ def test_global_cumsums_match_single_window_reference(spark):
         )
         assert list(out["ca"]) == list(ref["a"].cumsum()), (n_rows, n_parts)
         assert list(out["cb"]) == list(ref["b"].cumsum()), (n_rows, n_parts)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],  # unique tie-break key
+    ),
+    parts=st.integers(1, 5),
+)
+@settings(max_examples=15, deadline=None)
+def test_global_rank_equals_single_window(spark, vals, parts):
+    """plans/ranks.with_global_rank (the range-exchange machinery under
+    qx151's Gini, qx153's AUC cumsum and the fetcher's ntile chunks)
+    must produce EXACTLY the ranks a single-window row_number would,
+    for any values/ties/partition-count — including the degenerate
+    1-partition and all-equal-values cases hypothesis will find."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from bqfetch_spark.plans.ranks import with_global_rank
+
+    df = spark.createDataFrame(vals, "v long, k long")
+    got = {
+        (r.v, r.k): r.i
+        for r in with_global_rank(df, ["v", "k"], parts, rank_col="i").collect()
+    }
+    w = Window.orderBy("v", "k")
+    want = {
+        (r.v, r.k): r.i
+        for r in df.withColumn("i", F.row_number().over(w)).collect()
+    }
+    assert got == want
