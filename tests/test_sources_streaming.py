@@ -942,3 +942,74 @@ def test_sorted_write_layout_enables_rowgroup_skipping(spark, tmp_path):
     # ranges); shuffled: the key spans every file, nothing is skippable
     assert sum(sorted_hits) == 1, bands(sorted_dir)
     assert sum(shuffled_hits) == 4, bands(shuffled_dir)
+
+
+def test_token_quota_state_survives_checkpoint_restart(spark, tmp_path):
+    """Stronger than cross-micro-batch carry: the budget counter must
+    survive a full query STOP + RESTART from the same checkpoint (state
+    store recovery). Wave 1 runs to completion in query #1; wave 2
+    arrives while nothing is running; query #2 (same checkpoint) must
+    admit exactly the continuation of the global cumulative-sum prefix
+    — double-counting (state lost) or over-admission (state reset)
+    both break the equality."""
+    from pyspark.sql.window import Window
+
+    from bqfetch_spark.streaming.quota import (
+        TOKEN_BUDGET_PER_SOURCE,
+        enforce_quota_stream,
+        with_token_counts,
+    )
+
+    docs = load_catalog(spark, SF_SMOKE).table("documents")
+    src = tmp_path / "waves"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(str(src / "w1"))
+
+    sink = str(tmp_path / "admitted")
+
+    def run_once():
+        # file sink, not memory: the memory sink refuses checkpoint
+        # recovery, and a restartable sink is the point of the test
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            enforce_quota_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # query #1 is fully stopped; wave 2 lands; query #2 recovers state
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(str(src / "w2"))
+    run_once()
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want_df = (
+        with_token_counts(docs)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+    )
+    want = {
+        tuple(r)
+        for r in want_df.select("doc_id", "source", "n_tokens", "cum_tokens").collect()
+    }
+    assert got == want and len(got) > 0
+    # both runs contributed admissions (the budget spans the wave cut)
+    ids = {t[0] for t in got}
+    assert any(i < 250 for i in ids) and any(i >= 250 for i in ids)
