@@ -214,3 +214,62 @@ def test_event_time_timeout_flushes_idle_sessions(spark, tmp_path):
     assert (2, naive(t0 + 1 * m), naive(t0 + 1 * m), 1) in got, got
     assert all(r.user_id != 3 for r in rows)
     assert all(r.closed for r in rows)
+
+
+def test_sessionization_state_survives_checkpoint_restart(spark, tmp_path):
+    """An open session must survive a full query STOP + RESTART from
+    the same checkpoint: run #1 sees the early half of each user's
+    events, run #2 (same checkpoint) the late half — sessions spanning
+    the cut must close ONCE with the correct boundaries, which only
+    happens if the GroupState recovered. Closed sessions across both
+    runs must all be batch-q31 sessions, with near-complete coverage."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.registry import all_queries
+    from bqfetch_spark.streaming.sessions import sessionize_stream
+
+    ev = load_catalog(spark, SF_SMOKE).table("events").select("user_id", "ts")
+    cut = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
+    src = tmp_path / "waves"
+    src.mkdir()
+    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(str(src / "w1"))
+    w2 = ev.filter(F.unix_micros("ts") > cut)
+
+    sink, ckpt = str(tmp_path / "sessions_out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    w2.coalesce(1).write.parquet(str(src / "w2"))
+    run_once()
+
+    streamed = spark.read.parquet(sink).collect()
+    batch_rows = all_queries()["q31_sessionization"].fn(spark, SF_SMOKE).collect()
+    batch = {(r.user_id, r.session_start, r.session_end, r.n_events) for r in batch_rows}
+    for r in streamed:
+        assert (r.user_id, r.session_start, r.session_end, r.n_events) in batch, r
+    # a session OPEN at the restart boundary must close correctly in
+    # run #2 — without state recovery it would split into two wrong
+    # sessions, failing the membership assert above; coverage: all but
+    # the final (still-open) session per user streamed out
+    n_users = len({r.user_id for r in batch_rows})
+    assert len(streamed) >= len(batch) - n_users - 5
+    assert len(streamed) > 0
