@@ -10,9 +10,10 @@ its 8-byte codes APPENDED to the code store — FAISS's ``add``
 after ``train``, as an external-state streaming topology:
 
 - The ARTIFACTS (centroids + codebooks, a few KB) and the CODE STORE
-  (vec_id, cell_id, 8-byte code — partitioned by cell_id so a probed
-  search reads only its cells' directories) are the only state that
-  persists between waves; the streaming query itself holds none.
+  (vec_id, cell_id, 8-byte code — partitioned by (ingest_batch,
+  cell_id): probed searches prune on the cell_id level, and the
+  batch level makes wave appends retry-idempotent) are the only state
+  that persists between waves; the streaming query itself holds none.
 - Per-wave cost is O(wave): one broadcast-centroid argmin + one
   Arrow-batched encode pass + an append. History is never read.
   At 100 TB of embeddings the store is ~32× smaller than the vectors
@@ -122,18 +123,41 @@ def _clustered_for_store(codes: DataFrame) -> DataFrame:
 
 
 def append_wave(
-    spark: SparkSession, wave_emb_n: DataFrame, index_dir: str
+    spark: SparkSession,
+    wave_emb_n: DataFrame,
+    index_dir: str,
+    batch_id: int | None = None,
 ) -> None:
     """One ingest wave: encode against the FROZEN artifacts, append
-    codes to the store (partitioned by cell_id — a probed search lists
-    only its cells' directories). O(wave); never reads the store."""
+    codes to the store (partitioned by (ingest_batch, cell_id) — a
+    probed search still prunes on the cell_id level). O(wave); never
+    reads the store.
+
+    Pass the foreachBatch ``batch_id`` to make the append IDEMPOTENT
+    under micro-batch retry (round-6 fix, same class as
+    streaming/incremental.py): the wave then lands as a dynamic
+    overwrite of its own ingest_batch partitions, so a re-run replaces
+    its half-written codes instead of appending duplicates that a
+    top-k search would surface twice. Without a batch_id (manual bulk
+    adds) the write is a plain append under ingest_batch=-1."""
+    import pyspark.sql.functions as F
+
     cents, books = load_index(spark, index_dir)
-    (
-        _clustered_for_store(ivfpq_encode(spark, wave_emb_n, cents, books))
-        .write.mode("append")
-        .partitionBy("cell_id")
-        .parquet(os.path.join(index_dir, "codes"))
+    codes = _clustered_for_store(
+        ivfpq_encode(spark, wave_emb_n, cents, books)
+    ).withColumn(
+        "ingest_batch",
+        F.lit(-1 if batch_id is None else int(batch_id)).cast("bigint"),
     )
+    writer = codes.write.partitionBy("ingest_batch", "cell_id")
+    if batch_id is None:
+        writer.mode("append").parquet(os.path.join(index_dir, "codes"))
+    else:
+        (
+            writer.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(os.path.join(index_dir, "codes"))
+        )
 
 
 def run_incremental_ann_index(
@@ -160,8 +184,9 @@ def run_incremental_ann_index(
     cents, books = build_index(spark, initial, dim, index_dir)
     (
         _clustered_for_store(ivfpq_encode(spark, initial, cents, books))
+        .withColumn("ingest_batch", F.lit(-1).cast("bigint"))
         .write.mode("overwrite")
-        .partitionBy("cell_id")
+        .partitionBy("ingest_batch", "cell_id")
         .parquet(os.path.join(index_dir, "codes"))
     )
 
@@ -179,8 +204,8 @@ def run_incremental_ann_index(
         .parquet(os.path.join(incoming_dir, "wave_*"))
     )
 
-    def _ingest(batch: DataFrame, _batch_id: int) -> None:
-        append_wave(spark, batch, index_dir)
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        append_wave(spark, batch, index_dir, batch_id=batch_id)
 
     q = (
         incoming.writeStream.foreachBatch(_ingest)

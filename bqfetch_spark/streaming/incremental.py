@@ -28,31 +28,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+BACKFILL_BATCH_ID = -1
+
+
 def build_fingerprint_store(corpus: DataFrame, store_dir: str) -> None:
-    """Materialize the corpus fingerprint store (one-time backfill)."""
-    corpus.select(F.xxhash64("text").alias("fp")).distinct().write.mode(
-        "overwrite"
-    ).parquet(store_dir)
+    """Materialize the corpus fingerprint store (one-time backfill).
+    Rows carry the batch_id that wrote them (backfill = -1) so a
+    RETRIED ingest wave can exclude its own partial append — the
+    foreachBatch idempotence contract (see incremental_dedup_batch)."""
+    (
+        corpus.select(F.xxhash64("text").alias("fp"))
+        .distinct()
+        .withColumn("batch_id", F.lit(BACKFILL_BATCH_ID).cast("bigint"))
+        .write.mode("overwrite")
+        .parquet(store_dir)
+    )
 
 
 def incremental_dedup_batch(
-    spark: SparkSession, batch: DataFrame, store_dir: str
+    spark: SparkSession, batch: DataFrame, store_dir: str, batch_id: int = 0
 ) -> DataFrame:
     """One ingest wave: dedup within the batch, drop anything whose
     fingerprint is already in the store, append the survivors'
-    fingerprints. Returns the surviving documents."""
+    fingerprints (tagged with ``batch_id``). Returns the survivors.
+
+    Idempotent under foreachBatch RETRY (round-6 fix): Spark re-runs a
+    micro-batch whose side effects half-completed, and the original
+    spelling then saw the wave's OWN fingerprints in the store and
+    dropped every document — a measured 100→0 survivor loss. The
+    anti-join therefore EXCLUDES rows this batch_id wrote: a retry
+    recomputes the same survivor set, and its duplicate fp append is
+    harmless (the store is a membership set; dups cost bytes, not
+    correctness, and compaction dedups them)."""
     from bqfetch_spark.operators.llm_pipeline import dedup_exact
     from bqfetch_spark.session import shuffle_partitions
 
-    store = spark.read.parquet(store_dir)
+    store = spark.read.parquet(store_dir).filter(F.col("batch_id") != batch_id)
     fresh = (
         dedup_exact(batch, shuffle_partitions(spark))
         .withColumn("fp", F.xxhash64("text"))
-        .join(store, "fp", "left_anti")
+        .join(store.select("fp"), "fp", "left_anti")
     )
     # two actions over `fresh` (store append + return) — materialize once
     fresh = fresh.localCheckpoint(eager=True)
-    fresh.select("fp").write.mode("append").parquet(store_dir)
+    (
+        fresh.select("fp")
+        .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        .write.mode("append")
+        .parquet(store_dir)
+    )
     return fresh.drop("fp")
 
 
@@ -82,10 +106,19 @@ def run_incremental_dedup(
         .filter(F.col("doc_id") % 10 >= 8)
     )
 
-    def _ingest(batch: DataFrame, _batch_id: int) -> None:
-        out = incremental_dedup_batch(spark, batch, store_dir)
-        out.select("doc_id", "lang", "source", "n_chars").write.mode("append").parquet(
-            sink_dir
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        out = incremental_dedup_batch(spark, batch, store_dir, batch_id=batch_id)
+        # sink partitioned by the batch id with DYNAMIC overwrite: a
+        # retried wave replaces its own partial output instead of
+        # appending a second copy — exactly-once sink rows even though
+        # foreachBatch side effects are at-least-once
+        (
+            out.select("doc_id", "lang", "source", "n_chars")
+            .withColumn("ingest_batch", F.lit(batch_id).cast("bigint"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(sink_dir)
         )
 
     q = (
@@ -95,4 +128,4 @@ def run_incremental_dedup(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sink_dir)
+    return spark.read.parquet(sink_dir).drop("ingest_batch")

@@ -176,3 +176,36 @@ def test_pq_recall_vs_bruteforce(spark):
     exact = _topk(spark, "q50_cosine_topk")
     pq = _topk(spark, "q101_ann_pq")
     assert _mean_recall(exact, pq) >= 0.8
+
+
+def test_append_wave_retry_is_idempotent(spark, tmp_path):
+    """A foreachBatch RETRY of the same wave (same batch_id) must leave
+    the code store unchanged — dynamic overwrite of the wave's own
+    ingest_batch partitions — never a duplicate set of codes a top-k
+    search would surface twice (round-6 fix)."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.functions.vectors import as_double
+    from bqfetch_spark.operators.pq import unit_normalized
+    from bqfetch_spark.streaming.ann_index import append_wave, build_index
+
+    emb_n = unit_normalized(
+        load_catalog(spark, SF_SMOKE)
+        .table("embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+    ).localCheckpoint(eager=True)
+    dim = emb_n.select(F.size("v")).first()[0]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb_n.filter(F.col("vec_id") % 2 == 0), dim, idx)
+
+    wave = emb_n.filter(F.col("vec_id") % 2 == 1)
+    n_wave = wave.count()
+    append_wave(spark, wave, idx, batch_id=3)
+    store = spark.read.parquet(f"{idx}/codes")
+    assert store.count() == n_wave
+    # simulated crash + re-run of the SAME micro-batch
+    append_wave(spark, wave, idx, batch_id=3)
+    store = spark.read.parquet(f"{idx}/codes")
+    assert store.count() == n_wave
+    assert store.select("vec_id").distinct().count() == n_wave

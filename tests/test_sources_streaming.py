@@ -1013,3 +1013,30 @@ def test_token_quota_state_survives_checkpoint_restart(spark, tmp_path):
     # both runs contributed admissions (the budget spans the wave cut)
     ids = {t[0] for t in got}
     assert any(i < 250 for i in ids) and any(i >= 250 for i in ids)
+
+
+def test_incremental_dedup_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch side effects are at-least-once: Spark re-runs a
+    micro-batch whose store append completed but whose sink write (or
+    offset commit) did not. The batch_id-aware anti-join must make the
+    RETRY recompute the SAME survivor set — the original spelling saw
+    the wave's own fingerprints and returned 0 survivors, silently
+    losing the wave (round-6 fix)."""
+    from bqfetch_spark.streaming.incremental import (
+        build_fingerprint_store,
+        incremental_dedup_batch,
+    )
+
+    docs = load_catalog(spark, SF_SMOKE).table("documents")
+    store = str(tmp_path / "fp_store")
+    build_fingerprint_store(docs.filter(F.col("doc_id") % 10 < 8), store)
+    wave = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    first = {r.doc_id for r in incremental_dedup_batch(spark, wave, store, batch_id=7).collect()}
+    assert len(first) > 0
+    # simulated crash-after-store-append: same batch_id runs again
+    retry = {r.doc_id for r in incremental_dedup_batch(spark, wave, store, batch_id=7).collect()}
+    assert retry == first
+    # a LATER batch still sees this wave's fingerprints as history
+    later = {r.doc_id for r in incremental_dedup_batch(spark, wave, store, batch_id=8).collect()}
+    assert later == set()
