@@ -6,33 +6,30 @@ table from 100 TB of history — it UPSERTS the buckets each ingest wave
 touches. Topology (same external-state stance as incremental.py's
 dedup store):
 
-- The STORE is a parquet table of per-(hour, event_type) partials —
-  count + exact DECIMAL sum — partitioned into DAY directories
-  (``day=...``; rows stay hour-grain). It is the only artifact that
-  persists between waves; what a Delta/Hudi table would be in
-  production. Day grain (round-5 change, was ``hr=``) is the
-  scale-correct layout twice over: a month of history is ~30
-  directories instead of ~720 (the hour-grain backfill spent ~11 s of
-  its ~11.6 s in per-directory commits on local FS; day grain cuts the
-  same wave to ~number-of-days commits), and hourly partials are so
-  small (24 × n_event_types rows per day) that hour directories are a
-  small-files antipattern at 100 TB.
+- The STORE is an APPEND-ONLY parquet table of per-(hour,
+  event_type) PARTIALS — count + exact DECIMAL sum — partitioned
+  (day, ingest_batch); rows stay hour-grain. It is the only artifact
+  that persists between waves; what a Delta/Hudi table would be in
+  production. Day grain (round-5 change, was ``hr=``) keeps a month
+  of history at ~30 top-level directories, and hourly partials are so
+  small that finer directories are a small-files antipattern at
+  100 TB.
 - Each micro-batch (foreachBatch) aggregates ITS OWN rows to partials
-  (map-side combine over at most one wave of data), then merges them
-  with the store rows for the AFFECTED DAYS ONLY and rewrites just
-  those day partitions (dynamic partition overwrite). Days not touched
-  by the wave are never read or written — per-wave cost is
-  O(wave + touched-days), independent of history size.
-- Merging is exact because the partials are ADDITIVE (counts add,
-  DECIMAL sums add); the final read renders the decimal as a rounded
-  double, so the result is bit-identical to a one-shot batch rollup
-  regardless of how ingest was sliced into waves.
-- NULL-ts events land in a NULL bucket, stored under Spark's
-  ``day=__HIVE_DEFAULT_PARTITION__`` directory; the touched-partition
-  probe maps the NULL day to that directory name so prior NULL-bucket
-  partials merge instead of being overwritten (round-4 advice: the
-  old probe looked for a literal ``hr=None`` path and silently
-  dropped NULL-bucket history).
+  (map-side combine over at most one wave of data) and lands them as
+  a dynamic overwrite of its own (day, ingest_batch) partitions —
+  round-6 redesign: the store is NEVER READ on the write path, so
+  per-wave cost is strictly O(wave), and a retried micro-batch
+  replaces its half-written output instead of double-merging it (the
+  old read-merge-rewrite spelling double-counted on retry).
+- Reads aggregate the partials per bucket (``read_rollup``) — exact
+  because partials are ADDITIVE (counts add, DECIMAL sums add); the
+  final render rounds the decimal to a double, bit-identical to a
+  one-shot batch rollup regardless of how ingest was sliced.
+  ``compact_rollup`` folds accumulated partials offline.
+- NULL-ts events land in a NULL bucket under Spark's
+  ``day=__HIVE_DEFAULT_PARTITION__`` directory and aggregate
+  naturally on read (no directory probe — round-4's NULL-bucket bug
+  class is structurally gone).
 
 The streaming query itself holds no state (foreachBatch + external
 store), so a restart resumes from the checkpoint + the store.
@@ -55,10 +52,6 @@ DEC_SUM = "decimal(18,6)"  # per-row cast before summing
 # 100 TB store.
 STORE_SUM = "decimal(38,6)"
 
-# Spark's directory name for a NULL partition value.
-HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
-
-
 def _partials(batch: DataFrame) -> DataFrame:
     """Additive per-(hour, event_type) partial aggregates of one wave."""
     return batch.groupBy(
@@ -70,61 +63,89 @@ def _partials(batch: DataFrame) -> DataFrame:
     )
 
 
-def _day_dir(store_dir: str, day) -> str:
-    part = HIVE_NULL_PART if day is None else str(day)
-    return os.path.join(store_dir, f"day={part}")
+def upsert_rollup(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    batch_id: int | None = None,
+) -> None:
+    """Land one wave's partials in the store.
 
+    Round-6 redesign (foreachBatch-retry idempotence): the old spelling
+    READ the touched day partitions, merged the wave in, and REWROTE
+    them — so a retried micro-batch (Spark re-runs any wave whose side
+    effects half-completed) merged the same partials twice and silently
+    double-counted. The store is now APPEND-ONLY PARTIALS, partitioned
+    (day, ingest_batch):
 
-def upsert_rollup(spark: SparkSession, batch: DataFrame, store_dir: str) -> None:
-    """Merge one wave's partials into the store, rewriting only the
-    day partitions the wave touches."""
-    partials = _partials(batch).withColumn(
-        "day", F.date_format("bucket_start", "yyyyMMdd").cast("long")
-    )
-    if not os.path.isdir(store_dir) or not any(
-        e.startswith("day=") for e in os.listdir(store_dir)
-    ):
-        merged = partials
-    else:
-        affected = [r["day"] for r in partials.select("day").distinct().collect()]
-        # read ONLY the touched day directories (basePath keeps the day
-        # partition column). A full-store read + filter is wrong twice
-        # at scale: the listing alone is O(history), and dir-name type
-        # inference (day= digits → int) defeated isin pruning against
-        # string literals — caught by scripts/scale_check.py, where the
-        # wave cost scaled 6× with a 10× store instead of staying flat.
-        # NULL days probe the __HIVE_DEFAULT_PARTITION__ directory.
-        touched = [
-            p for d in affected if os.path.isdir(p := _day_dir(store_dir, d))
-        ]
-        if not touched:
-            existing = None
-        else:
-            existing = spark.read.option("basePath", store_dir).parquet(*touched)
-        merged = (
-            (partials if existing is None else existing.unionByName(partials))
-            .groupBy("bucket_start", "event_type", "day")
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("sum_value").cast(STORE_SUM).alias("sum_value"),
-            )
-            # materialize BEFORE the write: the write overwrites the very
-            # partitions `existing` reads (self-overwrite is otherwise an
-            # AnalysisException / a correctness hazard)
-            .localCheckpoint(eager=True)
+    - with a ``batch_id`` (the foreachBatch id), the wave lands as a
+      DYNAMIC overwrite of its own (day, ingest_batch) partitions — a
+      retry replaces its half-written output, never adds to it;
+    - without one (manual backfills), it is a plain append under
+      ingest_batch=-1;
+    - readers aggregate partials per bucket (``read_rollup``) — exact,
+      because partials are ADDITIVE (counts add, DECIMAL sums add);
+    - per-wave cost is now strictly O(wave): the store is never read
+      on the write path at all (the old merge was O(wave + touched
+      days) and needed the NULL-day directory probe; both gone);
+    - ``compact_rollup`` folds accumulated partials back to one row
+      per bucket when file counts warrant it (offline, q39's stance).
+
+    NULL-ts events land under day=__HIVE_DEFAULT_PARTITION__ like any
+    other partition value and aggregate naturally on read."""
+    partials = (
+        _partials(batch)
+        .withColumn("day", F.date_format("bucket_start", "yyyyMMdd").cast("long"))
+        .withColumn(
+            "ingest_batch",
+            F.lit(-1 if batch_id is None else int(batch_id)).cast("bigint"),
         )
-    # dynamic mode replaces only the day= partitions present in `merged`.
-    # repartition on day (not coalesce(1)): each day still lands in ONE
-    # file, but a wide wave (e.g. a backfill writing a month) fans its
-    # partition writes across tasks instead of one task writing dozens
-    # of directories sequentially. Steady-state waves touch 1-2 days
-    # and run in ~0.5 s regardless of history size
-    # (scripts/scale_check.py).
+        # one file per touched (day, batch): partition writes fan across
+        # tasks for wide backfills, steady-state waves touch 1-2 days
+        .repartition(F.col("day"))
+    )
+    writer = partials.write.partitionBy("day", "ingest_batch")
+    if batch_id is None:
+        writer.mode("append").parquet(store_dir)
+    else:
+        (
+            writer.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store_dir)
+        )
+
+
+def read_rollup(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The merged rollup view: aggregate the store's additive partials
+    to one row per (bucket_start, event_type). Day-partition pruning
+    still applies to filtered reads (day is the leading partition
+    level); the per-bucket partial count is bounded by waves-per-day
+    between compactions."""
+    return (
+        spark.read.parquet(store_dir)
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value").cast(STORE_SUM).alias("sum_value"),
+        )
+    )
+
+
+def compact_rollup(spark: SparkSession, store_dir: str) -> None:
+    """Offline compaction: fold all partials to one row per bucket
+    under ingest_batch=-1 (full static overwrite — run it from the
+    maintenance window, like q39's small-file compactor; the streaming
+    upserts themselves never need it for correctness)."""
+    folded = (
+        read_rollup(spark, store_dir)
+        .withColumn("day", F.date_format("bucket_start", "yyyyMMdd").cast("long"))
+        .withColumn("ingest_batch", F.lit(-1).cast("bigint"))
+        .localCheckpoint(eager=True)  # the write replaces what it reads
+    )
     (
-        merged.repartition(F.col("day"))
+        folded.repartition(F.col("day"))
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day")
+        .partitionBy("day", "ingest_batch")
         .parquet(store_dir)
     )
 
@@ -140,8 +161,8 @@ def run_rollup_maintenance(spark: SparkSession, sf_dir: str, work_dir: str) -> D
     ckpt_dir = os.path.join(work_dir, "ckpt")
     incoming = streaming_events(spark, sf_dir)
 
-    def _ingest(batch: DataFrame, _batch_id: int) -> None:
-        upsert_rollup(spark, batch, store_dir)
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        upsert_rollup(spark, batch, store_dir, batch_id=batch_id)
 
     q = (
         incoming.writeStream.foreachBatch(_ingest)
@@ -150,9 +171,9 @@ def run_rollup_maintenance(spark: SparkSession, sf_dir: str, work_dir: str) -> D
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(store_dir).select(
+    return read_rollup(spark, store_dir).select(
         "bucket_start",
         "event_type",
-        F.col("n_events").cast("bigint").alias("n_events"),
+        "n_events",
         F.round(F.col("sum_value").cast("double"), 6).alias("total_value"),
     )

@@ -629,8 +629,8 @@ def test_rollup_maintenance_upserts_across_waves(spark, tmp_path):
     ]
     store = str(tmp_path / "store")
     mtimes_by_wave = []
-    for wave in waves:
-        upsert_rollup(spark, spark.createDataFrame(wave, schema), store)
+    for i, wave in enumerate(waves):
+        upsert_rollup(spark, spark.createDataFrame(wave, schema), store, batch_id=i)
         mtimes_by_wave.append(
             {
                 d: os.path.getmtime(os.path.join(store, d))
@@ -643,9 +643,11 @@ def test_rollup_maintenance_upserts_across_waves(spark, tmp_path):
     for d in ("day=20250301", "day=20250302"):
         assert mtimes_by_wave[2][d] == mtimes_by_wave[1][d]
 
+    from bqfetch_spark.streaming.rollup import read_rollup
+
     got = {
         (r.bucket_start, r.event_type): (r.n_events, float(r.sum_value))
-        for r in spark.read.parquet(store).collect()
+        for r in read_rollup(spark, store).collect()
     }
     batch = (
         spark.createDataFrame([e for w in waves for e in w], schema)
@@ -673,14 +675,54 @@ def test_rollup_null_ts_bucket_merges_across_waves(spark, tmp_path):
         [(None, "click", 10.0)],  # revisits ONLY the NULL bucket
     ]
     store = str(tmp_path / "store")
-    for wave in waves:
-        upsert_rollup(spark, spark.createDataFrame(wave, schema), store)
+    for i, wave in enumerate(waves):
+        upsert_rollup(spark, spark.createDataFrame(wave, schema), store, batch_id=i)
+    from bqfetch_spark.streaming.rollup import read_rollup
+
     rows = {
         (r.bucket_start, r.event_type): (r.n_events, float(r.sum_value))
-        for r in spark.read.parquet(store).collect()
+        for r in read_rollup(spark, store).collect()
     }
     assert rows[(None, "click")] == (2, 11.0)
     assert rows[(t0, "click")] == (1, 2.0)
+
+
+def test_rollup_upsert_retry_and_compaction(spark, tmp_path):
+    """foreachBatch retry safety for the rollup store: re-running a
+    wave with the SAME batch_id must leave every total unchanged (the
+    old read-merge-rewrite store double-counted — round-6 redesign to
+    append-only partials), and compact_rollup must fold partials
+    without changing the merged view."""
+    import datetime
+
+    from bqfetch_spark.streaming.rollup import (
+        compact_rollup,
+        read_rollup,
+        upsert_rollup,
+    )
+
+    schema = "ts timestamp, event_type string, value double"
+    t0 = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    w1 = [(t0, "click", 1.5), (None, "view", 3.0)]
+    w2 = [(t0, "click", 0.5)]
+    store = str(tmp_path / "store")
+    upsert_rollup(spark, spark.createDataFrame(w1, schema), store, batch_id=0)
+    upsert_rollup(spark, spark.createDataFrame(w2, schema), store, batch_id=1)
+    # simulated crash + re-run of micro-batch 1
+    upsert_rollup(spark, spark.createDataFrame(w2, schema), store, batch_id=1)
+
+    def view():
+        return {
+            (r.bucket_start, r.event_type): (r.n_events, float(r.sum_value))
+            for r in read_rollup(spark, store).collect()
+        }
+
+    want = {(t0, "click"): (2, 2.0), (None, "view"): (1, 3.0)}
+    assert view() == want
+    compact_rollup(spark, store)
+    assert view() == want  # folding partials is value-neutral
+    n_rows = spark.read.parquet(store).count()
+    assert n_rows == 2  # one partial row per bucket after compaction
 
 
 def test_token_quota_state_carries_across_microbatches(spark, tmp_path):
