@@ -172,6 +172,10 @@ HEADLINE = [
     "qx152_correlation_matrix",
     "qx153_score_auc",
     "qx154_mutual_information",
+    "qx155_bloom_prefilter_dedup",
+    "qx156_gopher_quality_filter",
+    "qx157_segment_dedup",
+    "qx158_ann_sq8",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -470,17 +470,13 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-@register("q47_minhash_lsh_pairs", oracle=None, tags=("dedup", "minhash", "lsh"))
-def q47_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: band the K-wide signature into
-    LSH_BANDS buckets, equi-join on (band, bucket-hash), then estimate
-    Jaccard as the fraction of agreeing signature positions.
-    Deterministic (xxhash64) but not expressible in DuckDB SQL →
-    rows-only check; planted-duplicate behavior is pytest-verified."""
-    docs = load_catalog(spark, sf_dir).table("documents")
-    sigs = minhash_signatures(docs)
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """Signature frame → one row per (doc_id, band, bucket) with the
+    signature carried along: bucket = xxhash64 of the band's slice of
+    the signature. Shared by the one-shot pair join (q47) and the
+    incremental band store (streaming/neardup.py)."""
     rows_per_band = MINHASH_K // LSH_BANDS
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         "signature",
         F.explode(
@@ -497,6 +493,28 @@ def q47_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "signature", "bb.band", "bb.bucket")
+
+
+def est_jaccard_col() -> "F.Column":
+    """Signature-agreement Jaccard estimate over (sig_a, sig_b)."""
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return r6(agree.cast("double") / MINHASH_K)
+
+
+@register("q47_minhash_lsh_pairs", oracle=None, tags=("dedup", "minhash", "lsh"))
+def q47_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: band the K-wide signature into
+    LSH_BANDS buckets, equi-join on (band, bucket-hash), then estimate
+    Jaccard as the fraction of agreeing signature positions.
+    Deterministic (xxhash64) but not expressible in DuckDB SQL →
+    rows-only check; planted-duplicate behavior is pytest-verified."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    banded = lsh_bands(minhash_signatures(docs))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -514,16 +532,10 @@ def q47_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
     return pairs.select(
         "doc_a",
         "doc_b",
-        r6(agree.cast("double") / MINHASH_K).alias("est_jaccard"),
+        est_jaccard_col().alias("est_jaccard"),
     ).orderBy("doc_a", "doc_b")
 
 
@@ -649,4 +661,229 @@ def q66_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("fp", F.xxhash64("text"))
     return incoming.join(corpus_fp, ["fp", "text"], "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup — the 100 TB probe-traffic cut
+# ---------------------------------------------------------------------------
+
+# Bloom geometry: m bits as m/64 packed longs, k hash functions. At
+# sf0.01 (400 corpus docs) 2^17 bits / k=5 gives fpp ~1e-9; at real
+# scale size m ≈ 10 bits per stored fingerprint for ~1% fpp — the
+# filter DataFrame is always m/64 rows regardless of corpus size.
+BLOOM_BITS = 1 << 17
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 5
+
+BLOOM_LEDGER_ORACLE = """
+WITH corpus AS (
+  SELECT DISTINCT text FROM documents WHERE doc_id % 10 < 8
+),
+inc AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id % 10 >= 8
+)
+SELECT doc_id,
+       CAST(rn > 1 AS BOOLEAN) AS is_dup_in_batch,
+       CAST(EXISTS (SELECT 1 FROM corpus c WHERE c.text = inc.text) AS BOOLEAN)
+         AS is_in_corpus,
+       CAST(rn = 1 AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = inc.text)
+            AS BOOLEAN) AS is_new
+FROM inc
+"""
+
+
+def _bloom_positions(fp: "F.Column", seed: int):
+    """Bit position i for fingerprint fp: xxhash64(fp, seed) mod m."""
+    return F.pmod(F.xxhash64(fp, F.lit(seed)), F.lit(BLOOM_BITS))
+
+
+def build_bloom(corpus_fp: DataFrame, fp_col: str = "fp") -> DataFrame:
+    """Fold a fingerprint column into a Bloom filter DATAFRAME: m/64
+    rows of (word_idx, bits int64). Pure bit_or aggregation — built
+    distributed (partial agg collapses each scan task to ≤m/64 cells
+    before the exchange), never collected to the driver, and broadcast
+    to probes because it is at most BLOOM_WORDS rows."""
+    pos = corpus_fp.select(
+        F.explode(
+            F.array(*[_bloom_positions(F.col(fp_col), s) for s in range(BLOOM_K)])
+        ).alias("pos")
+    )
+    return pos.select(
+        (F.col("pos") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+    ).groupBy("word_idx").agg(F.bit_or("bit").alias("bits"))
+
+
+def bloom_maybe_contains(probe: DataFrame, bloom: DataFrame, fp_col: str = "fp") -> DataFrame:
+    """Append `bloom_maybe` to `probe`: True iff ALL k bit positions of
+    fp are set (no false negatives; false positives at the filter's
+    fpp). The bloom side is broadcast, so the probe stream is scanned
+    once with zero exchange."""
+    k_pos = probe.select(
+        fp_col,
+        F.posexplode(
+            F.array(*[_bloom_positions(F.col(fp_col), s) for s in range(BLOOM_K)])
+        ).alias("k_i", "pos"),
+    ).select(
+        fp_col,
+        "k_i",
+        (F.col("pos") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+    )
+    hits = (
+        k_pos.join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(F.col("bits").bitwiseAND(F.col("bit")) != 0, F.lit(False)),
+        )
+        .groupBy(fp_col)
+        .agg(F.bool_and("hit").alias("bloom_maybe"))
+    )
+    return probe.join(hits, fp_col)
+
+
+@register(
+    "qx155_bloom_prefilter_dedup",
+    oracle=BLOOM_LEDGER_ORACLE,
+    doc="Incremental-dedup audit ledger with a distributed Bloom prefilter",
+    tags=("dedup", "incremental", "bloom"),
+)
+def qx155_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup with a Bloom prefilter in front of the exact
+    corpus probe — the standard trick for cutting anti-join traffic at
+    100 TB. The corpus fingerprint store folds into an m-bit Bloom
+    filter represented as a DATAFRAME of m/64 packed-long words (a
+    bit_or groupBy — built distributed, broadcast to the wave). Wave
+    docs whose k positions are not all set are DEFINITELY new: they
+    skip the corpus join entirely. Only bloom-positive docs (true dups
+    + fpp false positives) reach the exact (fp, text) join, so for a
+    mostly-new crawl the store probe shrinks from |wave| rows to
+    ~|dups| + fpp·|wave|. The RESULT is exact regardless of fpp —
+    Bloom negatives are guaranteed absent, and positives are settled
+    by the exact join — which is why this approximate structure still
+    carries a full value-hash oracle. Output is the per-doc audit
+    ledger (dup-in-batch / in-corpus / new) rather than q66's
+    survivors-only frame."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    corpus_fp = (
+        docs.filter(F.col("doc_id") % 10 < 8)
+        .select(F.xxhash64("text").alias("fp"), "text")
+    )
+    bloom = build_bloom(corpus_fp)
+
+    w = Window.partitionBy("fp", "text").orderBy("doc_id")
+    incoming = (
+        docs.filter(F.col("doc_id") % 10 >= 8)
+        .withColumn("fp", F.xxhash64("text"))
+        .withColumn("is_dup_in_batch", F.row_number().over(w) > 1)
+        .select("doc_id", "fp", "text", "is_dup_in_batch")
+    )
+    flagged = bloom_maybe_contains(incoming, bloom)
+
+    # Exact corpus probe ONLY for bloom-positive rows; bloom-negative
+    # rows are in_corpus=False with no join at all.
+    maybe = flagged.filter(F.col("bloom_maybe"))
+    confirmed = maybe.join(
+        corpus_fp.select("fp", "text").distinct(),
+        ["fp", "text"],
+        "left_semi",
+    ).select("doc_id", F.lit(True).alias("in_corpus_exact"))
+    # join strategy deliberately left to Catalyst/AQE: `confirmed` is
+    # ~|true dups| rows — broadcastable on a mostly-new crawl, but a
+    # heavy-dup wave needs the shuffle join AQE will pick instead
+    return (
+        flagged.join(confirmed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_dup_in_batch",
+            F.coalesce("in_corpus_exact", F.lit(False)).alias("is_in_corpus"),
+            (
+                ~F.col("is_dup_in_batch")
+                & ~F.coalesce("in_corpus_exact", F.lit(False))
+            ).alias("is_new"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level dedup (CCNet-style): drop repeated spans, keep first
+# ---------------------------------------------------------------------------
+
+SEGMENT_WORDS = 10
+
+SEGMENT_DEDUP_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+seg AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(
+           list_slice(w, i * {SEGMENT_WORDS} + 1, i * {SEGMENT_WORDS} + {SEGMENT_WORDS}),
+           ' ') AS seg
+  FROM words,
+       unnest(range(CAST(ceil(len(w) / {SEGMENT_WORDS}.0) AS BIGINT))) t(i)
+),
+marked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM seg
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')
+         AS kept_text
+FROM marked
+GROUP BY doc_id
+"""
+
+
+@register(
+    "qx157_segment_dedup",
+    oracle=SEGMENT_DEDUP_ORACLE,
+    doc="CCNet-style segment-level dedup: corpus-wide first occurrence wins",
+    tags=("dedup", "text"),
+)
+def qx157_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup in the CCNet mold: each doc is cut into
+    fixed 10-word segments, a segment survives only at its corpus-wide
+    FIRST occurrence (ordered by doc_id, then position), and each doc
+    is reassembled from its surviving segments. This removes boilerplate
+    repeated across pages without dropping whole documents. Scale shape:
+    the exchange key is the segment string (at 100 TB: xxhash64 of it —
+    same plan), so the shuffle carries one row per segment, never doc
+    pairs; the keep decision is a row_number inside each segment group
+    and reassembly is a per-doc sort of ≤ n_segments surviving rows.
+    Reassembly uses sort_array(collect_list(struct(idx, seg))) — the
+    struct sort makes the collected order deterministic."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n_seg = F.ceil(F.size("w") / SEGMENT_WORDS).cast("int")
+    seg = words.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_seg - 1)).alias("seg_idx", "_i"),
+        "w",
+    ).select(
+        "doc_id",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.array_join(
+            F.slice("w", F.col("seg_idx").cast("int") * SEGMENT_WORDS + 1, SEGMENT_WORDS),
+            " ",
+        ).alias("seg"),
+    )
+    keep_w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    marked = seg.withColumn("rn", F.row_number().over(keep_w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)), lambda s: s["seg"]
+            ),
+            " ",
+        ).alias("kept_text"),
     )

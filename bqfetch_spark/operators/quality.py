@@ -545,3 +545,91 @@ def q87_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.exp(F.avg(neg_lp))).alias("perplexity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filter
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "is", "in", "it")
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+
+GOPHER_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+               / len(words), 6) AS mean_word_len,
+         CAST(len(list_intersect(words, [{_STOP_SQL}])) AS BIGINT)
+           AS n_stop_distinct,
+         round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+               AS DOUBLE) / len(words), 6) AS alpha_word_ratio
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, n_stop_distinct, alpha_word_ratio,
+       CAST(
+         n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+         AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+         AND n_stop_distinct >= {GOPHER_MIN_STOPWORDS}
+         AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+         AS BOOLEAN) AS keep
+FROM m
+"""
+
+
+@register(
+    "qx156_gopher_quality_filter",
+    oracle=GOPHER_ORACLE,
+    doc="Gopher-style rule-based quality filter (word count / word length / stopwords / alpha ratio)",
+    tags=("quality", "text", "filter"),
+)
+def qx156_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rule battery every web-scale curation pipeline runs before
+    any model-based scoring (the Gopher/MassiveText repetition-and-
+    quality rules, reused by Falcon/RefinedWeb): word-count bounds,
+    mean-word-length bounds, minimum distinct stopwords (a cheap
+    "is this prose" signal), and a minimum fraction of words containing
+    an alphabetic character. All four signals are single-pass JVM array
+    expressions over the split — a pure projection with ZERO exchanges,
+    so at 100 TB it runs at scan speed and composes with any downstream
+    filter pushdown. The keep decision thresholds the ROUNDED ratios so
+    both engines make identical boundary calls."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("bigint")
+    mean_wl = r6(
+        F.aggregate(
+            F.transform(words, F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).cast("double")
+        / n_words
+    )
+    n_stop = F.size(
+        F.array_intersect(words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    ).cast("bigint")
+    alpha_ratio = r6(
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).cast("double") / n_words
+    )
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        n_stop.alias("n_stop_distinct"),
+        alpha_ratio.alias("alpha_word_ratio"),
+    )
+    return m.withColumn(
+        "keep",
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("n_stop_distinct") >= GOPHER_MIN_STOPWORDS)
+        & (F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_RATIO),
+    )

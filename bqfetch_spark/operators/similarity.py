@@ -649,3 +649,99 @@ def qx139_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.count("*").over(size).cast("bigint").alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 — scalar-quantized (int8) similarity search, fully oracled
+# ---------------------------------------------------------------------------
+
+SQ8_TOPK = 10
+SQ8_LEVELS = 127
+
+SQ8_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+  SELECT max(list_max(list_transform(v, x -> abs(x)))) AS scale FROM e
+),
+q8 AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(x / s.scale * {SQ8_LEVELS}.0 + 0.5) AS BIGINT)) AS qv
+  FROM e, s
+),
+queries AS (SELECT vec_id, qv FROM q8 WHERE vec_id < 5),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS score
+  FROM queries q JOIN q8 c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, score, rn AS rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rn
+  FROM pairs
+)
+WHERE rn <= {SQ8_TOPK}
+"""
+
+
+@register(
+    "qx158_ann_sq8",
+    oracle=SQ8_ORACLE,
+    doc="int8 scalar-quantized top-k similarity with exact integer scoring",
+    tags=("similarity", "ann", "quantization"),
+)
+def qx158_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization (SQ8) — the FAISS/Milvus memory-cut that
+    stores each dimension as one int8 instead of a float32 (4× smaller
+    scan, integer dot products). Unlike the PQ legs (q56/q101), SQ8's
+    pipeline is fully deterministic end-to-end: the corpus-wide scale
+    s = max|x| is an exact double aggregate, quantization is
+    floor(x/s*127 + 0.5) — the identical IEEE expression in both
+    engines — and scores are integer dot products (≤ 64·127², exact in
+    any numeric type), so this approximate-ANN leg carries a FULL
+    value-hash oracle with no recall gate. Plan shape mirrors
+    q50_cosine_topk: the 1-row scale and the 5-row query side are both
+    broadcast, the quantized corpus is scanned once, no shuffle before
+    the per-query top-k. At 100 TB the quantized corpus is the
+    persisted artifact (int8 parquet, 4× fewer scan bytes) and the
+    same per-dimension scale is computed once per index build."""
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    scale = emb.select(
+        F.max(
+            F.array_max(F.transform("v", lambda x: F.abs(x)))
+        ).alias("scale")
+    )
+    q8 = emb.crossJoin(F.broadcast(scale)).select(
+        "vec_id",
+        F.transform(
+            "v",
+            lambda x: F.floor(x / F.col("scale") * SQ8_LEVELS + 0.5).cast("long"),
+        ).alias("qv"),
+    )
+    queries = q8.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    score = F.aggregate(
+        F.zip_with("q_qv", "qv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        q8.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            score.alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= SQ8_TOPK)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -209,3 +209,21 @@ def test_append_wave_retry_is_idempotent(spark, tmp_path):
     store = spark.read.parquet(f"{idx}/codes")
     assert store.count() == n_wave
     assert store.select("vec_id").distinct().count() == n_wave
+
+
+def test_sq8_recall_vs_exact_cosine(spark):
+    """SQ8's integer ranking must track the exact cosine ranking: at
+    64 dims and 127 quantization levels recall@10 against q50's exact
+    top-10 should be near-perfect (deterministic at this fixture)."""
+    from tests.conftest import SF_CORRECT
+
+    from bqfetch_spark.operators.similarity import q50_cosine_topk, qx158_ann_sq8
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in q50_cosine_topk(spark, SF_CORRECT).collect()
+    }
+    sq8 = {
+        (r.query_id, r.neighbor_id) for r in qx158_ann_sq8(spark, SF_CORRECT).collect()
+    }
+    recall = len(exact & sq8) / len(exact)
+    assert recall >= 0.9, recall

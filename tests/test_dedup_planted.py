@@ -111,3 +111,71 @@ def test_mllib_minhash_lsh_finds_planted_dups(spark):
     assert (0, 3) in found  # exact dup
     assert (0, 1) in found  # 1-word edit
     assert (0, 2) not in found and (1, 2) not in found  # unrelated
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every fingerprint folded INTO the filter must test positive —
+    the property the exactness argument of qx155 rests on."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.operators.llm_pipeline import bloom_maybe_contains, build_bloom
+
+    stored = spark.range(0, 2000).select(F.xxhash64("id").alias("fp"))
+    bloom = build_bloom(stored)
+    flags = bloom_maybe_contains(stored, bloom).agg(
+        F.sum(F.col("bloom_maybe").cast("int")).alias("n_pos"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert flags.n_pos == flags.n == 2000
+
+
+def test_bloom_filters_most_novel_fingerprints(spark):
+    """Disjoint probes must be overwhelmingly bloom-negative (the
+    traffic cut the prefilter exists for): at 2k stored items in a
+    2^17-bit filter the false-positive rate is ~1e-5, so out of 2000
+    novel probes virtually all must skip the exact join."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.operators.llm_pipeline import bloom_maybe_contains, build_bloom
+
+    stored = spark.range(0, 2000).select(F.xxhash64("id").alias("fp"))
+    novel = spark.range(1_000_000, 1_002_000).select(F.xxhash64("id").alias("fp"))
+    bloom = build_bloom(stored)
+    n_maybe = (
+        bloom_maybe_contains(novel, bloom).filter(F.col("bloom_maybe")).count()
+    )
+    assert n_maybe <= 5, n_maybe
+
+
+def test_segment_dedup_conserves_distinct_segments(spark):
+    """Corpus-wide, exactly one copy of every distinct segment string
+    survives: sum(n_kept) == count(distinct segment)."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.operators.llm_pipeline import SEGMENT_WORDS, qx157_segment_dedup
+    from tests.conftest import SF_CORRECT
+
+    out = qx157_segment_dedup(spark, SF_CORRECT)
+    totals = out.agg(
+        F.sum("n_kept").alias("kept"), F.sum("n_segments").alias("total")
+    ).collect()[0]
+    from bqfetch_spark.catalog import load_catalog
+
+    docs = load_catalog(spark, SF_CORRECT).table("documents")
+    w = F.split("text", " ")
+    n_seg = F.ceil(F.size(w) / SEGMENT_WORDS).cast("int")
+    distinct_segments = (
+        docs.select(
+            F.posexplode(F.sequence(F.lit(0), n_seg - 1)).alias("i", "_"),
+            w.alias("w"),
+        )
+        .select(
+            F.array_join(
+                F.slice("w", F.col("i").cast("int") * SEGMENT_WORDS + 1, SEGMENT_WORDS), " "
+            ).alias("seg")
+        )
+        .distinct()
+        .count()
+    )
+    assert totals.kept == distinct_segments
+    assert totals.kept < totals.total  # planted dups ⇒ something was dropped

@@ -468,3 +468,27 @@ def test_qx150_no_future_leakage(spark):
     assert enriched  # fixture has browsing history before purchases
     for r in enriched:
         assert r.state_since <= r.ts
+
+
+def test_qx156_gopher_is_pure_projection(spark):
+    # rule battery must run at scan bandwidth: no exchange anywhere
+    plan = _plan(spark, "qx156_gopher_quality_filter")
+    assert "Exchange" not in plan
+
+
+def test_qx158_sq8_broadcasts_scale_and_queries(spark):
+    # corpus scanned once: both small sides (1-row scale, 5-row query
+    # set) ride broadcast nested loop joins; no hash exchange before
+    # the per-query top-k window
+    plan = _plan(spark, "qx158_ann_sq8")
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+
+
+def test_qx155_bloom_side_is_broadcast(spark):
+    # the m/64-word bloom filter frame must reach the wave via a
+    # broadcast hash join on word_idx — the probe stream itself is
+    # never exchanged for the membership test
+    plan = _plan(spark, "qx155_bloom_prefilter_dedup")
+    assert "BroadcastHashJoin [word_idx" in plan or (
+        "BroadcastHashJoin" in plan and "word_idx" in plan
+    ), plan
