@@ -176,6 +176,7 @@ HEADLINE = [
     "qx156_gopher_quality_filter",
     "qx157_segment_dedup",
     "qx158_ann_sq8",
+    "qx159_streaming_neardup",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

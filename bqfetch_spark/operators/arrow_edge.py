@@ -334,3 +334,34 @@ def q71_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     work = tempfile.mkdtemp(prefix="bqfs_incr_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     return run_incremental_dedup(spark, sf_dir, work)
+
+
+@register(
+    "qx159_streaming_neardup",
+    oracle=None,
+    doc="Incremental MinHash-LSH near-dup: band store maintained per ingest wave",
+    tags=("streaming", "dedup", "minhash", "lsh", "incremental"),
+)
+def qx159_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest NEAR-duplicate detection (streaming/neardup.py):
+    documents stream through foreachBatch waves; each wave computes
+    MinHash signatures, probes a persisted LSH band store (band,
+    bucket, doc_id, signature — LSH_BANDS fixed-width rows per doc
+    ever ingested), emits candidate pairs touching the wave, and
+    appends its own band rows for later waves. Per-wave cost is
+    O(|wave| × matched-bucket occupancy); history documents are never
+    re-read — only their band rows are probed, the same O(wave)
+    posture as q57's ANN index and q71's fingerprint store. The union
+    of per-wave pair sets is IDENTICAL to the one-shot q47 batch join
+    (pytest-asserted bit equality, incl. under wave retries), which is
+    why the same rows-only check q47 carries applies. xxhash64-based →
+    not DuckDB-expressible by design."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from bqfetch_spark.streaming.neardup import run_incremental_neardup
+
+    work = tempfile.mkdtemp(prefix="bqfs_neardup_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return run_incremental_neardup(spark, sf_dir, work)

@@ -1082,3 +1082,68 @@ def test_incremental_dedup_batch_retry_is_idempotent(spark, tmp_path):
     # a LATER batch still sees this wave's fingerprints as history
     later = {r.doc_id for r in incremental_dedup_batch(spark, wave, store, batch_id=8).collect()}
     assert later == set()
+
+
+def test_incremental_neardup_matches_oneshot_and_survives_retry(spark, tmp_path):
+    """Three doc_id-split waves through an initially-empty band store
+    must reproduce q47's one-shot pair set EXACTLY — and a foreachBatch
+    retry (same wave re-run, store already holding its rows) must leave
+    the distinct'd union unchanged: the store read excludes the wave's
+    own ingest_batch, and any extra pairs a LATE retry emits (vs waves
+    committed after it) are pairs those waves already produced."""
+    import os
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.llm_pipeline import q47_minhash_lsh_pairs
+    from bqfetch_spark.streaming.neardup import build_band_store, neardup_batch
+    from tests.conftest import SF_CORRECT
+
+    store = os.path.join(str(tmp_path), "band_store")
+    docs = load_catalog(spark, SF_CORRECT).table("documents")
+    build_band_store(docs.limit(0), store)
+
+    waves = []
+    for wave_id in range(3):
+        wave = docs.filter(F.col("doc_id") % 3 == wave_id)
+        waves.append(neardup_batch(spark, wave, store, batch_id=wave_id))
+    inc = reduce(lambda a, b: a.unionByName(b), waves).distinct()
+    inc_set = {(r.doc_a, r.doc_b, r.est_jaccard) for r in inc.collect()}
+    one_set = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in q47_minhash_lsh_pairs(spark, SF_CORRECT).collect()
+    }
+    assert inc_set == one_set
+    assert inc_set  # planted near-dups ⇒ non-empty
+
+    # late retry of wave 1: the union must not change
+    retry = neardup_batch(
+        spark, docs.filter(F.col("doc_id") % 3 == 1), store, batch_id=1
+    )
+    retry_union = (
+        waves[0].unionByName(retry).unionByName(waves[2]).distinct()
+    )
+    retry_set = {(r.doc_a, r.doc_b, r.est_jaccard) for r in retry_union.collect()}
+    assert retry_set == one_set
+    # store must hold exactly LSH_BANDS rows per doc (no retry doubling)
+    from bqfetch_spark.operators.llm_pipeline import LSH_BANDS
+
+    assert spark.read.parquet(store).count() == docs.count() * LSH_BANDS
+
+
+def test_streaming_neardup_runner_matches_oneshot(spark, tmp_path):
+    """The availableNow foreachBatch runner over the whole table equals
+    the one-shot q47 pair set."""
+    from bqfetch_spark.operators.llm_pipeline import q47_minhash_lsh_pairs
+    from bqfetch_spark.streaming.neardup import run_incremental_neardup
+    from tests.conftest import SF_CORRECT
+
+    out = run_incremental_neardup(spark, SF_CORRECT, str(tmp_path))
+    s = {(r.doc_a, r.doc_b, r.est_jaccard) for r in out.collect()}
+    one = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in q47_minhash_lsh_pairs(spark, SF_CORRECT).collect()
+    }
+    assert s == one
