@@ -1147,3 +1147,106 @@ def test_streaming_neardup_runner_matches_oneshot(spark, tmp_path):
         for r in q47_minhash_lsh_pairs(spark, SF_CORRECT).collect()
     }
     assert s == one
+
+
+def test_bloom_sidecar_dedup_matches_plain_path(spark, tmp_path):
+    """The bloom-sidecar fast path must produce the identical survivor
+    sets as the plain anti-join path, wave after wave — including a
+    crash window where the sidecar was updated but the store append
+    was lost (over-set filter ⇒ extra probes, never lost docs)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.streaming.incremental import (
+        build_fingerprint_store,
+        build_fingerprint_store_with_bloom,
+        incremental_dedup_batch,
+        incremental_dedup_batch_bloom,
+        _bloom_dir,
+        _read_bloom,
+    )
+    from tests.conftest import SF_CORRECT
+
+    docs = load_catalog(spark, SF_CORRECT).table("documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 6)
+
+    plain_store = os.path.join(str(tmp_path), "plain")
+    bloom_store = os.path.join(str(tmp_path), "bloom")
+    build_fingerprint_store(corpus, plain_store)
+    build_fingerprint_store_with_bloom(corpus, bloom_store)
+
+    for wave_id, pred in enumerate([F.col("doc_id") % 10 == 6, F.col("doc_id") % 10 >= 7]):
+        wave = docs.filter(pred)
+        plain = {
+            r.doc_id
+            for r in incremental_dedup_batch(spark, wave, plain_store, batch_id=wave_id).collect()
+        }
+        fast = {
+            r.doc_id
+            for r in incremental_dedup_batch_bloom(
+                spark, wave, bloom_store, batch_id=wave_id
+            ).collect()
+        }
+        assert fast == plain and plain
+
+    # crash window: OR a bogus wave's bits into the sidecar WITHOUT
+    # appending its fps to the store, then ingest that wave for real —
+    # every doc must still survive (bloom-positive → exact probe → new)
+    from bqfetch_spark.operators.llm_pipeline import build_bloom
+
+    ghost_docs = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat("text", F.lit(" __ghost__")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    ghost = ghost_docs.select(F.xxhash64("text").alias("fp"))
+    bdir = _bloom_dir(bloom_store)
+    merged = (
+        _read_bloom(spark, bdir)
+        .unionByName(build_bloom(ghost))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(bdir)
+
+    plain5 = {
+        r.doc_id
+        for r in incremental_dedup_batch(spark, ghost_docs, plain_store, batch_id=9).collect()
+    }
+    fast5 = {
+        r.doc_id
+        for r in incremental_dedup_batch_bloom(
+            spark, ghost_docs, bloom_store, batch_id=9
+        ).collect()
+    }
+    assert fast5 == plain5 and plain5
+
+
+def test_bloom_sidecar_rejects_unbackfilled_store(spark, tmp_path):
+    """Enabling the fast path over a store with no sidecar must refuse
+    loudly instead of silently treating every stored fp as absent."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.streaming.incremental import (
+        build_fingerprint_store,
+        incremental_dedup_batch_bloom,
+    )
+    from tests.conftest import SF_CORRECT
+
+    docs = load_catalog(spark, SF_CORRECT).table("documents")
+    store = os.path.join(str(tmp_path), "store")
+    build_fingerprint_store(docs.filter(F.col("doc_id") % 10 < 8), store)
+    os.makedirs(store + "_bloom", exist_ok=True)  # empty sidecar dir
+    with pytest.raises(ValueError, match="sidecar"):
+        incremental_dedup_batch_bloom(
+            spark, docs.filter(F.col("doc_id") % 10 >= 8), store, batch_id=0
+        )
