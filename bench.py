@@ -177,6 +177,8 @@ HEADLINE = [
     "qx157_segment_dedup",
     "qx158_ann_sq8",
     "qx159_streaming_neardup",
+    "qx160_snapshot_diff",
+    "qx161_sequence_packing",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

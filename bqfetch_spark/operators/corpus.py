@@ -352,3 +352,66 @@ def q103_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SOURCE_CAP)
         .select("doc_id", "source", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx161 — concat-and-chunk sequence packing (GPT-style pretraining)
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 512  # tokens per training sequence
+
+SEQPACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST((c - n_tokens) // {SEQ_LEN} AS BIGINT) AS start_seq,
+       CAST((c - n_tokens) % {SEQ_LEN} AS BIGINT) AS start_offset,
+       CAST((c - 1) // {SEQ_LEN} - (c - n_tokens) // {SEQ_LEN} + 1 AS BIGINT)
+         AS n_seqs
+FROM cum
+"""
+
+
+@register(
+    "qx161_sequence_packing",
+    oracle=SEQPACK_ORACLE,
+    doc="Concat-and-chunk packing: global token cumsum -> sequence id/offset per doc",
+    tags=("packing", "llm", "sampling"),
+)
+def qx161_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing step of a GPT-style pretraining pipeline: the corpus
+    is one continuous token stream (docs in doc_id order) chopped into
+    fixed SEQ_LEN-token training sequences, documents spanning sequence
+    boundaries — each doc gets its starting sequence id, its offset
+    within that sequence, and how many sequences it spans. Everything
+    derives from ONE exact global token cumsum, computed with the
+    range-exchange two-pass (plans/ranks.with_global_cumsum) — the
+    oracle's SQL window would single-task-sort the corpus at 100 TB,
+    the range exchange never sorts more than one partition per task.
+    Downstream, a writer groups by sequence id to emit packed training
+    shards; this frame IS the doc→sequence index that makes that write
+    embarrassingly parallel. Complements q73 (shard-level packing:
+    docs never split) with the token-exact split semantics."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    cum = with_global_cumsum(toks, ["doc_id"], "n_tokens", shuffle_partitions(spark), "c")
+    before = F.col("c") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(c - n_tokens) div {SEQ_LEN}").cast("bigint").alias("start_seq"),
+        (before % SEQ_LEN).cast("bigint").alias("start_offset"),
+        (
+            F.expr(f"(c - 1) div {SEQ_LEN}") - F.expr(f"(c - n_tokens) div {SEQ_LEN}") + 1
+        ).cast("bigint").alias("n_seqs"),
+    )

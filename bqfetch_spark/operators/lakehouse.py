@@ -434,3 +434,103 @@ def qx131_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, out_schema = lazy.collect(), lazy.schema
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# qx160 — snapshot diff (change-data-feed between two table versions)
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH a AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+),
+b AS (
+  -- version B derived deterministically from A: doc_id%17==0 removed,
+  -- %17==1 mutated (n_chars+1), %17==2 additionally cloned under a
+  -- shifted key (the 'added' rows)
+  SELECT doc_id, text, lang, source,
+         CASE WHEN doc_id % 17 = 1 THEN n_chars + 1 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 17 = 2
+),
+j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         a.doc_id IS NULL AS only_b,
+         b.doc_id IS NULL AS only_a,
+         (a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL AND
+          (a.text <> b.text OR a.lang <> b.lang OR a.source <> b.source
+           OR a.n_chars <> b.n_chars)) AS mutated
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT doc_id,
+       CASE WHEN only_b THEN 'added'
+            WHEN only_a THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM j
+WHERE only_a OR only_b OR mutated
+"""
+
+
+@register(
+    "qx160_snapshot_diff",
+    oracle=SNAPSHOT_DIFF_ORACLE,
+    doc="Change-data-feed diff between two table snapshots: added/removed/changed",
+    tags=("lakehouse", "cdc", "diff"),
+)
+def qx160_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — what Delta's change data feed / Iceberg's
+    changelog scan computes between two table versions, spelled as a
+    single keyed FULL OUTER JOIN: rows only in B are 'added', only in
+    A 'removed', present in both with any column delta 'changed';
+    unchanged rows drop out. Complements q35 (MERGE applies a change
+    set; this RECOVERS the change set from two snapshots). Scale
+    shape: one co-partitioned join on the table key — with both
+    snapshots bucketed by key (sources/writers bucketed writes) this
+    is a zero-exchange sort-merge join; the comparison predicate is a
+    pure projection. Version B is derived deterministically from A
+    (remove / mutate / clone by doc_id rules) so both engines diff
+    identical inputs."""
+    docs = load_catalog(spark, sf_dir).table("documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    b = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 17 == 1, F.col("n_chars") + 1).otherwise(
+                F.col("n_chars")
+            ),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 2).withColumn(
+                "doc_id", F.col("doc_id") + 1_000_000
+            )
+        )
+    )
+    a = docs.alias("a")
+    bb = b.alias("b")
+    j = a.join(bb, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    only_b = F.col("a.doc_id").isNull()
+    only_a = F.col("b.doc_id").isNull()
+    mutated = (
+        F.col("a.doc_id").isNotNull()
+        & F.col("b.doc_id").isNotNull()
+        & (
+            (F.col("a.text") != F.col("b.text"))
+            | (F.col("a.lang") != F.col("b.lang"))
+            | (F.col("a.source") != F.col("b.source"))
+            | (F.col("a.n_chars") != F.col("b.n_chars"))
+        )
+    )
+    return (
+        j.filter(only_a | only_b | mutated)
+        .select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            F.when(only_b, F.lit("added"))
+            .when(only_a, F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+        )
+    )

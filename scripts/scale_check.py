@@ -686,6 +686,107 @@ def main() -> None:
     assert worst <= 20, f"knn-broadcast super-linear: worst ratio {worst:.1f}"
     print("knn-broadcast scaling OK")
 
+    # --- round-6 ops: bloom prefilter, segment dedup, SQ8 ------------
+    # bloom: build over N fps + probe N fps must both be linear (build
+    # is a k-explode + bit_or partial agg; probe is a broadcast join)
+    def bloom_shape(df):
+        from bqfetch_spark.operators.llm_pipeline import (
+            bloom_maybe_contains,
+            build_bloom,
+        )
+
+        fps = df.select(F.xxhash64("text").alias("fp"))
+        bloom = build_bloom(fps)
+        return bloom_maybe_contains(fps, bloom).groupBy("bloom_maybe").count()
+
+    def segment_shape(df, parts):
+        from pyspark.sql.window import Window
+
+        from bqfetch_spark.operators.llm_pipeline import SEGMENT_WORDS
+
+        w = F.split(F.col("text"), " ")
+        n_seg = F.ceil(F.size(w) / SEGMENT_WORDS).cast("int")
+        seg = df.select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(0), n_seg - 1)).alias("seg_idx", "_i"),
+            w.alias("w"),
+        ).select(
+            "doc_id",
+            "seg_idx",
+            F.array_join(
+                F.slice(
+                    "w", F.col("seg_idx").cast("int") * SEGMENT_WORDS + 1, SEGMENT_WORDS
+                ),
+                " ",
+            ).alias("seg"),
+        )
+        keep_w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+        return (
+            seg.withColumn("rn", F.row_number().over(keep_w))
+            .groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"))
+        )
+
+    for label, shape in (
+        ("bloom-prefilter", lambda d, p: bloom_shape(d)),
+        ("segment-dedup", segment_shape),
+    ):
+        worst = 0.0
+        for i in range(2):
+            t0 = time.time()
+            ns = shape(small_d, 32).count()
+            ts = time.time() - t0
+            t0 = time.time()
+            nb = shape(big_d, 32).count()
+            tb = time.time() - t0
+            ratio = tb / ts
+            worst = max(worst, ratio)
+            print(f"{label} round{i}: small={ts:.2f}s ({ns}) big={tb:.2f}s ({nb}) ratio={ratio:.1f}")
+        assert worst <= 20, f"{label} super-linear: worst ratio {worst:.1f}"
+        print(f"{label} scaling OK")
+
+    # SQ8: quantized scoring against a broadcast 25-query side —
+    # corpus-linear like knn_shape, but integer math over int8 codes
+    def sq8_shape(df):
+        e = df.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        scale = e.select(
+            F.max(F.array_max(F.transform("v", lambda x: F.abs(x)))).alias("s")
+        )
+        q8 = e.crossJoin(F.broadcast(scale)).select(
+            "vec_id",
+            F.transform(
+                "v", lambda x: F.floor(x / F.col("s") * 127 + 0.5).cast("long")
+            ).alias("qv"),
+        )
+        q = q8.filter(F.col("vec_id") % 20 == 0).limit(25).select(
+            F.col("vec_id").alias("qid"), F.col("qv").alias("q_qv")
+        )
+        score = F.aggregate(
+            F.zip_with("q_qv", "qv", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            q8.crossJoin(F.broadcast(q))
+            .select("qid", score.alias("s"))
+            .groupBy("qid")
+            .agg(F.max("s").alias("best"))
+        )
+
+    worst = 0.0
+    for i in range(2):
+        t0 = time.time()
+        ns = sq8_shape(small_v).count()
+        ts = time.time() - t0
+        t0 = time.time()
+        nb = sq8_shape(big_v).count()
+        tb = time.time() - t0
+        ratio = tb / ts
+        worst = max(worst, ratio)
+        print(f"sq8-scoring round{i}: small={ts:.2f}s ({ns}) big={tb:.2f}s ({nb}) ratio={ratio:.1f}")
+    assert worst <= 20, f"sq8-scoring super-linear: worst ratio {worst:.1f}"
+    print("sq8-scoring scaling OK")
+
     shutil.rmtree(tmp, ignore_errors=True)
 
 
