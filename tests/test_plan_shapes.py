@@ -492,3 +492,26 @@ def test_qx155_bloom_side_is_broadcast(spark):
     assert "BroadcastHashJoin [word_idx" in plan or (
         "BroadcastHashJoin" in plan and "word_idx" in plan
     ), plan
+
+
+def test_registry_has_no_plan_scale_killers(spark):
+    """Registry-wide plan hygiene (mirrors scripts/plan_audit.py): no
+    query's physical plan may contain a row-at-a-time Python UDF
+    (BatchEvalPython — Arrow paths plan as ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas) or a non-broadcast cartesian
+    product (CartesianProduct — intended broadcast cross joins plan as
+    BroadcastNestedLoopJoin). Streaming wrappers are skipped: their
+    outer frame is just a sink read and their per-wave plans have
+    dedicated tests; heavier multi-job queries are exercised at the
+    smoke SF."""
+    from tests.conftest import SF_SMOKE
+
+    offenders = {}
+    for name, q in sorted(REG.items()):
+        if "streaming" in q.tags:
+            continue
+        plan = q.fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        hard = [f for f in ("BatchEvalPython", "CartesianProduct") if f in plan]
+        if hard:
+            offenders[name] = hard
+    assert not offenders, offenders
