@@ -179,6 +179,8 @@ HEADLINE = [
     "qx159_streaming_neardup",
     "qx160_snapshot_diff",
     "qx161_sequence_packing",
+    "qx162_debounce",
+    "qx163_rate_limit",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

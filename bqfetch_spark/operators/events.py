@@ -585,3 +585,107 @@ def q94_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_within_5pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx162 — debounce: collapse rapid-fire repeats of the same event key
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_SECONDS = 600  # 10 minutes
+
+DEBOUNCE_ORACLE = f"""
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts,
+       CAST(coalesce(gap_us // 1000000, -1) AS BIGINT) AS gap_s
+FROM g
+WHERE gap_us IS NULL OR gap_us > {DEBOUNCE_SECONDS} * 1000000
+"""
+
+
+@register(
+    "qx162_debounce",
+    oracle=DEBOUNCE_ORACLE,
+    doc="Debounce: drop events within 10min of the previous same-key event",
+    tags=("events", "dedup", "sequence"),
+)
+def qx162_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event debouncing — the clickstream-hygiene pass that collapses
+    rapid-fire repeats (double-clicks, retry storms, bot bursts): an
+    event survives iff it is the first for its (user_id, event_type)
+    key or arrived more than DEBOUNCE_SECONDS after the PREVIOUS
+    event of that key (lag-based gap semantics — each event is judged
+    against its immediate predecessor). One hash exchange on the key,
+    one lag window per partition; at 100 TB this is the same
+    partition-and-scan shape as sessionization (q31), and the
+    streaming spelling is a 1-element GroupState keeping last-seen ts.
+    gap_s = -1 marks key-first events (NULL gap), kept by
+    definition."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = (
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    )
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts", gap_us.alias("gap_us"))
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") > DEBOUNCE_SECONDS * 1_000_000))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.coalesce(F.expr("gap_us div 1000000"), F.lit(-1)).cast("bigint").alias("gap_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx163 — per-key rate limiting (keep first N per key per window)
+# ---------------------------------------------------------------------------
+
+RATE_LIMIT_N = 3  # events kept per (user, hour)
+
+RATE_LIMIT_ORACLE = f"""
+SELECT event_id, user_id, ts,
+       CAST(rn AS BIGINT) AS slot,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start
+FROM (
+  SELECT event_id, user_id, ts,
+         row_number() OVER (
+           PARTITION BY user_id, date_trunc('hour', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn <= {RATE_LIMIT_N}
+"""
+
+
+@register(
+    "qx163_rate_limit",
+    oracle=RATE_LIMIT_ORACLE,
+    doc="Rate limit: keep the first 3 events per (user, hour)",
+    tags=("events", "sampling", "sequence"),
+)
+def qx163_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rate limiting / throttling — cap a key's contribution
+    per time window (the ingestion guard against hot users and bot
+    floods, and the per-source example-cap rule of a training-data
+    pipeline applied on the time axis): keep the earliest
+    RATE_LIMIT_N events per (user_id, hour), deterministic total
+    order (ts, event_id). One exchange on (user_id, hour) — the
+    window key joins the partition key, so a hot user's traffic still
+    spreads across hour partitions instead of one reducer, which is
+    what makes this shape safe under the exact skew it exists to
+    police."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    win = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("user_id", win).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("slot", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("slot") <= RATE_LIMIT_N)
+        .select("event_id", "user_id", "ts", "slot", win.alias("window_start"))
+    )

@@ -179,3 +179,19 @@ def test_segment_dedup_conserves_distinct_segments(spark):
     )
     assert totals.kept == distinct_segments
     assert totals.kept < totals.total  # planted dups ⇒ something was dropped
+
+
+def test_bloom_handles_extreme_fingerprints(spark):
+    """Bit-position math must hold at the edges of the long domain:
+    pmod keeps negative xxhash64 values in [0, m), shiftleft gets a
+    [0, 64) bit index. Extreme stored fps must all test positive."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.operators.llm_pipeline import bloom_maybe_contains, build_bloom
+
+    vals = [(-(2**63),), (-1,), (0,), (1,), (2**63 - 1,), (42,)]
+    stored = spark.createDataFrame(vals, "fp bigint")
+    bloom = build_bloom(stored)
+    flags = bloom_maybe_contains(stored, bloom).collect()
+    assert len(flags) == len(vals)
+    assert all(r.bloom_maybe for r in flags), flags
