@@ -181,6 +181,7 @@ HEADLINE = [
     "qx161_sequence_packing",
     "qx162_debounce",
     "qx163_rate_limit",
+    "qx164_streaming_debounce",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -365,3 +365,38 @@ def qx159_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="bqfs_neardup_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     return run_incremental_neardup(spark, sf_dir, work)
+
+
+def _qx164_oracle() -> str:
+    # shares the batch op's full oracle (same trick as q64/q71: a
+    # bounded one-file replay is one micro-batch, so batch lag-window
+    # semantics apply exactly)
+    from bqfetch_spark.operators.events import DEBOUNCE_ORACLE
+
+    return DEBOUNCE_ORACLE
+
+
+@register(
+    "qx164_streaming_debounce",
+    oracle=_qx164_oracle(),
+    doc="Streaming debounce: GroupState last-seen ts per (user, event_type)",
+    tags=("streaming", "events", "sequence"),
+)
+def qx164_streaming_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qx162's stateful streaming spelling: applyInPandasWithState
+    keyed by (user_id, event_type) carrying ONE long (last SEEN event
+    ts in µs) per live key — bounded by key domain, not stream length.
+    Over the single-file fixture replay the micro-batch equals the
+    table, so the batch lag-window oracle applies verbatim; the
+    cross-wave state carry (ts-split waves, the part one bounded
+    micro-batch can't show) is pytest-asserted in
+    tests/test_sources_streaming.py, and wave-slicing invariance of
+    the pure kernel is hypothesis-tested over 200 random streams."""
+    from bqfetch_spark.streaming.debounce import debounce_stream
+    from bqfetch_spark.streaming.windows import run_to_memory, streaming_events
+
+    stream = debounce_stream(streaming_events(spark, sf_dir))
+    return run_to_memory(
+        stream, "qx164_streaming_debounce_sink", output_mode="append", state_partitions=8
+    ).select("event_id", "user_id", "event_type", "ts", "gap_s")
+

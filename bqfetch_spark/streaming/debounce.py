@@ -1,0 +1,78 @@
+"""Streaming event debounce — the stateful spelling of qx162.
+
+Batch qx162 judges each event against its predecessor with a lag
+window; on a live stream the "predecessor" must be carried across
+micro-batches, so the operator is ``applyInPandasWithState`` keyed by
+(user_id, event_type) with a 1-element state: the last SEEN event's
+timestamp (epoch micros). lag-gap semantics exactly as the batch op:
+an event survives iff it is the key's first ever or arrived more than
+DEBOUNCE_SECONDS after the previous SEEN (not previous kept) event.
+
+State is one long per live key — bounded by the key domain, not the
+stream length; production adds a GroupState TTL so idle keys expire.
+With ts-ordered arrival the admitted set equals the batch window
+spelling (wave-slicing invariance is hypothesis-tested over the pure
+kernel; stream-vs-batch equality is pytest-asserted end-to-end).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from bqfetch_spark.operators.events import DEBOUNCE_SECONDS
+
+OUTPUT_SCHEMA = "event_id bigint, user_id bigint, event_type string, ts timestamp, gap_s bigint"
+STATE_SCHEMA = "last_us long"
+
+_GAP_US = DEBOUNCE_SECONDS * 1_000_000
+
+
+def debounce_kernel(last_us: int | None, pdf: pd.DataFrame) -> tuple[int | None, pd.DataFrame]:
+    """Pure admission kernel for ONE key's micro-batch: rows ordered by
+    (ts, event_id), gap judged against the previous SEEN event (state
+    seeds the first gap). Returns (new_state, kept_rows). Split out of
+    the GroupState wrapper so hypothesis can drive it without a
+    SparkSession."""
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    us = pdf["ts"].astype("int64") // 1_000  # pandas ns → µs
+    prev = us.shift(1)
+    if last_us is not None:
+        prev.iloc[0] = last_us
+    gap = us - prev
+    keep = gap.isna() | (gap > _GAP_US)
+    kept = pdf.loc[keep].copy()
+    kept["gap_s"] = (gap[keep] // 1_000_000).fillna(-1).astype("int64")
+    new_state = int(us.iloc[-1]) if len(pdf) else last_us
+    return new_state, kept
+
+
+def _debounce_group(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    last_us = state.get[0] if state.exists else None
+    batch = pd.concat(list(batches), ignore_index=True)
+    new_state, kept = debounce_kernel(last_us, batch)
+    if new_state is not None:
+        state.update((new_state,))
+    if len(kept):
+        yield kept[["event_id", "user_id", "event_type", "ts", "gap_s"]]
+
+
+def debounce_stream(events_stream: DataFrame) -> DataFrame:
+    """Wire the debounce operator onto a streaming events frame."""
+    return events_stream.select(
+        "event_id", "user_id", "event_type", "ts"
+    ).groupBy("user_id", "event_type").applyInPandasWithState(
+        _debounce_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

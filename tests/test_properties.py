@@ -349,3 +349,41 @@ def test_global_rank_equals_single_window(spark, vals, parts):
         for r in df.withColumn("i", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=0, max_value=1500), min_size=1, max_size=40),
+    cuts=st.lists(st.integers(min_value=0, max_value=39), max_size=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_debounce_admission_invariant_under_wave_slicing(gaps, cuts):
+    """streaming/debounce.debounce_kernel: however a key's time-ordered
+    event stream is sliced into micro-batches, the kept set must equal
+    the single-shot lag-window result (qx162's batch semantics) —
+    including gaps exactly AT the threshold (kept only if strictly
+    greater) and the carried last-seen timestamp."""
+    import numpy as np
+    import pandas as pd
+
+    from bqfetch_spark.streaming.debounce import _GAP_US, debounce_kernel
+
+    # build absolute µs timestamps from inter-event gaps (seconds)
+    ts_us = np.cumsum(np.array(gaps, dtype="int64")) * 1_000_000
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(gaps)),
+            "user_id": 1,
+            "event_type": "click",
+            "ts": pd.to_datetime(ts_us, unit="us"),
+        }
+    )
+    _, oneshot = debounce_kernel(None, pdf)
+    points = sorted({c for c in cuts if 0 < c < len(gaps)})
+    bounds = [0, *points, len(gaps)]
+    state, waves = None, []
+    for a, b in zip(bounds, bounds[1:]):
+        state, kept = debounce_kernel(state, pdf.iloc[a:b])
+        waves.append(kept)
+    sliced = pd.concat(waves) if waves else oneshot.iloc[0:0]
+    assert list(sliced["event_id"]) == list(oneshot["event_id"])
+    assert list(sliced["gap_s"]) == list(oneshot["gap_s"])
