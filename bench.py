@@ -182,6 +182,7 @@ HEADLINE = [
     "qx162_debounce",
     "qx163_rate_limit",
     "qx164_streaming_debounce",
+    "qx165_curation_pipeline_v2",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

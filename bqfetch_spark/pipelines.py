@@ -183,3 +183,156 @@ def q65_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx165 — round-6 curation pipeline: rule filter → segment dedup → packing
+# ---------------------------------------------------------------------------
+
+from bqfetch_spark.operators.corpus import SEQ_LEN  # noqa: E402
+from bqfetch_spark.operators.llm_pipeline import SEGMENT_WORDS  # noqa: E402
+from bqfetch_spark.operators.quality import (  # noqa: E402
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_MIN_WORDS,
+    GOPHER_STOPWORDS,
+)
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+
+CURATION_V2_ORACLE = f"""
+WITH keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_intersect(string_split(text, ' '), [{_STOP_SQL}])) AS n_stop
+    FROM documents
+  ) WHERE n_words >= {GOPHER_MIN_WORDS} AND n_stop >= {GOPHER_MIN_STOPWORDS}
+),
+seg AS (
+  SELECT d.doc_id, i AS seg_idx,
+         array_to_string(
+           list_slice(string_split(d.text, ' '),
+                      i * {SEGMENT_WORDS} + 1, i * {SEGMENT_WORDS} + {SEGMENT_WORDS}),
+           ' ') AS seg
+  FROM documents d
+  JOIN keep k ON k.doc_id = d.doc_id,
+       unnest(range(CAST(ceil(len(string_split(d.text, ' ')) / {SEGMENT_WORDS}.0)
+                    AS BIGINT))) t(i)
+),
+marked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM seg
+),
+rebuilt AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_segments,
+         string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx) AS kept_text
+  FROM marked GROUP BY doc_id
+  HAVING sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+),
+deduped AS (
+  SELECT doc_id, n_kept_segments, kept_text FROM (
+    SELECT *, row_number() OVER (PARTITION BY kept_text ORDER BY doc_id) AS rn
+    FROM rebuilt
+  ) WHERE rn = 1
+),
+toks AS (
+  SELECT doc_id, n_kept_segments,
+         CAST(len(string_split(kept_text, ' ')) AS BIGINT) AS n_tokens
+  FROM deduped
+),
+cum AS (
+  SELECT doc_id, n_kept_segments, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM toks
+)
+SELECT doc_id, n_kept_segments, n_tokens,
+       CAST((c - n_tokens) // {SEQ_LEN} AS BIGINT) AS start_seq,
+       CAST((c - n_tokens) % {SEQ_LEN} AS BIGINT) AS start_offset
+FROM cum
+"""
+
+
+@register(
+    "qx165_curation_pipeline_v2",
+    oracle=CURATION_V2_ORACLE,
+    doc="Round-6 curation chain: Gopher rules -> segment dedup -> exact dedup -> packing",
+    tags=("pipeline", "dedup", "quality", "packing"),
+)
+def qx165_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 operators composed the way a crawl-to-training-set
+    pipeline runs them, as ONE lazy Catalyst plan: Gopher rule filter
+    (word-count + stopword rules of qx156 — the length-invariant
+    subset, since segment dedup is about to change the other metrics)
+    → CCNet segment dedup (qx157: corpus-wide first occurrence, docs
+    rebuilt from surviving 10-word segments, fully-boilerplate docs
+    dropped) → exact dedup on the REBUILT text (two docs can become
+    identical only after boilerplate removal — ordering matters)
+    → concat-and-chunk sequence packing (qx161) over the survivors.
+    Cross-stage optimization is the point of the single plan: the
+    rule filter prunes docs before the segment explode ever happens.
+    Shares its constants with the standalone ops so thresholds cannot
+    drift. Exchanges: one per dedup key + the pack range exchange —
+    same count as running the stages standalone, minus two
+    materializations."""
+    from bqfetch_spark.plans.ranks import with_global_cumsum
+
+    docs = load_catalog(spark, sf_dir).table("documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    n_stop = F.size(
+        F.array_intersect(words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    kept_docs = docs.filter(
+        (n_words >= GOPHER_MIN_WORDS) & (n_stop >= GOPHER_MIN_STOPWORDS)
+    ).select("doc_id", words.alias("w"))
+
+    n_seg = F.ceil(F.size("w") / SEGMENT_WORDS).cast("int")
+    seg = kept_docs.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_seg - 1)).alias("seg_idx", "_i"),
+        "w",
+    ).select(
+        "doc_id",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.array_join(
+            F.slice("w", F.col("seg_idx").cast("int") * SEGMENT_WORDS + 1, SEGMENT_WORDS),
+            " ",
+        ).alias("seg"),
+    )
+    keep_w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    marked = seg.withColumn("rn", F.row_number().over(keep_w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
+    rebuilt = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept_segments"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list(kept_struct)), lambda s: s["seg"]),
+                " ",
+            ).alias("kept_text"),
+        )
+        .filter(F.col("n_kept_segments") > 0)
+    )
+    dedup_w = Window.partitionBy("kept_text").orderBy("doc_id")
+    deduped = (
+        rebuilt.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_kept_segments",
+            F.size(F.split("kept_text", " ")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    cum = with_global_cumsum(deduped, ["doc_id"], "n_tokens", shuffle_partitions(spark), "c")
+    return cum.select(
+        "doc_id",
+        "n_kept_segments",
+        "n_tokens",
+        F.expr(f"(c - n_tokens) div {SEQ_LEN}").cast("bigint").alias("start_seq"),
+        ((F.col("c") - F.col("n_tokens")) % SEQ_LEN).cast("bigint").alias("start_offset"),
+    )
