@@ -274,9 +274,10 @@ def qx165_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-stage optimization is the point of the single plan: the
     rule filter prunes docs before the segment explode ever happens.
     Shares its constants with the standalone ops so thresholds cannot
-    drift. Exchanges: one per dedup key + the pack range exchange —
-    same count as running the stages standalone, minus two
-    materializations."""
+    drift. Exchange count is bounded by the stage keys (seg window,
+    doc rebuild, rebuilt-text dedup, pack range exchange + cumsum
+    metadata) and — unlike running the stages standalone — nothing is
+    materialized between stages."""
     from bqfetch_spark.plans.ranks import with_global_cumsum
 
     docs = load_catalog(spark, sf_dir).table("documents")
