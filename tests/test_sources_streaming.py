@@ -1290,3 +1290,73 @@ def test_streaming_debounce_matches_batch_lag_window(spark, tmp_path):
         tzinfo=None
     )
     assert any(t < mid_dt for t in ts_vals) and any(t >= mid_dt for t in ts_vals)
+
+
+def test_zorder_write_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order layout must give PARTIAL file skipping on EACH of the
+    two clustered columns, where a 1-D sort gives perfect skipping on
+    its own column and NONE on the other — verified from real parquet
+    footers. This is the multi-dimensional extension of
+    test_sorted_write_layout_enables_rowgroup_skipping."""
+    import pyarrow.parquet as pq_meta
+
+    from bqfetch_spark.plans.zorder import write_zordered
+
+    li = load_catalog(spark, SF_SMOKE).table("lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    z_dir = str(tmp_path / "zorder")
+    s_dir = str(tmp_path / "sorted1d")
+    n_files = 16
+    write_zordered(li, z_dir, ["l_partkey", "l_suppkey"], n_files)
+    (
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(s_dir)
+    )
+
+    def hits(d, col, probe):
+        n_files_seen, n_hit = 0, 0
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq_meta.ParquetFile(os.path.join(d, f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            lo = min(md.row_group(rg).column(idx).statistics.min for rg in range(md.num_row_groups))
+            hi = max(md.row_group(rg).column(idx).statistics.max for rg in range(md.num_row_groups))
+            n_files_seen += 1
+            if lo <= probe <= hi:
+                n_hit += 1
+        return n_hit, n_files_seen
+
+    # mid-domain probes
+    pk = int(li.agg(F.percentile_approx("l_partkey", 0.5)).collect()[0][0])
+    sk = int(li.agg(F.percentile_approx("l_suppkey", 0.5)).collect()[0][0])
+
+    z_pk, z_n = hits(z_dir, "l_partkey", pk)
+    z_sk, _ = hits(z_dir, "l_suppkey", sk)
+    s_pk, s_n = hits(s_dir, "l_partkey", pk)
+    s_sk, _ = hits(s_dir, "l_suppkey", sk)
+
+    assert z_n == n_files and s_n == n_files
+    # 1-D sort: perfect on its key, useless on the other
+    assert s_pk <= 2, (s_pk, s_n)
+    assert s_sk == n_files, (s_sk, s_n)
+    # Z-order: real skipping on BOTH dimensions (neither hits all files)
+    assert z_pk < n_files * 0.7, (z_pk, z_n)
+    assert z_sk < n_files * 0.7, (z_sk, z_n)
+
+
+def test_zorder_key_preserves_rows(spark, tmp_path):
+    """Clustering is a pure layout change: the z-ordered copy must hold
+    exactly the source multiset."""
+    from bqfetch_spark.plans.zorder import write_zordered
+
+    li = load_catalog(spark, SF_SMOKE).table("lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    d = str(tmp_path / "z")
+    write_zordered(li, d, ["l_partkey", "l_suppkey"], 8)
+    back = spark.read.parquet(d)
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0 and li.exceptAll(back).count() == 0
