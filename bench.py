@@ -183,6 +183,7 @@ HEADLINE = [
     "qx163_rate_limit",
     "qx164_streaming_debounce",
     "qx165_curation_pipeline_v2",
+    "qx166_streaming_rate_limit",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

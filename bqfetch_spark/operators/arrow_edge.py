@@ -400,3 +400,36 @@ def qx164_streaming_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "qx164_streaming_debounce_sink", output_mode="append", state_partitions=8
     ).select("event_id", "user_id", "event_type", "ts", "gap_s")
 
+
+
+def _qx166_oracle() -> str:
+    # bounded one-file replay = one micro-batch → batch row_number
+    # semantics apply exactly (same trick as q64/q71/qx164)
+    from bqfetch_spark.operators.events import RATE_LIMIT_ORACLE
+
+    return RATE_LIMIT_ORACLE
+
+
+@register(
+    "qx166_streaming_rate_limit",
+    oracle=_qx166_oracle(),
+    doc="Streaming rate limit: GroupState (hour, seen) per user",
+    tags=("streaming", "events", "sampling"),
+)
+def qx166_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qx163's stateful streaming spelling (streaming/rate_limit.py):
+    applyInPandasWithState keyed by user_id carrying TWO longs — the
+    hour being counted and its seen-count — so per-window admission
+    needs no per-window state keys and an hour rollover resets the
+    counter in place. State bounded by the live-user domain. Kernel
+    wave-slicing invariance is hypothesis-tested (200 random streams,
+    rollovers included); cross-wave carry pinned with ts-split waves;
+    the bounded replay shares qx163's full oracle."""
+    from bqfetch_spark.streaming.rate_limit import rate_limit_stream
+    from bqfetch_spark.streaming.windows import run_to_memory, streaming_events
+
+    stream = rate_limit_stream(streaming_events(spark, sf_dir))
+    return run_to_memory(
+        stream, "qx166_streaming_rate_limit_sink", output_mode="append",
+        state_partitions=8,
+    ).select("event_id", "user_id", "ts", "slot", "window_start")

@@ -387,3 +387,40 @@ def test_debounce_admission_invariant_under_wave_slicing(gaps, cuts):
     sliced = pd.concat(waves) if waves else oneshot.iloc[0:0]
     assert list(sliced["event_id"]) == list(oneshot["event_id"])
     assert list(sliced["gap_s"]) == list(oneshot["gap_s"])
+
+
+@given(
+    offsets=st.lists(st.integers(min_value=0, max_value=7200), min_size=1, max_size=50),
+    cuts=st.lists(st.integers(min_value=0, max_value=49), max_size=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_rate_limit_admission_invariant_under_wave_slicing(offsets, cuts):
+    """streaming/rate_limit.rate_limit_kernel: however a user's
+    time-ordered events are sliced into micro-batches, the kept rows
+    and their slots must equal the single-shot per-hour row_number
+    result (qx163's batch semantics), including hour rollovers at the
+    wave boundary."""
+    import numpy as np
+    import pandas as pd
+
+    from bqfetch_spark.streaming.rate_limit import rate_limit_kernel
+
+    ts_s = np.sort(np.array(offsets, dtype="int64"))
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(offsets)),
+            "user_id": 1,
+            "ts": pd.to_datetime(ts_s * 1_000_000_000),
+        }
+    )
+    _, oneshot = rate_limit_kernel(None, pdf)
+    points = sorted({c for c in cuts if 0 < c < len(offsets)})
+    bounds = [0, *points, len(offsets)]
+    state, waves = None, []
+    for a, b in zip(bounds, bounds[1:]):
+        state, kept = rate_limit_kernel(state, pdf.iloc[a:b])
+        waves.append(kept)
+    sliced = pd.concat(waves) if waves else oneshot.iloc[0:0]
+    assert list(sliced["event_id"]) == list(oneshot["event_id"])
+    assert list(sliced["slot"]) == list(oneshot["slot"])
+    assert list(sliced["window_start"]) == list(oneshot["window_start"])

@@ -1360,3 +1360,36 @@ def test_zorder_key_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(d)
     assert back.count() == li.count()
     assert back.exceptAll(li).count() == 0 and li.exceptAll(back).count() == 0
+
+
+def test_streaming_rate_limit_matches_batch_window(spark, tmp_path):
+    """qx163's streaming spelling: ts-split waves through the
+    GroupState rate limiter must keep exactly the batch row_number
+    result — the (hour, seen) state must bridge an hour that spans the
+    wave boundary."""
+    from bqfetch_spark.registry import all_queries
+    from bqfetch_spark.streaming.rate_limit import rate_limit_stream
+    from bqfetch_spark.streaming.windows import run_to_memory
+
+    ev = load_catalog(spark, SF_SMOKE).table("events")
+    mid = ev.select(F.percentile_approx("ts", 0.5).cast("long")).collect()[0][0]
+    ev.filter(F.col("ts").cast("long") < mid).coalesce(1).write.parquet(
+        str(tmp_path / "w1")
+    )
+    ev.filter(F.col("ts").cast("long") >= mid).coalesce(1).write.parquet(
+        str(tmp_path / "w2")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path))
+    )
+    result = run_to_memory(
+        rate_limit_stream(stream), "rate_limit_xbatch_test", output_mode="append"
+    )
+    batch = all_queries()["qx163_rate_limit"].fn(spark, SF_SMOKE)
+    got = {tuple(r) for r in result.select(*batch.columns).collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
