@@ -1393,3 +1393,61 @@ def test_streaming_rate_limit_matches_batch_window(spark, tmp_path):
     got = {tuple(r) for r in result.select(*batch.columns).collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_debounce_state_survives_checkpoint_restart(spark, tmp_path):
+    """The last-seen timestamp must survive a full query STOP +
+    RESTART from the checkpoint: a key-first event in wave 2 that is
+    within the debounce horizon of that key's last wave-1 event must
+    still be DROPPED by query #2 — state reset would wrongly admit it
+    (it would look key-first again)."""
+    from bqfetch_spark.registry import all_queries
+    from bqfetch_spark.streaming.debounce import debounce_stream
+    from tests.conftest import SF_SMOKE as _sf
+
+    ev = load_catalog(spark, _sf).table("events")
+    mid = ev.select(F.percentile_approx("ts", 0.5).cast("long")).collect()[0][0]
+    src = tmp_path / "waves"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "kept")
+    ev.filter(F.col("ts").cast("long") < mid).coalesce(1).write.parquet(str(src / "w1"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            debounce_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    ev.filter(F.col("ts").cast("long") >= mid).coalesce(1).write.parquet(str(src / "w2"))
+    run_once()
+
+    batch = all_queries()["qx162_debounce"].fn(spark, _sf)
+    got = {tuple(r) for r in spark.read.parquet(sink).select(*batch.columns).collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
+    # the restart mattered: some wave-2 rows were suppressed by wave-1
+    # state (their batch gap_s is a real gap, not the key-first -1)
+    import datetime
+
+    mid_dt = datetime.datetime.fromtimestamp(mid, tz=datetime.timezone.utc).replace(
+        tzinfo=None
+    )
+    dropped_wave2 = ev.filter(F.col("ts").cast("long") >= mid).count() - sum(
+        1 for t in got if t[3] >= mid_dt
+    )
+    assert dropped_wave2 > 0
