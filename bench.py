@@ -184,6 +184,9 @@ HEADLINE = [
     "qx164_streaming_debounce",
     "qx165_curation_pipeline_v2",
     "qx166_streaming_rate_limit",
+    "qx167_min_cost_supplier",
+    "qx168_sole_failing_supplier",
+    "qx169_dormant_customers",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -737,3 +737,226 @@ def q95_churn_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(status.alias("status")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx167 — min-cost supplier per part (TPC-H Q2 shape: correlated MIN)
+# ---------------------------------------------------------------------------
+
+MINCOST_TOPK = 20
+
+MINCOST_ORACLE = f"""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(l_extendedprice AS DECIMAL(16,6))) AS cost
+  FROM lineitem GROUP BY 1, 2
+),
+best AS (
+  SELECT l_partkey, min(cost) AS min_cost FROM supply GROUP BY 1
+)
+SELECT p.p_partkey, s.s_name, n.n_name,
+       round(CAST(b.min_cost AS DOUBLE), 6) AS min_cost
+FROM best b
+JOIN supply sp ON sp.l_partkey = b.l_partkey AND sp.cost = b.min_cost
+JOIN part p ON p.p_partkey = b.l_partkey
+JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size >= 30
+ORDER BY min_cost DESC, p.p_partkey, s.s_name
+LIMIT {MINCOST_TOPK}
+"""
+
+
+@register(
+    "qx167_min_cost_supplier",
+    oracle=MINCOST_ORACLE,
+    doc="TPC-H Q2 shape: cheapest supplier per part via correlated MIN",
+    tags=("relational", "join", "top-k"),
+)
+def qx167_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-minimum shape (lineitem standing in for
+    partsupp — the fixture has no partsupp table): per part, the
+    supplier(s) achieving the minimum supply cost, decorrelated into
+    aggregate-then-self-join exactly as Catalyst rewrites the
+    correlated form. Costs aggregate in DECIMAL (exact) and the join
+    back is on the exact decimal equality — no float in the keep
+    decision; only the output column rounds. The two aggregates share
+    one (partkey, suppkey) exchange; part/supplier/nation dims are
+    broadcast. Top-k via the rounded cost with (p_partkey, s_name)
+    tie-break."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    part = load_catalog(spark, sf_dir).table("part")
+    supp = load_catalog(spark, sf_dir).table("supplier")
+    nat = load_catalog(spark, sf_dir).table("nation")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast(DEC_PRICE)).alias("cost")
+    )
+    # explicit aliases: `best` derives from `supply`, so column-object
+    # equality would resolve both sides to the same attribute (Spark
+    # warns "trivially true predicate") — string-qualified names keep
+    # the self-join keys distinct
+    best = (
+        supply.groupBy("l_partkey")
+        .agg(F.min("cost").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+        .alias("best")
+    )
+    sp = supply.alias("sp")
+    return (
+        best.join(
+            sp,
+            (F.col("sp.l_partkey") == F.col("best.b_partkey"))
+            & (F.col("sp.cost") == F.col("best.min_cost")),
+        )
+        .select(F.col("best.b_partkey").alias("l_partkey"), "l_suppkey", "min_cost")
+        .join(F.broadcast(part.filter(F.col("p_size") >= 30)), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            r6(F.col("min_cost").cast("double")).alias("min_cost"),
+        )
+        .orderBy(F.col("min_cost").desc(), "p_partkey", "s_name")
+        .limit(MINCOST_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx168 — sole-failing supplier (TPC-H Q21 shape: EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+SOLE_FAIL_TOPK = 15
+
+SOLE_FAIL_ORACLE = f"""
+WITH flagged AS (
+  SELECT l1.l_suppkey, l1.l_orderkey
+  FROM lineitem l1
+  JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+  WHERE l1.l_returnflag = 'R'
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM (SELECT DISTINCT l_suppkey, l_orderkey FROM flagged) f
+JOIN supplier s ON s.s_suppkey = f.l_suppkey
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT {SOLE_FAIL_TOPK}
+"""
+
+
+@register(
+    "qx168_sole_failing_supplier",
+    oracle=SOLE_FAIL_ORACLE,
+    doc="TPC-H Q21 shape: suppliers solely at fault on multi-supplier orders",
+    tags=("relational", "semi-join", "anti-join", "top-k"),
+)
+def qx168_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's double-correlation shape (the fixture lacks
+    commit/receipt dates, so 'failed' = returnflag R on a finalized
+    order): suppliers whose R-flagged lineitem sits on a
+    multi-supplier order where NO OTHER supplier's line was flagged —
+    an EXISTS (semi) and a NOT EXISTS (anti) against the same fact
+    table. Spelled as ONE per-order aggregate instead of two
+    correlated rescans: per (orderkey) count distinct suppliers and
+    distinct R-flagged suppliers, then the keep condition is pure
+    arithmetic on that tiny frame — the fact table is read once, the
+    per-order frame joins back broadcast-free on the shared orderkey
+    exchange. Equivalent to the EXISTS/NOT-EXISTS pair because 'some
+    other supplier exists' ⇔ n_suppliers > 1 and 'no other R supplier'
+    ⇔ n_r_suppliers = 1 (the candidate itself)."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    orders = load_catalog(spark, sf_dir).table("orders")
+    supp = load_catalog(spark, sf_dir).table("supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_suppliers"),
+    )
+    candidates = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_suppliers") > 1) & (F.col("n_r_suppliers") == 1))
+    )
+    return (
+        candidates.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(SOLE_FAIL_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx169 — dormant high-balance customers (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+DORMANT_CUTOFF = "2000-01-01"
+
+DORMANT_ORACLE = f"""
+WITH avg_bal AS (
+  SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(16,6))) AS DECIMAL(16,6)) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(16,6))) AS DOUBLE), 6) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{DORMANT_CUTOFF}')
+GROUP BY 1
+"""
+
+
+@register(
+    "qx169_dormant_customers",
+    oracle=DORMANT_ORACLE,
+    doc="TPC-H Q22 shape: above-average-balance customers with no recent orders",
+    tags=("relational", "anti-join", "scalar-subquery"),
+)
+def qx169_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape (every fixture customer has SOME order, so
+    'never ordered' becomes 'no order since {DORMANT_CUTOFF}'):
+    customers whose balance beats the positive-balance average and who
+    placed no recent order, grouped by nation. The scalar average is a
+    1-row DECIMAL frame (exact — the float average would make the keep
+    decision engine-dependent) broadcast into the filter; the NOT
+    EXISTS is a left-anti join against the date-filtered orders
+    projection (pushdown-friendly: the date filter reaches the orders
+    scan, so the anti side shrinks before the exchange)."""
+    cust = load_catalog(spark, sf_dir).table("customer")
+    orders = load_catalog(spark, sf_dir).table("orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast(DEC_PRICE)).cast(DEC_PRICE).alias("a")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(DORMANT_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast(DEC_PRICE) > F.col("a"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            r6(F.sum(F.col("c_acctbal").cast(DEC_PRICE)).cast("double")).alias(
+                "totacctbal"
+            ),
+        )
+    )
