@@ -187,6 +187,9 @@ HEADLINE = [
     "qx167_min_cost_supplier",
     "qx168_sole_failing_supplier",
     "qx169_dormant_customers",
+    "qx170_small_quantity_revenue",
+    "qx171_disjunctive_revenue",
+    "qx172_surplus_part_suppliers",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

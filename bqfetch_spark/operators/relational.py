@@ -960,3 +960,183 @@ def qx169_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx170 — small-quantity revenue loss (TPC-H Q17 shape: correlated AVG)
+# ---------------------------------------------------------------------------
+
+SMALLQTY_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey, CAST(avg(CAST(l_quantity AS DECIMAL(16,6))) AS DECIMAL(16,6)) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(16,6))) AS DOUBLE) / 7.0, 6)
+         AS avg_yearly
+FROM lineitem l
+JOIN per_part p ON p.l_partkey = l.l_partkey
+JOIN part pt ON pt.p_partkey = l.l_partkey
+WHERE pt.p_brand = (SELECT min(p_brand) FROM part)
+  AND CAST(l.l_quantity AS DECIMAL(16,6)) < 0.2 * p.avg_qty
+"""
+
+
+@register(
+    "qx170_small_quantity_revenue",
+    oracle=SMALLQTY_ORACLE,
+    doc="TPC-H Q17 shape: revenue of below-20%-of-average-quantity orders",
+    tags=("relational", "scalar-subquery", "join"),
+)
+def qx170_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's correlated-average shape: lineitems whose quantity
+    is under 20% of their part's average quantity, for one brand
+    (derived as min(p_brand) so no fixture literal), summed into the
+    single avg-yearly figure. Decorrelated into a per-part aggregate
+    joined back on the shared l_partkey exchange; the 0.2×avg
+    comparison runs in exact DECIMAL so the keep decision cannot
+    drift between engines; only the final scalar rounds. The brand
+    filter is a 1-row broadcast reaching the part dim before its
+    broadcast join."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    part = load_catalog(spark, sf_dir).table("part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.avg(F.col("l_quantity").cast(DEC_PRICE)).cast(DEC_PRICE).alias("avg_qty")
+    )
+    brand = part.agg(F.min("p_brand").alias("b"))
+    brand_parts = (
+        part.crossJoin(F.broadcast(brand))
+        .filter(F.col("p_brand") == F.col("b"))
+        .select("p_partkey")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            F.col("l_quantity").cast(DEC_PRICE)
+            < F.lit(0.2).cast(DEC_PRICE) * F.col("avg_qty")
+        )
+        .agg(
+            r6(
+                F.sum(F.col("l_extendedprice").cast(DEC_PRICE)).cast("double") / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx171 — disjunctive predicate revenue (TPC-H Q19 shape: OR-of-ANDs)
+# ---------------------------------------------------------------------------
+
+DISJUNCT_ORACLE = """
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(16,6))
+                     * (1 - CAST(l.l_discount AS DECIMAL(16,6)))) AS DOUBLE), 6)
+         AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_size BETWEEN 1 AND 10 AND CAST(l.l_quantity AS BIGINT) BETWEEN 1 AND 20)
+   OR (p.p_size BETWEEN 11 AND 25 AND CAST(l.l_quantity AS BIGINT) BETWEEN 10 AND 30)
+   OR (p.p_size BETWEEN 26 AND 50 AND CAST(l.l_quantity AS BIGINT) BETWEEN 20 AND 40)
+"""
+
+
+@register(
+    "qx171_disjunctive_revenue",
+    oracle=DISJUNCT_ORACLE,
+    doc="TPC-H Q19 shape: OR-of-ANDs join predicate revenue",
+    tags=("relational", "join", "pushdown"),
+)
+def qx171_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19's disjunctive-predicate shape: three (size-band ×
+    quantity-band) conjunctions OR-ed across a lineitem⋈part join.
+    The optimizer lesson Q19 exists to teach: Catalyst rewrites the
+    disjunction's part-only atoms into a single Or filter and pushes
+    it INTO the part scan (plan-asserted: PushedFilters shows the
+    three size bands OR-ed on the part side) even though the full
+    mixed predicate must still evaluate post-join; the quantity atoms
+    reference both sides via the disjunction, so lineitem is filtered
+    post-join — pre-deriving quantity ∈ [1,40] is a manual rewrite
+    Catalyst does not do. Revenue accumulates in exact DECIMAL; part
+    side broadcast."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    part = load_catalog(spark, sf_dir).table("part")
+    qty = F.col("l_quantity").cast("bigint")
+    cond = (
+        (F.col("p_size").between(1, 10) & qty.between(1, 20))
+        | (F.col("p_size").between(11, 25) & qty.between(10, 30))
+        | (F.col("p_size").between(26, 50) & qty.between(20, 40))
+    )
+    rev = F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1) - F.col("l_discount").cast(DEC_PRICE)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(r6(F.sum(rev).cast("double")).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx172 — suppliers of surplus parts (TPC-H Q20 shape: nested semi-joins)
+# ---------------------------------------------------------------------------
+
+SURPLUS_ORACLE = """
+WITH surplus_parts AS (
+  SELECT l_partkey, l_suppkey
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 100
+),
+named_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE '%a%'
+)
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE EXISTS (
+  SELECT 1 FROM surplus_parts sp
+  JOIN named_parts np ON np.p_partkey = sp.l_partkey
+  WHERE sp.l_suppkey = s.s_suppkey
+)
+ORDER BY s_name
+"""
+
+
+@register(
+    "qx172_surplus_part_suppliers",
+    oracle=SURPLUS_ORACLE,
+    doc="TPC-H Q20 shape: suppliers holding surplus stock of selected parts",
+    tags=("relational", "semi-join", "join"),
+)
+def qx172_surplus_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's nested-semi-join chain: suppliers who shipped more
+    than a threshold quantity of any name-matched part in the recent
+    window. The chain reduces INWARD-OUT: the HAVING aggregate shrinks
+    lineitem to (part, supplier) surplus pairs first, the name filter
+    (broadcast) shrinks those to relevant parts, and only then does
+    the tiny supplier set semi-join — each step's output is orders of
+    magnitude smaller than its input, which is what makes the Q20
+    shape tractable at 100 TB. The date filter is pushed to the
+    lineitem scan."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    part = load_catalog(spark, sf_dir).table("part")
+    supp = load_catalog(spark, sf_dir).table("supplier")
+    nat = load_catalog(spark, sf_dir).table("nation")
+    surplus = (
+        li.filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .filter(F.col("qty") > 100)
+    )
+    named = part.filter(F.col("p_name").like("%a%")).select("p_partkey")
+    holders = (
+        surplus.join(F.broadcast(named), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(holders, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

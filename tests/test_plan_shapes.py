@@ -515,3 +515,15 @@ def test_registry_has_no_plan_scale_killers(spark):
         if hard:
             offenders[name] = hard
     assert not offenders, offenders
+
+
+def test_qx171_disjunction_pushes_part_side_or_filter(spark):
+    """Q19's optimizer lesson, pinned: the part-only atoms of the
+    OR-of-ANDs predicate must reach the part scan as one pushed Or
+    filter (three size bands), not evaluate post-join only."""
+    plan = _formatted(spark, "qx171_disjunctive_revenue")
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    part_side = [p for p in pushed if "p_size" in p]
+    assert part_side and "Or(" in part_side[0], pushed
