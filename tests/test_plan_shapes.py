@@ -527,3 +527,42 @@ def test_qx171_disjunction_pushes_part_side_or_filter(spark):
     pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
     part_side = [p for p in pushed if "p_size" in p]
     assert part_side and "Or(" in part_side[0], pushed
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The engine's skew posture relies on AQE's runtime skew-join
+    split as the first line of defense (plans/skew.py salting is the
+    manual fallback) — pin that it actually fires: a 200k-row hot key
+    against 31 cold keys must execute with a skew=true sort-merge join
+    in the final adaptive plan, i.e. the hot partition was split, not
+    serialized through one task."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(300_000).select(
+            F.when(F.col("id") < 200_000, 0).otherwise((F.col("id") % 31) + 1).alias("k"),
+            F.col("id").alias("v"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(32).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 300_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
