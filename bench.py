@@ -190,6 +190,7 @@ HEADLINE = [
     "qx170_small_quantity_revenue",
     "qx171_disjunctive_revenue",
     "qx172_surplus_part_suppliers",
+    "qx173_linear_interpolate",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -582,3 +582,124 @@ def qx150_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cur_since").alias("state_since"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx173 — linear interpolation resample (the interp leg next to q79's LOCF)
+# ---------------------------------------------------------------------------
+
+INTERP_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         sum(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+types AS (SELECT DISTINCT event_type FROM h),
+spine AS (
+  SELECT t.event_type, unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS hr
+  FROM types t, span s
+),
+j AS (
+  SELECT s.event_type, s.hr, h.v
+  FROM spine s LEFT JOIN h ON h.event_type = s.event_type AND h.hr = s.hr
+),
+b AS (
+  SELECT event_type, hr, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hr ROWS UNBOUNDED PRECEDING) AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hr ROWS UNBOUNDED PRECEDING) AS prev_hr,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hr
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hr
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_hr
+  FROM j
+)
+SELECT event_type, hr,
+       CAST(v IS NULL AS INTEGER) AS is_gap,
+       round(CASE
+         WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+         WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+         ELSE CAST(prev_v AS DOUBLE)
+              + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+                * (CAST(epoch_us(hr) - epoch_us(prev_hr) AS DOUBLE)
+                   / CAST(epoch_us(next_hr) - epoch_us(prev_hr) AS DOUBLE))
+       END, 6) AS value_interp
+FROM b
+"""
+
+
+@register(
+    "qx173_linear_interpolate",
+    oracle=INTERP_ORACLE,
+    doc="Hourly resample with linear interpolation across gaps",
+    tags=("temporal", "resample"),
+)
+def qx173_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LINEAR interpolation — the other
+    standard gap policy next to q79's LOCF: a gap hour's value is the
+    time-weighted blend of the nearest known hours on either side
+    (NULL outside the known range — interpolation never extrapolates).
+    Same spine shape as q79 (per-type hourly grid from one domain-
+    bounded aggregate); the bracketing lookups are two IGNORE NULLS
+    window passes over one event_type exchange, so the whole resample
+    is spine-sized, never event-sized. All arithmetic after the exact
+    DECIMAL hourly sums is the identical IEEE expression in both
+    engines; known hours pass the exact value through."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    span = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    types = hourly.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "hr"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
+    b = j.select(
+        "event_type",
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(known_hr, ignorenulls=True).over(w_prev).alias("prev_hr"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(known_hr, ignorenulls=True).over(w_next).alias("next_hr"),
+    )
+    ratio = (
+        (F.unix_micros("hr") - F.unix_micros("prev_hr")).cast("double")
+        / (F.unix_micros("next_hr") - F.unix_micros("prev_hr")).cast("double")
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), F.lit(None))
+        .otherwise(
+            F.col("prev_v").cast("double")
+            + (F.col("next_v").cast("double") - F.col("prev_v").cast("double")) * ratio
+        )
+    )
+    return b.select(
+        "event_type",
+        "hr",
+        F.col("v").isNull().cast("int").alias("is_gap"),
+        r6(interp).alias("value_interp"),
+    )
