@@ -191,6 +191,8 @@ HEADLINE = [
     "qx171_disjunctive_revenue",
     "qx172_surplus_part_suppliers",
     "qx173_linear_interpolate",
+    "qx174_source_data_card",
+    "qx175_ngram_novelty",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -24,9 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bqfetch_spark.catalog import load_catalog
 from bqfetch_spark.operators.llm_pipeline import NGRAM_JACCARD_ORACLE, q46_ngram_jaccard
+from bqfetch_spark.operators.relational import r6
 from bqfetch_spark.plans.ranks import with_global_cumsum
 from bqfetch_spark.registry import register
 from bqfetch_spark.session import shuffle_partitions
@@ -414,4 +416,148 @@ def qx161_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.expr(f"(c - 1) div {SEQ_LEN}") - F.expr(f"(c - n_tokens) div {SEQ_LEN}") + 1
         ).cast("bigint").alias("n_seqs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx174 — per-source data card (corpus release report)
+# ---------------------------------------------------------------------------
+
+DATACARD_ORACLE = """
+WITH base AS (
+  SELECT source, lang, text, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+),
+lang_counts AS (
+  SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2
+),
+lang_entropy AS (
+  SELECT source,
+         round(-sum((CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)), 6) AS h
+  FROM (SELECT source, c, sum(c) OVER (PARTITION BY source) AS t FROM lang_counts)
+  GROUP BY source
+)
+SELECT b.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+       round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS dup_rate,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       any_value(e.h) AS lang_entropy
+FROM base b JOIN lang_entropy e ON e.source = b.source
+GROUP BY b.source
+"""
+
+
+@register(
+    "qx174_source_data_card",
+    oracle=DATACARD_ORACLE,
+    doc="Per-source corpus data card: volume, dup rate, token stats, language entropy",
+    tags=("quality", "reporting", "dedup"),
+)
+def qx174_source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source 'data card' a corpus release ships: volume, exact
+    duplicate rate (corpus-wide first occurrence is the original —
+    consistent with q40's keeper rule), token totals, and language-mix
+    entropy. One dup-marking pass (the q40 window) feeds the per-source
+    rollup; language entropy re-aggregates the tiny (source, lang)
+    frame — the heavy scan happens once and every report column rides
+    it. At 100 TB this replaces N per-metric jobs with one."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    base = docs.select(
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        (F.row_number().over(w) > 1).cast("int").alias("is_dup"),
+    )
+    lang_counts = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    t = Window.partitionBy("source")
+    ratio = F.col("c").cast("double") / F.sum("c").over(t)
+    lang_entropy = (
+        lang_counts.select("source", (-ratio * F.log(ratio)).alias("term"))
+        .groupBy("source")
+        .agg(r6(F.sum("term")).alias("lang_entropy"))
+    )
+    card = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_exact_dups"),
+        r6(F.sum("is_dup").cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        r6(F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    return card.join(F.broadcast(lang_entropy), "source")
+
+
+# ---------------------------------------------------------------------------
+# qx175 — n-gram novelty score (memorization-risk metric)
+# ---------------------------------------------------------------------------
+
+NOVELTY_ORACLE = """
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+),
+flat AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+df AS (SELECT g, count(DISTINCT doc_id) AS d FROM flat GROUP BY g)
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(CAST(sum(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS novelty
+FROM flat f JOIN df ON df.g = f.g
+GROUP BY f.doc_id
+"""
+
+
+@register(
+    "qx175_ngram_novelty",
+    oracle=NOVELTY_ORACLE,
+    doc="Per-doc fraction of 3-grams appearing nowhere else in the corpus",
+    tags=("text", "dedup", "quality"),
+)
+def qx175_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct 3-gram
+    shingles that occur in NO other document — high novelty marks
+    original content, low novelty marks boilerplate/template text
+    (and, inverted, memorization risk when screening generations
+    against training data). Same flat-shingle spelling as q46: one
+    explode, per-doc distinct riding the doc_id exchange, df as a
+    re-agg of the gram frame, then one gram-keyed join back — the
+    gram stream is touched twice, the documents once. The df frame is
+    vocabulary-bounded, never doc²."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    t = F.split("text", " ")
+    toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 3)
+    z = F.arrays_zip(
+        F.slice("t", 1, F.size("t") - 2).alias("w1"),
+        F.slice("t", 2, F.size("t") - 2).alias("w2"),
+        F.slice("t", 3, F.size("t") - 2).alias("w3"),
+    )
+    flat = (
+        toks.repartition(shuffle_partitions(spark), "doc_id")
+        .select("doc_id", F.explode(z).alias("z"))
+        .select("doc_id", F.concat_ws(" ", "z.w1", "z.w2", "z.w3").alias("g"))
+        .distinct()
+    )
+    df_counts = flat.groupBy("g").agg(F.countDistinct("doc_id").alias("d"))
+    return (
+        flat.join(df_counts.hint("shuffle_hash"), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("bigint").alias("n_unique"),
+            r6(
+                F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
     )
