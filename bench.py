@@ -193,6 +193,7 @@ HEADLINE = [
     "qx173_linear_interpolate",
     "qx174_source_data_card",
     "qx175_ngram_novelty",
+    "qx176_negative_sampling",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

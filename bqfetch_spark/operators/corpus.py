@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 from bqfetch_spark.catalog import load_catalog
 from bqfetch_spark.operators.llm_pipeline import NGRAM_JACCARD_ORACLE, q46_ngram_jaccard
 from bqfetch_spark.operators.relational import r6
-from bqfetch_spark.plans.ranks import with_global_cumsum
+from bqfetch_spark.plans.ranks import with_global_cumsum, with_global_rank
 from bqfetch_spark.registry import register
 from bqfetch_spark.session import shuffle_partitions
 
@@ -561,3 +561,76 @@ def qx175_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx176 — deterministic contrastive negative sampling
+# ---------------------------------------------------------------------------
+
+NEG_K = 4  # negatives per anchor
+NEG_MULT = 31  # index mix multipliers (any fixed ints work; shared w/ oracle)
+NEG_STEP = 17
+
+NEGSAMPLE_ORACLE = f"""
+WITH idx AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY doc_id) - 1 AS i,
+         count(*) OVER () AS n
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS anchor_id, j.j AS neg_rank,
+         (a.i * {NEG_MULT} + j.j * {NEG_STEP} + 7) % a.n AS raw, a.i, a.n
+  FROM idx a, unnest(generate_series(1, {NEG_K})) j(j)
+),
+resolved AS (
+  SELECT anchor_id, neg_rank,
+         CASE WHEN raw = i THEN (raw + 1) % n ELSE raw END AS neg_i
+  FROM pairs
+)
+SELECT r.anchor_id, CAST(r.neg_rank AS BIGINT) AS neg_rank, b.doc_id AS negative_id
+FROM resolved r JOIN idx b ON b.i = r.neg_i
+"""
+
+
+@register(
+    "qx176_negative_sampling",
+    oracle=NEGSAMPLE_ORACLE,
+    doc="Deterministic contrastive negatives: k pseudo-random non-self docs per anchor",
+    tags=("sampling", "llm", "training"),
+)
+def qx176_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for contrastive training: each anchor doc gets
+    NEG_K pseudo-random OTHER documents, chosen by modular index
+    arithmetic over a dense corpus index — fully deterministic (reruns
+    and both engines pick identical negatives; no RNG, no seed
+    plumbing), self-pairs skipped by a +1 shift. The dense index is
+    the range-exchange global rank (plans/ranks — no single-task
+    sort); the resolve step is one equi-join of the k·N pair frame
+    against the N-row index map, shuffled on the dense index. At
+    100 TB: k·N rows of three longs, no text or embeddings move."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    idx = with_global_rank(
+        docs.select("doc_id"), ["doc_id"], shuffle_partitions(spark), "r", "n"
+    ).select("doc_id", (F.col("r") - 1).alias("i"), "n")
+    pairs = idx.select(
+        F.col("doc_id").alias("anchor_id"),
+        "i",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("neg_rank"),
+    ).select(
+        "anchor_id",
+        F.col("neg_rank").cast("bigint").alias("neg_rank"),
+        F.when(
+            (F.col("i") * NEG_MULT + F.col("neg_rank") * NEG_STEP + 7) % F.col("n")
+            == F.col("i"),
+            ((F.col("i") * NEG_MULT + F.col("neg_rank") * NEG_STEP + 7) % F.col("n") + 1)
+            % F.col("n"),
+        )
+        .otherwise(
+            (F.col("i") * NEG_MULT + F.col("neg_rank") * NEG_STEP + 7) % F.col("n")
+        )
+        .alias("neg_i"),
+    )
+    lookup = idx.select(F.col("i").alias("neg_i"), F.col("doc_id").alias("negative_id"))
+    return pairs.join(lookup, "neg_i").select("anchor_id", "neg_rank", "negative_id")
