@@ -194,6 +194,10 @@ HEADLINE = [
     "qx174_source_data_card",
     "qx175_ngram_novelty",
     "qx176_negative_sampling",
+    "qx177_order_priority_check",
+    "qx178_important_stock",
+    "qx179_top_supplier",
+    "qx180_large_volume_customers",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

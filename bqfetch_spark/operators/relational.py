@@ -1140,3 +1140,225 @@ def qx172_surplus_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx177 — order-priority check (TPC-H Q4 shape: EXISTS semi-join)
+# ---------------------------------------------------------------------------
+
+PRIORITY_ORACLE = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+@register(
+    "qx177_order_priority_check",
+    oracle=PRIORITY_ORACLE,
+    doc="TPC-H Q4 shape: priority counts of orders with a flagged lineitem",
+    tags=("relational", "semi-join", "agg"),
+)
+def qx177_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4's shape (late-delivery EXISTS becomes a returnflag
+    EXISTS — the fixture has no commitdate): per-priority counts of
+    one year's orders having at least one flagged lineitem. The EXISTS
+    is a LEFT SEMI join — the lineitem side is pre-filtered and
+    projected to the join key alone before the exchange, and the date
+    filter is pushed to the orders scan, so both shuffle inputs are
+    minimal. The tiny priority-keyed aggregate rides map-side
+    partials."""
+    orders = load_catalog(spark, sf_dir).table("orders")
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    year = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    flagged = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        year.join(flagged, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx178 — important stock (TPC-H Q11 shape: group vs global threshold)
+# ---------------------------------------------------------------------------
+
+STOCK_MULTIPLE = "1.5"  # "important" = above this multiple of the MEAN
+# per-part value — scale-free, unlike TPC-H's literal fraction (which
+# the spec itself divides by SF because a fixed share of the total
+# selects everything at small N and nothing at large N)
+
+STOCK_ORACLE = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(16,6))) AS v
+  FROM lineitem GROUP BY 1
+),
+bar AS (SELECT CAST(avg(v) AS DECIMAL(16,6)) AS a FROM per_part)
+SELECT p.l_partkey AS partkey,
+       round(CAST(p.v AS DOUBLE), 6) AS part_value
+FROM per_part p, bar
+WHERE p.v > bar.a * CAST({STOCK_MULTIPLE} AS DECIMAL(2,1))
+ORDER BY part_value DESC, partkey
+"""
+
+
+@register(
+    "qx178_important_stock",
+    oracle=STOCK_ORACLE,
+    doc="TPC-H Q11 shape: parts whose value exceeds a fraction of the global total",
+    tags=("relational", "scalar-subquery", "agg"),
+)
+def qx178_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's shape: per-part value compared against a scalar
+    derived from ALL groups — the group-vs-global pattern (a HAVING
+    whose right side is a scalar subquery). The threshold is a
+    MULTIPLE of the mean per-part value rather than Q11's fraction of
+    the total (the spec divides its fraction by SF for exactly the
+    scale problem a fixed share has). The scalar is a re-agg of the
+    per-part frame (fact scanned once), broadcast as one row into the
+    filter; comparison on exact DECIMALs so the cut is
+    engine-independent. Ordered by the rounded value, key
+    tie-break."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC_PRICE)).alias("v")
+    )
+    bar = per_part.agg(F.avg("v").cast(DEC_PRICE).alias("a"))
+    return (
+        per_part.crossJoin(F.broadcast(bar))
+        .filter(F.col("v") > F.col("a") * F.lit(STOCK_MULTIPLE).cast("decimal(2,1)"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            r6(F.col("v").cast("double")).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx179 — top supplier (TPC-H Q15 shape: view + scalar max join-back)
+# ---------------------------------------------------------------------------
+
+TOP_SUPPLIER_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(16,6))
+             * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  GROUP BY 1
+),
+best AS (SELECT max(total_revenue) AS m FROM revenue)
+SELECT s.s_suppkey, s.s_name,
+       round(CAST(r.total_revenue AS DOUBLE), 6) AS total_revenue
+FROM revenue r
+JOIN best b ON r.total_revenue = b.m
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+ORDER BY s.s_suppkey
+"""
+
+
+@register(
+    "qx179_top_supplier",
+    oracle=TOP_SUPPLIER_ORACLE,
+    doc="TPC-H Q15 shape: supplier(s) achieving the maximum window revenue",
+    tags=("relational", "scalar-subquery", "agg"),
+)
+def qx179_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15's shape: the revenue view's maximum joined back to
+    find every supplier achieving it (ties preserved — the reason Q15
+    is not a LIMIT 1). The max is a 1-row broadcast; equality runs on
+    the exact DECIMAL revenue, so ties are exact ties, not
+    float-coincidences. One fact scan builds the view; the supplier
+    dim joins broadcast."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    supp = load_catalog(spark, sf_dir).table("supplier")
+    revenue = (
+        li.filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC_PRICE)
+                * (F.lit(1) - F.col("l_discount").cast(DEC_FRAC))
+            ).alias("total_revenue")
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            r6(F.col("total_revenue").cast("double")).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx180 — large-volume customers (TPC-H Q18 shape: HAVING-subquery join-back)
+# ---------------------------------------------------------------------------
+
+LARGE_QTY_THRESHOLD = 150
+
+LARGE_VOLUME_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS BIGINT)) > {LARGE_QTY_THRESHOLD}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       round(CAST(CAST(o.o_totalprice AS DECIMAL(16,6)) AS DOUBLE), 6) AS totalprice,
+       CAST(b.total_qty AS BIGINT) AS total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY totalprice DESC, o.o_orderkey
+"""
+
+
+@register(
+    "qx180_large_volume_customers",
+    oracle=LARGE_VOLUME_ORACLE,
+    doc="TPC-H Q18 shape: customers behind orders above a total-quantity threshold",
+    tags=("relational", "agg", "join"),
+)
+def qx180_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18's shape: orders whose total lineitem quantity clears a
+    threshold (the HAVING-in-subquery), joined back to their orders and
+    customers. The aggregate runs FIRST — lineitem collapses to
+    qualifying orderkeys before any join, so the expensive fact⋈fact
+    becomes tiny⋈orders on the orderkey exchange; integer quantities
+    make the threshold exact. Ordered by the rounded price with the
+    unique orderkey tie-break."""
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    orders = load_catalog(spark, sf_dir).table("orders")
+    cust = load_catalog(spark, sf_dir).table("customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > LARGE_QTY_THRESHOLD)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            r6(F.col("o_totalprice").cast(DEC_PRICE).cast("double")).alias("totalprice"),
+            F.col("total_qty").cast("bigint").alias("total_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+    )
