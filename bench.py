@@ -198,6 +198,9 @@ HEADLINE = [
     "qx178_important_stock",
     "qx179_top_supplier",
     "qx180_large_volume_customers",
+    "qx181_calibration_curve",
+    "qx182_classification_metrics",
+    "qx183_cohen_kappa",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

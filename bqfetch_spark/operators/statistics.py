@@ -2317,3 +2317,255 @@ def qx154_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term), 6).alias("mi_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx181 — calibration curve (reliability diagram buckets)
+# ---------------------------------------------------------------------------
+
+CALIB_BUCKETS = 10
+
+CALIB_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         sum(CAST(round(value * 100) AS BIGINT)) AS score,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              >= {{heavy}} THEN 1 ELSE 0 END AS pos
+  FROM events GROUP BY user_id
+),
+span AS (SELECT min(score) AS lo, max(score) AS hi FROM u),
+b AS (
+  SELECT least({CALIB_BUCKETS} - 1,
+               CAST((u.score - s.lo) * {CALIB_BUCKETS} // (s.hi - s.lo + 1) AS BIGINT))
+           AS bucket,
+         u.score - s.lo AS rel, s.hi - s.lo AS span_w, u.pos
+  FROM u, span s
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(rel) AS DOUBLE) / (count(*) * CAST(any_value(span_w) AS DOUBLE)), 6)
+         AS avg_pred,
+       round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS obs_rate
+FROM b
+GROUP BY bucket
+""".format(heavy=14)
+
+
+@register(
+    "qx181_calibration_curve",
+    oracle=CALIB_ORACLE,
+    doc="Reliability-diagram buckets: normalized score vs observed positive rate",
+    tags=("stats", "eval"),
+)
+def qx181_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score calibration — the reliability diagram behind every model
+    eval deck: users bucketed into 10 equal-width bands of the integer
+    activity score (qx153's derivation), each bucket reporting its
+    mean NORMALIZED score (the 'predicted probability' proxy) against
+    the OBSERVED heavy-purchaser rate; the gap between the two columns
+    is the per-bucket calibration error (ECE = n-weighted mean |gap|,
+    one trivial re-agg of this frame). Bucketing is pure integer
+    arithmetic on (score − min) — exact in both engines; only the two
+    output ratios go through double division, identically. One events
+    scan; the span scalar is a 1-row broadcast."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("score"),
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14
+        ).cast("int").alias("pos"),
+    )
+    span = u.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    b = u.crossJoin(F.broadcast(span)).select(
+        F.least(
+            F.lit(CALIB_BUCKETS - 1),
+            F.expr(f"(score - lo) * {CALIB_BUCKETS} div (hi - lo + 1)").cast("bigint"),
+        ).alias("bucket"),
+        (F.col("score") - F.col("lo")).alias("rel"),
+        (F.col("hi") - F.col("lo")).alias("span_w"),
+        "pos",
+    )
+    return b.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r6(
+            F.sum("rel").cast("double")
+            / (F.count(F.lit(1)) * F.first("span_w").cast("double"))
+        ).alias("avg_pred"),
+        r6(F.sum("pos").cast("double") / F.count(F.lit(1))).alias("obs_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx182 — precision / recall / F1 at a deterministic threshold
+# ---------------------------------------------------------------------------
+
+PRF_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         sum(CAST(round(value * 100) AS BIGINT)) AS score,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS pos
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT CAST(sum(score) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM u),
+cls AS (
+  -- predicted positive iff score > mean score; integer cross-multiply
+  -- (score * n > total) keeps the cut EXACT, no float mean
+  SELECT u.pos, CASE WHEN u.score * t.n > t.s THEN 1 ELSE 0 END AS pred
+  FROM u, tot t
+),
+m AS (
+  SELECT CAST(sum(pred * pos) AS BIGINT) AS tp,
+         CAST(sum(pred * (1 - pos)) AS BIGINT) AS fp,
+         CAST(sum((1 - pred) * pos) AS BIGINT) AS fn,
+         CAST(sum((1 - pred) * (1 - pos)) AS BIGINT) AS tn
+  FROM cls
+)
+SELECT tp, fp, fn, tn,
+       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+       round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+       round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+       round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+FROM m
+"""
+
+
+@register(
+    "qx182_classification_metrics",
+    oracle=PRF_ORACLE,
+    doc="Precision/recall/F1/accuracy at an exact integer-arithmetic threshold",
+    tags=("stats", "eval"),
+)
+def qx182_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold-metrics companion to qx153's AUC: confusion-matrix
+    counts and precision/recall/F1/accuracy for the
+    score-above-mean classifier. The threshold comparison is an
+    integer CROSS-MULTIPLY (score·n > Σscore) — the mean is never
+    materialized as a float, so the cut is exact in both engines; the
+    four counts are exact ints and only the final ratios divide. One
+    events scan + a 1-row broadcast total."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("score"),
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14
+        ).cast("int").alias("pos"),
+    )
+    tot = u.agg(
+        F.sum("score").cast("bigint").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cls = u.crossJoin(F.broadcast(tot)).select(
+        "pos",
+        (F.col("score") * F.col("n") > F.col("s")).cast("int").alias("pred"),
+    )
+    m = cls.agg(
+        F.sum(F.col("pred") * F.col("pos")).cast("bigint").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("pos"))).cast("bigint").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("pos")).cast("bigint").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("pos"))).cast("bigint").alias("tn"),
+    )
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        r6(F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias("precision"),
+        r6(F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias("recall"),
+        r6(2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn"))).alias("f1"),
+        r6(
+            (F.col("tp") + F.col("tn")).cast("double")
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))
+        ).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx183 — Cohen's kappa between two deterministic raters
+# ---------------------------------------------------------------------------
+
+KAPPA_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         sum(CAST(round(value * 100) AS BIGINT)) AS score,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(sum(score) AS BIGINT) AS s, CAST(sum(n_events) AS BIGINT) AS e,
+         CAST(count(*) AS BIGINT) AS n
+  FROM u
+),
+r AS (
+  SELECT CASE WHEN u.score * t.n > t.s THEN 1 ELSE 0 END AS a,
+         CASE WHEN u.n_events * t.n > t.e THEN 1 ELSE 0 END AS b
+  FROM u, tot t
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a * b) AS BIGINT) AS yy,
+         CAST(sum(a * (1 - b)) AS BIGINT) AS yn,
+         CAST(sum((1 - a) * b) AS BIGINT) AS ny,
+         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS nn
+  FROM r
+)
+SELECT n, yy, yn, ny, nn,
+       round((CAST(yy + nn AS DOUBLE) / n
+              - (CAST((yy + yn) AS DOUBLE) * (yy + ny)
+                 + CAST((ny + nn) AS DOUBLE) * (yn + nn)) / (CAST(n AS DOUBLE) * n))
+             / (1.0
+              - (CAST((yy + yn) AS DOUBLE) * (yy + ny)
+                 + CAST((ny + nn) AS DOUBLE) * (yn + nn)) / (CAST(n AS DOUBLE) * n)),
+             6) AS kappa
+FROM c
+"""
+
+
+@register(
+    "qx183_cohen_kappa",
+    oracle=KAPPA_ORACLE,
+    doc="Cohen's kappa agreement between the value-rater and the volume-rater",
+    tags=("stats", "eval"),
+)
+def qx183_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (Cohen's κ) — the labeling-QA statistic —
+    between two deterministic binary raters over users: 'high total
+    value' vs 'high event volume' (each an exact integer cross-multiply
+    against its own mean, as in qx182). The 2×2 contingency counts are
+    exact ints from one pass over the per-user frame; κ's observed and
+    chance agreement divide only at the end, in the identical IEEE
+    expression both engines. Scale: one events scan, per-user agg,
+    1-row broadcast totals, 1-row output."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    tot = u.agg(
+        F.sum("score").cast("bigint").alias("s"),
+        F.sum("n_events").cast("bigint").alias("e"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    r = u.crossJoin(F.broadcast(tot)).select(
+        (F.col("score") * F.col("n") > F.col("s")).cast("int").alias("a"),
+        (F.col("n_events") * F.col("n") > F.col("e")).cast("int").alias("b"),
+    )
+    c = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("yy"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("yn"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("ny"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("nn"),
+    )
+    pe = (
+        (F.col("yy") + F.col("yn")).cast("double") * (F.col("yy") + F.col("ny"))
+        + (F.col("ny") + F.col("nn")).cast("double") * (F.col("yn") + F.col("nn"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    po = (F.col("yy") + F.col("nn")).cast("double") / F.col("n")
+    return c.select(
+        "n",
+        "yy",
+        "yn",
+        "ny",
+        "nn",
+        r6((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
