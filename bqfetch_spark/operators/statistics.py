@@ -1821,8 +1821,9 @@ def qx148_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword retrieval — the ranking function every lexical search
     stack runs (Lucene's Okapi BM25, idf·tf·(k1+1)/(tf+k1·(1−b+b·|d|/avgdl))
     with the +1 idf smoothing) — over a query derived from the corpus
-    itself: the tokens df-ranked 50–54, picked via TakeOrdered (no
-    global sort; the rank window runs on the collected top-54 frame).
+    itself: the tokens df-ranked 10–14 (BM25_QRANK_LO..HI), picked via
+    TakeOrdered (no global sort; the rank window runs on the collected
+    top-14 frame).
     One token explode feeds tf; df and document length are re-aggs of
     the tiny tf frame; the query side broadcasts onto the tf stream,
     so the corpus is scanned once and only query-term postings survive

@@ -37,11 +37,19 @@ def read_bigquery_table(
     dataset: str,
     table: str,
     columns: list[str] | None = None,
+    row_restriction: str | None = None,
 ) -> DataFrame:
     """BigQueryTable(project, dataset, table) → DataFrame (reference:
     bqfetch/bqfetch.py:20-41 name triple; :267-372 fetch). Filters and
     projections applied to the returned DataFrame are pushed into the
-    Storage API read session by the connector."""
+    Storage API read session by the connector.
+
+    ``row_restriction`` is the reference's explicit chunk predicate
+    (bqfetch/bqfetch.py:483-484: ``row_restriction`` on the Storage
+    read session). The connector's documented spelling is the
+    ``filter`` reader option — a SQL boolean over the table's columns —
+    which it forwards to the read session verbatim, so chunked fetches
+    read only their slice server-side exactly as the reference did."""
     if not connector_available(spark):
         raise RuntimeError(
             "spark-bigquery-connector not on the classpath; add "
@@ -49,5 +57,7 @@ def read_bigquery_table(
             "In this environment use the Parquet fixtures instead (Catalog)."
         )
     reader = spark.read.format("bigquery").option("table", f"{project}.{dataset}.{table}")
+    if row_restriction:
+        reader = reader.option("filter", row_restriction)
     df = reader.load()
     return df.select(*columns) if columns else df

@@ -260,14 +260,19 @@ class ChunkedParquetStreamReader(DataSourceStreamReader):
         state_dir = options.get("state_dir")
         if durable and not state_dir:
             ident = os.path.abspath(self.path) + "\x00" + options.get("stream_id", "")
+            # uid in the parent dir name: on a multi-user host a shared
+            # fixed path under /tmp would be owned by whoever ran
+            # first (EACCES for everyone else) and would leak sidecars
+            # across users replaying the same data path
+            uid = getattr(os, "getuid", lambda: "nouid")()
             state_dir = os.path.join(
                 tempfile.gettempdir(),
-                "bqfetch_chunked_state",
+                f"bqfetch_chunked_state_{uid}",
                 hashlib.sha1(ident.encode()).hexdigest(),
             )
         self.state_path = None
         if durable and state_dir:
-            os.makedirs(state_dir, exist_ok=True)
+            os.makedirs(state_dir, mode=0o700, exist_ok=True)
             self.state_path = os.path.join(state_dir, "highwater.json")
         import pyarrow.parquet as pq
 

@@ -171,6 +171,8 @@ def run_incremental_ann_index(
     from bqfetch_spark.functions.vectors import as_double
     from bqfetch_spark.operators.pq import ivfpq_search
 
+    from bqfetch_spark.streaming.ownership import claim_store, owner_key_for_checkpoint
+
     index_dir = os.path.join(work_dir, "index")
     incoming_dir = os.path.join(work_dir, "incoming")
     ckpt_dir = os.path.join(work_dir, "ckpt")
@@ -189,6 +191,10 @@ def run_incremental_ann_index(
         .partitionBy("ingest_batch", "cell_id")
         .parquet(os.path.join(index_dir, "codes"))
     )
+    # after the backfill overwrite: the codes store keys appends on the
+    # foreachBatch id — claim it for this checkpoint lineage so a fresh
+    # checkpoint can't restart at batch 0 over it (streaming/ownership.py)
+    claim_store(os.path.join(index_dir, "codes"), owner_key_for_checkpoint(ckpt_dir))
 
     # the two remaining slices arrive as separate files → separate
     # micro-batches (maxFilesPerTrigger=1)

@@ -38,6 +38,11 @@ def debounce_kernel(last_us: int | None, pdf: pd.DataFrame) -> tuple[int | None,
     seeds the first gap). Returns (new_state, kept_rows). Split out of
     the GroupState wrapper so hypothesis can drive it without a
     SparkSession."""
+    if not len(pdf):
+        # zero-row group (reachable via timeout/TTL invocations, not
+        # the current NoTimeout wrapper): state and emptiness pass
+        # through — prev.iloc[0] below would raise on an empty series
+        return last_us, pdf.assign(gap_s=pd.Series(dtype="int64"))
     pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
     us = pdf["ts"].astype("int64") // 1_000  # pandas ns → µs
     prev = us.shift(1)

@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 
 
 BACKFILL_BATCH_ID = -1
+# Sentinel for MANUAL (non-streamed) incremental_dedup_batch calls:
+# distinct from both BACKFILL_BATCH_ID and any real foreachBatch id
+# (which start at 0), so a manual wave over a streamed store never
+# treats the stream's batch-0 fingerprints as its own retry leftovers.
+# Callers issuing MULTIPLE manual waves against one store must pass
+# distinct explicit ids — two waves sharing the sentinel would each
+# exclude the other's fingerprints from the dup probe.
+MANUAL_BATCH_ID = -2
 
 
 def build_fingerprint_store(corpus: DataFrame, store_dir: str) -> None:
@@ -46,7 +54,7 @@ def build_fingerprint_store(corpus: DataFrame, store_dir: str) -> None:
 
 
 def incremental_dedup_batch(
-    spark: SparkSession, batch: DataFrame, store_dir: str, batch_id: int = 0
+    spark: SparkSession, batch: DataFrame, store_dir: str, batch_id: int | None = None
 ) -> DataFrame:
     """One ingest wave: dedup within the batch, drop anything whose
     fingerprint is already in the store, append the survivors'
@@ -63,6 +71,8 @@ def incremental_dedup_batch(
     from bqfetch_spark.operators.llm_pipeline import dedup_exact
     from bqfetch_spark.session import shuffle_partitions
 
+    if batch_id is None:
+        batch_id = MANUAL_BATCH_ID
     store = spark.read.parquet(store_dir).filter(F.col("batch_id") != batch_id)
     fresh = (
         dedup_exact(batch, shuffle_partitions(spark))
@@ -88,6 +98,8 @@ def run_incremental_dedup(
     the store starts as the fingerprints of the rest of the corpus.
     Returns the accumulated survivors — semantically identical to
     q66's one-shot batch anti-join (pytest-asserted)."""
+    from bqfetch_spark.streaming.ownership import claim_store, owner_key_for_checkpoint
+
     store_dir = os.path.join(work_dir, "fp_store")
     sink_dir = os.path.join(work_dir, "sink")
     ckpt_dir = os.path.join(work_dir, "ckpt")
@@ -96,6 +108,10 @@ def run_incremental_dedup(
 
     docs = load_catalog(spark, sf_dir).table("documents")
     build_fingerprint_store(docs.filter(F.col("doc_id") % 10 < 8), store_dir)
+    # after the backfill (mode=overwrite wipes the dir): claim the
+    # store for this checkpoint lineage so a later FRESH-checkpoint
+    # query can't restart at batch 0 over it (streaming/ownership.py)
+    claim_store(store_dir, owner_key_for_checkpoint(ckpt_dir))
 
     schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
     incoming = (
@@ -165,7 +181,7 @@ def build_fingerprint_store_with_bloom(
 
 
 def incremental_dedup_batch_bloom(
-    spark: SparkSession, batch: DataFrame, store_dir: str, batch_id: int = 0
+    spark: SparkSession, batch: DataFrame, store_dir: str, batch_id: int | None = None
 ) -> DataFrame:
     """incremental_dedup_batch with a persisted Bloom sidecar in front
     of the store probe: wave fps whose k filter bits are not all set
@@ -189,6 +205,8 @@ def incremental_dedup_batch_bloom(
     )
     from bqfetch_spark.session import shuffle_partitions
 
+    if batch_id is None:
+        batch_id = MANUAL_BATCH_ID
     bloom_dir = _bloom_dir(store_dir)
     bloom = _read_bloom(spark, bloom_dir)
     store = spark.read.parquet(store_dir).filter(F.col("batch_id") != batch_id)

@@ -33,6 +33,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BACKFILL_BATCH_ID = -1
+# manual-call sentinel distinct from backfill (-1) and real
+# foreachBatch ids (>= 0) — see streaming/incremental.py
+MANUAL_BATCH_ID = -2
 
 
 def _band_rows(docs: DataFrame) -> DataFrame:
@@ -53,7 +56,7 @@ def build_band_store(corpus: DataFrame, store_dir: str) -> None:
 
 
 def neardup_batch(
-    spark: SparkSession, batch: DataFrame, store_dir: str, batch_id: int = 0
+    spark: SparkSession, batch: DataFrame, store_dir: str, batch_id: int | None = None
 ) -> DataFrame:
     """One ingest wave: emit near-dup candidate pairs touching this
     wave (wave-vs-store and within-wave), then append the wave's band
@@ -62,6 +65,8 @@ def neardup_batch(
     pair set."""
     from bqfetch_spark.operators.llm_pipeline import est_jaccard_col
 
+    if batch_id is None:
+        batch_id = MANUAL_BATCH_ID
     wave = _band_rows(batch).localCheckpoint(eager=True)
     # explicit schema: a zero-row backfill leaves no part files to
     # infer from, and an empty store must still read as an empty frame
@@ -123,6 +128,8 @@ def run_incremental_neardup(
     """Bounded streaming run: the WHOLE documents table streams through
     an initially-empty band store, so the union of per-wave pair sets
     must equal the one-shot q47 pair set over the same table."""
+    from bqfetch_spark.streaming.ownership import claim_store, owner_key_for_checkpoint
+
     store_dir = os.path.join(work_dir, "band_store")
     sink_dir = os.path.join(work_dir, "pairs")
     ckpt_dir = os.path.join(work_dir, "ckpt")
@@ -131,6 +138,9 @@ def run_incremental_neardup(
     schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
     empty = spark.createDataFrame([], schema)
     build_band_store(empty, store_dir)
+    # after the backfill (mode=overwrite wipes the dir): claim the
+    # store for this checkpoint lineage (streaming/ownership.py)
+    claim_store(store_dir, owner_key_for_checkpoint(ckpt_dir))
 
     incoming = (
         spark.readStream.schema(schema)

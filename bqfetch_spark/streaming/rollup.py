@@ -157,8 +157,14 @@ def run_rollup_maintenance(spark: SparkSession, sf_dir: str, work_dir: str) -> D
     sums), which is what the q98 oracle checks."""
     from bqfetch_spark.streaming.windows import streaming_events
 
+    from bqfetch_spark.streaming.ownership import claim_store, owner_key_for_checkpoint
+
     store_dir = os.path.join(work_dir, "rollup_store")
     ckpt_dir = os.path.join(work_dir, "ckpt")
+    # batch ids are only unique within one checkpoint lineage: claim
+    # the store for this checkpoint so a later FRESH-checkpoint query
+    # can't restart at batch 0 and dynamic-overwrite these partials
+    claim_store(store_dir, owner_key_for_checkpoint(ckpt_dir))
     incoming = streaming_events(spark, sf_dir)
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:

@@ -60,7 +60,13 @@ class _FakeReader:
         # bypass the patched property via the internal reader class
         from pyspark.sql.readwriter import DataFrameReader
 
-        return DataFrameReader(self._spark).parquet(self._serve)
+        df = DataFrameReader(self._spark).parquet(self._serve)
+        # the real connector applies the `filter` option SERVER-SIDE
+        # (Storage API row_restriction); the fake emulates that so the
+        # returned frame has connector-true contents
+        if "filter" in self.options:
+            df = df.filter(self.options["filter"])
+        return df
 
 
 @pytest.fixture
@@ -94,6 +100,26 @@ def test_true_path_column_pruning(spark, fake_bigquery):
     assert "c_custkey" in plan
     assert "c_mktsegment" not in plan.split("ReadSchema")[-1][:200]
     assert df.count() == 150
+
+
+def test_true_path_row_restriction(spark, fake_bigquery):
+    """The reference's row_restriction (bqfetch/bqfetch.py:483-484)
+    maps to the connector's `filter` reader option — assert the option
+    lands verbatim and the served rows honor it (the fake applies it
+    exactly where the Storage API would: before any client-side op)."""
+    restriction = "c_custkey BETWEEN 10 AND 29"
+    df = read_bigquery_table(
+        spark,
+        "my-proj",
+        "sales",
+        "customer",
+        columns=["c_custkey"],
+        row_restriction=restriction,
+    )
+    assert fake_bigquery.options["table"] == "my-proj.sales.customer"
+    assert fake_bigquery.options["filter"] == restriction
+    got = sorted(r["c_custkey"] for r in df.collect())
+    assert got == list(range(10, 30))
 
 
 def test_connector_class_name_is_the_public_one():
