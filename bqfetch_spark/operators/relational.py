@@ -1362,3 +1362,451 @@ def qx180_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("totalprice").desc(), "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx184 — two-nation trade volume (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+TRADE_NATION_A, TRADE_NATION_B = "NATION_1", "NATION_2"
+TRADE_LO, TRADE_HI = "1996-01-01", "1998-01-01"
+
+TRADE_VOLUME_ORACLE = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(16,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6) AS revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = '{TRADE_NATION_A}' AND n2.n_name = '{TRADE_NATION_B}')
+    OR (n1.n_name = '{TRADE_NATION_B}' AND n2.n_name = '{TRADE_NATION_A}'))
+  AND l.l_shipdate >= TIMESTAMP '{TRADE_LO}'
+  AND l.l_shipdate <  TIMESTAMP '{TRADE_HI}'
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "qx184_trade_volume",
+    oracle=TRADE_VOLUME_ORACLE,
+    doc="TPC-H Q7 shape: shipping volume between two nations by year",
+    tags=("relational", "join", "agg", "tpch"),
+)
+def qx184_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7's two-nation volume shape. The nation pair predicate is
+    applied to the DIMENSIONS before any fact joins: supplier and
+    customer are each pre-joined (broadcast) to the 2-row filtered
+    nation frame, so only ~2/|nation| of each survives and both sides
+    broadcast into the fact joins — the disjunctive pair condition
+    then needs no post-join filter beyond excluding the two same-nation
+    combinations, checked on the two already-attached names. lineitem
+    carries the shipdate range down to the parquet scan; the only
+    all-fact shuffle is lineitem ⋈ orders on the orderkey exchange.
+    Revenue accumulates in DECIMAL, rounds once at the output."""
+    cat = load_catalog(spark, sf_dir)
+    li = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(TRADE_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(TRADE_HI).cast("timestamp"))
+    )
+    orders = cat.table("orders")
+    pair = cat.table("nation").filter(
+        F.col("n_name").isin(TRADE_NATION_A, TRADE_NATION_B)
+    )
+    supp = (
+        cat.table("supplier")
+        .join(F.broadcast(pair), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        cat.table("customer")
+        .join(F.broadcast(pair), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    revenue = F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1) - F.col("l_discount").cast(DEC_FRAC)
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(r6(F.sum(revenue).cast("double")).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx185 — product-line profit by nation and year (TPC-H Q9 shape)
+# ---------------------------------------------------------------------------
+
+PROFIT_PART_LIKE = "%red%"
+
+PRODUCT_PROFIT_ORACLE = f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(16,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,6)))
+                    - CAST(p.p_retailprice AS DECIMAL(16,6))
+                    * CAST(l.l_quantity AS DECIMAL(16,6))) AS DOUBLE), 6) AS sum_profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '{PROFIT_PART_LIKE}'
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "qx185_product_profit",
+    oracle=PRODUCT_PROFIT_ORACLE,
+    doc="TPC-H Q9 shape: profit on a product line by supplier nation and year",
+    tags=("relational", "join", "agg", "tpch"),
+)
+def qx185_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9's profit rollup (the fixture has no partsupp, so unit
+    cost is p_retailprice — reference semantics: revenue minus
+    cost·quantity per line, rolled up by the SUPPLIER's nation and the
+    ORDER year). The p_name LIKE filter prunes part to ~13% before its
+    broadcast into lineitem — the selective dimension join runs first
+    so the orderkey exchange (the only fact⋈fact shuffle) carries only
+    matching lines. supplier⋈nation pre-joins broadcast into a single
+    (suppkey → nation) attachment. Profit accumulates in DECIMAL; one
+    round at the output."""
+    cat = load_catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    orders = cat.table("orders")
+    part = cat.table("part").filter(F.col("p_name").like(PROFIT_PART_LIKE)).select(
+        "p_partkey", "p_retailprice"
+    )
+    snat = (
+        cat.table("supplier")
+        .join(
+            F.broadcast(cat.table("nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    profit = F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1) - F.col("l_discount").cast(DEC_FRAC)
+    ) - F.col("p_retailprice").cast(DEC_PRICE) * F.col("l_quantity").cast(DEC_PRICE)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(snat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(r6(F.sum(profit).cast("double")).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx186 — top customers by returned revenue (TPC-H Q10 shape)
+# ---------------------------------------------------------------------------
+
+RETURNED_LO, RETURNED_HI = "1996-10-01", "1997-01-01"
+RETURNED_TOPK = 20
+
+RETURNED_ITEMS_ORACLE = f"""
+SELECT c.c_custkey, c.c_name,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(16,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6) AS revenue,
+       round(CAST(CAST(c.c_acctbal AS DECIMAL(16,6)) AS DOUBLE), 6) AS acctbal,
+       n.n_name
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '{RETURNED_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{RETURNED_HI}'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 4, 5
+ORDER BY revenue DESC, c_custkey
+LIMIT {RETURNED_TOPK}
+"""
+
+
+@register(
+    "qx186_returned_items",
+    oracle=RETURNED_ITEMS_ORACLE,
+    doc="TPC-H Q10 shape: top customers by revenue lost to returns in a quarter",
+    tags=("relational", "join", "agg", "top-k", "tpch"),
+)
+def qx186_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: who returned the most revenue in one quarter. The
+    plan aggregates BEFORE the wide dimension attach: returns join the
+    quarter's orders on the orderkey exchange and reduce to one row per
+    o_custkey — so the customer join (and at 100 TB, customer is a
+    fact-sized table) moves only |active customers in quarter| rows,
+    and the name/balance/nation attach happens after the reduction.
+    Top-20 by rounded revenue with the unique custkey tie-break
+    (TakeOrderedAndProject — no global sort)."""
+    cat = load_catalog(spark, sf_dir)
+    returns = cat.table("lineitem").filter(F.col("l_returnflag") == "R")
+    orders = cat.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit(RETURNED_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(RETURNED_HI).cast("timestamp"))
+    )
+    revenue = F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1) - F.col("l_discount").cast(DEC_FRAC)
+    )
+    per_cust = (
+        returns.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(revenue).alias("rev"))
+    )
+    cust = cat.table("customer").join(
+        F.broadcast(cat.table("nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        per_cust.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            r6(F.col("rev").cast("double")).alias("revenue"),
+            r6(F.col("c_acctbal").cast(DEC_PRICE).cast("double")).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(RETURNED_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx187 — priority mix by return class (TPC-H Q12 shape)
+# ---------------------------------------------------------------------------
+
+SHIPMODE_YEAR_LO, SHIPMODE_YEAR_HI = "1997-01-01", "1998-01-01"
+
+PRIORITY_MIX_ORACLE = f"""
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{SHIPMODE_YEAR_LO}'
+  AND l.l_shipdate <  TIMESTAMP '{SHIPMODE_YEAR_HI}'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "qx187_priority_mix",
+    oracle=PRIORITY_MIX_ORACLE,
+    doc="TPC-H Q12 shape: high/low-priority line counts per return class",
+    tags=("relational", "join", "agg", "tpch"),
+)
+def qx187_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's conditional-count shape (the fixture has no
+    l_shipmode, so the grouping column is l_returnflag; the date-window
+    filter plays commitdate/receiptdate's role). One fact⋈fact join on
+    the orderkey exchange, then a 3-group hash agg whose CASE pair is
+    a single pass — both counts come from one sum over a when/otherwise,
+    never two scans. The shipdate window pushes to the parquet scan."""
+    cat = load_catalog(spark, sf_dir)
+    li = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(SHIPMODE_YEAR_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(SHIPMODE_YEAR_HI).cast("timestamp"))
+    )
+    orders = cat.table("orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_returnflag")
+        .join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx188 — customer order-count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+CUSTDIST_EXCLUDED_PRIORITY = "5-LOW"
+
+CUSTDIST_ORACLE = f"""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey,
+         CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON o.o_custkey = c.c_custkey
+   AND o.o_orderpriority <> '{CUSTDIST_EXCLUDED_PRIORITY}'
+  GROUP BY 1
+) per_cust
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "qx188_customer_distribution",
+    oracle=CUSTDIST_ORACLE,
+    doc="TPC-H Q13 shape: histogram of per-customer order counts incl. zero",
+    tags=("relational", "outer-join", "agg", "tpch"),
+)
+def qx188_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed k orders, INCLUDING k=0 —
+    the left-outer-join + double-aggregation shape (the join filter is
+    a priority exclusion; the reference uses an o_comment NOT LIKE the
+    fixture lacks). The outer join is never materialized row-per-order:
+    orders pre-aggregate to one (custkey, count) row on the custkey
+    exchange, customer LEFT-joins that tiny frame on the same key, and
+    absent customers surface as count 0 via coalesce — semantically
+    identical to COUNT(o_orderkey) over the outer join, because a
+    customer with no surviving orders contributes zero countable keys.
+    The final histogram agg runs over |distinct counts| rows. Total
+    order (custdist, c_count DESC) for the deterministic compare."""
+    cat = load_catalog(spark, sf_dir)
+    per_cust = (
+        cat.table("orders")
+        .filter(F.col("o_orderpriority") != CUSTDIST_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        cat.table("customer")
+        .select("c_custkey")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx189 — promo revenue share (TPC-H Q14 shape)
+# ---------------------------------------------------------------------------
+
+PROMO_LO, PROMO_HI = "1997-09-01", "1997-10-01"
+
+PROMO_SHARE_ORACLE = f"""
+SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(16,6))
+                        * (1 - CAST(l.l_discount AS DECIMAL(8,6)))
+                     ELSE CAST(0 AS DECIMAL(16,6)) END) AS DOUBLE)
+         / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(16,6))
+                  * (1 - CAST(l.l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6)
+       AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{PROMO_LO}'
+  AND l.l_shipdate <  TIMESTAMP '{PROMO_HI}'
+"""
+
+
+@register(
+    "qx189_promo_share",
+    oracle=PROMO_SHARE_ORACLE,
+    doc="TPC-H Q14 shape: percent of one month's revenue from promo parts",
+    tags=("relational", "join", "agg", "scalar", "tpch"),
+)
+def qx189_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14's conditional-share scalar: promo revenue over total
+    revenue for one ship-month. One broadcast join (part carries only
+    partkey+type), one global agg computing BOTH sums in a single pass
+    — numerator and denominator accumulate in exact DECIMAL and the
+    division happens once, in double, on the driver-sized 1-row frame.
+    The month window pushes to the lineitem scan."""
+    cat = load_catalog(spark, sf_dir)
+    li = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(PROMO_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(PROMO_HI).cast("timestamp"))
+    )
+    part = cat.table("part").select("p_partkey", "p_type")
+    revenue = F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1) - F.col("l_discount").cast(DEC_FRAC)
+    )
+    zero = F.lit(0).cast(DEC_PRICE) * (F.lit(1) - F.lit(0).cast(DEC_FRAC))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            r6(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", revenue).otherwise(zero)
+                ).cast("double")
+                / F.sum(revenue).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx190 — supplier counts by part attributes (TPC-H Q16 shape)
+# ---------------------------------------------------------------------------
+
+SUPPCNT_EXCLUDED_BRAND = "Brand#1"
+SUPPCNT_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+
+SUPPLIER_CNT_ORACLE = f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> '{SUPPCNT_EXCLUDED_BRAND}'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN {SUPPCNT_SIZES}
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register(
+    "qx190_supplier_cnt",
+    oracle=SUPPLIER_CNT_ORACLE,
+    doc="TPC-H Q16 shape: distinct supplier counts by part attrs with NOT IN",
+    tags=("relational", "anti-join", "distinct-agg", "tpch"),
+)
+def qx190_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16's distinct-supplier census (lineitem's distinct
+    (partkey, suppkey) pairs stand in for partsupp; the excluded-
+    supplier subquery keys on negative account balance, standing in
+    for the reference's complaint-comment scan). The NOT IN spells as
+    a BROADCAST anti-join against the handful of excluded suppliers —
+    equivalent because s_suppkey is non-null. Part filters (brand/type/
+    size IN-list) prune before the broadcast into the pair frame, and
+    the countDistinct rides the (brand, type, size) exchange. Total
+    order with the full group key as tie-break."""
+    cat = load_catalog(spark, sf_dir)
+    pairs = (
+        cat.table("lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    bad_supp = cat.table("supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    part = cat.table("part").filter(
+        (F.col("p_brand") != SUPPCNT_EXCLUDED_BRAND)
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(*SUPPCNT_SIZES))
+    )
+    return (
+        pairs.join(
+            F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
