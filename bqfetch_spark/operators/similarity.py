@@ -223,12 +223,21 @@ def q53_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEARDUP_IVF_CELLS = 16
 NEARDUP_IVF_PROBE = 3
+# Clustering probes one extra cell: a missed pair costs pairwise dedup
+# one duplicate, but costs clustering a whole SPLIT COMPONENT (every
+# co-member pair across the split counts as disagreement). Measured at
+# sf0.01: probe 3 → pair recall 0.956 but co-cluster agreement 0.864;
+# probe 4 → 0.989 / 0.949. Candidate volume grows ~(4/3)² at fixed k,
+# amortized by k ∝ √N at scale.
+NEARDUP_CLUSTER_PROBE = 4
 NEARDUP_THRESHOLD = 0.35
 NEARDUP_SALT = 4  # sub-cell buckets for the within-cell self-join
 
 
 @register("q69_embedding_neardup_ivf", oracle=None, tags=("similarity", "dedup", "ivf"))
-def q69_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q69_embedding_neardup_ivf(
+    spark: SparkSession, sf_dir: str, probe: int | None = None
+) -> DataFrame:
     """Embedding near-dup at scale: the bucketed replacement for q51's
     all-pairs spelling. KMeans (seeded) learns NEARDUP_IVF_CELLS
     centroids; every vector is MULTI-ASSIGNED to its NEARDUP_IVF_PROBE
@@ -314,7 +323,12 @@ def q69_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda d, i: F.struct(d.alias("d"), i.alias("i")),
     )
     probed = F.transform(
-        F.slice(F.array_sort(pairs), 1, NEARDUP_IVF_PROBE), lambda s: s["i"]
+        F.slice(
+            F.array_sort(pairs),
+            1,
+            NEARDUP_IVF_PROBE if probe is None else probe,
+        ),
+        lambda s: s["i"],
     )
     n_parts = shuffle_partitions(spark)
     assigned = emb.select("vec_id", F.explode(probed).alias("cell_id")).select(
@@ -613,6 +627,27 @@ FROM all_labels
 """
 
 
+def _clusters_from_pairs(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFrame:
+    """Shared clustering tail: near-dup pairs → connected components →
+    singleton fill → per-cluster sizes. The singleton fill is a left
+    join against the id projection (no vectors move), and cluster
+    sizes come from a window over cluster_id — component-bounded
+    partitions, never a global sort."""
+    from bqfetch_spark.operators.corpus import connected_components
+
+    cc = connected_components(pairs, "vec_a", "vec_b")
+    ids = load_catalog(spark, sf_dir).table("embeddings").select("vec_id")
+    labeled = ids.join(cc, ids.vec_id == cc.node, "left").select(
+        "vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id")
+    )
+    size = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "vec_id",
+        "cluster_id",
+        F.count("*").over(size).cast("bigint").alias("cluster_size"),
+    )
+
+
 @register(
     "qx139_embedding_clusters",
     oracle=EMB_CLUSTERS_ORACLE,
@@ -626,28 +661,52 @@ def qx139_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a singleton cluster — the grouping step that turns pairwise
     similarity into "these N embeddings are the same thing" (the
     vector twin of q74's text dedup clusters, sharing its hash-min
-    label propagation). Pair generation IS q51's exact baseline —
-    same rounded-cosine cut, same >100k-vector refusal pointing at the
-    q69 bucketed path, so the composition inherits both the oracle
-    exactness and the scale posture. The singleton fill is a left
-    join against the id projection (no vectors move), and cluster
-    sizes come from a window over cluster_id — component-bounded
-    partitions, never a global sort. Oracle: recursive-CTE transitive
-    closure over the identical pair set (exact but O(component²),
-    fine at oracle scale)."""
-    from bqfetch_spark.operators.corpus import connected_components
+    label propagation).
 
-    pairs = q51_embedding_neardup(spark, sf_dir)
-    cc = connected_components(pairs, "vec_a", "vec_b")
-    ids = load_catalog(spark, sf_dir).table("embeddings").select("vec_id")
-    labeled = ids.join(cc, ids.vec_id == cc.node, "left").select(
-        "vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id")
+    Pair generation DEGRADES GRACEFULLY with input size (round-7
+    change — the old spelling inherited q51's >100k refusal): at or
+    below NEARDUP_MAX_VECTORS it is q51's exact all-pairs baseline
+    (the oracle anchor — the recursive-CTE closure below matches it
+    bit-for-bit); above, it switches to q69's IVF-bucketed candidate
+    pairs — same rounded-cosine threshold, recall-gated ≥0.9, with
+    pairwise co-clustering agreement ≥0.9 (and zero invented merges)
+    pytest-gated against the exact path at fixture scale
+    (tests/test_ann_recall.py). Oracle:
+    recursive-CTE transitive closure over the identical pair set
+    (exact but O(component²), fine at oracle scale)."""
+    n = (
+        load_catalog(spark, sf_dir)
+        .table("embeddings")
+        .select("vec_id")
+        .limit(NEARDUP_MAX_VECTORS + 1)
+        .count()
     )
-    size = Window.partitionBy("cluster_id")
-    return labeled.select(
-        "vec_id",
-        "cluster_id",
-        F.count("*").over(size).cast("bigint").alias("cluster_size"),
+    if n <= NEARDUP_MAX_VECTORS:
+        pairs = q51_embedding_neardup(spark, sf_dir)
+    else:
+        pairs = q69_embedding_neardup_ivf(spark, sf_dir, probe=NEARDUP_CLUSTER_PROBE)
+    return _clusters_from_pairs(spark, sf_dir, pairs)
+
+
+@register(
+    "qx191_embedding_clusters_scale",
+    oracle=None,
+    doc="qx139's clustering over q69's IVF-bucketed pairs (the >100k path, forced)",
+    tags=("similarity", "clustering", "graph", "ann"),
+)
+def qx191_embedding_clusters_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qx139's above-threshold path, FORCED at any scale so the
+    bucketed composition is driver-visible and benchable at fixture
+    size: q69's IVF-bucketed candidate pairs (recall-gated ≥0.9, exact
+    cosine re-check, salted cell equi-join — never all-pairs) through
+    the identical clustering tail. Rows-only by design (approximate
+    candidate generation has no SQL oracle); pairwise co-clustering
+    agreement vs the exact qx139 labels is pytest-gated ≥0.9 with
+    zero invented merges. Probes NEARDUP_CLUSTER_PROBE (one extra)
+    cells: clustering pays a split component per missed bridge edge,
+    so it buys connectivity pairwise dedup doesn't need."""
+    return _clusters_from_pairs(
+        spark, sf_dir, q69_embedding_neardup_ivf(spark, sf_dir, probe=NEARDUP_CLUSTER_PROBE)
     )
 
 

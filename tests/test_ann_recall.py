@@ -227,3 +227,62 @@ def test_sq8_recall_vs_exact_cosine(spark):
     }
     recall = len(exact & sq8) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_qx191_cluster_agreement_vs_exact(spark):
+    """qx139's scale path (qx191: IVF-bucketed pairs through the same
+    clustering tail) must CO-CLUSTER >=90% of the pairs the exact path
+    co-clusters — the pairwise Rand-style agreement that matches q69's
+    pair-recall gate (labels are hash-min, so only co-membership is
+    comparable; strict member-set identity would count every member of
+    a split cluster as a miss and over-penalize one dropped edge).
+    Zero false positives in q69 means the scale path can only split
+    exact clusters, never invent merges across unrelated vectors —
+    pinned by checking scale clusters of size>1 stay within one exact
+    cluster. Measured at sf0.01."""
+    from itertools import combinations
+
+    sf = "/root/testdata/sf0.01"
+    qs = all_queries()
+
+    def label_and_clusters(name):
+        rows = qs[name].fn(spark, sf).collect()
+        label = {r.vec_id: r.cluster_id for r in rows}
+        by_cluster: dict[int, set[int]] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, set()).add(r.vec_id)
+        return label, by_cluster
+
+    exact_label, exact_clusters = label_and_clusters("qx139_embedding_clusters")
+    scale_label, scale_clusters = label_and_clusters("qx191_embedding_clusters_scale")
+    assert set(exact_label) == set(scale_label)  # total partition in both
+
+    co_pairs = [
+        (a, b)
+        for ms in exact_clusters.values()
+        if len(ms) > 1
+        for a, b in combinations(sorted(ms), 2)
+    ]
+    assert co_pairs  # fixture plants near-dups; empty would be vacuous
+    kept = sum(1 for a, b in co_pairs if scale_label[a] == scale_label[b])
+    assert kept / len(co_pairs) >= 0.9, kept / len(co_pairs)
+
+    # no invented merges: every multi-member scale cluster maps into
+    # exactly one exact cluster
+    for ms in scale_clusters.values():
+        if len(ms) > 1:
+            assert len({exact_label[v] for v in ms}) == 1
+
+
+def test_qx139_degrades_to_ivf_above_cap(spark, monkeypatch):
+    """Round-7 change: above NEARDUP_MAX_VECTORS qx139 must SWITCH to
+    the bucketed q69 pair generator instead of inheriting q51's
+    refusal — degrade gracefully, never raise."""
+    import bqfetch_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "NEARDUP_MAX_VECTORS", 10)
+    out = sim.qx139_embedding_clusters(spark, SF_SMOKE)
+    n = out.count()
+    assert n > 0
+    # still a total partition of the vector set
+    assert out.select("vec_id").distinct().count() == n
