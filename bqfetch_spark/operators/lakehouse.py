@@ -112,6 +112,21 @@ GROUP BY event_type
 PRUNE_DAY = "2024-01-02"
 
 
+def layout_dir_for(sf_dir: str) -> str:
+    """Cache dir for the hive layout of one fixture root: content-keyed
+    on the FULL normalized sf_dir (sha1) — two roots sharing a basename
+    can never collide — and uid-scoped so multi-user hosts don't fight
+    over one /tmp parent (the same fix as the chunked-source sidecar)."""
+    import hashlib
+    import tempfile
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    key = hashlib.sha1(norm.encode()).hexdigest()[:16]
+    parent = os.path.join(tempfile.gettempdir(), f"bqfs_layout_u{os.getuid()}")
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    return os.path.join(parent, key)
+
+
 def write_partitioned_events(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     """Lay events out hive-partitioned by event day (the layout an
     ingest job writes once; queries prune against it forever). Skips
@@ -146,12 +161,8 @@ def q38_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``repartition("event_date")`` at write time yields one file per
     day-partition per shuffle bucket rather than files x tasks
     fan-out (the small-file trap q39 exists to clean up)."""
-    import tempfile
-
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"bqfs_layout_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
-    write_partitioned_events(spark, sf_dir, out_dir)
+    write_partitioned_events(spark, sf_dir, layout_dir_for(sf_dir))
+    out_dir = layout_dir_for(sf_dir)
     day = spark.read.parquet(out_dir).filter(F.col("event_date") == PRUNE_DAY)
     return day.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -26,12 +26,9 @@ def test_q38_scan_is_partition_pruned(spark):
     assert "PartitionFilters" in plan
     assert "event_date" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
     # prove the pruned scan equals the unpruned-filter spelling
-    import tempfile
+    from bqfetch_spark.operators.lakehouse import layout_dir_for
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"bqfs_layout_{os.path.basename(os.path.normpath(SF_SMOKE))}",
-    )
+    out_dir = layout_dir_for(SF_SMOKE)
     full = (
         spark.read.parquet(out_dir)
         .filter(F.col("event_date") == "2024-01-02")
@@ -219,3 +216,17 @@ def test_q35_equivalent_to_delta_merge(spark, tmp_path):
     assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
         map(tuple, want.select(*cols).collect())
     )
+
+
+def test_layout_dir_content_keyed_on_full_path():
+    """Two fixture roots sharing a BASENAME must map to different
+    layout cache dirs (round-7 fix: basename-keyed paths let two
+    concurrent sessions interleave overwrite/read), and the same root
+    must stay stable across spellings (trailing slash, abspath)."""
+    from bqfetch_spark.operators.lakehouse import layout_dir_for
+
+    a = layout_dir_for("/data/runA/sf0.01")
+    b = layout_dir_for("/data/runB/sf0.01")
+    assert a != b
+    assert layout_dir_for("/data/runA/sf0.01/") == a
+    assert f"u{os.getuid()}" in a

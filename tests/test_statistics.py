@@ -462,3 +462,29 @@ def test_qx144_lag_features_planted_sequence(spark, tmp_path):
     assert (out[2].lag1, out[2].lag2, out[2].delta1) == (20.0, 10.0, 10.0)
     assert out[2].mean3 == 20.0  # (10+20+30)/3
     assert out[3].mean3 == 30.0 and out[3].n_prior == 3  # (20+30+40)/3
+
+
+def test_qx124_oracle_overflow_envelope_holds(spark):
+    """qx124's ORACLE uses the algebraic r^k·cumsum(x·r^-k) spelling,
+    whose r^-k intermediate overflows float64 once a key's sequence
+    exceeds k_max = 308·ln(10)/ln(1/(1-alpha)) ≈ 3178 rows at
+    alpha=0.2. The engine path (pandas ewm) has no such bound — this
+    pins the FIXTURE inside the oracle's validity envelope so a future
+    regeneration can't silently leave it and turn hash mismatches into
+    a mystery (round-6 VERDICT nit #3)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.statistics import EMA_ALPHA
+
+    k_max = math.floor(308 * math.log(10) / math.log(1.0 / (1.0 - EMA_ALPHA)))
+    assert k_max > 3000  # alpha=0.2 → ≈3178; recompute if alpha moves
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.001"):
+        ev = load_catalog(spark, sf).table("events")
+        max_per_key = (
+            ev.groupBy("user_id").count().agg(F.max("count")).first()[0]
+        )
+        # 2× safety margin below the overflow point
+        assert max_per_key < k_max / 2, (sf, max_per_key, k_max)
