@@ -184,6 +184,17 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str, max_iters: in
     p = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).localCheckpoint(eager=True)
+    # size the ITERATION parallelism to the materialized edge count,
+    # not the session default: each round is 2 joins + a checkpoint +
+    # a 1-row agg, so a few-hundred-edge dedup graph at 32 shuffle
+    # partitions pays ~100 near-empty tasks per round in pure
+    # scheduler overhead (measured: the fixed cost dominates qx139/
+    # qx191/q74 wall at fixture scale). ~50k edges per partition keeps
+    # the big-graph case at full width — n_parts grows with the data,
+    # so 1e12 edges still fan out to ~20k tasks on a real cluster.
+    n_edges = p.count()
+    iter_parts = max(2, min(shuffle_partitions(pairs.sparkSession), 1 + n_edges // 50_000))
+    p = p.repartition(iter_parts).localCheckpoint(eager=True)
     edges = p.union(p.select(F.col("dst"), F.col("src"))).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
