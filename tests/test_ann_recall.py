@@ -286,3 +286,43 @@ def test_qx139_degrades_to_ivf_above_cap(spark, monkeypatch):
     assert n > 0
     # still a total partition of the vector set
     assert out.select("vec_id").distinct().count() == n
+
+
+def test_qx193_pca_matches_numpy(spark):
+    """The distributed PCA (exact-decimal sufficient stats → driver
+    eigh → broadcast JVM projection) must agree with numpy PCA run
+    directly on the collected fixture: per-component projections equal
+    up to sign (aligned by correlation) within 1e-4, component
+    variances non-increasing, and the top-PCA_K variance sum below the
+    total input variance."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.similarity import PCA_K, qx193_embedding_pca
+
+    out = qx193_embedding_pca(spark, SF_CORRECT).collect()
+    got = {r.vec_id: [getattr(r, f"pc{k+1}") for k in range(PCA_K)] for r in out}
+
+    emb = load_catalog(spark, SF_CORRECT).table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).collect()
+    ids = [r.vec_id for r in emb]
+    X = np.array([r.v for r in emb])
+    Xc = X - X.mean(axis=0)
+    evals, evecs = np.linalg.eigh(np.cov(X.T, bias=True))
+    W = evecs[:, np.argsort(evals)[::-1][:PCA_K]]
+    ref = Xc @ W  # (n, k), sign-ambiguous per column
+
+    G = np.array([got[i] for i in ids])
+    for k in range(PCA_K):
+        sgn = 1.0 if float(np.dot(G[:, k], ref[:, k])) >= 0 else -1.0
+        assert np.allclose(G[:, k], sgn * ref[:, k], atol=1e-4), f"pc{k+1}"
+
+    # variance ordering and energy bound
+    var = G.var(axis=0)
+    assert all(var[k] >= var[k + 1] - 1e-9 for k in range(PCA_K - 1))
+    assert var.sum() <= Xc.var(axis=0).sum() + 1e-6
