@@ -95,6 +95,43 @@ class FetchingChunk:
             return F.lit(False)
         return base
 
+    def row_restriction(self) -> str:
+        """The chunk predicate as a Storage-API SQL boolean — what the
+        reference sends as ``row_restriction`` on its read session
+        (bqfetch/bqfetch.py:483-484) and what the spark-bigquery
+        connector forwards verbatim from its ``filter`` reader option
+        (sources/bigquery.py). Semantics mirror ``predicate()``
+        exactly: typed literals (the reference double-quoted every
+        value as a string, :171, breaking non-string columns), BETWEEN
+        for range mode, IN for value-list mode, an IS NULL disjunct
+        for the NULL-owning chunk, FALSE for the degenerate empty
+        chunk."""
+        import datetime
+
+        def lit(v: Any) -> str:
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            if isinstance(v, (int, float)):
+                return repr(v)
+            if isinstance(v, datetime.datetime):
+                return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+            if isinstance(v, datetime.date):
+                return f"DATE '{v.isoformat()}'"
+            escaped = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{escaped}'"
+
+        col = f"`{self.column}`"
+        base = None
+        if self.elements is not None:
+            if self.elements:
+                base = f"{col} IN ({', '.join(lit(e) for e in self.elements)})"
+        elif self.lower is not None:
+            base = f"{col} BETWEEN {lit(self.lower)} AND {lit(self.upper)}"
+        if self.includes_null:
+            nullp = f"{col} IS NULL"
+            return nullp if base is None else f"({base} OR {nullp})"
+        return base if base is not None else "FALSE"
+
 
 class Fetcher:
     """Plans and executes chunked reads of a table (reference parity:
