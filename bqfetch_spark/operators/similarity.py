@@ -1003,3 +1003,184 @@ def qx193_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(PCA_K)
     ]
     return projected.select("vec_id", *cols)
+
+
+# ---------------------------------------------------------------------------
+# MMR — maximal-marginal-relevance diversified re-ranking
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 30  # candidate pool per query (the ANN stage's output)
+MMR_K = 10  # diversified picks per query
+
+MMR_ORACLE = f"""
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v AS v,
+         round(list_cosine_similarity(q.v, c.v), 6) AS rel
+  FROM q JOIN e c ON c.vec_id <> q.vec_id
+),
+cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, neighbor_id
+    ) AS rn FROM scored
+  ) WHERE rn <= {MMR_POOL}
+),
+sel(query_id, step, sel_ids, picked, score) AS (
+  SELECT query_id, 1, [neighbor_id], neighbor_id, round({MMR_LAMBDA} * rel, 7)
+  FROM cand WHERE rn = 1
+  UNION ALL
+  SELECT s.query_id, s.step + 1,
+         list_append(s.sel_ids, c.neighbor_id), c.neighbor_id,
+         round({MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA} * (
+           SELECT max(round(list_cosine_similarity(c.v, c2.v), 6))
+           FROM cand c2
+           WHERE c2.query_id = c.query_id
+             AND list_contains(s.sel_ids, c2.neighbor_id)
+         ), 7)
+  FROM sel s
+  JOIN cand c ON c.query_id = s.query_id
+    AND NOT list_contains(s.sel_ids, c.neighbor_id)
+  WHERE s.step < {MMR_K}
+    AND NOT EXISTS (
+      SELECT 1 FROM cand c3
+      WHERE c3.query_id = s.query_id
+        AND NOT list_contains(s.sel_ids, c3.neighbor_id)
+        AND (
+          ({MMR_LAMBDA} * c3.rel - {1 - MMR_LAMBDA} * (
+             SELECT max(round(list_cosine_similarity(c3.v, c4.v), 6))
+             FROM cand c4
+             WHERE c4.query_id = c3.query_id
+               AND list_contains(s.sel_ids, c4.neighbor_id)
+          )) > ({MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA} * (
+             SELECT max(round(list_cosine_similarity(c.v, c5.v), 6))
+             FROM cand c5
+             WHERE c5.query_id = c.query_id
+               AND list_contains(s.sel_ids, c5.neighbor_id)
+          ))
+          OR (
+            ({MMR_LAMBDA} * c3.rel - {1 - MMR_LAMBDA} * (
+               SELECT max(round(list_cosine_similarity(c3.v, c6.v), 6))
+               FROM cand c6
+               WHERE c6.query_id = c3.query_id
+                 AND list_contains(s.sel_ids, c6.neighbor_id)
+            )) = ({MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA} * (
+               SELECT max(round(list_cosine_similarity(c.v, c7.v), 6))
+               FROM cand c7
+               WHERE c7.query_id = c.query_id
+                 AND list_contains(s.sel_ids, c7.neighbor_id)
+            ))
+            AND c3.neighbor_id < c.neighbor_id
+          )
+        )
+    )
+)
+SELECT query_id, neighbor_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, mmr_score
+FROM (
+  SELECT query_id, picked AS neighbor_id, step AS mmr_rank, score AS mmr_score
+  FROM sel
+)
+"""
+
+
+@register(
+    "qx194_mmr_rerank",
+    oracle=MMR_ORACLE,
+    doc="maximal-marginal-relevance diversified top-10 over a top-30 candidate pool",
+    tags=("similarity", "retrieval", "pandas-udf"),
+)
+def qx194_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval: greedily pick MMR_K of the MMR_POOL
+    most-relevant candidates, each step maximizing
+    λ·rel − (1−λ)·max_sim_to_already_selected — the standard re-rank
+    that stops a result page (or a RAG context window) from being ten
+    near-copies of the same document.
+
+    Plan shape: candidate generation is q50's broadcast scan (top-POOL
+    per query on the ROUNDED cosine — swap in any ANN leg at scale);
+    the greedy loop is inherently sequential PER QUERY but independent
+    ACROSS queries, so it runs as applyInPandas over query_id groups —
+    each group moves only its POOL candidate vectors (30×64 doubles),
+    never the corpus, which is exactly the shape that scales to
+    millions of queries. Inside the kernel every pairwise similarity
+    is a LEFT-TO-RIGHT float fold rounded to 6dp — the same
+    evaluation order as the JVM fold and DuckDB's loop — and the
+    objective uses only those rounded values with neighbor_id
+    tie-breaks, so the greedy trajectory is bit-reproducible across
+    engines (the oracle replays it as a recursive CTE with
+    NOT EXISTS argmax; float ties would otherwise fork the whole
+    selection tail)."""
+    import pandas as pd
+
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("neighbor_id"))
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "v",
+            r6(cosine(F.col("qv"), F.col("v"))).alias("rel"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+    )
+
+    def mmr_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        def dot_lr(a, b):  # left-to-right fold: JVM/DuckDB order
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        def cos6(a, b):
+            return round(dot_lr(a, b) / (dot_lr(a, a) ** 0.5 * dot_lr(b, b) ** 0.5), 6)
+
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].tolist()
+        vecs = pdf["v"].tolist()
+        rel = pdf["rel"].tolist()
+        remaining = set(range(len(ids)))
+        picked: list[tuple[int, float]] = []
+        sel_idx: list[int] = []
+        for _ in range(min(MMR_K, len(ids))):
+            best = None
+            for i in sorted(remaining):
+                if sel_idx:
+                    maxsim = max(cos6(vecs[i], vecs[j]) for j in sel_idx)
+                    obj = MMR_LAMBDA * rel[i] - (1 - MMR_LAMBDA) * maxsim
+                else:
+                    obj = MMR_LAMBDA * rel[i]
+                if best is None or obj > best[1]:  # ids ascending → ties keep lower id
+                    best = (i, obj)
+            sel_idx.append(best[0])
+            remaining.discard(best[0])
+            # 7dp emission: the objective's true decimal value sits on a
+            # 1e-7 grid (0.7·k·1e-6 − 0.3·m·1e-6), so 6dp rounding hits
+            # exact decimal halves where Python (banker's) and SQL
+            # (half-away) disagree; at 7dp halves cannot occur. The
+            # ARGMAX compares RAW doubles — identical IEEE expressions
+            # in both engines — never rounded values.
+            picked.append((ids[best[0]], round(best[1], 7)))
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": [p[0] for p in picked],
+                "mmr_rank": range(1, len(picked) + 1),
+                "mmr_score": [p[1] for p in picked],
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        mmr_group,
+        "query_id bigint, neighbor_id bigint, mmr_rank bigint, mmr_score double",
+    )

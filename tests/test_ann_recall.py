@@ -326,3 +326,66 @@ def test_qx193_pca_matches_numpy(spark):
     var = G.var(axis=0)
     assert all(var[k] >= var[k + 1] - 1e-9 for k in range(PCA_K - 1))
     assert var.sum() <= Xc.var(axis=0).sum() + 1e-6
+
+
+def test_qx194_mmr_diversifies_topk(spark):
+    """MMR must (a) open with the pure-relevance top-1, (b) pick
+    MMR_K distinct candidates per query, and (c) reduce redundancy IN
+    AGGREGATE: per query, the MEAN pairwise cosine among MMR picks
+    must not exceed the plain top-k's, with at least one query
+    strictly improved (the fixture plants near-dup clusters, so plain
+    top-k is redundant for someone). Worst-case pairwise is NOT
+    asserted — greedy MMR optimizes stepwise, not the global max
+    (observed 0.294 vs 0.289 on query 3)."""
+    import numpy as np
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.similarity import MMR_K, qx194_mmr_rerank
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    mmr = {}
+    for r in qx194_mmr_rerank(spark, sf).collect():
+        mmr.setdefault(r.query_id, []).append((r.mmr_rank, r.neighbor_id))
+    topk = _topk_at(spark, sf, "q50_cosine_topk")
+
+    emb = {
+        r.vec_id: np.array(r.v)
+        for r in load_catalog(spark, sf)
+        .table("embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    }
+
+    def meanpair(ids):
+        ids = list(ids)
+        sims = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = emb[ids[i]], emb[ids[j]]
+                sims.append(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))))
+        return sum(sims) / len(sims)
+
+    improved = 0
+    for qid, picks in mmr.items():
+        picks.sort()
+        ids = [nid for _, nid in picks]
+        assert len(set(ids)) == MMR_K
+        # (a): rank-1 pick is the most relevant candidate
+        assert ids[0] == sorted(topk[qid])[0][1]
+        m, t = meanpair(ids), meanpair([nid for _, nid in topk[qid]])
+        assert m <= t + 1e-9, (qid, m, t)
+        if m < t - 1e-6:
+            improved += 1
+    assert improved >= 1
+
+
+def _topk_at(spark, sf, name):
+    """(rank, neighbor_id) lists per query at an explicit sf."""
+    rows = all_queries()[name].fn(spark, sf).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for v in by_q.values():
+        v.sort()
+    return by_q
