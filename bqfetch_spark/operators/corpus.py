@@ -645,3 +645,81 @@ def qx176_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lookup = idx.select(F.col("i").alias("neg_i"), F.col("doc_id").alias("negative_id"))
     return pairs.join(lookup, "neg_i").select("anchor_id", "neg_rank", "negative_id")
+
+
+# ---------------------------------------------------------------------------
+# qx195 — length-bucketed batch assembly (padding-minimizing batching)
+# ---------------------------------------------------------------------------
+
+BATCH_SIZE = 32  # docs per training batch
+
+LENGTH_BATCH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rk
+  FROM toks
+)
+SELECT
+  CAST(rk // {BATCH_SIZE} AS BIGINT) AS batch_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  max(n_tokens) AS max_tokens,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_slots,
+  round(CAST(sum(n_tokens) AS DOUBLE) / (count(*) * max(n_tokens)), 6)
+    AS utilization
+FROM ranked
+GROUP BY rk // {BATCH_SIZE}
+"""
+
+
+@register(
+    "qx195_length_bucketed_batches",
+    oracle=LENGTH_BATCH_ORACLE,
+    doc="padding-minimizing training batches: docs length-sorted into fixed-size batches",
+    tags=("corpus", "curation", "batching"),
+)
+def qx195_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly — the padded-batching companion
+    to qx161's concat-and-chunk packing: when sequences must stay
+    document-aligned (SFT, reward modeling, eval), each batch is
+    padded to its LONGEST member, so batching similar lengths together
+    is what controls the padding bill. Docs are totally ordered by
+    (whitespace token count, doc_id) — q42's tokenizer leg, same
+    split semantics as the oracle — and sliced into BATCH_SIZE-doc
+    batches; per batch: size, padded width (max), content tokens, and
+    wasted padding slots / utilization.
+
+    Plan shape: the total order is plans/ranks.with_global_rank — a
+    range exchange + per-partition offsets, NEVER a single-task global
+    sort — then one partial-aggregated groupBy(batch_id). Batch ids
+    are contiguous rank slices, so each output row aggregates
+    BATCH_SIZE adjacent rows of the range exchange: at 100 TB this is
+    one scan + one range shuffle of (doc_id, n_tokens) pairs — text
+    never moves. The padding-reduction claim vs arrival-order
+    batching is pytest-asserted, not assumed
+    (tests/test_corpus.py)."""
+    from bqfetch_spark.plans.ranks import with_global_rank
+    from bqfetch_spark.session import shuffle_partitions
+
+    docs = load_catalog(spark, sf_dir).table("documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    ranked = with_global_rank(
+        docs, ["n_tokens", "doc_id"], shuffle_partitions(spark), rank_col="__rank"
+    ).withColumn("batch_id", ((F.col("__rank") - 1) / BATCH_SIZE).cast("bigint"))
+    return ranked.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("bigint")
+        .alias("padding_slots"),
+        r6(
+            F.sum("n_tokens").cast("double")
+            / (F.count(F.lit(1)) * F.max("n_tokens"))
+        ).alias("utilization"),
+    )

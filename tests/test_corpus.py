@@ -97,3 +97,30 @@ def test_q103_salted_cap_equals_plain_window(spark):
     )
     assert got.exceptAll(plain).count() == 0
     assert plain.exceptAll(got).count() == 0
+
+
+def test_qx195_length_bucketing_beats_arrival_order(spark):
+    """The operator's reason to exist: total padding slots under
+    length-bucketed batching must be strictly lower than batching the
+    SAME docs in arrival (doc_id) order with the same BATCH_SIZE —
+    and every doc must land in exactly one batch."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.corpus import BATCH_SIZE, qx195_length_bucketed_batches
+    from tests.conftest import SF_CORRECT
+
+    out = qx195_length_bucketed_batches(spark, SF_CORRECT).collect()
+    docs = load_catalog(spark, SF_CORRECT).table("documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n")
+    ).collect()
+    assert sum(r.n_docs for r in out) == len(docs)
+    assert sum(r.sum_tokens for r in out) == sum(d.n for d in docs)
+
+    bucketed_pad = sum(r.padding_slots for r in out)
+    by_arrival = sorted(docs, key=lambda d: d.doc_id)
+    arrival_pad = 0
+    for i in range(0, len(by_arrival), BATCH_SIZE):
+        chunk = [d.n for d in by_arrival[i : i + BATCH_SIZE]]
+        arrival_pad += len(chunk) * max(chunk) - sum(chunk)
+    assert bucketed_pad < arrival_pad, (bucketed_pad, arrival_pad)
