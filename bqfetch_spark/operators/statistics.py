@@ -2570,3 +2570,103 @@ def qx183_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nn",
         r6((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx196 — Holt double-exponential smoothing (level + trend recursion)
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.3  # level gain      (1-alpha spelled literally: 0.7)
+HOLT_BETA = 0.1  # trend gain       (1-beta  spelled literally: 0.9)
+
+
+def _sql_round6(x: float) -> float:
+    """SQL-compatible 6dp rounding for Python kernels: HALF-UP on the
+    double's shortest decimal repr — the semantics of BOTH Spark's
+    F.round (BigDecimal.valueOf → setScale HALF_UP over
+    Double.toString) and DuckDB's round. Python's builtin round() is
+    banker's, which disagrees on exact decimal halves — and recursions
+    over decimal-grid inputs (cents × one-decimal gains) DO land on
+    halves: observed 4/10000 flips at sf0.01 (e.g. 83.0665265 →
+    banker's 83.066526 vs SQL 83.066527)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+HOLT_ORACLE = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
+  FROM events
+),
+hw(user_id, k, event_id, level, trend) AS (
+  SELECT user_id, k, event_id, x, CAST(0.0 AS DOUBLE) FROM seq WHERE k = 1
+  UNION ALL
+  SELECT h.user_id, o.k, o.event_id,
+         0.3 * o.x + 0.7 * (h.level + h.trend),
+         0.1 * ((0.3 * o.x + 0.7 * (h.level + h.trend)) - h.level)
+           + 0.9 * h.trend
+  FROM hw h
+  JOIN seq o ON o.user_id = h.user_id AND o.k = h.k + 1
+)
+SELECT user_id, event_id,
+       round(level, 6) AS level,
+       round(trend, 6) AS trend
+FROM hw
+"""
+
+
+@register(
+    "qx196_holt_smoothing",
+    oracle=HOLT_ORACLE,
+    doc="per-user Holt double-exponential smoothing of value (level + trend)",
+    tags=("events", "sequence", "pandas-udf"),
+)
+def qx196_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user — the trend-aware
+    big sibling of qx124's EMA: lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+    bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, seeded l₁=x₁, b₁=0. Two coupled
+    recurrences on previous OUTPUTS — inexpressible in declarative
+    windows, and unlike the EMA there is no r^k·cumsum algebraic
+    unrolling at all, so BOTH sides replay the recursion: Spark as an
+    applyInPandas group map (one user_id exchange, C-speed loop per
+    Arrow batch), the oracle as a recursive CTE stepping every key one
+    observation per iteration. Each step is the IDENTICAL IEEE double
+    expression with literal gains (0.3/0.7, 0.1/0.9 — never computed
+    as 1−α at runtime), evaluated in the same (ts, event_id) order —
+    so the trajectories agree bit-for-bit and the 6dp hash matches.
+    O(n) per key at any sequence length; recursion depth = max
+    events/key (86 at sf0.01), envelope shared with qx124's
+    fixture-bound pin."""
+    import pandas as pd
+
+    ev = load_catalog(spark, sf_dir).table("events").select(
+        "user_id", "event_id", "ts", F.col("value").cast("double").alias("x")
+    )
+
+    def holt_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        xs = pdf["x"].tolist()
+        levels, trends = [], []
+        l = b = None
+        for t, x in enumerate(xs):
+            if t == 0:
+                l, b = x, 0.0
+            else:
+                l_new = HOLT_ALPHA * x + 0.7 * (l + b)
+                b = HOLT_BETA * (l_new - l) + 0.9 * b
+                l = l_new
+            levels.append(_sql_round6(l))
+            trends.append(_sql_round6(b))
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "level": levels,
+                "trend": trends,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        holt_group, "user_id bigint, event_id bigint, level double, trend double"
+    )

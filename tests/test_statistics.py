@@ -488,3 +488,42 @@ def test_qx124_oracle_overflow_envelope_holds(spark):
         )
         # 2× safety margin below the overflow point
         assert max_per_key < k_max / 2, (sf, max_per_key, k_max)
+
+
+def test_sql_round6_half_up_on_ties():
+    """The kernel-side rounding must match SQL/Spark HALF-UP on exact
+    decimal halves where Python's banker's rounding differs — the
+    divergence that flipped 4/10000 qx196 rows before the fix."""
+    from bqfetch_spark.operators.statistics import _sql_round6
+
+    assert _sql_round6(83.0665265) == 83.066527  # banker's gives ...526
+    assert _sql_round6(0.0000005) == 0.000001
+    assert _sql_round6(-0.0000005) == -0.000001  # half AWAY from zero
+    assert _sql_round6(1.0000004) == 1.0
+    assert _sql_round6(2.5) == 2.5
+
+
+def test_qx196_holt_covers_every_event_once(spark):
+    """Totality + seed semantics: one output row per event, and each
+    user's first event (ts, event_id order) carries level == value
+    (rounded) and trend == 0."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    out = all_queries()["qx196_holt_smoothing"].fn(spark, sf)
+    ev = load_catalog(spark, sf).table("events")
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", F.round(F.col("value").cast("double"), 6).alias("x0"))
+    )
+    j = out.join(first, "event_id")
+    assert j.filter((F.col("trend") != 0.0) | (F.col("level") != F.col("x0"))).count() == 0
