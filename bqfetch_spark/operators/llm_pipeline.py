@@ -887,3 +887,71 @@ def qx157_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("kept_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx197 — vocabulary coverage / OOV rate per document
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZE = 500  # top-V tokens by collection frequency form the vocabulary
+
+OOV_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+    FROM toks GROUP BY token
+  ) WHERE rn <= {VOCAB_SIZE}
+)
+SELECT
+  t.doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+  round(CAST(count(*) FILTER (WHERE v.token IS NULL) AS DOUBLE) / count(*), 6)
+    AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "qx197_vocab_oov_rate",
+    oracle=OOV_ORACLE,
+    doc="per-doc out-of-vocabulary rate against the corpus top-V token vocabulary",
+    tags=("text", "tokenizer", "quality"),
+)
+def qx197_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit diagnostic: build the top-VOCAB_SIZE vocabulary
+    by collection frequency (q34's counting, deterministic tie-break
+    on the token string) and score every document by the fraction of
+    its token OCCURRENCES falling outside it — the cheap proxy for
+    "how much of this doc will a fixed tokenizer shatter into bytes",
+    which drives both corpus-mix debugging and vocab-size selection.
+
+    Plan shape: ONE token explode feeds both legs of the lazy plan —
+    the vocab leg partial-aggregates (token, count) and takes the
+    top-V via TakeOrderedAndProject (per-partition heaps, never a
+    global vocabulary sort); the scoring leg LEFT-joins the V-row
+    vocab (broadcast — it is top-V by construction) onto the token
+    stream and reduces per doc_id. At 100 TB: two scans of the token
+    stream (or one + cache), a V-row broadcast, and one doc_id-keyed
+    partial-aggregated exchange; raw text never shuffles."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(VOCAB_SIZE)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    scored = toks.join(F.broadcast(vocab), "token", "left")
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        n_oov.cast("bigint").alias("n_oov"),
+        r6(n_oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+    )

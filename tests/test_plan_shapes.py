@@ -566,3 +566,17 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_qx197_vocab_join_is_broadcast_topk_is_heap(spark):
+    """qx197's two scale-critical shapes: the V-row vocabulary must
+    reach the token stream as a BROADCAST join build side, and the
+    vocabulary cut must plan as TakeOrderedAndProject (per-partition
+    heaps) — never a global sort of the token vocabulary."""
+    from bqfetch_spark.registry import all_queries
+
+    df = all_queries()["qx197_vocab_oov_rate"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
