@@ -723,3 +723,80 @@ def qx195_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame
             / (F.count(F.lit(1)) * F.max("n_tokens"))
         ).alias("utilization"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx198 — privacy-preserving release: suppression + deterministic Laplace
+# ---------------------------------------------------------------------------
+
+DP_EPSILON = 1.0  # Laplace scale = sensitivity/epsilon = 1.0
+DP_SUPPRESS_K = 5  # groups smaller than K are suppressed outright
+
+DP_RELEASE_ORACLE = f"""
+WITH g AS (
+  SELECT lang, source, count(*) AS n
+  FROM documents
+  GROUP BY lang, source
+),
+noised AS (
+  SELECT lang, source, n,
+         (CAST(CAST('0x' || substring(md5(lang || '|' || source), 1, 8) AS BIGINT)
+               AS DOUBLE) + 0.5) / 4294967296.0 AS u
+  FROM g
+  WHERE n >= {DP_SUPPRESS_K}
+)
+SELECT lang, source,
+       CAST(n AS BIGINT) AS true_count,
+       round(n + (-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+                  / {DP_EPSILON:.1f}), 6) AS noisy_count
+FROM noised
+"""
+
+
+@register(
+    "qx198_dp_noisy_release",
+    oracle=DP_RELEASE_ORACLE,
+    doc="privacy-style release of (lang, source) counts: k-suppression + hash-seeded Laplace noise",
+    tags=("corpus", "privacy", "release"),
+)
+def qx198_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving aggregate release — the data-card publishing
+    step: per-(lang, source) document counts with (a) outright
+    SUPPRESSION of groups under DP_SUPPRESS_K members and (b)
+    Laplace(1/ε) noise on the survivors, inverse-CDF-sampled from a
+    uniform DERIVED BY HASH of the group key (the q72 md5 convention):
+    reruns, retries and both engines draw the identical noise, so the
+    release is reproducible AND value-hash oracle-able — which real
+    DP's fresh randomness by definition is not (documented: hash-seeded
+    noise gives DP's calibrated-error SHAPE for release tooling, not
+    its formal adversarial guarantee, since the seed is key-derived).
+
+    Plan shape: one partial-aggregated groupBy over the scan; noise is
+    a row-local expression on the |langs|×|sources| group frame —
+    nothing after the aggregate touches data size. True count kept
+    alongside so the pytest can bound |noise| without re-deriving the
+    uniform."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    g = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= DP_SUPPRESS_K
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("lang"), F.lit("|"), F.col("source"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    noise = (
+        F.lit(-1.0)
+        * F.signum(u - 0.5)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - 0.5))
+        / F.lit(DP_EPSILON)
+    )
+    return g.select(
+        "lang",
+        "source",
+        F.col("n").cast("bigint").alias("true_count"),
+        F.round(F.col("n") + noise, 6).alias("noisy_count"),
+    )

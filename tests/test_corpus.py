@@ -124,3 +124,44 @@ def test_qx195_length_bucketing_beats_arrival_order(spark):
         chunk = [d.n for d in by_arrival[i : i + BATCH_SIZE]]
         arrival_pad += len(chunk) * max(chunk) - sum(chunk)
     assert bucketed_pad < arrival_pad, (bucketed_pad, arrival_pad)
+
+
+def test_qx198_release_suppresses_and_noises_deterministically(spark):
+    """(a) No group under DP_SUPPRESS_K survives; (b) every released
+    noise draw is a valid Laplace(1/eps) value (|noise| <= ln(2^32)/eps,
+    the inverse-CDF's hard bound for a 32-bit hash uniform); (c) at
+    least one group is actually perturbed; (d) a second run reproduces
+    the release bit-for-bit (hash-seeded, not RNG)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.corpus import (
+        DP_EPSILON,
+        DP_SUPPRESS_K,
+        qx198_dp_noisy_release,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rel = {(r.lang, r.source): (r.true_count, r.noisy_count)
+           for r in qx198_dp_noisy_release(spark, SF_CORRECT).collect()}
+
+    truth = {
+        (r.lang, r.source): r["count"]
+        for r in load_catalog(spark, SF_CORRECT)
+        .table("documents")
+        .groupBy("lang", "source")
+        .count()
+        .collect()
+    }
+    assert set(rel) == {k for k, n in truth.items() if n >= DP_SUPPRESS_K}
+
+    bound = math.log(2**32) / DP_EPSILON
+    noises = [noisy - true for true, noisy in rel.values()]
+    assert all(abs(x) <= bound for x in noises)
+    assert any(abs(x) > 1e-9 for x in noises)
+
+    again = {(r.lang, r.source): (r.true_count, r.noisy_count)
+             for r in qx198_dp_noisy_release(spark, SF_CORRECT).collect()}
+    assert again == rel
