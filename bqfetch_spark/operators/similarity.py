@@ -1184,3 +1184,150 @@ def qx194_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         mmr_group,
         "query_id bigint, neighbor_id bigint, mmr_rank bigint, mmr_score double",
     )
+
+
+# ---------------------------------------------------------------------------
+# qx199 — hybrid retrieval: lexical (IDF-overlap) + vector, RRF-fused
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_POOL = 20  # per-leg candidate depth
+RRF_TOPK = 10
+
+HYBRID_RRF_ORACLE = f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+n AS (SELECT count(*) AS n_total FROM docs),
+toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM docs
+),
+idf AS (
+  SELECT t.token,
+         CAST(round(ln(CAST(n.n_total AS DOUBLE) / count(DISTINCT t.doc_id)) * 1e6)
+              AS BIGINT) AS idf_micro
+  FROM toks t CROSS JOIN n
+  GROUP BY t.token, n.n_total
+),
+qtok AS (SELECT doc_id AS query_id, token FROM toks WHERE doc_id < 5),
+lex_scores AS (
+  SELECT q.query_id, t.doc_id, CAST(sum(i.idf_micro) AS BIGINT) AS s
+  FROM qtok q
+  JOIN toks t ON t.token = q.token AND t.doc_id <> q.query_id
+  JOIN idf i ON i.token = q.token
+  GROUP BY q.query_id, t.doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS r
+  FROM lex_scores
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+vq AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+vec AS (
+  SELECT query_id, doc_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, doc_id
+  ) AS r
+  FROM (
+    SELECT vq.vec_id AS query_id, c.vec_id AS doc_id,
+           round(list_cosine_similarity(vq.v, c.v), 6) AS cosine
+    FROM vq JOIN e c ON c.vec_id <> vq.vec_id
+  )
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(1.0 / ({RRF_K} + r)), 6) AS rrf
+  FROM (
+    SELECT * FROM lex WHERE r <= {RRF_POOL}
+    UNION ALL
+    SELECT * FROM vec WHERE r <= {RRF_POOL}
+  )
+  GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf, CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
+  FROM fused
+)
+WHERE rk <= {RRF_TOPK}
+"""
+
+
+@register(
+    "qx199_hybrid_retrieval_rrf",
+    oracle=HYBRID_RRF_ORACLE,
+    doc="hybrid lexical+vector retrieval fused by reciprocal-rank fusion",
+    tags=("similarity", "retrieval", "text"),
+)
+def qx199_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG-standard two-tower fusion: for each
+    of 5 query documents, a LEXICAL leg ranks the corpus by summed
+    IDF of shared distinct tokens (q80's ln(N/df) rarity, integer-
+    scaled to micro-IDF longs so the per-pair sum is order-exact) and
+    a VECTOR leg ranks by embedding cosine (q50's spelling; doc_id and
+    vec_id share the fixture key domain); reciprocal-rank fusion
+    (Σ 1/(60+rank), the parameter-free fusion that needs no score
+    calibration between BM25-world and cosine-world) merges the two
+    top-RRF_POOL lists into a final top-10.
+
+    Plan shape: the lexical leg shuffles (token, partial counts) for
+    df, broadcasts the 5-query token set onto the corpus token stream,
+    and reduces per (query, doc) — text never moves; the vector leg is
+    a broadcast scan. Ranks use exact integers / rounded cosines with
+    id tie-breaks, and the RRF sum is ≤2 IEEE-commutative terms, so
+    fusion is bit-stable cross-engine. At scale each leg swaps for its
+    indexed form (inverted index / ANN) — the fusion contract is
+    rank-based, so the plan downstream of the two rank columns is
+    unchanged."""
+    docs = load_catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    n_total = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    idf = toks.groupBy("token").agg(
+        F.round(
+            F.log(F.lit(float(n_total)) / F.countDistinct("doc_id")) * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("idf_micro")
+    )
+    qtok = toks.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    lex_w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), "doc_id")
+    lex = (
+        qtok.join(toks, "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(idf, "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("idf_micro").cast("bigint").alias("s"))
+        .withColumn("r", F.row_number().over(lex_w))
+        .filter(F.col("r") <= RRF_POOL)
+        .select("query_id", "doc_id", "r")
+    )
+
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    vq = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    vec_w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "doc_id")
+    vec = (
+        emb.crossJoin(F.broadcast(vq))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            r6(cosine(F.col("qv"), F.col("v"))).alias("cosine"),
+        )
+        .withColumn("r", F.row_number().over(vec_w))
+        .filter(F.col("r") <= RRF_POOL)
+        .select("query_id", "doc_id", "r")
+    )
+
+    fused_w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        lex.unionByName(vec)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.lit(1.0) / (F.lit(RRF_K) + F.col("r"))), 6).alias("rrf"))
+        .withColumn("rank", F.row_number().over(fused_w).cast("bigint"))
+        .filter(F.col("rank") <= RRF_TOPK)
+    )

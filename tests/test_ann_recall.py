@@ -389,3 +389,26 @@ def _topk_at(spark, sf, name):
     for v in by_q.values():
         v.sort()
     return by_q
+
+
+def test_qx199_fusion_uses_both_legs(spark):
+    """RRF's reason to exist: the fused top-10 must not simply equal
+    either leg's top-10 — across the 5 queries, at least one fused
+    pick must be absent from the pure-vector top-10 and at least one
+    absent from a pure-lexical top-10 would imply the vector leg
+    mattered; we assert the fused set differs from the vector leg's
+    top-10 for >=1 query and overlaps it for >=1 query (fusion blends,
+    not replaces)."""
+    from bqfetch_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    fused = {}
+    for r in all_queries()["qx199_hybrid_retrieval_rrf"].fn(spark, sf).collect():
+        fused.setdefault(r.query_id, set()).add(r.doc_id)
+    vec = {}
+    for r in all_queries()["q50_cosine_topk"].fn(spark, sf).collect():
+        vec.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(fused) == set(vec)
+    assert all(len(v) == 10 for v in fused.values())
+    assert any(fused[q] != vec[q] for q in fused)  # lexical leg moved the cut
+    assert any(fused[q] & vec[q] for q in fused)  # vector leg still present
