@@ -433,3 +433,40 @@ def qx166_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "qx166_streaming_rate_limit_sink", output_mode="append",
         state_partitions=8,
     ).select("event_id", "user_id", "ts", "slot", "window_start")
+
+
+def _qx200_oracle() -> str:
+    # integer additivity makes the store-merged statistics bit-equal
+    # the one-shot statistics, so the streaming query shares qx192's
+    # full covariance oracle outright
+    from bqfetch_spark.operators.similarity import COVARIANCE_ORACLE
+
+    return COVARIANCE_ORACLE
+
+
+@register(
+    "qx200_streaming_pca_stats",
+    oracle=_qx200_oracle(),
+    tags=("streaming", "pca", "incremental", "statistics"),
+)
+def qx200_streaming_pca_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained PCA sufficient statistics
+    (streaming/pca_stats.py): 60% of the embeddings backfill a
+    fixed-point long-sum store; the remaining 40% arrives as two
+    streamed waves, each appending its own ~2144-row partial-sum frame
+    under its ingest_batch partition (O(wave), history never re-read,
+    retry-idempotent dynamic overwrite, checkpoint-lineage ownership).
+    Returns the covariance computed FROM THE MAINTAINED STORE — and
+    because integer sums are exactly additive, that is BIT-IDENTICAL
+    to qx192's one-shot output however ingest is sliced, so this
+    streaming query carries qx192's FULL value-hash oracle (unique in
+    the streaming family; float-maintained moments could never)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from bqfetch_spark.streaming.pca_stats import run_incremental_pca_stats
+
+    work = tempfile.mkdtemp(prefix="bqfs_pcastats_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return run_incremental_pca_stats(spark, sf_dir, work)

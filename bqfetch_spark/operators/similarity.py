@@ -854,6 +854,35 @@ CROSS JOIN n
 """
 
 
+def pca_stats_phase1(emb: DataFrame) -> DataFrame:
+    """Phase-1 long sums (pos, bkt, q1) of the PCA sufficient
+    statistics for ANY (vec_id, v) frame. pos < PCA_DIM are the
+    fixed-point per-dim sums; the rest index _TRI_INDEX cross-moments.
+    PERFECTLY ADDITIVE across disjoint inputs (exact integer sums),
+    which is what makes the streaming store (streaming/pca_stats.py)
+    bit-equal the one-shot statistics however ingest is sliced. The
+    n-rows count rides as a count of pos==0 rows downstream — no
+    separate tally needed."""
+    tri = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(PCA_DIM)),
+            lambda si: F.transform(
+                F.slice("v", si, F.lit(PCA_DIM + 1) - si),
+                lambda y: F.element_at("v", si) * y,
+            ),
+        )
+    )
+    stats_arr = F.concat(F.col("v"), tri)
+    exploded = emb.select(
+        F.floor(F.col("vec_id") / F.lit(PCA_ROW_BUCKET)).alias("bkt"),
+        F.posexplode(stats_arr).alias("pos", "x"),
+    )
+    return exploded.groupBy("pos", "bkt").agg(
+        F.sum(F.round(F.col("x") * F.lit(PCA_Q)).cast("long")).alias("q1"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def _embedding_sufficient_stats(spark: SparkSession, sf_dir: str):
     """(n, per-dim sums, upper-triangle cross-moments) in ONE scan of
     the embeddings table: each row contributes the 64 + 2080-slot array
@@ -883,35 +912,13 @@ def _embedding_sufficient_stats(spark: SparkSession, sf_dir: str):
     emb = load_catalog(spark, sf_dir).table("embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    tri = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(PCA_DIM)),
-            lambda si: F.transform(
-                F.slice("v", si, F.lit(PCA_DIM + 1) - si),
-                lambda y: F.element_at("v", si) * y,
-            ),
-        )
-    )
-    stats_arr = F.concat(F.col("v"), tri)
-    exploded = emb.select(
-        F.floor(F.col("vec_id") / F.lit(PCA_ROW_BUCKET)).alias("bkt"),
-        F.posexplode(stats_arr).alias("pos", "x"),
-    )
-    phase1 = exploded.groupBy("pos", "bkt").agg(
-        F.sum(F.round(F.col("x") * F.lit(PCA_Q)).cast("long")).alias("q1")
-    )
+    phase1 = pca_stats_phase1(emb)
     sums = phase1.groupBy("pos").agg(
         F.sum(F.col("q1").cast("decimal(38,0)")).alias("q")
     )
     rows = sums.collect()  # 2144 rows — driver-side by design
     n = emb.count()
-    sx = [None] * PCA_DIM
-    sxy = {}
-    for r in rows:
-        if r.pos < PCA_DIM:
-            sx[r.pos] = float(r.q) / PCA_Q
-        else:
-            sxy[_TRI_INDEX[r.pos - PCA_DIM]] = float(r.q) / PCA_Q
+    sx, sxy = decode_stat_sums(rows, n)
     return n, sx, sxy
 
 
@@ -933,11 +940,33 @@ def qx192_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     round vs SQL half-away can only differ on an exact decimal half,
     which is not representable in binary at the 1e-7 scale.)"""
     n, sx, sxy = _embedding_sufficient_stats(spark, sf_dir)
-    out = [
+    return spark.createDataFrame(
+        covariance_rows(n, sx, sxy), "i int, j int, cov double"
+    )
+
+
+def covariance_rows(n: int, sx: list, sxy: dict) -> list:
+    """(i, j, cov) combine shared by the one-shot (qx192) and the
+    streaming-store (qx200) paths — identical arithmetic over
+    identical integer-exact sums is what makes the two bit-equal."""
+    return [
         (i, j, round((n * sxy[(i, j)] - sx[i] * sx[j]) / (float(n) * n), 6))
         for (i, j) in sorted(sxy)
     ]
-    return spark.createDataFrame(out, "i int, j int, cov double")
+
+
+def decode_stat_sums(rows, n: int):
+    """(pos → decimal sum) rows back to (sx list, sxy dict) doubles —
+    the inverse of pca_stats_phase1's layout, shared with the
+    streaming store reader."""
+    sx = [None] * PCA_DIM
+    sxy = {}
+    for r in rows:
+        if r.pos < PCA_DIM:
+            sx[r.pos] = float(r.q) / PCA_Q
+        else:
+            sxy[_TRI_INDEX[r.pos - PCA_DIM]] = float(r.q) / PCA_Q
+    return sx, sxy
 
 
 @register(

@@ -1451,3 +1451,74 @@ def test_debounce_state_survives_checkpoint_restart(spark, tmp_path):
         1 for t in got if t[3] >= mid_dt
     )
     assert dropped_wave2 > 0
+
+
+def test_pca_stats_waves_equal_one_shot_bitwise(spark, tmp_path):
+    """The store's reason to exist: integer additivity makes the
+    wave-maintained statistics BIT-IDENTICAL to the one-shot pass over
+    the same corpus — every (pos, merged q) must match exactly, and n
+    must equal the vector count."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.functions.vectors import as_double
+    from bqfetch_spark.operators.similarity import pca_stats_phase1
+    from bqfetch_spark.streaming.pca_stats import (
+        merged_stats,
+        run_incremental_pca_stats,
+    )
+    from tests.conftest import SF_SMOKE
+
+    work = str(tmp_path / "pcastats")
+    cov = run_incremental_pca_stats(spark, SF_SMOKE, work)
+    assert cov.count() == 64 * 65 // 2
+
+    emb = load_catalog(spark, SF_SMOKE).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    one_shot = {
+        (r.pos, r.bkt): r.q1
+        for r in pca_stats_phase1(emb).collect()
+    }
+    store = spark.read.parquet(f"{work}/stats")
+    merged = {
+        (r.pos, r.bkt): r.q
+        for r in store.groupBy("pos", "bkt")
+        .agg(F.sum("q1").alias("q"))
+        .collect()
+    }
+    assert merged == one_shot  # exact long equality, every slot
+
+    n, sx, sxy = merged_stats(spark, f"{work}/stats")
+    assert n == emb.count()
+
+
+def test_pca_stats_wave_retry_is_idempotent(spark, tmp_path):
+    """A foreachBatch retry of the same wave (same batch_id) must
+    leave the merged statistics unchanged — dynamic overwrite of the
+    wave's own ingest_batch partition, never double-counted sums."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.functions.vectors import as_double
+    from bqfetch_spark.streaming.pca_stats import append_stats_wave
+    from tests.conftest import SF_SMOKE
+
+    emb = load_catalog(spark, SF_SMOKE).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    store = str(tmp_path / "stats")
+    wave = emb.filter(F.col("vec_id") % 2 == 1)
+    append_stats_wave(spark, wave, store, batch_id=3)
+    before = {
+        (r.pos, r.bkt): r.q
+        for r in spark.read.parquet(store)
+        .groupBy("pos", "bkt").agg(F.sum("q1").alias("q")).collect()
+    }
+    append_stats_wave(spark, wave, store, batch_id=3)  # simulated retry
+    after = {
+        (r.pos, r.bkt): r.q
+        for r in spark.read.parquet(store)
+        .groupBy("pos", "bkt").agg(F.sum("q1").alias("q")).collect()
+    }
+    assert after == before
