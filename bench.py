@@ -201,6 +201,23 @@ HEADLINE = [
     "qx181_calibration_curve",
     "qx182_classification_metrics",
     "qx183_cohen_kappa",
+    "qx184_trade_volume",
+    "qx185_product_profit",
+    "qx186_returned_items",
+    "qx187_priority_mix",
+    "qx188_customer_distribution",
+    "qx189_promo_share",
+    "qx190_supplier_cnt",
+    "qx191_embedding_clusters_scale",
+    "qx192_embedding_covariance",
+    "qx193_embedding_pca",
+    "qx194_mmr_rerank",
+    "qx195_length_bucketed_batches",
+    "qx196_holt_smoothing",
+    "qx197_vocab_oov_rate",
+    "qx198_dp_noisy_release",
+    "qx199_hybrid_retrieval_rrf",
+    "qx200_streaming_pca_stats",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess
