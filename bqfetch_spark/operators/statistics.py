@@ -637,7 +637,11 @@ def qx124_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "user_id": pdf["user_id"],
                 "event_id": pdf["event_id"],
-                "ema": ema.round(6),
+                # _sql_round6, not Series.round: pandas rounds
+                # half-even, SQL half-away — a decimal-grid EMA value
+                # landing on an exact 6dp half would flip the hash
+                # (the qx196 failure class, preempted here)
+                "ema": [_sql_round6(v) for v in ema],
             }
         )
 
