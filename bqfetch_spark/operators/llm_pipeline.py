@@ -955,3 +955,119 @@ def qx197_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_oov.cast("bigint").alias("n_oov"),
         r6(n_oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx201 — shingle-containment pairs (doc-inside-doc detection)
+# ---------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.8  # fraction of the SMALLER side's surviving shingles
+CONTAIN_MIN_GRAMS = 5  # ignore docs with fewer surviving shingles
+
+CONTAINMENT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+  FROM toks
+  WHERE len(t) >= 3
+),
+flat AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, unnest(gs) AS g FROM grams
+  )
+  QUALIFY count(*) OVER (PARTITION BY g) <= {SHINGLE_DF_CAP}
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_surv FROM flat GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         count(*) AS n_shared
+  FROM flat a JOIN flat b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT contained_id, container_id, CAST(n_shared AS BIGINT) AS n_shared,
+       round(CAST(n_shared AS DOUBLE) / sa.n_surv, 6) AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = contained_id
+WHERE sa.n_surv >= {CONTAIN_MIN_GRAMS}
+  AND round(CAST(n_shared AS DOUBLE) / sa.n_surv, 6) >= {CONTAIN_THRESHOLD}
+"""
+
+
+@register(
+    "qx201_containment_pairs",
+    oracle=CONTAINMENT_ORACLE,
+    doc="asymmetric shingle containment: docs mostly contained inside another doc",
+    tags=("dedup", "jaccard", "containment"),
+)
+def qx201_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup containment — the case symmetric Jaccard
+    (q46) misses by construction: a short document quoted wholesale
+    inside a long one has tiny Jaccard (union is dominated by the long
+    side) but containment ≈ 1 on the short side. This is the crawl
+    reality of quoted articles, syndicated excerpts, and boilerplate
+    wrappers, and the standard keep-rule is "drop the contained doc".
+
+    containment(A→B) = |S_A ∩ S_B| / |S_A| over the DF-capped shingle
+    sets (denominator = SURVIVING shingles, unlike q46's all-shingle
+    denominator: with hot shingles excluded from the numerator by the
+    cap, an all-shingle denominator could never reach 1.0 for docs
+    containing boilerplate — the capped-set containment is the
+    comparable quantity). Ordered pairs (a ≠ b, both directions) from
+    the same shared-shingle equi-join as q46 — never O(n²); docs with
+    < CONTAIN_MIN_GRAMS surviving shingles are excluded (a 3-shingle
+    doc is "contained" in anything). Plan shape matches q46: one g
+    exchange serves the DF-cap window, the self-join, and the
+    surviving-size aggregate."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    np = shuffle_partitions(spark)
+    t = F.split(F.col("text"), " ")
+    tokenized = (
+        docs.select("doc_id", "text")
+        .repartition(np, "doc_id")
+        .select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 3)
+    )
+    n2 = F.size("t") - 2
+    z = F.arrays_zip(
+        F.slice("t", 1, n2).alias("w1"),
+        F.slice("t", 2, n2).alias("w2"),
+        F.slice("t", 3, n2).alias("w3"),
+    )
+    fr = (
+        tokenized.select("doc_id", F.explode(z).alias("z"))
+        .select("doc_id", F.concat_ws(" ", "z.w1", "z.w2", "z.w3").alias("g"))
+        .dropDuplicates(["doc_id", "g"])
+        .repartition(np, "g")
+    )
+    flat = (
+        fr.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("__df") <= SHINGLE_DF_CAP)
+        .drop("__df")
+    )
+    sizes = flat.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_surv"))
+    a, b = flat.alias("a"), flat.alias("b")
+    shared = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained_id"),
+            F.col("b.doc_id").alias("container_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    cont = r6(F.col("n_shared").cast("double") / F.col("sa.n_surv"))
+    return (
+        shared.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("contained_id"))
+        .filter(F.col("sa.n_surv") >= CONTAIN_MIN_GRAMS)
+        .select("contained_id", "container_id", "n_shared", cont.alias("containment"))
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+    )

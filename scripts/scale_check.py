@@ -787,6 +787,33 @@ def main() -> None:
     assert worst <= 20, f"sq8-scoring super-linear: worst ratio {worst:.1f}"
     print("sq8-scoring scaling OK")
 
+    # --- qx192 PCA sufficient statistics at 10× vectors ---------------
+    # the one-pass Gram trick's claim: the shuffle carries ~2144 rows
+    # PER TASK regardless of corpus size, so 10× vectors must cost
+    # ~10× map work and identical reduce work — linear wall, constant
+    # output (2144-row frame both sizes)
+    from bqfetch_spark.operators.similarity import pca_stats_phase1
+
+    def pca_stats_shape(df):
+        e = df.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        return pca_stats_phase1(e).groupBy("pos").agg(
+            F.sum(F.col("q1").cast("decimal(38,0)")).alias("q")
+        )
+
+    worst = 0.0
+    for i in range(2):
+        t0 = time.time()
+        ns = pca_stats_shape(small_v).count()
+        ts = time.time() - t0
+        t0 = time.time()
+        nb = pca_stats_shape(big_v).count()
+        tb = time.time() - t0
+        ratio = tb / ts
+        worst = max(worst, ratio)
+        print(f"pca-stats round{i}: small={ts:.2f}s ({ns}) big={tb:.2f}s ({nb}) ratio={ratio:.1f}")
+    assert worst <= 20, f"pca-stats super-linear: worst ratio {worst:.1f}"
+    print("pca-stats scaling OK")
+
     shutil.rmtree(tmp, ignore_errors=True)
 
 

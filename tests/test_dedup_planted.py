@@ -195,3 +195,50 @@ def test_bloom_handles_extreme_fingerprints(spark):
     flags = bloom_maybe_contains(stored, bloom).collect()
     assert len(flags) == len(vals)
     assert all(r.bloom_maybe for r in flags), flags
+
+
+def test_containment_finds_planted_quote_asymmetrically(spark, tmp_path):
+    """A short doc quoted wholesale inside a long one must surface as
+    (short contained-in long) with containment ~1.0, while the reverse
+    direction (long contained-in short) must NOT clear the threshold —
+    the asymmetry symmetric Jaccard cannot express. Runs the real
+    registered operator over a planted corpus directory."""
+    from bqfetch_spark.operators.llm_pipeline import qx201_containment_pairs
+
+    quote = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    filler = (
+        "completely unrelated framing prose about distributed query "
+        "engines columnar layouts shuffle services and adaptive plans "
+    )
+    long_doc = filler + quote + " closing remarks about nothing in particular"
+    other = (
+        "third document with its own content mentioning streams state "
+        "stores watermarks and recursive common table expressions only"
+    )
+    rows = [(0, quote), (1, long_doc), (2, other)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    # load_catalog loads every table eagerly — satisfy it by symlinking
+    # the untouched fixture tables beside the planted documents
+    import os
+
+    from bqfetch_spark.catalog import TABLES
+
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(
+                f"/root/testdata/sf0.001/{t}.parquet", str(tmp_path / f"{t}.parquet")
+            )
+
+    out = {
+        (r.contained_id, r.container_id): r.containment
+        for r in qx201_containment_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) in out and out[(0, 1)] >= 0.8
+    assert (1, 0) not in out  # asymmetry: the long side is not contained
+    assert all(0.8 <= c <= 1.0 for c in out.values())
+    assert not any(2 in pair for pair in out)  # unrelated doc untouched
