@@ -337,3 +337,168 @@ def qx165_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(c - n_tokens) div {SEQ_LEN}").cast("bigint").alias("start_seq"),
         ((F.col("c") - F.col("n_tokens")) % SEQ_LEN).cast("bigint").alias("start_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx202 — round-7 curation pipeline: rules → exact dedup → containment
+#          drop → length-bucketed batches
+# ---------------------------------------------------------------------------
+
+from bqfetch_spark.operators.corpus import BATCH_SIZE  # noqa: E402
+from bqfetch_spark.operators.llm_pipeline import (  # noqa: E402
+    CONTAIN_MIN_GRAMS,
+    CONTAIN_THRESHOLD,
+    SHINGLE_DF_CAP,
+)
+
+CURATION_V3_ORACLE = f"""
+WITH keep AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_intersect(string_split(text, ' '), [{_STOP_SQL}])) AS n_stop
+    FROM documents
+  ) WHERE n_words >= {GOPHER_MIN_WORDS} AND n_stop >= {GOPHER_MIN_STOPWORDS}
+),
+deduped AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM keep
+  ) WHERE rn = 1
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM deduped),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+  FROM toks WHERE len(t) >= 3
+),
+flat AS (
+  SELECT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+  QUALIFY count(*) OVER (PARTITION BY g) <= {SHINGLE_DF_CAP}
+),
+sizes AS (SELECT doc_id, count(*) AS n_surv FROM flat GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS n_shared
+  FROM flat a JOIN flat b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT p.x AS doc_id
+  FROM pairs p
+  JOIN sizes sx ON sx.doc_id = p.x
+  JOIN sizes sy ON sy.doc_id = p.y
+  WHERE sx.n_surv >= {CONTAIN_MIN_GRAMS}
+    AND round(CAST(p.n_shared AS DOUBLE) / sx.n_surv, 6) >= {CONTAIN_THRESHOLD}
+    AND (round(CAST(p.n_shared AS DOUBLE) / sy.n_surv, 6) < {CONTAIN_THRESHOLD}
+         OR p.y < p.x)
+),
+surv AS (
+  SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+  FROM deduped d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rk
+  FROM surv
+)
+SELECT doc_id, n_tokens, CAST(rk // {BATCH_SIZE} AS BIGINT) AS batch_id
+FROM ranked
+"""
+
+
+@register(
+    "qx202_curation_pipeline_v3",
+    oracle=CURATION_V3_ORACLE,
+    doc="Round-7 chain: Gopher rules -> exact dedup -> containment drop -> length batches",
+    tags=("pipeline", "dedup", "containment", "batching"),
+)
+def qx202_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 operators composed as ONE lazy plan, the order a
+    crawl-to-SFT pipeline runs them: Gopher rule filter (qx156's
+    length-invariant subset) → exact dedup (q40's keeper rule) →
+    CONTAINMENT drop (qx201: a doc ≥80% shingle-contained in another
+    surviving doc is dropped — quoted/excerpted copies; mutual
+    containment keeps the lower doc_id; the drop rule tests against
+    ALL dedup survivors in one pass, not iteratively, so it is
+    order-free and SQL-expressible) → length-bucketed batch assembly
+    (qx195) over what remains, emitting per-doc batch assignments.
+
+    Cross-stage pushdown is the point of the single plan: the rule
+    filter and exact dedup shrink the corpus BEFORE the shingle
+    explode (the expensive stage) ever runs. Constants are imported
+    from the standalone ops so thresholds cannot drift. Exchange
+    count: text-dedup window, one g exchange (cap window + self-join +
+    sizes), pair groupBy, drop anti-join, then qx195's range-exchange
+    rank — text itself crosses the wire once, for the dedup window."""
+    from bqfetch_spark.plans.ranks import with_global_rank
+
+    docs = load_catalog(spark, sf_dir).table("documents")
+    np = shuffle_partitions(spark)
+    words = F.split("text", " ")
+    n_stop = F.size(
+        F.array_intersect(words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    keep = docs.filter(
+        (F.size(words) >= GOPHER_MIN_WORDS) & (n_stop >= GOPHER_MIN_STOPWORDS)
+    ).select("doc_id", "text")
+    dedup_w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        keep.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+
+    t = F.split(F.col("text"), " ")
+    tokenized = deduped.select("doc_id", t.alias("t")).filter(F.size("t") >= 3)
+    n2 = F.size("t") - 2
+    z = F.arrays_zip(
+        F.slice("t", 1, n2).alias("w1"),
+        F.slice("t", 2, n2).alias("w2"),
+        F.slice("t", 3, n2).alias("w3"),
+    )
+    fr = (
+        tokenized.select("doc_id", F.explode(z).alias("z"))
+        .select("doc_id", F.concat_ws(" ", "z.w1", "z.w2", "z.w3").alias("g"))
+        .dropDuplicates(["doc_id", "g"])
+        .repartition(np, "g")
+    )
+    flat = (
+        fr.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("__df") <= SHINGLE_DF_CAP)
+        .drop("__df")
+    )
+    sizes = flat.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_surv"))
+    a, b = flat.alias("a"), flat.alias("b")
+    pairs = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sx, sy = sizes.alias("sx"), sizes.alias("sy")
+    cx = r6(F.col("n_shared").cast("double") / F.col("sx.n_surv"))
+    cy = r6(F.col("n_shared").cast("double") / F.col("sy.n_surv"))
+    dropped = (
+        pairs.join(F.broadcast(sx), F.col("sx.doc_id") == F.col("x"))
+        .join(F.broadcast(sy), F.col("sy.doc_id") == F.col("y"))
+        .filter(
+            (F.col("sx.n_surv") >= CONTAIN_MIN_GRAMS)
+            & (cx >= CONTAIN_THRESHOLD)
+            & ((cy < CONTAIN_THRESHOLD) | (F.col("y") < F.col("x")))
+        )
+        .select(F.col("x").alias("doc_id"))
+        .distinct()
+    )
+    surv = deduped.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    ranked = with_global_rank(surv, ["n_tokens", "doc_id"], np, rank_col="__rank")
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        ((F.col("__rank") - 1) / BATCH_SIZE).cast("bigint").alias("batch_id"),
+    )
