@@ -689,3 +689,89 @@ def qx163_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("slot") <= RATE_LIMIT_N)
         .select("event_id", "user_id", "ts", "slot", win.alias("window_start"))
     )
+
+
+# ---------------------------------------------------------------------------
+# qx203 — peak interval concurrency (sweep line over ±1 deltas)
+# ---------------------------------------------------------------------------
+
+CONCURRENCY_HOLD_MIN = 10  # each event holds a resource for 10 minutes
+
+PEAK_CONCURRENCY_ORACLE = f"""
+WITH deltas AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL {CONCURRENCY_HOLD_MIN} MINUTE, -1 FROM events
+),
+walked AS (
+  SELECT event_type, t, delta,
+         sum(delta) OVER (ORDER BY event_type, t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM deltas
+),
+peaks AS (
+  SELECT event_type, max(cum) AS peak FROM walked GROUP BY event_type
+)
+SELECT w.event_type,
+       CAST(p.peak AS BIGINT) AS peak_concurrency,
+       min(w.t) AS first_peak_at
+FROM walked w JOIN peaks p
+  ON p.event_type = w.event_type AND w.cum = p.peak
+GROUP BY w.event_type, p.peak
+"""
+
+
+@register(
+    "qx203_peak_concurrency",
+    oracle=PEAK_CONCURRENCY_ORACLE,
+    doc="peak concurrent 10-minute event intervals per type (sweep line)",
+    tags=("events", "temporal", "sweep-line"),
+)
+def qx203_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency — the capacity-planning sweep line: each event
+    holds a resource for CONCURRENCY_HOLD_MIN minutes; the answer is
+    the maximum number of simultaneously-open intervals per type (and
+    when it is first reached). The classic spelling is ±1 deltas at
+    interval starts/ends walked in time order with a running sum.
+
+    Scale shape — the reason this operator is interesting on Spark:
+    the walk needs a PER-TYPE time ordering, and a per-type window is
+    a skew trap (one hot type = one giant sorting task). Instead the
+    deltas ride plans/ranks' range-exchange GLOBAL cumsum ordered by
+    (event_type, t, delta) — and because every +1 has a matching −1,
+    each type's deltas sum to zero, so the global running sum RESETS
+    to exactly zero at every type boundary and IS the per-type
+    concurrency walk. No per-type task ever sorts more than one range
+    partition. Ordering (t, delta) processes interval ENDS before the
+    starts sharing their timestamp (half-open [t, t+10min)); ties
+    among equal (t, delta) rows permute prefix values without
+    changing the prefix-value multiset, so the max is deterministic.
+    first_peak_at is the min t attaining the peak — deterministic,
+    ties collapse."""
+    from bqfetch_spark.plans.ranks import with_global_cumsum
+    from bqfetch_spark.session import shuffle_partitions
+
+    ev = load_catalog(spark, sf_dir).table("events").select("event_type", "ts")
+    starts = ev.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr(f"INTERVAL {CONCURRENCY_HOLD_MIN} MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = starts.unionByName(ends)
+    walked = with_global_cumsum(
+        deltas, ["event_type", "t", "delta"], "delta",
+        shuffle_partitions(spark), "cum",
+    )
+    peaks = walked.groupBy("event_type").agg(F.max("cum").alias("peak"))
+    return (
+        walked.join(F.broadcast(peaks), "event_type")
+        .filter(F.col("cum") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.min("t").alias("first_peak_at"))
+        .select(
+            "event_type",
+            F.col("peak").cast("bigint").alias("peak_concurrency"),
+            "first_peak_at",
+        )
+    )
