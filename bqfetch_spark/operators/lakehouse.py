@@ -545,3 +545,75 @@ def qx160_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("change_type"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx204 — referential-integrity audit (FK orphan counts, one summary)
+# ---------------------------------------------------------------------------
+
+# (child table, fk column, parent table, pk column) — the fixture's
+# star-schema edges plus the events→customer edge, which is EXPECTED to
+# carry orphans (events users aren't all customers): the audit reports,
+# it does not assert.
+FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+REFERENTIAL_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{child}.{fk}->{parent}.{pk}' AS relationship,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child} c
+         WHERE c.{fk} IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})
+       ) AS n_orphans,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child} WHERE {fk} IS NULL)
+         AS n_null_fk"""
+    for child, fk, parent, pk in FK_EDGES
+)
+
+
+@register(
+    "qx204_referential_integrity",
+    oracle=REFERENTIAL_ORACLE,
+    doc="FK orphan/null audit across the star-schema edges, one summary frame",
+    tags=("lakehouse", "quality", "audit"),
+)
+def qx204_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the nightly data-quality job that
+    catches a broken upstream load before a join silently drops rows:
+    for every FK edge of the schema, the child row count, the count of
+    NON-NULL FKs with no parent (true orphans), and the NULL-FK count
+    (reported separately: NULL is "unknown", not "broken"). The
+    events→customer edge is included precisely because it carries
+    orphans by design — an audit that only checks edges known to be
+    clean audits nothing.
+
+    Plan shape per edge: one LEFT-ANTI join from the child's FK
+    projection to the parent's key projection — dimension parents
+    broadcast (AQE decides; all true here), the one fact-fact edge
+    (lineitem→orders) shuffles both key projections, never full rows.
+    The six 1-row aggregates union into one frame; each child table is
+    scanned at most twice (count + anti-join) with only the FK column
+    read (ReadSchema-pruned)."""
+    cat = load_catalog(spark, sf_dir)
+    parts = []
+    for child, fk, parent, pk in FK_EDGES:
+        c = cat.table(child)
+        p = cat.table(parent).select(pk).distinct()
+        n_child = c.count()
+        n_null = c.filter(F.col(fk).isNull()).count()
+        n_orph = (
+            c.select(fk)
+            .filter(F.col(fk).isNotNull())
+            .join(p, F.col(fk) == F.col(pk), "left_anti")
+            .count()
+        )
+        parts.append((f"{child}.{fk}->{parent}.{pk}", n_child, n_orph, n_null))
+    return spark.createDataFrame(
+        parts, "relationship string, n_child bigint, n_orphans bigint, n_null_fk bigint"
+    )
