@@ -2674,3 +2674,111 @@ def qx196_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         holt_group, "user_id bigint, event_id bigint, level double, trend double"
     )
+
+
+# ---------------------------------------------------------------------------
+# qx205 — multi-feature OLS per group (normal equations, exact moments)
+# ---------------------------------------------------------------------------
+
+# Cramer cofactor spelling shared VERBATIM (variable-for-variable) by
+# the SQL oracle and the Python combine — identical IEEE expressions
+# over identical exact-moment doubles ⇒ bit-identical coefficients.
+_OLS2_DET = "(m00*(m11*m22 - m12*m12) - m01*(m01*m22 - m12*m02) + m02*(m01*m12 - m11*m02))"
+_OLS2_B0 = "(sy*(m11*m22 - m12*m12) - m01*(s1y*m22 - m12*s2y) + m02*(s1y*m12 - m11*s2y))"
+_OLS2_B1 = "(m00*(s1y*m22 - s2y*m12) - sy*(m01*m22 - m12*m02) + m02*(m01*s2y - s1y*m02))"
+_OLS2_B2 = "(m00*(m11*s2y - m12*s1y) - m01*(m01*s2y - s1y*m02) + sy*(m01*m12 - m11*m02))"
+
+OLS2_ORACLE = f"""
+WITH feat AS (
+  SELECT event_type,
+         extract(hour FROM ts) AS x1,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x2,
+         CAST(value AS DECIMAL(18,6)) AS y
+  FROM events
+),
+mom AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS m00,
+         CAST(sum(x1) AS DOUBLE) AS m01,
+         CAST(sum(x2) AS DOUBLE) AS m02,
+         CAST(sum(x1 * x1) AS DOUBLE) AS m11,
+         CAST(sum(x1 * x2) AS DOUBLE) AS m12,
+         CAST(sum(x2 * x2) AS DOUBLE) AS m22,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+         CAST(sum(x2 * y) AS DOUBLE) AS s2y
+  FROM feat GROUP BY event_type
+)
+SELECT event_type,
+       CASE WHEN {_OLS2_DET} = 0 THEN NULL
+            ELSE round({_OLS2_B0} / {_OLS2_DET}, 6) END AS intercept,
+       CASE WHEN {_OLS2_DET} = 0 THEN NULL
+            ELSE round({_OLS2_B1} / {_OLS2_DET}, 6) END AS beta_hour,
+       CASE WHEN {_OLS2_DET} = 0 THEN NULL
+            ELSE round({_OLS2_B2} / {_OLS2_DET}, 6) END AS beta_day
+FROM mom
+"""
+
+
+@register(
+    "qx205_ols_multifeature",
+    oracle=OLS2_ORACLE,
+    doc="per-type 2-feature OLS (hour, day index) via exact normal-equation moments",
+    tags=("statistics", "regression"),
+)
+def qx205_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature OLS per event type — qx129's trend fit grown to
+    two regressors (hour-of-day, day index since 2024-01-01) plus
+    intercept: value ≈ β₀ + β₁·hour + β₂·day, the seasonality-vs-drift
+    decomposition a metrics pipeline fits per segment. The 100 TB
+    shape is the qx152/qx192 sufficient-statistics pattern: ONE
+    partial-aggregated scan reduces the facts to 9 exact moments per
+    group (integer features × DECIMAL(18,6) values — order-exact
+    sums), the 3×3 normal equations solve DRIVER-side on the
+    |types|-row frame (Cramer cofactors; distributing a 3×3 solve
+    would be theater), and the cofactor expression is shared verbatim
+    with the oracle so the doubles agree bit-for-bit. Day index via
+    explicit date arithmetic, not dayofweek (Spark counts 1=Sunday,
+    DuckDB 0=Sunday — a cross-engine trap). Singular groups (det=0)
+    yield NULL coefficients in both engines."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    feat = ev.select(
+        "event_type",
+        F.hour("ts").alias("x1"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("x2"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    mom = feat.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m00"),
+        F.sum("x1").alias("m01"),
+        F.sum("x2").alias("m02"),
+        F.sum(F.col("x1") * F.col("x1")).alias("m11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("m12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("m22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1").cast("decimal(18,6)") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2").cast("decimal(18,6)") * F.col("y")).alias("s2y"),
+    )
+    out = []
+    for r in mom.collect():
+        m00, m01, m02 = float(r.m00), float(r.m01), float(r.m02)
+        m11, m12, m22 = float(r.m11), float(r.m12), float(r.m22)
+        sy, s1y, s2y = float(r.sy), float(r.s1y), float(r.s2y)
+        det = m00*(m11*m22 - m12*m12) - m01*(m01*m22 - m12*m02) + m02*(m01*m12 - m11*m02)
+        if det == 0:
+            out.append((r.event_type, None, None, None))
+            continue
+        b0 = sy*(m11*m22 - m12*m12) - m01*(s1y*m22 - m12*s2y) + m02*(s1y*m12 - m11*s2y)
+        b1 = m00*(s1y*m22 - s2y*m12) - sy*(m01*m22 - m12*m02) + m02*(m01*s2y - s1y*m02)
+        b2 = m00*(m11*s2y - m12*s1y) - m01*(m01*s2y - s1y*m02) + sy*(m01*m12 - m11*m02)
+        out.append(
+            (
+                r.event_type,
+                _sql_round6(b0 / det),
+                _sql_round6(b1 / det),
+                _sql_round6(b2 / det),
+            )
+        )
+    return spark.createDataFrame(
+        out, "event_type string, intercept double, beta_hour double, beta_day double"
+    )

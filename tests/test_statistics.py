@@ -527,3 +527,43 @@ def test_qx196_holt_covers_every_event_once(spark):
     )
     j = out.join(first, "event_id")
     assert j.filter((F.col("trend") != 0.0) | (F.col("level") != F.col("x0"))).count() == 0
+
+
+def test_qx205_recovers_planted_plane(spark, tmp_path):
+    """Planted y = 2 + 0.5*hour + 3*day (exact, no noise) must come
+    back with the exact coefficients; a constant-feature group
+    (singular normal matrix) must yield NULLs, not a crash."""
+    import datetime
+    import os
+
+    from bqfetch_spark.catalog import TABLES
+    from bqfetch_spark.operators.statistics import qx205_ols_multifeature
+
+    rows = []
+    eid = 0
+    for day in range(3):
+        for hour in range(0, 24, 3):
+            ts = datetime.datetime(2024, 1, 1 + day, hour, 0, 0)
+            rows.append((eid, ts, 1, "plane", 2.0 + 0.5 * hour + 3.0 * day, "{}"))
+            eid += 1
+    # singular: every observation at the same (hour, day)
+    for i in range(5):
+        rows.append(
+            (eid, datetime.datetime(2024, 1, 1, 6, 0, 0), 2, "flat", 9.0, "{}")
+        )
+        eid += 1
+    spark.createDataFrame(rows, EV_SCHEMA).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    for t in TABLES:
+        if t != "events":
+            os.symlink(
+                f"/root/testdata/sf0.001/{t}.parquet", str(tmp_path / f"{t}.parquet")
+            )
+
+    got = {r.event_type: r for r in qx205_ols_multifeature(spark, str(tmp_path)).collect()}
+    assert got["plane"].intercept == 2.0
+    assert got["plane"].beta_hour == 0.5
+    assert got["plane"].beta_day == 3.0
+    assert got["flat"].intercept is None
+    assert got["flat"].beta_hour is None
