@@ -1071,3 +1071,115 @@ def qx201_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("contained_id", "container_id", "n_shared", cont.alias("containment"))
         .filter(F.col("containment") >= CONTAIN_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# qx206 — feature hashing (the hashing trick) for text
+# ---------------------------------------------------------------------------
+
+HASH_DIM = 1024  # feature-space size (power of two, as usual)
+
+FEATURE_HASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+bucketed AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % {HASH_DIM}
+              AS BIGINT) AS bucket
+  FROM toks
+)
+SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+FROM bucketed
+GROUP BY doc_id, bucket
+"""
+
+
+@register(
+    "qx206_feature_hashing",
+    oracle=FEATURE_HASH_ORACLE,
+    doc="hashing-trick sparse features: (doc, md5-bucket, tf) in a fixed 1024-dim space",
+    tags=("text", "features", "hashing"),
+)
+def qx206_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick — fixed-dimensional sparse text features with
+    NO vocabulary state: every token maps to bucket = md5-prefix mod
+    HASH_DIM, and a document becomes its (bucket, tf) pairs. This is
+    what makes featurization embarrassingly parallel at 100 TB: no
+    vocabulary build, no broadcast dictionary, no OOV concept — each
+    row is featurized from its own bytes (contrast qx197, which
+    exists precisely to measure what a FIXED vocabulary misses).
+    md5 rather than xxhash because the bucket assignment must be
+    engine-portable (the q72 convention); collisions are the accepted
+    trade of the trick and are deterministic.
+
+    Plan: one token explode → one (doc_id, bucket) partial-aggregated
+    exchange. Output is the sparse COO frame — the join-ready shape
+    for a downstream linear model or MinHash over buckets."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint") % HASH_DIM
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx207 — inverted-index construction (posting lists for rare tokens)
+# ---------------------------------------------------------------------------
+
+POSTING_DF_CAP = 50  # tokens in more docs than this are stop-worded out
+
+INVERTED_INDEX_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+df AS (
+  SELECT token, count(*) AS doc_freq FROM toks GROUP BY token
+)
+SELECT t.token,
+       CAST(d.doc_freq AS BIGINT) AS doc_freq,
+       list(t.doc_id ORDER BY t.doc_id) AS postings
+FROM toks t JOIN df d ON d.token = t.token
+WHERE d.doc_freq <= {POSTING_DF_CAP}
+GROUP BY t.token, d.doc_freq
+"""
+
+
+@register(
+    "qx207_inverted_index",
+    oracle=INVERTED_INDEX_ORACLE,
+    doc="inverted index: sorted posting list per rare token (df-capped)",
+    tags=("text", "retrieval", "index"),
+)
+def qx207_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the materialized scale path
+    qx199's lexical leg and qx148's BM25 promise: (token → sorted
+    posting list) for every token at or under POSTING_DF_CAP document
+    frequency (hot tokens are stop-words for retrieval purposes and
+    their posting lists are the index's storage/skew pathology — the
+    same df-cap philosophy as the shingle join's SHINGLE_DF_CAP).
+
+    Plan: one distinct (doc, token) exchange serves both the df count
+    and the posting aggregation (same-key re-aggregation, no second
+    shuffle of the token stream); sort_array makes the list order
+    deterministic rather than collection-order — WRITTEN indexes must
+    be byte-stable across reruns or incremental maintenance can't
+    diff them. Posting lists are bounded by the cap, so collect_list
+    here is bounded fan-in, not a concentration risk."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    w = Window.partitionBy("token")
+    return (
+        toks.withColumn("doc_freq", F.count(F.lit(1)).over(w))
+        .filter(F.col("doc_freq") <= POSTING_DF_CAP)
+        .groupBy("token", F.col("doc_freq").cast("bigint").alias("doc_freq"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
