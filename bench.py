@@ -218,6 +218,14 @@ HEADLINE = [
     "qx198_dp_noisy_release",
     "qx199_hybrid_retrieval_rrf",
     "qx200_streaming_pca_stats",
+    "qx201_containment_pairs",
+    "qx202_curation_pipeline_v3",
+    "qx203_peak_concurrency",
+    "qx204_referential_integrity",
+    "qx205_ols_multifeature",
+    "qx206_feature_hashing",
+    "qx207_inverted_index",
+    "qx208_embedding_whitening",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -1360,3 +1360,68 @@ def qx199_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(fused_w).cast("bigint"))
         .filter(F.col("rank") <= RRF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# qx208 — ZCA whitening (covariance → identity, minimal rotation)
+# ---------------------------------------------------------------------------
+
+ZCA_EPS = 1e-5  # eigenvalue floor: don't amplify near-null directions
+
+
+@register(
+    "qx208_embedding_whitening",
+    oracle=None,
+    doc="ZCA-whitened embeddings: W = U diag(1/sqrt(l+eps)) U^T over qx192's stats",
+    tags=("similarity", "pca", "whitening"),
+)
+def qx208_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening — the preprocessing that makes cosine behave on
+    anisotropic embedding spaces (dominant directions stop swamping
+    the similarity; the standard fix for the 'all embeddings are
+    similar' pathology before dedup/ANN): x ↦ U diag(1/√(λ+ε)) Uᵀ
+    (x − μ), the unique whitener CLOSEST to the identity, so whitened
+    vectors stay interpretable. Same execution shape as qx193: exact
+    one-pass sufficient statistics (qx192's fixed-point sums →
+    bit-stable eigendecomposition), driver-side 64×64 eigh, then the
+    64×64 whitening matrix folds per row as broadcast-literal
+    zip_with/aggregate expressions — map-only, JVM-side, no second
+    shuffle. ε floors near-null eigenvalues so noise directions are
+    not amplified 1/√λ → ∞. Rows-only (no SQL eigendecomposition);
+    the whitened covariance ≈ I property — the operator's entire
+    point — is pytest-gated (tests/test_ann_recall.py), which an
+    output-hash oracle could not express anyway."""
+    import numpy as np
+
+    n, sx, sxy = _embedding_sufficient_stats(spark, sf_dir)
+    sx_f = np.array(sx)
+    cov = np.zeros((PCA_DIM, PCA_DIM))
+    for (i, j), s in sxy.items():
+        c = (n * s - sx_f[i] * sx_f[j]) / (float(n) * n)
+        cov[i, j] = cov[j, i] = c
+    mu = sx_f / n
+    evals, evecs = np.linalg.eigh(cov)
+    wmat = evecs @ np.diag(1.0 / np.sqrt(np.maximum(evals, 0.0) + ZCA_EPS)) @ evecs.T
+
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    centered = F.zip_with(
+        "v", F.array(*[F.lit(float(m)) for m in mu]), lambda x, y: x - y
+    )
+    projected = emb.select("vec_id", centered.alias("vc"))
+    comps = [
+        r6(
+            F.aggregate(
+                F.zip_with(
+                    "vc",
+                    F.array(*[F.lit(float(w)) for w in wmat[k]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        for k in range(PCA_DIM)
+    ]
+    return projected.select("vec_id", F.array(*comps).alias("whitened"))

@@ -412,3 +412,43 @@ def test_qx199_fusion_uses_both_legs(spark):
     assert all(len(v) == 10 for v in fused.values())
     assert any(fused[q] != vec[q] for q in fused)  # lexical leg moved the cut
     assert any(fused[q] & vec[q] for q in fused)  # vector leg still present
+
+
+def test_qx208_whitening_identity_covariance(spark):
+    """The operator's entire point: the covariance of the whitened
+    vectors must be ~identity (diagonal within eps-tolerance of 1,
+    off-diagonals ~0), and the transform must be the ZCA one — closest
+    to identity, i.e. NOT a rotation into PC axes: whitened vectors
+    must correlate positively with their originals."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.similarity import qx208_embedding_whitening
+    from tests.conftest import SF_CORRECT
+
+    out = qx208_embedding_whitening(spark, SF_CORRECT).collect()
+    W = np.array([r.whitened for r in out])
+    cov = np.cov(W.T, bias=True)
+    d = np.diag(cov)
+    assert np.all(np.abs(d - 1.0) < 0.05), (d.min(), d.max())
+    off = cov - np.diag(d)
+    assert np.max(np.abs(off)) < 0.05
+
+    ids = [r.vec_id for r in out]
+    X = {
+        r.vec_id: np.array(r.v)
+        for r in load_catalog(spark, SF_CORRECT)
+        .table("embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    }
+    Xm = np.array([X[i] for i in ids])
+    Xc = Xm - Xm.mean(axis=0)
+    # ZCA (vs PCA rotation): per-dimension correlation with the input
+    # stays positive — the whitener is the one nearest the identity
+    corr = [
+        float(np.corrcoef(Xc[:, k], W[:, k])[0, 1]) for k in range(Xc.shape[1])
+    ]
+    assert min(corr) > 0.0, min(corr)
