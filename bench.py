@@ -226,6 +226,7 @@ HEADLINE = [
     "qx206_feature_hashing",
     "qx207_inverted_index",
     "qx208_embedding_whitening",
+    "qx209_zipf_slope",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

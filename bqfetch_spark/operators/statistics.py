@@ -2782,3 +2782,100 @@ def qx205_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "event_type string, intercept double, beta_hour double, beta_day double"
     )
+
+
+# ---------------------------------------------------------------------------
+# qx209 — Zipf slope of the token frequency distribution
+# ---------------------------------------------------------------------------
+
+ZIPF_MIN_FREQ = 2  # hapax cutoff: rank-frequency fit over tokens seen >= 2×
+
+ZIPF_ORACLE = f"""
+WITH freq AS (
+  SELECT token, count(*) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+  HAVING count(*) >= {ZIPF_MIN_FREQ}
+),
+ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, token) AS DOUBLE)) AS lx,
+         ln(CAST(f AS DOUBLE)) AS ly
+  FROM freq
+),
+mom AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(lx AS DECIMAL(28,18))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ly AS DECIMAL(28,18))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(lx * lx AS DECIMAL(28,18))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(lx * ly AS DECIMAL(28,18))) AS DOUBLE) AS sxy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS zipf_intercept
+FROM mom
+"""
+
+
+@register(
+    "qx209_zipf_slope",
+    oracle=ZIPF_ORACLE,
+    doc="log-log OLS slope of the token rank-frequency curve (Zipf diagnostic)",
+    tags=("text", "statistics", "corpus-health"),
+)
+def qx209_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf diagnostic — natural corpora follow freq ∝ rank^s with
+    s ≈ −1; a corpus whose fitted slope drifts far from that is
+    telling you something upstream broke (template spam flattens the
+    head, aggressive dedup starves the tail, OCR noise fattens the
+    hapax mass — hence the ≥2 cutoff). One token exchange produces
+    exact frequencies; the frequency RANK is the range-exchange global
+    rank (no single-task vocabulary sort — the vocabulary of 100 TB
+    of text is itself big data); the log-log OLS reduces to 5 moments
+    via one more partial-aggregated pass and the closed form evaluates
+    on the 1-row frame.
+
+    Float parity note: Σln(rank) sums DOUBLES, whose partial-agg order
+    Spark does not fix — unlike the engine's usual exact-DECIMAL sums,
+    ln() values have no exact representation to sum. The moments are
+    instead summed as DECIMAL(28,18)-cast ln values: the CAST of the
+    identical IEEE ln double is identical in both engines, and decimal
+    sums are order-exact, so the slope is bit-stable. (The oracle
+    spells the same casts.)"""
+    from bqfetch_spark.plans.ranks import with_global_rank
+    from bqfetch_spark.session import shuffle_partitions
+
+    docs = load_catalog(spark, sf_dir).table("documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.col("f") >= ZIPF_MIN_FREQ)
+    )
+    # rank by frequency desc: spell as ascending keys for the range
+    # exchange (negative f), token tie-break
+    ranked = with_global_rank(
+        freq.withColumn("negf", -F.col("f")),
+        ["negf", "token"],
+        shuffle_partitions(spark),
+        rank_col="__rank",
+    ).select(
+        F.log(F.col("__rank").cast("double")).alias("lx"),
+        F.log(F.col("f").cast("double")).alias("ly"),
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("lx").cast("decimal(28,18)")).alias("sx"),
+        F.sum(F.col("ly").cast("decimal(28,18)")).alias("sy"),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(28,18)")).alias("sxx"),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(28,18)")).alias("sxy"),
+    ).first()
+    n = float(mom.n)
+    sx, sy, sxx, sxy = (float(mom.sx), float(mom.sy), float(mom.sxx), float(mom.sxy))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return spark.createDataFrame(
+        [(int(n), _sql_round6(slope), _sql_round6(intercept))],
+        "n_tokens_fit bigint, zipf_slope double, zipf_intercept double",
+    )
