@@ -227,6 +227,7 @@ HEADLINE = [
     "qx207_inverted_index",
     "qx208_embedding_whitening",
     "qx209_zipf_slope",
+    "qx210_langid_confusion",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

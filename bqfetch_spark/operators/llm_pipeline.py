@@ -1183,3 +1183,75 @@ def qx207_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", F.col("doc_freq").cast("bigint").alias("doc_freq"))
         .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
     )
+
+
+# ---------------------------------------------------------------------------
+# qx210 — language-ID confusion matrix (classifier eval vs stored labels)
+# ---------------------------------------------------------------------------
+
+LANGID_CONFUSION_ORACLE = f"""
+WITH pred AS (
+  SELECT
+    doc_id,
+    CASE
+      WHEN s_zh > 0 THEN 'zh'
+      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      WHEN s_de >= s_fr THEN 'de'
+      ELSE 'fr'
+    END AS predicted_lang
+  FROM (
+    SELECT doc_id, {{score_cols}},
+           CAST(len(regexp_extract_all(text, '{{cjk}}')) AS BIGINT) AS s_zh
+    FROM documents
+  )
+)
+SELECT d.lang AS label_lang,
+       p.predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY d.lang), 6) AS row_frac
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+GROUP BY d.lang, p.predicted_lang
+"""
+
+
+def _qx210_oracle() -> str:
+    return LANGID_CONFUSION_ORACLE.format(score_cols=_SCORE_COLS, cjk=CJK_PATTERN)
+
+
+@register(
+    "qx210_langid_confusion",
+    oracle=_qx210_oracle(),
+    doc="confusion matrix of the q44 language-ID heuristic vs stored lang labels",
+    tags=("text", "langid", "evaluation"),
+)
+def qx210_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a first-class operator: cross-tabulate
+    q44's content-based language prediction against the stored `lang`
+    label — (label, predicted, count, row-normalized fraction). The
+    diagonal is per-language recall; off-diagonal mass says WHICH
+    languages the n-gram heuristic confuses (the report that decides
+    whether a cheap classifier can gate a 100 TB mix, and for which
+    languages a better model is worth its cost).
+
+    Plan: q44's scoring is a pure projection (zero exchanges,
+    qx156-style), so the whole matrix costs the label join (doc_id
+    equi-join, AQE-decided) plus ONE (label, predicted) grouped
+    exchange; the row-normalizing window runs over the ≤|langs|²
+    aggregate frame, not data."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    pred = q44_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    joined = docs.select("doc_id", F.col("lang").alias("label_lang")).join(
+        pred, "doc_id"
+    )
+    counts = joined.groupBy("label_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy("label_lang")
+    return counts.select(
+        "label_lang",
+        "predicted_lang",
+        "n_docs",
+        r6(F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("row_frac"),
+    )
