@@ -228,6 +228,7 @@ HEADLINE = [
     "qx208_embedding_whitening",
     "qx209_zipf_slope",
     "qx210_langid_confusion",
+    "qx211_binaryfile_ingest",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -13,6 +13,8 @@ Scale stance (100 TB of documents):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1254,4 +1256,54 @@ def qx210_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "predicted_lang",
         "n_docs",
         r6(F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("row_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx211 — binaryFile corpus ingestion (file-per-doc scan + provenance)
+# ---------------------------------------------------------------------------
+
+BINARYFILE_ORACLE = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+@register(
+    "qx211_binaryfile_ingest",
+    oracle=BINARYFILE_ORACLE,
+    doc="binaryFile scan of a file-per-doc corpus: provenance parse + checksum round-trip",
+    tags=("sources", "ingestion", "multimodal"),
+)
+def qx211_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-per-document ingestion through Spark's ``binaryFile``
+    source — the scan a crawl dump or image/audio corpus actually
+    starts from (and the source the multimodal family's payloads ride
+    in production; here the payloads are the docs' UTF-8 bytes). The
+    documents are staged once as ``<doc_id>.txt`` files (executor-side
+    mapInPandas writes — scaffolding; production files pre-exist),
+    then the OPERATOR is: binaryFile scan → identity parsed FROM THE
+    PATH (regexp over the provenance column — the only identity a
+    raw file dump has) → byte length + md5 content checksum.
+
+    The oracle computes octet_length + md5 from the parquet TABLE, so
+    the value hash proves the file round-trip preserved every byte of
+    every document — the q38/q39 layout-oracle pattern applied to a
+    SOURCE. At 100 TB binaryFile lists and reads files across
+    executors with spark.sql.files.maxPartitionBytes batching many
+    small files per task; the md5 runs JVM-side on the binary
+    column."""
+    from bqfetch_spark.sources.readers import (
+        stage_document_files,
+        text_file_staging_dir,
+    )
+
+    out_dir = stage_document_files(spark, sf_dir, text_file_staging_dir(sf_dir))
+    files = spark.read.format("binaryFile").load(os.path.join(out_dir, "*.txt"))
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1).cast("bigint").alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
     )

@@ -15,9 +15,11 @@ assert pushdown instead of hoping for it.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -74,3 +76,59 @@ def spark_explain_mode(mode: str):
 
     jvm = _S.getActiveSession()._jvm
     return jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+
+
+# ---------------------------------------------------------------------------
+# binaryFile ingestion — the file-per-document crawl/multimodal path
+# ---------------------------------------------------------------------------
+
+
+def text_file_staging_dir(sf_dir: str) -> str:
+    """Content-keyed, uid-scoped staging dir for the file-per-doc
+    corpus (same path policy as lakehouse.layout_dir_for)."""
+    import hashlib
+    import tempfile
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    key = hashlib.sha1(norm.encode()).hexdigest()[:16]
+    parent = os.path.join(tempfile.gettempdir(), f"bqfs_docfiles_u{os.getuid()}")
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    return os.path.join(parent, key)
+
+
+def stage_document_files(spark, sf_dir: str, out_dir: str) -> str:
+    """Materialize `documents` as one UTF-8 ``<doc_id>.txt`` file each —
+    the on-disk shape a crawl/scan ingest actually starts from. The
+    write is mapInPandas (EXECUTOR-side file IO, one Arrow batch per
+    task — never a driver loop over rows); a marker makes re-stages
+    no-ops. This is scaffolding for the binaryFile scan (qx211): in
+    production the files pre-exist and only the scan runs."""
+    import pandas as pd
+
+    from bqfetch_spark.catalog import load_catalog
+
+    marker = os.path.join(out_dir, "_staged_from")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == sf_dir:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_files(batches):
+        for pdf in batches:
+            n = 0
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                with open(
+                    os.path.join(out_dir, f"{int(doc_id)}.txt"), "w", encoding="utf-8"
+                ) as fh:
+                    fh.write(text)
+                n += 1
+            yield pd.DataFrame({"n": [n]})
+
+    docs = load_catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    total = (
+        docs.mapInPandas(write_files, "n bigint").agg(F.sum("n")).first()[0]
+    )
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
+    return out_dir
