@@ -229,6 +229,7 @@ HEADLINE = [
     "qx209_zipf_slope",
     "qx210_langid_confusion",
     "qx211_binaryfile_ingest",
+    "qx212_compact_fingerprint_store",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -69,6 +69,7 @@ def load_all_modules() -> None:
     from bqfetch_spark import multimodal  # noqa: F401
     from bqfetch_spark import pipelines  # noqa: F401
     from bqfetch_spark.plans import advisor  # noqa: F401
+    from bqfetch_spark.streaming import maintenance  # noqa: F401
 
 
 def all_queries() -> dict[str, Query]:
