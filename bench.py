@@ -230,6 +230,7 @@ HEADLINE = [
     "qx210_langid_confusion",
     "qx211_binaryfile_ingest",
     "qx212_compact_fingerprint_store",
+    "qx213_dsir_selection",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -800,3 +800,111 @@ def qx198_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("true_count"),
         F.round(F.col("n") + noise, 6).alias("noisy_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx213: DSIR-style importance resampling (data selection toward a
+# target distribution)
+# ---------------------------------------------------------------------------
+
+DSIR_TOP_K = 25
+
+DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+cnt AS (
+  SELECT token,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t,
+         sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS c_s
+  FROM tok GROUP BY 1
+),
+tot AS (
+  SELECT sum(c_t) AS n_t, sum(c_s) AS n_s,
+         count(*) AS v
+  FROM cnt
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(
+           ln((CAST(c.c_t AS DOUBLE) + 1) / (tot.n_t + tot.v))
+           - ln((CAST(c.c_s AS DOUBLE) + 1) / (tot.n_s + tot.v))
+         ), 6) AS dsir_score
+  FROM tok t JOIN cnt c ON t.token = c.token CROSS JOIN tot
+  WHERE t.lang <> 'en'
+  GROUP BY t.doc_id
+)
+SELECT s.doc_id, d.lang, d.source, s.n_tokens, s.dsir_score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+ORDER BY s.dsir_score DESC, s.doc_id
+LIMIT {DSIR_TOP_K}
+"""
+
+
+@register("qx213_dsir_selection", oracle=DSIR_ORACLE, tags=("curation", "lm"))
+def qx213_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW-pool
+    document by how much more likely its tokens are under a TARGET
+    unigram model than under the raw-pool model, and keep the top-k.
+    Target distribution = the lang='en' slice; raw pool = everything
+    else; both unigram models use add-1 smoothing over the SHARED
+    vocabulary so every token has a defined probability on both sides.
+    score(doc) = sum over token positions of
+    ln p_target(w) - ln p_raw(w).
+
+    Plan shape for 100 TB: ONE token-keyed exchange builds both count
+    tables simultaneously (conditional aggregation — no second corpus
+    scan for the second model); the totals (n_t, n_s, |V|) reduce the
+    vocabulary-bounded count frame to one broadcast row; the scoring
+    join rides the same token-keyed exchange (shuffle_hash) and
+    reduces straight to per-doc sums. Raw text never shuffles — only
+    (doc_id, token) pairs. Top-k is TakeOrderedAndProject on the
+    per-doc score frame."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    np_ = shuffle_partitions(spark)
+    tok = (
+        docs.select("doc_id", "lang", "text")
+        .repartition(np_, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .repartition(np_, "token")
+    )
+    is_t = F.col("lang") == "en"
+    cnt = tok.groupBy("token").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("c_s"),
+    )
+    tot = cnt.agg(
+        F.sum("c_t").alias("n_t"),
+        F.sum("c_s").alias("n_s"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    contrib = F.log((F.col("c_t").cast("double") + 1) / (F.col("n_t") + F.col("v"))) - F.log(
+        (F.col("c_s").cast("double") + 1) / (F.col("n_s") + F.col("v"))
+    )
+    scored = (
+        tok.filter(~is_t)
+        .join(cnt.hint("shuffle_hash"), "token")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            r6(F.sum(contrib)).alias("dsir_score"),
+        )
+    )
+    # top-k BEFORE the metadata enrich: the k-row winner frame is the
+    # broadcast side; the corpus-sized scored frame never re-shuffles
+    top = scored.orderBy(F.col("dsir_score").desc(), "doc_id").limit(DSIR_TOP_K)
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(F.broadcast(top), "doc_id")
+        .select("doc_id", "lang", "source", "n_tokens", "dsir_score")
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+    )
