@@ -231,6 +231,7 @@ HEADLINE = [
     "qx211_binaryfile_ingest",
     "qx212_compact_fingerprint_store",
     "qx213_dsir_selection",
+    "qx214_kneser_ney_bigram",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -2879,3 +2879,120 @@ def qx209_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n), _sql_round6(slope), _sql_round6(intercept))],
         "n_tokens_fit bigint, zipf_slope double, zipf_intercept double",
     )
+
+
+# ---------------------------------------------------------------------------
+# qx214 — interpolated Kneser-Ney bigram LM (continuation-count smoothing)
+# ---------------------------------------------------------------------------
+
+KN_TOPK = 15
+KN_DISCOUNT = 0.75
+
+KN_BIGRAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT a.doc_id, a.token AS w1, b.token AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM big GROUP BY w1, w2),
+w1s AS (
+  SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1,
+         CAST(count(*) AS DOUBLE) AS n1f
+  FROM c12 GROUP BY w1
+),
+w2s AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1b FROM c12 GROUP BY w2),
+btot AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM c12),
+doc_lp AS (
+  SELECT big.doc_id,
+         avg(ln(
+           greatest(c12.c12 - {KN_DISCOUNT}, 0.0) / w1s.c1
+           + ({KN_DISCOUNT} * w1s.n1f / w1s.c1) * (w2s.n1b / btot.b)
+         )) AS lp,
+         count(*) AS n_bigrams
+  FROM big
+  JOIN c12 ON c12.w1 = big.w1 AND c12.w2 = big.w2
+  JOIN w1s ON w1s.w1 = big.w1
+  JOIN w2s ON w2s.w2 = big.w2
+  CROSS JOIN btot
+  GROUP BY big.doc_id
+)
+SELECT doc_id, round(lp, 6) AS kn_logprob, CAST(n_bigrams AS BIGINT) AS n_bigrams
+FROM (
+  SELECT *, row_number() OVER (ORDER BY round(lp, 6), doc_id) AS rn
+  FROM doc_lp
+)
+WHERE rn <= {KN_TOPK}
+"""
+
+
+@register(
+    "qx214_kneser_ney_bigram",
+    oracle=KN_BIGRAM_ORACLE,
+    doc="bottom-15 documents by interpolated Kneser-Ney bigram log-probability",
+    tags=("text", "quality", "lm"),
+)
+def qx214_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the step past qx149's
+    Laplace smoothing: mass discounted from observed bigrams
+    (max(c12-D,0)/c1) is redistributed via the CONTINUATION
+    distribution p_cont(w2) = N1+(.,w2)/B — how many distinct contexts
+    a word follows, not how often it occurs — with back-off weight
+    D*N1+(w1,.)/c1 (Kneser & Ney 1995; Chen & Goodman 1999). A word
+    like a boilerplate token that is frequent but follows few contexts
+    gets a LOW continuation probability, which is exactly what makes
+    KN the standard n-gram smoothing. Bottom-k docs = the
+    curation-review queue.
+
+    Plan shape: identical exchange family to qx149 — the positioned
+    self-join builds the bigram stream once; c12 / (c1, N1+(w1,.)) /
+    N1+(.,w2) are three vocabulary-bounded re-aggregations of the SAME
+    c12 frame (the two marginals reduce c12, never the corpus); B is a
+    one-row broadcast; scoring re-joins the model onto the bigram
+    stream (AQE broadcasts the vocab-bounded sides at fixture scale).
+    Raw text never shuffles — only (doc_id, w1, w2) triples."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ", -1)).alias("pos", "token")
+    )
+    t1, t2 = tok.alias("t1"), tok.alias("t2")
+    big = t1.join(
+        t2,
+        (F.col("t1.doc_id") == F.col("t2.doc_id"))
+        & (F.col("t2.pos") == F.col("t1.pos") + 1),
+    ).select(
+        F.col("t1.doc_id").alias("doc_id"),
+        F.col("t1.token").alias("w1"),
+        F.col("t2.token").alias("w2"),
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c12"))
+    w1s = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).cast("double").alias("n1f")
+    )
+    w2s = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("n1b"))
+    btot = c12.agg(F.count(F.lit(1)).cast("double").alias("b"))
+    d = F.lit(KN_DISCOUNT)
+    p_kn = F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1") + (
+        d * F.col("n1f") / F.col("c1")
+    ) * (F.col("n1b") / F.col("b"))
+    doc_lp = (
+        big.join(c12, ["w1", "w2"])
+        .join(w1s, "w1")
+        .join(w2s, "w2")
+        .crossJoin(F.broadcast(btot))
+        .groupBy("doc_id")
+        .agg(
+            r6(F.avg(F.log(p_kn))).alias("kn_logprob"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        )
+    )
+    w = Window.orderBy(F.col("kn_logprob").asc(), "doc_id")
+    return (
+        doc_lp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KN_TOPK)
+        .drop("rn")
+    )
