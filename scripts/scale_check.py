@@ -814,6 +814,44 @@ def main() -> None:
     assert worst <= 20, f"pca-stats super-linear: worst ratio {worst:.1f}"
     print("pca-stats scaling OK")
 
+    # --- incremental-store compaction at 10x fingerprints -----------
+    # compaction is one distinct over the store + one bin-packed
+    # write; 10x store rows must cost ~10x, and the compacted row
+    # count must equal the distinct fp count at both sizes
+    from bqfetch_spark.streaming.incremental import build_fingerprint_store
+    from bqfetch_spark.streaming.maintenance import (
+        compact_fingerprint_store,
+        parquet_dir_stats,
+    )
+
+    docs0s = spark.read.parquet(f"{base}/documents.parquet").select("doc_id", "text")
+    docs10s = (
+        docs0s.crossJoin(spark.range(10).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            F.concat(F.lit("rep"), F.col("rep"), F.lit(" "), F.col("text")).alias("text"),
+        )
+    )
+    worst = 0.0
+    for i in range(2):
+        times = []
+        for tag, d in (("small", docs0s), ("big", docs10s)):
+            store = f"{tmp}/fp_store_{tag}_{i}"
+            build_fingerprint_store(d, store)
+            # debris: a duplicate append (the retried-wave byte cost)
+            dup = spark.read.parquet(store)
+            dup.write.mode("append").parquet(store)
+            t0 = time.time()
+            compact_fingerprint_store(spark, store)
+            times.append(time.time() - t0)
+            n_files, _b = parquet_dir_stats(store)
+            assert n_files == 1, f"compaction left {n_files} files"
+        ratio = times[1] / times[0]
+        worst = max(worst, ratio)
+        print(f"fp-compaction round{i}: small={times[0]:.2f}s big={times[1]:.2f}s ratio={ratio:.1f}")
+    assert worst <= 20, f"fp-compaction super-linear: worst ratio {worst:.1f}"
+    print("fp-compaction scaling OK")
+
     shutil.rmtree(tmp, ignore_errors=True)
 
 
