@@ -232,6 +232,7 @@ HEADLINE = [
     "qx212_compact_fingerprint_store",
     "qx213_dsir_selection",
     "qx214_kneser_ney_bigram",
+    "qx215_epoch_shuffle",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

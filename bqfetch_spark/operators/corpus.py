@@ -908,3 +908,71 @@ def qx213_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_tokens", "dsir_score")
         .orderBy(F.col("dsir_score").desc(), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx215: reproducible per-epoch training-order shuffle
+# ---------------------------------------------------------------------------
+
+SHUFFLE_EPOCHS = (0, 1)
+SHUFFLE_HEAD = 10
+
+EPOCH_SHUFFLE_ORACLE = f"""
+WITH e0 AS (
+  SELECT 0 AS epoch, doc_id,
+         md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents ORDER BY k, doc_id LIMIT {SHUFFLE_HEAD}
+),
+e1 AS (
+  SELECT 1 AS epoch, doc_id,
+         md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents ORDER BY k, doc_id LIMIT {SHUFFLE_HEAD}
+),
+u AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1)
+SELECT epoch,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+            AS BIGINT) AS position,
+       doc_id
+FROM u
+ORDER BY epoch, position
+"""
+
+
+@register(
+    "qx215_epoch_shuffle",
+    oracle=EPOCH_SHUFFLE_ORACLE,
+    doc="head of the reproducible per-epoch training order (seeded md5 shuffle)",
+    tags=("curation", "ordering"),
+)
+def qx215_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle: every epoch orders the
+    corpus by md5(seed:doc_id) — a different but DETERMINISTIC
+    permutation per epoch, the property a training data loader needs
+    for resumable, re-runnable epochs (no rand(), so a re-run or a
+    partially-failed job sees the identical order). The query emits
+    the head of each epoch's stream as the auditable evidence; the
+    per-epoch permutations demonstrably differ (pytest) yet each is
+    bit-stable across runs.
+
+    Scale shape: the HEAD of a seeded order is a top-k, not a sort —
+    each epoch is one TakeOrderedAndProject (per-partition heap of k,
+    O(k) merge at the driver), never a global range-exchange sort of
+    the corpus. Materializing a FULL epoch order would instead use
+    with_global_rank (plans/ranks.py) over the same key — the
+    two-phase range-partition rank with no single-task sort."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    heads = []
+    for e in SHUFFLE_EPOCHS:
+        key = F.md5(F.concat(F.lit(f"epoch{e}:"), F.col("doc_id").cast("string")))
+        heads.append(
+            docs.select(
+                F.lit(e).alias("epoch"), "doc_id", key.alias("k")
+            ).orderBy("k", "doc_id").limit(SHUFFLE_HEAD)
+        )
+    u = heads[0].unionByName(heads[1])
+    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    return (
+        u.withColumn("position", F.row_number().over(w).cast("bigint"))
+        .select("epoch", "position", "doc_id")
+        .orderBy("epoch", "position")
+    )

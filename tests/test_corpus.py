@@ -165,3 +165,19 @@ def test_qx198_release_suppresses_and_noises_deterministically(spark):
     again = {(r.lang, r.source): (r.true_count, r.noisy_count)
              for r in qx198_dp_noisy_release(spark, SF_CORRECT).collect()}
     assert again == rel
+
+
+def test_epoch_shuffle_permutations_differ_and_are_stable(spark):
+    """qx215: the two epochs' head orders must differ (the point of a
+    per-epoch seed) while each epoch's order is rerun-stable."""
+    from bqfetch_spark.operators.corpus import qx215_epoch_shuffle
+    from tests.conftest import SF_CORRECT
+
+    rows = qx215_epoch_shuffle(spark, SF_CORRECT).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append((r.position, r.doc_id))
+    assert set(by_epoch) == {0, 1}
+    assert [d for _p, d in sorted(by_epoch[0])] != [d for _p, d in sorted(by_epoch[1])]
+    rerun = qx215_epoch_shuffle(spark, SF_CORRECT).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
