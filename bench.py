@@ -233,6 +233,7 @@ HEADLINE = [
     "qx213_dsir_selection",
     "qx214_kneser_ney_bigram",
     "qx215_epoch_shuffle",
+    "qx216_rendezvous_sharding",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -976,3 +976,81 @@ def qx215_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("epoch", "position", "doc_id")
         .orderBy("epoch", "position")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx216: rendezvous-hash sharding (resharding-stable shard assignment)
+# ---------------------------------------------------------------------------
+
+RDV_SHARDS_A = 8
+RDV_SHARDS_B = 9
+
+RENDEZVOUS_ORACLE = f"""
+WITH cand AS (
+  SELECT d.doc_id, CAST(s.s AS INTEGER) AS s,
+         md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(s.s AS VARCHAR)) AS h
+  FROM documents d, (SELECT unnest(range({RDV_SHARDS_B})) AS s) s
+),
+a AS (
+  SELECT doc_id, arg_max(s, h) AS shard_a
+  FROM cand WHERE s < {RDV_SHARDS_A} GROUP BY doc_id
+),
+b AS (
+  SELECT doc_id, arg_max(s, h) AS shard_b FROM cand GROUP BY doc_id
+)
+SELECT a.shard_a, b.shard_b, CAST(count(*) AS BIGINT) AS n_docs
+FROM a JOIN b ON a.doc_id = b.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "qx216_rendezvous_sharding",
+    oracle=RENDEZVOUS_ORACLE,
+    doc="rendezvous-hash shard transition matrix for an 8 -> 9 reshard",
+    tags=("curation", "sharding"),
+)
+def qx216_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding: a document's shard
+    is argmax over shards s of md5(doc_id:s) — the consistent-hashing
+    scheme (Thaler & Ravishankar 1998) where growing the shard count
+    from N to N+1 moves only the ~1/(N+1) of documents whose NEW
+    shard wins the rendezvous, instead of the ~all-but-1/N a modulo
+    reshard moves. The output is the 8->9 shard transition matrix;
+    off-diagonal mass lands ONLY in the new shard's column (s=8) —
+    rendezvous never moves a doc between two old shards — and is
+    ~1/9 of the corpus (both properties pytest-pinned).
+
+    Scale shape: the per-doc double argmax is a PURE PROJECTION —
+    array_max over the 9-slot struct array built row-locally (no
+    explode, no per-doc shuffle); the only exchange is the final
+    <=72-row histogram aggregate. At 100 TB the assignment is a
+    zero-shuffle map over the corpus, which is what makes rendezvous
+    re-sharding an in-place metadata pass rather than a data move for
+    the ~8/9 that stay."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+
+    def winner(n: int) -> F.Column:
+        slots = F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda s: F.struct(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"), s.cast("string")
+                    )
+                ).alias("h"),
+                s.cast("int").alias("s"),
+            ),
+        )
+        return F.array_max(slots).getField("s")
+
+    return (
+        docs.select(
+            winner(RDV_SHARDS_A).alias("shard_a"),
+            winner(RDV_SHARDS_B).alias("shard_b"),
+        )
+        .groupBy("shard_a", "shard_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("shard_a", "shard_b")
+    )

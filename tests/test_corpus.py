@@ -181,3 +181,23 @@ def test_epoch_shuffle_permutations_differ_and_are_stable(spark):
     assert [d for _p, d in sorted(by_epoch[0])] != [d for _p, d in sorted(by_epoch[1])]
     rerun = qx215_epoch_shuffle(spark, SF_CORRECT).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
+
+
+def test_rendezvous_resharding_moves_only_to_new_shard(spark):
+    """qx216: growing 8 -> 9 shards may only move docs INTO the new
+    shard (s=8), and the moved mass is ~1/9 of the corpus."""
+    from bqfetch_spark.operators.corpus import qx216_rendezvous_sharding
+    from tests.conftest import SF_CORRECT
+
+    rows = qx216_rendezvous_sharding(spark, SF_CORRECT).collect()
+    total = sum(r.n_docs for r in rows)
+    moved = sum(r.n_docs for r in rows if r.shard_a != r.shard_b)
+    assert all(r.shard_b == 8 for r in rows if r.shard_a != r.shard_b)
+    assert 0 < moved / total < 2 / 9  # expectation 1/9
+
+    # the assignment is a pure projection: exactly one exchange in the
+    # whole plan (the final <=72-row histogram aggregate)
+    plan = qx216_rendezvous_sharding(spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
+    import re
+    n_exchanges = len(re.findall(r"Exchange ", plan))
+    assert n_exchanges <= 2, plan  # hash agg exchange + order-by range exchange
