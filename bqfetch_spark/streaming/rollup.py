@@ -131,11 +131,22 @@ def read_rollup(spark: SparkSession, store_dir: str) -> DataFrame:
     )
 
 
-def compact_rollup(spark: SparkSession, store_dir: str) -> None:
+def compact_rollup(spark: SparkSession, store_dir: str, force: bool = False) -> None:
     """Offline compaction: fold all partials to one row per bucket
     under ingest_batch=-1 (full static overwrite — run it from the
     maintenance window, like q39's small-file compactor; the streaming
-    upserts themselves never need it for correctness)."""
+    upserts themselves never need it for correctness).
+
+    Refuses a store still claimed by a checkpoint lineage (same
+    contract as streaming/maintenance.py): after the fold, a retried
+    in-flight wave's dynamic overwrite of its (day, batch) partitions
+    would ADD its partials next to the folded row that already
+    contains them — a silent double count. The full static overwrite
+    removes the claim marker either way, so the next lineage claims
+    fresh."""
+    from bqfetch_spark.streaming.maintenance import _check_claim
+
+    _check_claim(store_dir, force)
     folded = (
         read_rollup(spark, store_dir)
         .withColumn("day", F.date_format("bucket_start", "yyyyMMdd").cast("long"))

@@ -175,3 +175,25 @@ def test_compaction_refuses_claimed_store(spark, tmp_path):
     from bqfetch_spark.streaming.ownership import OWNER_MARKER
 
     assert not os.path.exists(os.path.join(store, OWNER_MARKER))
+
+
+def test_rollup_compaction_refuses_claimed_store(spark, tmp_path):
+    """compact_rollup shares the claim-safety contract: a folded store
+    plus a retried in-flight wave would double-count, so a claimed
+    store refuses to compact until the owning query is stopped."""
+    import datetime
+
+    from bqfetch_spark.streaming.ownership import claim_store
+    from bqfetch_spark.streaming.rollup import compact_rollup, read_rollup, upsert_rollup
+
+    schema = "ts timestamp, event_type string, value double"
+    t0 = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    store = str(tmp_path / "store")
+    upsert_rollup(spark, spark.createDataFrame([(t0, "click", 1.5)], schema), store, batch_id=0)
+    claim_store(store, "/some/ckpt")
+    with pytest.raises(ValueError, match="claimed by checkpoint lineage"):
+        compact_rollup(spark, store)
+    compact_rollup(spark, store, force=True)
+    assert {
+        (r.bucket_start, r.event_type) for r in read_rollup(spark, store).collect()
+    } == {(t0, "click")}
