@@ -234,6 +234,7 @@ HEADLINE = [
     "qx214_kneser_ney_bigram",
     "qx215_epoch_shuffle",
     "qx216_rendezvous_sharding",
+    "qx217_source_leakage_matrix",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

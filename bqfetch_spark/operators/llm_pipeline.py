@@ -1307,3 +1307,100 @@ def qx211_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx217: cross-source leakage matrix (which sources share content)
+# ---------------------------------------------------------------------------
+
+LEAKAGE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+  FROM toks
+  WHERE len(t) >= 3
+),
+flat AS (
+  SELECT doc_id, source, g FROM (
+    SELECT doc_id, source, unnest(gs) AS g FROM grams
+  )
+  QUALIFY count(*) OVER (PARTITION BY g) <= {SHINGLE_DF_CAP}
+),
+srcg AS (
+  SELECT DISTINCT source, g FROM flat
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_shingles
+FROM srcg a JOIN srcg b ON a.g = b.g AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "qx217_source_leakage_matrix",
+    oracle=LEAKAGE_ORACLE,
+    doc="source-pair shared-shingle counts (cross-source duplication diagnostic)",
+    tags=("dedup", "curation", "diagnostics"),
+)
+def qx217_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source leakage: for every ordered source pair, how many
+    distinct rare 3-gram shingles appear in BOTH — the diagnostic that
+    tells a curation team which sources mirror each other (and
+    therefore where cross-source dedup will bite) before running the
+    dedup itself; the same report drives per-pair contamination review
+    in qx174-style data cards.
+
+    Scale shape: q46's machinery exactly — per-doc DISTINCT shingles,
+    stop-shingle DF cap bounds any shingle's fan-out, then the
+    source-level DISTINCT collapses the frame to (source, shingle)
+    BEFORE the self-join, so the join input is sources x vocabulary,
+    not docs x vocabulary; the matched-pair count reduces straight to
+    the <=|sources|^2 matrix. One shingle-keyed exchange family
+    end-to-end; text never moves past the explode."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                        F.element_at("t", i + 3),
+                    ),
+                )
+            )
+        ).alias("g"),
+    )
+    np_ = shuffle_partitions(spark)
+    grams = grams.repartition(np_, "g")
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    flat = grams.join(df_counts.hint("shuffle_hash"), "g").filter(
+        F.col("__df") <= SHINGLE_DF_CAP
+    )
+    srcg = flat.select("source", "g").distinct()
+    a, b = srcg.alias("a"), srcg.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
+        .orderBy("source_a", "source_b")
+    )
