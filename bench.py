@@ -235,6 +235,7 @@ HEADLINE = [
     "qx215_epoch_shuffle",
     "qx216_rendezvous_sharding",
     "qx217_source_leakage_matrix",
+    "qx218_jl_projection",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

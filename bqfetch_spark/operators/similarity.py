@@ -1425,3 +1425,124 @@ def qx208_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(PCA_DIM)
     ]
     return projected.select("vec_id", F.array(*comps).alias("whitened"))
+
+
+# ---------------------------------------------------------------------------
+# qx218: Johnson-Lindenstrauss signed random projection (hash-derived)
+# ---------------------------------------------------------------------------
+
+JL_K = 16  # projected width
+JL_SAMPLE = 50  # vec_ids emitted as the auditable sample
+
+
+def jl_sign(i: int, j: int) -> int:
+    """+1/-1 from the parity of the first hex char of md5('jl:i:j') —
+    the SAME expression the oracle evaluates in SQL, so the sign
+    matrix is a pure deterministic function shared by both engines
+    (no RNG, no seed plumbing, rerun-stable like every keep-rule in
+    the curation family)."""
+    import hashlib
+
+    return 1 if hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[0] in "02468ace" else -1
+
+
+JL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {JL_SAMPLE}
+),
+sgn AS (
+  SELECT i.i, j.j,
+         CASE WHEN substring(md5('jl:' || CAST(i.i AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 1)
+                   IN ('0','2','4','6','8','a','c','e')
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range(64)) AS i) i, (SELECT unnest(range({JL_K})) AS j) j
+),
+comp AS (
+  SELECT q.vec_id, e.i, e.x FROM q,
+         LATERAL (SELECT unnest(qv) AS x, generate_subscripts(qv, 1) - 1 AS i) e
+),
+y AS (
+  SELECT c.vec_id, s.j, sum(s.s * c.x) AS yj
+  FROM comp c JOIN sgn s ON c.i = s.i
+  GROUP BY 1, 2
+),
+ny AS (
+  SELECT vec_id, sum(CAST(yj AS DECIMAL(38,0)) * CAST(yj AS DECIMAL(38,0))) AS n2
+  FROM y GROUP BY 1
+),
+nx AS (
+  SELECT vec_id,
+         list_sum(list_transform(qv, x -> CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))) AS n2
+  FROM q
+)
+SELECT ny.vec_id,
+       round((CAST(ny.n2 AS DOUBLE) / {JL_K}) / CAST(nx.n2 AS DOUBLE), 6) AS jl_ratio
+FROM ny JOIN nx ON ny.vec_id = nx.vec_id
+ORDER BY ny.vec_id
+"""
+
+
+@register(
+    "qx218_jl_projection",
+    oracle=JL_ORACLE,
+    doc="JL signed random projection 64 -> 16: per-vector norm-preservation ratios",
+    tags=("similarity", "dimensionality"),
+)
+def qx218_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss signed random projection 64 -> JL_K: the
+    vocabulary-free cheap alternative to the PCA family (qx192/qx193)
+    when a pipeline needs distance-preserving compression WITHOUT a
+    training pass — y_j = sum_i s(i,j) * x_i with hash-derived +-1
+    signs (Achlioptas 2003: database-friendly random projections).
+    Emitted evidence: per-vector norm-preservation ratio
+    (||y||^2 / k) / ||x||^2, whose expectation is 1 under the JL
+    distribution; the sample rows are the oracle surface and the
+    full-corpus concentration is pytest-gated.
+
+    Scale shape: the sign matrix is a 64 x JL_K literal baked into the
+    plan (computed once driver-side from the shared md5 rule, like the
+    PQ codebook broadcasts); the projection + both norms are ROW-LOCAL
+    integer folds (PCA_Q fixed-point, exact at any fold order — the
+    qx192 exactness trick applied per row), so the operator is a
+    zero-shuffle map at any corpus size. DECIMAL(38,0) squares bound
+    overflow (|y_j| <= 64 * |q| ~ 2^37 -> y_j^2 ~ 2^74 > int64)."""
+    emb = load_catalog(spark, sf_dir).table("embeddings").filter(
+        F.col("vec_id") < JL_SAMPLE
+    )
+    qv = F.transform(
+        as_double(F.col("embedding")),
+        lambda x: F.round(x * F.lit(PCA_Q)).cast("long"),
+    )
+    signs = [[jl_sign(i, j) for i in range(PCA_DIM)] for j in range(JL_K)]
+    s_lit = F.lit(signs)  # array<array<int>> literal: the frozen projection
+    yj = lambda j: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.element_at(s_lit, j + 1),
+            F.col("qv"),
+            lambda s, x: s.cast("long") * x,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    ny = F.aggregate(
+        F.array(*[yj(j) for j in range(JL_K)]),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, y: acc + y.cast("decimal(38,0)") * y.cast("decimal(38,0)"),
+    )
+    nx = F.aggregate(
+        F.col("qv"),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x.cast("decimal(38,0)") * x.cast("decimal(38,0)"),
+    )
+    return (
+        emb.select("vec_id", qv.alias("qv"))
+        .select(
+            "vec_id",
+            F.round(
+                (ny.cast("double") / F.lit(float(JL_K))) / nx.cast("double"), 6
+            ).alias("jl_ratio"),
+        )
+        .orderBy("vec_id")
+    )

@@ -452,3 +452,19 @@ def test_qx208_whitening_identity_covariance(spark):
         float(np.corrcoef(Xc[:, k], W[:, k])[0, 1]) for k in range(Xc.shape[1])
     ]
     assert min(corr) > 0.0, min(corr)
+
+
+def test_jl_projection_concentration(spark, monkeypatch):
+    """qx218: over the FULL corpus the norm-preservation ratio must
+    concentrate around 1 (JL property) — mean within 10%, and no
+    vector's norm collapses to (near) zero."""
+    import bqfetch_spark.operators.similarity as sim
+    from tests.conftest import SF_CORRECT
+
+    monkeypatch.setattr(sim, "JL_SAMPLE", 1 << 60)
+    rows = sim.qx218_jl_projection(spark, SF_CORRECT).collect()
+    ratios = [r.jl_ratio for r in rows]
+    assert len(ratios) >= 400
+    mean = sum(ratios) / len(ratios)
+    assert 0.9 < mean < 1.1
+    assert min(ratios) > 0.05  # signed projection never annihilates a vector
