@@ -1054,3 +1054,101 @@ def qx216_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("shard_a", "shard_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx220: cross-source quantile normalization of per-doc quality scores
+# ---------------------------------------------------------------------------
+
+QNORM_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS score
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rs,
+         count(*) OVER (PARTITION BY source) AS ns
+  FROM t
+),
+g AS (
+  SELECT score AS gscore, row_number() OVER (ORDER BY score, doc_id) AS rg
+  FROM t
+),
+n AS (SELECT count(*) AS nt FROM t)
+SELECT r.doc_id, r.source, r.score AS raw_score, g.gscore AS norm_score
+FROM r CROSS JOIN n
+JOIN g ON g.rg = ((2 * r.rs - 1) * n.nt + 2 * r.ns - 1) // (2 * r.ns)
+ORDER BY r.doc_id
+"""
+
+
+@register(
+    "qx220_quantile_normalize",
+    oracle=QNORM_ORACLE,
+    doc="map each doc's within-source score rank onto the global score distribution",
+    tags=("llm-pipeline", "curation", "statistics"),
+)
+def qx220_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization — the batch-effect
+    correction a mixing pipeline needs when per-source quality scores
+    come from heterogeneous scorers (different classifiers, different
+    calibration): a raw threshold would over-prune strict-scored
+    sources and under-prune lenient ones. Each doc's WITHIN-SOURCE
+    quantile position r = (rank−0.5)/n_source is mapped onto the
+    GLOBAL score distribution by taking the score at global rank
+    ceil(r·N) — after which "top 10% of every source" means the same
+    thing everywhere (the microarray quantile-normalization trick
+    applied to corpus curation).
+
+    Scale shape: both total orders are plans/ranks.with_global_rank
+    (range exchange + tiny offset broadcast — no single-task sort of
+    the corpus). Per-source ranks derive from the (source, score, id)
+    global order by subtracting each source's min rank (a
+    groups-sized broadcast agg), so a source holding 40% of a 100 TB
+    corpus never lands in one window task. The target-rank formula is
+    exact integer arithmetic — ((2·rs−1)·N + 2·ns−1) div (2·ns) — so
+    both engines pick the identical global row (no float-ceil
+    boundary risk), and the final lookup is a plain equi-join on the
+    computed rank."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.col("n_chars").cast("double") / F.size(F.split(F.col("text"), " ")),
+            6,
+        ).alias("score"),
+    )
+    nparts = shuffle_partitions(spark)
+
+    per_src = with_global_rank(
+        scored, ["source", "score", "doc_id"], nparts, "rsg", "nt"
+    )
+    src_stats = per_src.groupBy("source").agg(
+        F.min("rsg").alias("r0"), F.count(F.lit(1)).alias("ns")
+    )
+    per = (
+        per_src.join(F.broadcast(src_stats), "source")
+        .withColumn("rs", (F.col("rsg") - F.col("r0") + F.lit(1)).cast("bigint"))
+        .withColumn(
+            "g",
+            F.expr("((2 * rs - 1) * nt + 2 * ns - 1) div (2 * ns)").cast("bigint"),
+        )
+    )
+
+    glob = with_global_rank(
+        scored.select("score", "doc_id"), ["score", "doc_id"], nparts, "rg", "__nt2"
+    ).select(F.col("rg").cast("bigint").alias("rg"), F.col("score").alias("norm_score"))
+
+    return (
+        per.join(glob, per.g == glob.rg)
+        .select(
+            "doc_id",
+            "source",
+            F.col("score").alias("raw_score"),
+            "norm_score",
+        )
+        .orderBy("doc_id")
+    )

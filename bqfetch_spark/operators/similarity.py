@@ -1546,3 +1546,137 @@ def qx218_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx219: embedding distribution distance matrix (diagonal-covariance Fréchet)
+# ---------------------------------------------------------------------------
+
+FRECHET_ORACLE = f"""
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comp AS (
+  SELECT label, generate_subscripts(v, 1) AS p, unnest(v) AS x FROM e
+),
+st AS (
+  SELECT label, p,
+         count(*) AS n,
+         sum(CAST(round(x * {PCA_Q:.1f}) AS BIGINT)) AS sx,
+         sum(CAST(round(x * x * {PCA_Q:.1f}) AS BIGINT)) AS sq
+  FROM comp GROUP BY 1, 2
+),
+m AS (
+  SELECT label, p,
+         (CAST(sx AS DOUBLE) / {PCA_Q:.1f}) / n AS mu,
+         (CAST(sq AS DOUBLE) / {PCA_Q:.1f}) / n
+           - ((CAST(sx AS DOUBLE) / {PCA_Q:.1f}) / n)
+             * ((CAST(sx AS DOUBLE) / {PCA_Q:.1f}) / n) AS var
+  FROM st
+),
+pr AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum((a.mu - b.mu) * (a.mu - b.mu)) AS mterm,
+         sum(a.var + b.var - 2 * sqrt(greatest(a.var * b.var, 0))) AS vterm
+  FROM m a JOIN m b ON a.p = b.p AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b, round(mterm + vterm, 4) AS fid2
+FROM pr ORDER BY label_a, label_b
+"""
+
+
+@register(
+    "qx219_embedding_frechet",
+    oracle=FRECHET_ORACLE,
+    doc="pairwise diagonal-covariance Frechet distance between label-group embedding distributions",
+    tags=("similarity", "statistics", "llm-pipeline"),
+)
+def qx219_embedding_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distribution distance between the embedding clouds of
+    the 10 label groups — the diagonal-covariance Fréchet distance
+    d²(a,b) = Σ_d (μ_ad − μ_bd)² + Σ_d (σ²_ad + σ²_bd − 2√(σ²_ad σ²_bd))
+    (the FID formula with diagonal Σ, the standard cheap spelling when
+    full Σ^{1/2} is overkill). This is the drift/QA primitive a
+    training-data pipeline runs to ask "does source/shard/label X look
+    like Y in embedding space?" — e.g. synthetic-vs-real data checks,
+    per-snapshot drift alarms, and mixture re-weighting diagnostics.
+
+    Scale shape: ONE exchange keyed by label (10 groups) computing 129
+    codegen'd aggregates — count plus per-dimension fixed-point Σx and
+    Σx² (PCA_Q bigint sums, the qx192 exactness trick: bit-stable under
+    any partitioning / fold order, so both engines aggregate identical
+    integers). No posexplode: the per-dim sums index the array in
+    place, so nothing is multiplied by 64 before the shuffle. The
+    10-row stats frame then self-joins under broadcast (45 pairs) and
+    the distance folds as zip_with/aggregate array expressions —
+    map-side, JVM codegen. At 100 TB the plan is a single pass over
+    the vectors + an O(groups²) driver-scale join.
+
+    Mean/variance leave fixed point as doubles from IDENTICAL integer
+    sums in both engines; the 64-term double folds match DuckDB's
+    group sums to well past the round(·,4) output precision
+    (population variance, /n, matching the oracle)."""
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "label", as_double(F.col("embedding")).alias("v")
+    )
+    qx = F.transform("v", lambda x: F.round(x * F.lit(PCA_Q)).cast("long"))
+    qq = F.transform("v", lambda x: F.round(x * x * F.lit(PCA_Q)).cast("long"))
+    stats = (
+        emb.select("label", qx.alias("qx"), qq.alias("qq"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("qx")[d]).alias(f"sx{d}") for d in range(PCA_DIM)],
+            *[F.sum(F.col("qq")[d]).alias(f"sq{d}") for d in range(PCA_DIM)],
+        )
+        .select(
+            "label",
+            "n",
+            F.array(*[F.col(f"sx{d}") for d in range(PCA_DIM)]).alias("sx"),
+            F.array(*[F.col(f"sq{d}") for d in range(PCA_DIM)]).alias("sq"),
+        )
+    )
+
+    def moments(n, sx, sq):
+        mu = F.transform(sx, lambda t: t.cast("double") / F.lit(PCA_Q) / n)
+        var = F.zip_with(
+            sq,
+            sx,
+            lambda q, s: q.cast("double") / F.lit(PCA_Q) / n
+            - (s.cast("double") / F.lit(PCA_Q) / n)
+            * (s.cast("double") / F.lit(PCA_Q) / n),
+        )
+        return mu, var
+
+    a = stats.select(
+        F.col("label").alias("label_a"),
+        F.col("n").alias("na"),
+        F.col("sx").alias("sxa"),
+        F.col("sq").alias("sqa"),
+    )
+    b = stats.select(
+        F.col("label").alias("label_b"),
+        F.col("n").alias("nb"),
+        F.col("sx").alias("sxb"),
+        F.col("sq").alias("sqb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    mua, vara = moments(F.col("na"), F.col("sxa"), F.col("sqa"))
+    mub, varb = moments(F.col("nb"), F.col("sxb"), F.col("sqb"))
+    add = lambda acc, t: acc + t  # noqa: E731
+    mterm = F.aggregate(
+        F.zip_with(mua, mub, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        add,
+    )
+    vterm = F.aggregate(
+        F.zip_with(
+            vara,
+            varb,
+            lambda x, y: x + y - 2 * F.sqrt(F.greatest(x * y, F.lit(0.0))),
+        ),
+        F.lit(0.0),
+        add,
+    )
+    return pairs.select(
+        "label_a", "label_b", F.round(mterm + vterm, 4).alias("fid2")
+    ).orderBy("label_a", "label_b")

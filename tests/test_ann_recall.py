@@ -468,3 +468,42 @@ def test_jl_projection_concentration(spark, monkeypatch):
     mean = sum(ratios) / len(ratios)
     assert 0.9 < mean < 1.1
     assert min(ratios) > 0.05  # signed projection never annihilates a vector
+
+
+def test_frechet_matches_numpy(spark):
+    """qx219: the in-plan diagonal-covariance Fréchet distances must
+    match an independent numpy spelling (population moments over the
+    raw doubles) — pins the fixed-point moment algebra AND the
+    zip_with distance folds, and checks metric sanity (symmetric by
+    construction, non-negative, strictly upper-triangular output)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.similarity import qx219_embedding_frechet
+    from tests.conftest import SF_CORRECT
+
+    rows = qx219_embedding_frechet(spark, SF_CORRECT).collect()
+    assert len(rows) == 45  # C(10,2) label pairs, a < b only
+    assert all(r.fid2 >= 0.0 for r in rows)
+
+    by_label: dict[int, list] = {}
+    for r in (
+        load_catalog(spark, SF_CORRECT)
+        .table("embeddings")
+        .select("label", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    ):
+        by_label.setdefault(r.label, []).append(r.v)
+    mom = {
+        lab: (np.mean(np.array(vs), axis=0), np.var(np.array(vs), axis=0))
+        for lab, vs in by_label.items()
+    }
+    for r in rows:
+        mu_a, va = mom[r.label_a]
+        mu_b, vb = mom[r.label_b]
+        want = float(
+            np.sum((mu_a - mu_b) ** 2)
+            + np.sum(va + vb - 2.0 * np.sqrt(np.maximum(va * vb, 0.0)))
+        )
+        assert abs(r.fid2 - want) < 1e-3, (r.label_a, r.label_b, r.fid2, want)

@@ -201,3 +201,33 @@ def test_rendezvous_resharding_moves_only_to_new_shard(spark):
     import re
     n_exchanges = len(re.findall(r"Exchange ", plan))
     assert n_exchanges <= 2, plan  # hash agg exchange + order-by range exchange
+
+
+def test_quantile_normalize_aligns_sources(spark):
+    """qx220: after normalization every source's score distribution is
+    drawn from the SAME (global) value set — per-source medians must
+    collapse relative to the raw medians' spread — and the map is
+    monotone within each source (re-ranking never reorders docs)."""
+    import statistics as stats
+
+    from bqfetch_spark.operators.corpus import qx220_quantile_normalize
+    from tests.conftest import SF_CORRECT
+
+    rows = qx220_quantile_normalize(spark, SF_CORRECT).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src) >= 2
+
+    raw_med = [stats.median(x.raw_score for x in v) for v in by_src.values()]
+    norm_med = [stats.median(x.norm_score for x in v) for v in by_src.values()]
+    raw_spread = max(raw_med) - min(raw_med)
+    norm_spread = max(norm_med) - min(norm_med)
+    # same value set in every source -> medians nearly coincide
+    assert norm_spread <= raw_spread + 1e-9
+    assert norm_spread < 0.05, (norm_spread, raw_spread)
+
+    for v in by_src.values():
+        v.sort(key=lambda x: (x.raw_score, x.doc_id))
+        norms = [x.norm_score for x in v]
+        assert norms == sorted(norms)  # monotone within source
