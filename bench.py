@@ -236,6 +236,9 @@ HEADLINE = [
     "qx216_rendezvous_sharding",
     "qx217_source_leakage_matrix",
     "qx218_jl_projection",
+    "qx219_embedding_frechet",
+    "qx220_quantile_normalize",
+    "qx221_bpe_merges",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

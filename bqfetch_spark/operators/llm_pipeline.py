@@ -1404,3 +1404,121 @@ def qx217_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx221: BPE merge-rule learning (tokenizer training over the corpus)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8  # merge rules to learn
+
+
+def _bpe_merge_word(a: str, b: str):
+    """Column expression applying ONE merge rule (a,b) -> a+b to a
+    symbol array, leftmost-first non-overlapping — the classic BPE
+    apply step — as a pure ``F.aggregate`` fold: the accumulator is
+    (emitted symbols, one pending symbol); a pending `a` followed by
+    `b` emits the merged token and clears, anything else flushes the
+    pending symbol. JVM-side, no UDF."""
+
+    def step(acc, s):
+        return (
+            F.when(acc["p"].isNull(), F.struct(acc["out"].alias("out"), s.alias("p")))
+            .when(
+                (acc["p"] == F.lit(a)) & (s == F.lit(b)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+                    F.lit(None).cast("string").alias("p"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["p"])).alias("out"), s.alias("p")
+                )
+            )
+        )
+
+    return F.aggregate(
+        "syms",
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("p"),
+        ),
+        step,
+        lambda acc: F.when(acc["p"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["p"]))
+        ),
+    )
+
+
+@register(
+    "qx221_bpe_merges",
+    oracle=None,  # iterative argmax-and-rewrite: not SQL-expressible;
+    # pinned against a pure-Python BPE reference in tests/test_corpus.py
+    doc="first 8 BPE merge rules learned from corpus word frequencies",
+    tags=("llm-pipeline", "tokenization", "iterative"),
+)
+def qx221_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016):
+    learn the first BPE_MERGES merge rules from corpus word
+    frequencies. Deterministic argmax each round — highest weighted
+    pair count, ties broken lexicographically on (left, right) — so
+    reruns and both the engine and the pytest reference produce the
+    identical rule sequence.
+
+    Scale shape: the ONLY corpus-scale stage is the initial token
+    count (one exchange keyed by word — the q34 shape); everything
+    iterative runs on the DISTINCT-word frequency table, which is
+    vocabulary-sized (Heaps' law: ~constant once the corpus is large),
+    cached once. Per round: adjacent pairs via a transform over the
+    symbol array -> explode -> one vocab-sized exchange -> a 1-row
+    argmax collect (the kmeans-centroid pattern), then the merge
+    applies as a JVM fold (_bpe_merge_word) with localCheckpoint
+    truncating lineage so round N's plan does not embed rounds
+    1..N-1. At 100 TB the driver only ever sees K single-row argmax
+    results; the vocab frame it iterates on is MBs."""
+    toks = (
+        load_catalog(spark, sf_dir)
+        .table("documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(F.split(F.col("word"), "").alias("syms"), "freq")
+        .localCheckpoint(eager=True)
+    )
+
+    rules = []
+    for step_i in range(1, BPE_MERGES + 1):
+        pair_idx = F.sequence(F.lit(0), F.size("syms") - 2)
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        pair_idx,
+                        lambda i: F.struct(
+                            F.element_at("syms", i + 1).alias("l"),
+                            F.element_at("syms", i + 2).alias("r"),
+                        ),
+                    )
+                ).alias("pr"),
+                "freq",
+            )
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).collect()
+        if not best:
+            break
+        a, b, cnt = best[0].l, best[0].r, best[0].cnt
+        rules.append((step_i, a, b, a + b, cnt))
+        vocab = vocab.select(
+            _bpe_merge_word(a, b).alias("syms"), "freq"
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        rules, "step bigint, left string, right string, merged string, pair_count bigint"
+    ).orderBy("step")

@@ -231,3 +231,69 @@ def test_quantile_normalize_aligns_sources(spark):
         v.sort(key=lambda x: (x.raw_score, x.doc_id))
         norms = [x.norm_score for x in v]
         assert norms == sorted(norms)  # monotone within source
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """qx221: the engine's merge-rule sequence must equal a pure-Python
+    classic-BPE reference (Sennrich et al.) run on the collected
+    word-frequency table — same weighted pair counts, same
+    (count desc, left, right) tie-break, same leftmost-first
+    non-overlapping apply step."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.llm_pipeline import BPE_MERGES, qx221_bpe_merges
+    from tests.conftest import SF_CORRECT
+
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in qx221_bpe_merges(spark, SF_CORRECT).collect()
+    ]
+
+    wf = (
+        load_catalog(spark, SF_CORRECT)
+        .table("documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    vocab: dict[tuple, int] = {}
+    for r in wf:
+        vocab[tuple(r.w)] = vocab.get(tuple(r.w), 0) + r["count"]
+
+    def apply_merge(syms, a, b):
+        out, p = [], None
+        for s in syms:
+            if p is None:
+                p = s
+            elif p == a and s == b:
+                out.append(a + b)
+                p = None
+            else:
+                out.append(p)
+                p = s
+        if p is not None:
+            out.append(p)
+        return tuple(out)
+
+    want = []
+    for step in range(1, BPE_MERGES + 1):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((step, a, b, a + b, cnt))
+        merged: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            ns = apply_merge(syms, a, b)
+            merged[ns] = merged.get(ns, 0) + f
+        vocab = merged
+
+    assert got == want, (got, want)
