@@ -852,6 +852,103 @@ def main() -> None:
     assert worst <= 20, f"fp-compaction super-linear: worst ratio {worst:.1f}"
     print("fp-compaction scaling OK")
 
+    # --- qx219 embedding distribution distance at 10× vectors -------
+    # one label-keyed exchange of fixed-point moment aggregates + a
+    # 10-row broadcast self-join: 10× vectors must cost ≈10× (the
+    # moments pass) — a pairwise-distance spelling would show ~100×
+    from bqfetch_spark.catalog import TABLES
+    from bqfetch_spark.operators.similarity import qx219_embedding_frechet
+
+    emb0 = spark.read.parquet(f"{base}/embeddings.parquet")
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    os.makedirs(f"{tmp}/sfbig", exist_ok=True)
+    for t in TABLES:  # catalog loads eagerly: satisfy the other tables
+        if t not in ("embeddings", "documents"):
+            dst = f"{tmp}/sfbig/{t}.parquet"
+            if not os.path.exists(dst):
+                os.symlink(f"{base}/{t}.parquet", dst)
+    (
+        emb0.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/sfbig/embeddings.parquet")
+    )
+    # the catalog loads all tables on first touch of sfbig, so the 10×
+    # documents replica must exist before the first qx219 call
+    d0 = spark.read.parquet(f"{base}/documents.parquet")
+    (
+        d0.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/sfbig/documents.parquet")
+    )
+    worst = 0.0
+    for i in range(2):
+        t0 = time.time()
+        qx219_embedding_frechet(spark, base).collect()
+        ts = time.time() - t0
+        t0 = time.time()
+        qx219_embedding_frechet(spark, f"{tmp}/sfbig").collect()
+        tb = time.time() - t0
+        ratio = tb / ts
+        worst = max(worst, ratio)
+        print(f"frechet round{i}: small={ts:.2f}s big={tb:.2f}s ratio={ratio:.1f}")
+    assert worst <= 15, f"frechet super-linear: worst ratio {worst:.1f}"
+    print("frechet scaling OK")
+
+    # --- qx220 quantile normalization at 10× documents --------------
+    # two range-exchange global ranks + an equi-join lookup: linear.
+    # Replicas keep the source column (per-source rank offsets stay a
+    # groups-sized broadcast) and shift doc_ids so ranks genuinely grow.
+    from bqfetch_spark.operators.corpus import qx220_quantile_normalize
+
+    worst = 0.0
+    for i in range(2):
+        t0 = time.time()
+        qx220_quantile_normalize(spark, base).count()
+        ts = time.time() - t0
+        t0 = time.time()
+        qx220_quantile_normalize(spark, f"{tmp}/sfbig").count()
+        tb = time.time() - t0
+        ratio = tb / ts
+        worst = max(worst, ratio)
+        print(f"qnorm round{i}: small={ts:.2f}s big={tb:.2f}s ratio={ratio:.1f}")
+    assert worst <= 15, f"qnorm super-linear: worst ratio {worst:.1f}"
+    print("qnorm scaling OK")
+
+    # --- qx221 BPE at 10× documents ---------------------------------
+    # iteration cost is vocabulary-bounded: replicas REUSE the same
+    # token space (no replica prefix), so the vocab frame is identical
+    # at 1× and 10× and only the initial token count grows — measured
+    # time should be far below 10×
+    from bqfetch_spark.operators.llm_pipeline import qx221_bpe_merges
+
+    worst = 0.0
+    for i in range(2):
+        t0 = time.time()
+        qx221_bpe_merges(spark, base).collect()
+        ts = time.time() - t0
+        t0 = time.time()
+        qx221_bpe_merges(spark, f"{tmp}/sfbig").collect()
+        tb = time.time() - t0
+        ratio = tb / ts
+        worst = max(worst, ratio)
+        print(f"bpe round{i}: small={ts:.2f}s big={tb:.2f}s ratio={ratio:.1f}")
+    assert worst <= 15, f"bpe super-linear: worst ratio {worst:.1f}"
+    print("bpe scaling OK")
+
     shutil.rmtree(tmp, ignore_errors=True)
 
 

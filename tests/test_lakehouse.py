@@ -230,3 +230,64 @@ def test_layout_dir_content_keyed_on_full_path():
     assert a != b
     assert layout_dir_for("/data/runA/sf0.01/") == a
     assert f"u{os.getuid()}" in a
+
+
+@pytest.mark.skipif(
+    not _delta_available(),
+    reason="delta-spark not installed (no pip in this sandbox); the test "
+    "pins the Delta change-data-feed contract wherever the package exists",
+)
+def test_qx160_equivalent_to_delta_cdf(spark, tmp_path):
+    """Round-6 VERDICT #1: qx160's full-outer-join diff recovers exactly
+    the change set a real Delta change data feed records. Where
+    delta-spark is available: materialize snapshot A as a Delta table
+    with CDF enabled, apply qx160's B-derivation rules as genuine
+    Delta DELETE / UPDATE / APPEND commits, read table_changes from
+    version 1, and assert the netted feed (insert→added,
+    delete→removed, update_postimage→changed) equals qx160's output."""
+    from delta.tables import DeltaTable
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.registry import all_queries
+
+    docs = load_catalog(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = str(tmp_path / "docs_delta")
+    (
+        docs.write.format("delta")
+        .option("delta.enableChangeDataFeed", "true")
+        .save(path)
+    )
+
+    tbl = DeltaTable.forPath(spark, path)
+    tbl.delete(F.col("doc_id") % 17 == 0)
+    tbl.update(
+        F.col("doc_id") % 17 == 1, {"n_chars": F.col("n_chars") + F.lit(1)}
+    )
+    (
+        docs.filter(F.col("doc_id") % 17 == 2)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .write.format("delta")
+        .mode("append")
+        .save(path)
+    )
+
+    feed = (
+        spark.read.format("delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load(path)
+        .filter(F.col("_change_type") != "update_preimage")
+        .select(
+            "doc_id",
+            F.when(F.col("_change_type") == "insert", "added")
+            .when(F.col("_change_type") == "delete", "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+        )
+    )
+    want = all_queries()["qx160_snapshot_diff"].fn(spark, SF_SMOKE)
+    assert sorted(map(tuple, feed.collect())) == sorted(
+        map(tuple, want.collect())
+    )
