@@ -239,6 +239,8 @@ HEADLINE = [
     "qx219_embedding_frechet",
     "qx220_quantile_normalize",
     "qx221_bpe_merges",
+    "qx222_bpe_encode",
+    "qx223_decontaminated_split",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -1477,6 +1477,20 @@ def qx221_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating lineage so round N's plan does not embed rounds
     1..N-1. At 100 TB the driver only ever sees K single-row argmax
     results; the vocab frame it iterates on is MBs."""
+    rules, _final = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        rules, "step bigint, left string, right string, merged string, pair_count bigint"
+    ).orderBy("step")
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Run the BPE_MERGES learning rounds over the corpus word-
+    frequency table. Returns ``(rules, final_vocab)`` where rules is
+    ``[(step, left, right, merged, pair_count), …]`` and final_vocab
+    is the (word, syms, freq) frame AFTER all merges — i.e. the
+    word-level encoding table, which is what qx222 joins back to the
+    corpus (the vocab-trick: encode each DISTINCT word once, never
+    each occurrence)."""
     toks = (
         load_catalog(spark, sf_dir)
         .table("documents")
@@ -1486,7 +1500,7 @@ def qx221_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         toks.groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-        .select(F.split(F.col("word"), "").alias("syms"), "freq")
+        .select("word", F.split(F.col("word"), "").alias("syms"), "freq")
         .localCheckpoint(eager=True)
     )
 
@@ -1516,9 +1530,70 @@ def qx221_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, cnt = best[0].l, best[0].r, best[0].cnt
         rules.append((step_i, a, b, a + b, cnt))
         vocab = vocab.select(
-            _bpe_merge_word(a, b).alias("syms"), "freq"
+            "word", _bpe_merge_word(a, b).alias("syms"), "freq"
         ).localCheckpoint(eager=True)
 
-    return spark.createDataFrame(
-        rules, "step bigint, left string, right string, merged string, pair_count bigint"
-    ).orderBy("step")
+    return rules, vocab
+
+
+@register(
+    "qx222_bpe_encode",
+    oracle=None,  # the encoding table is the output of qx221's iterative
+    # learner: not SQL-expressible; pinned against the Python reference
+    doc="apply learned BPE merges: per-source token counts and compression ratio",
+    tags=("llm-pipeline", "tokenization"),
+)
+def qx222_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale — the other half of qx221:
+    encode every document with the learned merge rules and report, per
+    source, the numbers a pretraining budget is planned with: word
+    count, BPE token count, character count, chars-per-token
+    (compression) and BPE tokens per word.
+
+    Scale shape (the vocab-trick): merges are applied to each DISTINCT
+    word exactly once — the learner's final (word → merged symbols)
+    frame IS the encoding table, so encoding the corpus is ONE
+    (source, word)-keyed count exchange (vocab×sources-bounded) plus
+    an equi-join of that count frame against the vocab-sized encoding
+    table, then a groups-sized rollup. Text itself never moves; no
+    per-occurrence symbol arrays ever exist. At 100 TB the cost is the
+    token-count pass — the same shape as q34 — regardless of how many
+    merge rounds were learned."""
+    _rules, final_vocab = _bpe_learn(spark, sf_dir)
+    enc = final_vocab.select(
+        "word",
+        F.size("syms").cast("bigint").alias("n_bpe"),
+        F.length("word").cast("bigint").alias("n_chars_w"),
+    )
+
+    toks = (
+        load_catalog(spark, sf_dir)
+        .table("documents")
+        .select("source", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    sw = toks.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return (
+        sw.join(enc, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_bpe")).cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.col("cnt") * F.col("n_chars_w")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 6
+            ).alias("chars_per_token"),
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("source")
+    )

@@ -633,3 +633,121 @@ def qx156_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_stop_distinct") >= GOPHER_MIN_STOPWORDS)
         & (F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_RATIO),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx223: decontaminated train/test split (holdout + n-gram embargo)
+# ---------------------------------------------------------------------------
+
+DECONTAM_K = 100  # held-out eval docs (q82's md5-head rule)
+
+DECONTAM_ORACLE = f"""
+WITH hold AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {DECONTAM_K}
+),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(t) - {CONTAM_N - 1}),
+             i -> list_aggregate(t[i:i+{CONTAM_N - 1}], 'string_agg', ' ')))) AS g
+  FROM toks WHERE len(t) >= {CONTAM_N}
+),
+tgrams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id IN (SELECT doc_id FROM hold)
+),
+contam AS (
+  SELECT DISTINCT gr.doc_id
+  FROM grams gr JOIN tgrams ON gr.g = tgrams.g
+  WHERE gr.doc_id NOT IN (SELECT doc_id FROM hold)
+),
+lab AS (
+  SELECT d.doc_id, d.source,
+         len(string_split(d.text, ' ')) AS n_tok,
+         d.doc_id IN (SELECT doc_id FROM hold) AS is_test,
+         d.doc_id IN (SELECT doc_id FROM contam) AS is_contam
+  FROM documents d
+)
+SELECT source,
+       CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN NOT is_test AND NOT is_contam THEN 1 ELSE 0 END) AS BIGINT) AS n_train_kept,
+       CAST(sum(CASE WHEN NOT is_test AND is_contam THEN 1 ELSE 0 END) AS BIGINT) AS n_train_dropped,
+       CAST(sum(CASE WHEN NOT is_test AND NOT is_contam THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM lab GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "qx223_decontaminated_split",
+    oracle=DECONTAM_ORACLE,
+    doc="holdout split + n-gram embargo: per-source kept/dropped train counts",
+    tags=("quality", "decontamination", "llm-pipeline", "curation"),
+)
+def qx223_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontaminated train/test SPLIT itself — the step q77's
+    screen feeds: carve the eval set with q82's deterministic md5-head
+    rule (rerun-stable exactly-k holdout), then EMBARGO every training
+    document that shares any distinct {CONTAM_N}-gram with any eval
+    doc (the direction that matters: eval text must not leak into
+    train). Emits the per-source audit a data card wants: eval count,
+    kept/dropped train counts, surviving token budget.
+
+    Plan shape at 100 TB: the eval id set is TakeOrderedAndProject
+    (O(k) driver heap merge, no global sort) and BROADCASTS; the eval
+    gram set is distinct-collapsed (k docs × grams — benchmark-sized)
+    and BROADCASTS into the corpus gram stream, so the corpus is
+    scanned once, text never shuffles, and the only exchanges are the
+    contaminated-id distinct (bounded by contaminated docs, not the
+    corpus) and the final groups-sized source rollup. The drop flag
+    joins back on doc_id — an equi-join against the
+    corpus-partitioned frame."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    test_ids = docs.orderBy(h, "doc_id").limit(DECONTAM_K).select("doc_id")
+
+    test_grams = (
+        _distinct_ngrams(
+            docs.join(F.broadcast(test_ids), "doc_id"), CONTAM_N
+        )
+        .select("g")
+        .distinct()
+    )
+    train = docs.join(F.broadcast(test_ids), "doc_id", "left_anti")
+    contam_ids = (
+        _distinct_ngrams(train, CONTAM_N)
+        .join(F.broadcast(test_grams), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__contam", F.lit(True))
+    )
+
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    train_lab = (
+        train.select("doc_id", "source", n_tok.alias("n_tok"))
+        .join(contam_ids, "doc_id", "left")
+        .withColumn("is_contam", F.coalesce(F.col("__contam"), F.lit(False)))
+    )
+    train_agg = train_lab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_all"),
+        F.sum(F.when(F.col("is_contam"), 1).otherwise(0)).cast("bigint").alias("n_train_dropped"),
+        F.sum(F.when(~F.col("is_contam"), F.col("n_tok")).otherwise(0)).cast("bigint").alias("tokens_kept"),
+    )
+    test_agg = (
+        docs.join(F.broadcast(test_ids), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_test"))
+    )
+    return (
+        train_agg.join(test_agg, "source", "full_outer")
+        .select(
+            "source",
+            F.coalesce("n_test", F.lit(0)).cast("bigint").alias("n_test"),
+            (F.col("n_train_all") - F.col("n_train_dropped")).cast("bigint").alias("n_train_kept"),
+            F.coalesce("n_train_dropped", F.lit(0)).cast("bigint").alias("n_train_dropped"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

@@ -297,3 +297,97 @@ def test_bpe_merges_match_python_reference(spark):
         vocab = merged
 
     assert got == want, (got, want)
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """qx222: per-source word/BPE-token/char aggregates must equal a
+    pure-Python pipeline — learn the merges with the reference BPE,
+    encode each distinct word, aggregate per source."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.llm_pipeline import BPE_MERGES, qx222_bpe_encode
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        r.source: (r.n_words, r.n_bpe_tokens, r.n_chars, r.chars_per_token, r.tokens_per_word)
+        for r in qx222_bpe_encode(spark, SF_CORRECT).collect()
+    }
+
+    sw = (
+        load_catalog(spark, SF_CORRECT)
+        .table("documents")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .count()
+        .collect()
+    )
+
+    def apply_merge(syms, a, b):
+        out, p = [], None
+        for s in syms:
+            if p is None:
+                p = s
+            elif p == a and s == b:
+                out.append(a + b)
+                p = None
+            else:
+                out.append(p)
+                p = s
+        if p is not None:
+            out.append(p)
+        return tuple(out)
+
+    vocab: dict[tuple, int] = {}
+    for r in sw:
+        vocab[tuple(r.w)] = vocab.get(tuple(r.w), 0) + r["count"]
+    word_syms = {  # word -> current symbol seq (tracked separately from counts)
+        "".join(k): list(k) for k in vocab
+    }
+    for _step in range(BPE_MERGES):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), _cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        nv: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            ns = apply_merge(syms, a, b)
+            nv[ns] = nv.get(ns, 0) + f
+        vocab = nv
+        for w in word_syms:
+            word_syms[w] = list(apply_merge(word_syms[w], a, b))
+
+    agg: dict[str, list] = {}
+    for r in sw:
+        n_words, n_bpe, n_chars = agg.setdefault(r.source, [0, 0, 0])
+        agg[r.source][0] = n_words + r["count"]
+        agg[r.source][1] = n_bpe + r["count"] * len(word_syms[r.w])
+        agg[r.source][2] = n_chars + r["count"] * len(r.w)
+
+    assert set(got) == set(agg)
+    for s, (nw, nb, nc) in agg.items():
+        gw, gb, gc, cpt, tpw = got[s]
+        assert (gw, gb, gc) == (nw, nb, nc), (s, got[s], agg[s])
+        assert abs(cpt - round(nc / nb, 6)) < 1e-9
+        assert abs(tpw - round(nb / nw, 6)) < 1e-9
+
+
+def test_decontaminated_split_partitions_corpus(spark):
+    """qx223: the three buckets (test / kept / dropped) must exactly
+    partition the corpus, with the eval side summing to DECONTAM_K."""
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.quality import DECONTAM_K, qx223_decontaminated_split
+    from tests.conftest import SF_CORRECT
+
+    rows = qx223_decontaminated_split(spark, SF_CORRECT).collect()
+    n_total = load_catalog(spark, SF_CORRECT).table("documents").count()
+    assert sum(r.n_test for r in rows) == DECONTAM_K
+    assert sum(r.n_test + r.n_train_kept + r.n_train_dropped for r in rows) == n_total
+    assert all(r.tokens_kept > 0 for r in rows if r.n_train_kept > 0)
+    assert sum(r.n_train_dropped for r in rows) > 0  # embargo actually fires
