@@ -1634,6 +1634,10 @@ def qx219_embedding_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col(f"sx{d}") for d in range(PCA_DIM)]).alias("sx"),
             F.array(*[F.col(f"sq{d}") for d in range(PCA_DIM)]).alias("sq"),
         )
+        # materialize the groups-sized stats ONCE: without this the
+        # self-join below re-executes the corpus moments pass on both
+        # sides (two full scans at 100 TB for identical 10-row input)
+        .localCheckpoint(eager=True)
     )
 
     def moments(n, sx, sq):

@@ -580,3 +580,29 @@ def test_qx197_vocab_join_is_broadcast_topk_is_heap(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_qx219_single_moments_pass(spark):
+    """qx219's scale claim: the corpus moments pass materializes ONCE
+    (eager checkpoint of the groups-sized stats frame) — the pair
+    stage's plan joins two 10-row RDD scans under broadcast, with NO
+    embeddings scan, no posexplode, and no cartesian product."""
+    plan = _plan(spark, "qx219_embedding_frechet")
+    assert "Exchange hashpartitioning(label" not in plan, plan
+    assert "embeddings" not in plan, plan  # corpus scan happened pre-checkpoint
+    assert "posexplode" not in plan.lower(), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_qx223_eval_side_broadcasts(spark):
+    """qx223's scale claim: the eval id set and eval gram set reach the
+    corpus stream as broadcasts (benchmark-sized), so the corpus text
+    is never shuffled for the embargo join."""
+    plan = _plan(spark, "qx223_decontaminated_split")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    # no corpus-wide exchange carries the text column
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
