@@ -1126,8 +1126,16 @@ def qx220_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = with_global_rank(
         scored, ["source", "score", "doc_id"], nparts, "rsg", "nt"
     )
-    src_stats = per_src.groupBy("source").agg(
-        F.min("rsg").alias("r0"), F.count(F.lit(1)).alias("ns")
+    # each source's min global rank is 1 + the cumulative count of all
+    # earlier sources — a groups-sized agg + metadata window, NOT a
+    # second execution of the rank subplan (a min("rsg") spelling made
+    # Spark run the corpus range exchange twice)
+    src_counts = scored.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    prior = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    src_stats = src_counts.select(
+        "source",
+        "ns",
+        (F.coalesce(F.sum("ns").over(prior), F.lit(0)) + F.lit(1)).alias("r0"),
     )
     per = (
         per_src.join(F.broadcast(src_stats), "source")

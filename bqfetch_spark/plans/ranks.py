@@ -38,6 +38,19 @@ def with_global_rank(
     counts + cumulative offsets] → broadcast-join offsets back →
     local sort + window per partition. No single-task stage touches
     more than one partition's rows.
+
+    Known cost note: ``spark_partition_id()`` is flagged
+    nondeterministic, which disables Catalyst's ReuseExchange between
+    the counts branch and the data branch — the range exchange
+    therefore EXECUTES twice (two corpus passes, still zero
+    single-task stages). Both spellings that would collapse it to one
+    pass trade laziness away (persist leaks across queries;
+    localCheckpoint swaps the second exchange for a full local-disk
+    materialization and hides the upstream plan from every
+    plan-shape assertion), so the two-pass cost is the documented
+    price of an exact, deterministic, lazily-composable global rank;
+    callers that rank the same frame repeatedly should checkpoint at
+    the call site (see qx219's stats checkpoint for the pattern).
     """
     ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
