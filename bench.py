@@ -241,6 +241,9 @@ HEADLINE = [
     "qx221_bpe_merges",
     "qx222_bpe_encode",
     "qx223_decontaminated_split",
+    "qx224_dup_span_fraction",
+    "qx225_conditional_entropy",
+    "qx226_lexical_diversity",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

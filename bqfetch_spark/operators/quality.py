@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bqfetch_spark.catalog import load_catalog
 from bqfetch_spark.operators.relational import r6
@@ -750,4 +751,122 @@ def qx223_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias("tokens_kept"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx224: duplicated-span fraction (exact-substring dedup metric)
+# ---------------------------------------------------------------------------
+
+SPAN_N = 5  # span width in tokens (matches CONTAM_N's fixture rationale)
+
+DUP_SPAN_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - {SPAN_N - 1}),
+        i -> {{'i': i, 'g': list_aggregate(t[i:i+{SPAN_N - 1}], 'string_agg', ' ')}})) AS z
+  FROM toks WHERE len(t) >= {SPAN_N}
+),
+g2 AS (SELECT doc_id, z.i AS i, z.g AS g FROM grams),
+df AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM g2 GROUP BY g),
+dup AS (SELECT g2.doc_id, g2.i FROM g2 JOIN df ON g2.g = df.g WHERE df.ndocs >= 2),
+iv AS (
+  SELECT doc_id, i,
+         greatest(0, (i + {SPAN_N}) - greatest(i,
+           coalesce(max(i + {SPAN_N}) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), i))) AS cov
+  FROM dup
+),
+per AS (SELECT doc_id, sum(cov) AS dup_tokens FROM iv GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(coalesce(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(coalesce(per.dup_tokens, 0) AS DOUBLE)
+             / len(string_split(d.text, ' ')), 6) AS dup_fraction
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "qx224_dup_span_fraction",
+    oracle=DUP_SPAN_ORACLE,
+    doc="per-doc fraction of tokens covered by cross-doc-shared n-gram spans",
+    tags=("quality", "dedup", "llm-pipeline"),
+)
+def qx224_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-substring duplication METRIC (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, the fraction of its tokens covered by at least one
+    {SPAN_N}-gram that also appears in ANOTHER document. Near-dup
+    operators (q46-q49) decide keep/drop per doc; this measures HOW
+    MUCH of each surviving doc is boilerplate/quotation — the signal
+    that drives span-level cutting rather than whole-doc dropping.
+
+    Plan shape: positional grams are a row-local transform+explode
+    (position rides along, so coverage is reconstructible); the
+    cross-doc test is ONE gram-keyed exchange (distinct-doc count,
+    q46's family) joined back to the positional stream; interval union
+    per doc is the classic running-max-end window — partitioned by
+    doc_id (parallel across docs, each window is one doc's dup
+    positions). Every stage is linear in corpus grams; no pairwise
+    structure ever materializes. Within-doc-only repeats are NOT
+    counted (ndocs >= 2 is cross-doc by construction) — self-repetition
+    is q75's job."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    t = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", t.alias("t"))
+    pos = (
+        base.filter(F.size("t") >= SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (SPAN_N - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.concat_ws(" ", F.slice("t", i, SPAN_N)).alias("g"),
+                    ),
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", F.col("z.i").alias("i"), F.col("z.g").alias("g"))
+    )
+    df_counts = pos.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    dup = pos.join(df_counts.filter(F.col("ndocs") >= 2), "g").select("doc_id", "i")
+
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = F.greatest(
+        F.lit(0),
+        (F.col("i") + F.lit(SPAN_N))
+        - F.greatest(
+            F.col("i"),
+            F.coalesce(F.max(F.col("i") + F.lit(SPAN_N)).over(prev), F.col("i")),
+        ),
+    )
+    per = (
+        dup.withColumn("cov", cov)
+        .groupBy("doc_id")
+        .agg(F.sum("cov").cast("bigint").alias("dup_tokens"))
+    )
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    return (
+        docs.select("doc_id", n_tok.alias("n_tokens"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"),
+                6,
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
     )

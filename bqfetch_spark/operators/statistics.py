@@ -2996,3 +2996,172 @@ def qx214_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KN_TOPK)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx225: bigram conditional entropy per source (text predictability)
+# ---------------------------------------------------------------------------
+
+COND_ENTROPY_ORACLE = """
+WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT source,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1])) AS pg
+  FROM toks WHERE len(t) >= 2
+),
+pc AS (SELECT source, pg, count(*) AS c FROM pairs GROUP BY source, pg),
+mc AS (
+  SELECT source, string_split(pg, ' ')[1] AS w1, sum(c) AS c
+  FROM pc GROUP BY source, string_split(pg, ' ')[1]
+),
+hp AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_pairs,
+         round(log2(CAST(sum(c) AS DOUBLE))
+               - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                 / CAST(sum(c) AS DOUBLE), 6) AS h_pair_bits
+  FROM pc GROUP BY source
+),
+hm AS (
+  SELECT source,
+         round(log2(CAST(sum(c) AS DOUBLE))
+               - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                 / CAST(sum(c) AS DOUBLE), 6) AS h_w1_bits
+  FROM mc GROUP BY source
+)
+SELECT hp.source, hp.n_pairs, hp.h_pair_bits, hm.h_w1_bits,
+       round(hp.h_pair_bits - hm.h_w1_bits, 6) AS h_cond_bits
+FROM hp JOIN hm ON hp.source = hm.source
+ORDER BY hp.source
+"""
+
+
+@register(
+    "qx225_conditional_entropy",
+    oracle=COND_ENTROPY_ORACLE,
+    doc="per-source bigram conditional entropy H(w2|w1): text predictability",
+    tags=("text", "stats", "quality", "llm-pipeline"),
+)
+def qx225_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(w₂|w₁) = H(pairs) − H(w₁-marginal) per
+    source — the entropy-RATE companion to qx118's unigram entropy:
+    a source whose tokens are diverse (high H(w₁)) but whose
+    CONTINUATIONS are predictable (low H(w₂|w₁)) is template/loop text
+    that unigram diversity cannot flag; natural prose keeps several
+    bits of continuation surprise. Both entropies derive from the SAME
+    bigram count frame (the w₁ marginal is a re-aggregation, the exact
+    chain-rule identity — not an independently-estimated unigram
+    distribution), so H_cond ≥ 0 holds by construction.
+
+    Plan shape: adjacent pairs are a row-local transform+explode; ONE
+    (source, bigram)-keyed exchange builds the count frame; the
+    marginal and both entropy folds are source-keyed reductions of
+    that vocabulary-bounded frame (qx214's exchange family). Entropy
+    terms use the qx118 convention: log2(N) − Σ c·log2 c / N from
+    exact integer counts, rounded 6dp."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    t = F.split(F.col("text"), " ")
+    pairs = (
+        docs.select("source", t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    ),
+                )
+            ).alias("pg"),
+        )
+    )
+    pc = pairs.groupBy("source", "pg").agg(F.count(F.lit(1)).alias("c"))
+    mc = pc.groupBy(
+        "source", F.split("pg", " ")[0].alias("w1")
+    ).agg(F.sum("c").alias("c"))
+
+    def entropy(df, out):
+        n = F.sum("c").cast("double")
+        return df.groupBy("source").agg(
+            F.sum("c").cast("bigint").alias(f"__n_{out}"),
+            F.round(
+                F.log2(n) - F.sum(F.col("c").cast("double") * F.log2("c")) / n, 6
+            ).alias(out),
+        )
+
+    hp = entropy(pc, "h_pair_bits").withColumnRenamed("__n_h_pair_bits", "n_pairs")
+    hm = entropy(mc, "h_w1_bits").drop("__n_h_w1_bits")
+    return (
+        hp.join(hm, "source")
+        .select(
+            "source",
+            "n_pairs",
+            "h_pair_bits",
+            "h_w1_bits",
+            F.round(F.col("h_pair_bits") - F.col("h_w1_bits"), 6).alias("h_cond_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx226: lexical diversity per source (TTR + hapax fraction)
+# ---------------------------------------------------------------------------
+
+TTR_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (SELECT source, token, count(*) AS c FROM tok GROUP BY source, token)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_frac
+FROM counts GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "qx226_lexical_diversity",
+    oracle=TTR_ORACLE,
+    doc="per-source type-token ratio and hapax-legomenon fraction",
+    tags=("text", "stats", "quality"),
+)
+def qx226_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio and hapax fraction per source — the two
+    cheapest lexical-diversity diagnostics (Heaps-law intercepts
+    qx209's Zipf slope doesn't capture): machine-generated or
+    deduplicated-to-death text shows a collapsing TTR, OCR noise and
+    spam inflate hapax counts. One (source, token)-keyed exchange of
+    partial counts, then a source-keyed reduction — the q34/qx118
+    shape on the source axis."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    counts = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "hapax",
+            F.round(F.col("vocab").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("hapax").cast("double") / F.col("vocab"), 6).alias(
+                "hapax_frac"
+            ),
+        )
+        .orderBy("source")
+    )

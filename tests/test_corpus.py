@@ -391,3 +391,69 @@ def test_decontaminated_split_partitions_corpus(spark):
     assert sum(r.n_test + r.n_train_kept + r.n_train_dropped for r in rows) == n_total
     assert all(r.tokens_kept > 0 for r in rows if r.n_train_kept > 0)
     assert sum(r.n_train_dropped for r in rows) > 0  # embargo actually fires
+
+
+def test_dup_span_fraction_matches_python_interval_union(spark):
+    """qx224: for a sample of docs, recompute the covered-token count
+    with an independent Python interval-union over cross-doc-shared
+    grams and compare exactly; plus global invariants."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.quality import SPAN_N, qx224_dup_span_fraction
+    from tests.conftest import SF_CORRECT
+
+    got = {r.doc_id: r for r in qx224_dup_span_fraction(spark, SF_CORRECT).collect()}
+    assert all(0.0 <= r.dup_fraction <= 1.0 for r in got.values())
+    assert all(r.dup_tokens <= r.n_tokens for r in got.values())
+    assert any(r.dup_tokens > 0 for r in got.values())
+
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in load_catalog(spark, SF_CORRECT)
+        .table("documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    gram_docs: dict[str, set] = {}
+    for did, t in texts.items():
+        for i in range(len(t) - SPAN_N + 1):
+            gram_docs.setdefault(" ".join(t[i : i + SPAN_N]), set()).add(did)
+    for did in sorted(texts)[:25]:
+        t = texts[did]
+        covered = 0
+        max_end = 0
+        for i in range(1, len(t) - SPAN_N + 2):
+            g = " ".join(t[i - 1 : i - 1 + SPAN_N])
+            if len(gram_docs[g]) >= 2:
+                end = i + SPAN_N
+                covered += max(0, end - max(i, max_end))
+                max_end = max(max_end, end)
+        assert got[did].dup_tokens == covered, (did, got[did].dup_tokens, covered)
+
+
+def test_conditional_entropy_identities(spark):
+    """qx225: chain-rule bounds — 0 ≤ H(w2|w1) ≤ H(pairs), and
+    H(pairs) ≥ H(w1 marginal) — must hold for every source (they are
+    identities of the construction, so a violation means the marginal
+    was estimated from the wrong frame)."""
+    from bqfetch_spark.operators.statistics import qx225_conditional_entropy
+    from tests.conftest import SF_CORRECT
+
+    rows = qx225_conditional_entropy(spark, SF_CORRECT).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.h_cond_bits >= -1e-6, r
+        assert r.h_pair_bits >= r.h_w1_bits - 1e-6, r
+        assert r.h_pair_bits > 0 and r.h_w1_bits > 0
+
+
+def test_lexical_diversity_invariants(spark):
+    """qx226: hapax ≤ vocab ≤ n_tokens and the ratios reproduce."""
+    from bqfetch_spark.operators.statistics import qx226_lexical_diversity
+    from tests.conftest import SF_CORRECT
+
+    for r in qx226_lexical_diversity(spark, SF_CORRECT).collect():
+        assert r.hapax <= r.vocab <= r.n_tokens
+        assert abs(r.ttr - round(r.vocab / r.n_tokens, 6)) < 1e-9
+        assert abs(r.hapax_frac - round(r.hapax / r.vocab, 6)) < 1e-9
