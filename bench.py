@@ -244,6 +244,8 @@ HEADLINE = [
     "qx224_dup_span_fraction",
     "qx225_conditional_entropy",
     "qx226_lexical_diversity",
+    "qx227_group_holdout",
+    "qx228_dup_weights",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

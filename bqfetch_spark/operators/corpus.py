@@ -1160,3 +1160,130 @@ def qx220_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx227: cluster-aware holdout split (dup groups never straddle)
+# ---------------------------------------------------------------------------
+
+GROUP_TEST_HEX = ("0", "1")  # md5(rep) first hex in {0,1} => test (~12.5%)
+
+GROUP_HOLDOUT_ORACLE = f"""
+WITH cl AS (
+  SELECT doc_id, source, md5(text) AS ck FROM documents
+),
+reps AS (
+  SELECT ck, min(doc_id) AS rep FROM cl GROUP BY ck
+),
+lab AS (
+  SELECT cl.doc_id, cl.source, cl.ck,
+         substring(md5(CAST(r.rep AS VARCHAR)), 1, 1) IN ('0','1') AS is_test
+  FROM cl JOIN reps r ON cl.ck = r.ck
+)
+SELECT source,
+       CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test_docs,
+       CAST(sum(CASE WHEN is_test THEN 0 ELSE 1 END) AS BIGINT) AS n_train_docs,
+       CAST(count(DISTINCT CASE WHEN is_test THEN ck END) AS BIGINT) AS n_test_clusters,
+       CAST(count(DISTINCT CASE WHEN NOT is_test THEN ck END) AS BIGINT) AS n_train_clusters
+FROM lab GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "qx227_group_holdout",
+    oracle=GROUP_HOLDOUT_ORACLE,
+    doc="holdout split decided per dup-cluster, so duplicate docs never straddle train/test",
+    tags=("curation", "holdout", "dedup", "llm-pipeline"),
+)
+def qx227_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware holdout (GroupKFold's split rule applied to corpus
+    curation): the train/test decision is a pure function of the
+    DUPLICATE CLUSTER's representative, not the document — so two
+    copies of the same text can never land on opposite sides of the
+    split (the eval-leakage mode a doc-keyed rule like q82's permits,
+    and the reason GroupKFold exists). Clusters here are exact-dup
+    groups (q40's md5(text) key); swapping in q74's near-dup
+    components is the same join. Deterministic: rep = min(doc_id) per
+    cluster, test iff md5(rep) starts with a hex digit in {0,1}
+    (~12.5%, rerun-stable).
+
+    Plan shape: the cluster key is computed row-local (md5 of text —
+    text itself never shuffles); ONE ck-keyed exchange derives the
+    rep per cluster and joins it back; the per-source rollup is
+    groups-sized. The leakage property (no straddling cluster) is
+    structural — pytest-asserted, not just emitted."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    cl = docs.select("doc_id", "source", F.md5("text").alias("ck"))
+    reps = cl.groupBy("ck").agg(F.min("doc_id").alias("rep"))
+    lab = cl.join(reps, "ck").withColumn(
+        "is_test",
+        F.substring(F.md5(F.col("rep").cast("string")), 1, 1).isin(*GROUP_TEST_HEX),
+    )
+    return (
+        lab.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("is_test"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_test_docs"),
+            F.sum(F.when(F.col("is_test"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_train_docs"),
+            F.count_distinct(F.when(F.col("is_test"), F.col("ck")))
+            .cast("bigint")
+            .alias("n_test_clusters"),
+            F.count_distinct(F.when(~F.col("is_test"), F.col("ck")))
+            .cast("bigint")
+            .alias("n_train_clusters"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx228: duplication-aware sampling weights (1 / cluster size)
+# ---------------------------------------------------------------------------
+
+DUP_WEIGHT_ORACLE = """
+WITH cl AS (
+  SELECT doc_id, source, md5(text) AS ck FROM documents
+),
+sz AS (SELECT ck, count(*) AS cluster_size FROM cl GROUP BY ck)
+SELECT cl.doc_id, cl.source,
+       CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+       round(1.0 / sz.cluster_size, 6) AS weight
+FROM cl JOIN sz ON cl.ck = sz.ck
+ORDER BY cl.doc_id
+"""
+
+
+@register(
+    "qx228_dup_weights",
+    oracle=DUP_WEIGHT_ORACLE,
+    doc="per-doc sampling weight 1/duplicate-cluster-size (soft dedup)",
+    tags=("curation", "dedup", "sampling", "llm-pipeline"),
+)
+def qx228_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates (q40), keep
+    every copy but weight it 1/cluster_size so the cluster contributes
+    exactly one document's worth of gradient — the loss-weighting /
+    sampling-probability spelling of dedup that preserves shard
+    locality and lets the loader trade repetition for freshness
+    (duplicates-hurt results in Lee et al. 2022 motivate both forms).
+    Σ weights = number of distinct texts, by construction.
+
+    Plan: row-local md5 cluster key, ONE ck-keyed count exchange,
+    join back — text never shuffles, output is corpus-sized but
+    column-narrow (the loader-manifest shape, like qx215)."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    cl = docs.select("doc_id", "source", F.md5("text").alias("ck"))
+    sz = cl.groupBy("ck").agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+    return (
+        cl.join(sz, "ck")
+        .select(
+            "doc_id",
+            "source",
+            "cluster_size",
+            F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )

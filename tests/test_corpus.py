@@ -457,3 +457,57 @@ def test_lexical_diversity_invariants(spark):
         assert r.hapax <= r.vocab <= r.n_tokens
         assert abs(r.ttr - round(r.vocab / r.n_tokens, 6)) < 1e-9
         assert abs(r.hapax_frac - round(r.hapax / r.vocab, 6)) < 1e-9
+
+
+def test_group_holdout_no_cluster_straddles(spark):
+    """qx227: the leakage property — no duplicate cluster may have
+    members on both sides of the split — plus weight-check that the
+    test share lands near the 2/16 hash-rule expectation."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.corpus import GROUP_TEST_HEX, qx227_group_holdout
+    from tests.conftest import SF_CORRECT
+
+    docs = load_catalog(spark, SF_CORRECT).table("documents")
+    cl = docs.select("doc_id", F.md5("text").alias("ck"))
+    reps = cl.groupBy("ck").agg(F.min("doc_id").alias("rep"))
+    lab = cl.join(reps, "ck").withColumn(
+        "is_test",
+        F.substring(F.md5(F.col("rep").cast("string")), 1, 1).isin(*GROUP_TEST_HEX),
+    )
+    straddling = (
+        lab.groupBy("ck")
+        .agg(F.count_distinct("is_test").alias("n_sides"))
+        .filter(F.col("n_sides") > 1)
+        .count()
+    )
+    assert straddling == 0
+
+    rows = qx227_group_holdout(spark, SF_CORRECT).collect()
+    n_test = sum(r.n_test_docs for r in rows)
+    n_all = sum(r.n_test_docs + r.n_train_docs for r in rows)
+    assert 0.05 < n_test / n_all < 0.25  # ~12.5% rule, fixture tolerance
+
+
+def test_dup_weights_sum_to_distinct_texts(spark):
+    """qx228: Σ weights == number of DISTINCT texts (each cluster
+    contributes exactly 1.0), every weight in (0, 1]."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.corpus import qx228_dup_weights
+    from tests.conftest import SF_CORRECT
+
+    rows = qx228_dup_weights(spark, SF_CORRECT).collect()
+    assert all(0 < r.weight <= 1.0 for r in rows)
+    n_distinct = (
+        load_catalog(spark, SF_CORRECT)
+        .table("documents")
+        .select(F.md5("text"))
+        .distinct()
+        .count()
+    )
+    total = sum(r.weight for r in rows)
+    # rounded to 6dp per row: tolerance scales with corpus size
+    assert abs(total - n_distinct) < 1e-4 * len(rows)
