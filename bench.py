@@ -246,6 +246,7 @@ HEADLINE = [
     "qx226_lexical_diversity",
     "qx227_group_holdout",
     "qx228_dup_weights",
+    "qx229_dup_span_cut",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -788,6 +788,34 @@ ORDER BY d.doc_id
 """
 
 
+def _dup_span_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, i): 1-based start positions of every {SPAN_N}-gram
+    that also appears in at least one OTHER document. Positional grams
+    are a row-local transform+explode; the cross-doc test is one
+    gram-keyed distinct-doc-count exchange joined back. Shared by
+    qx224 (measure) and qx229 (cut)."""
+    t = F.split(F.col("text"), " ")
+    pos = (
+        docs.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (SPAN_N - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.concat_ws(" ", F.slice("t", i, SPAN_N)).alias("g"),
+                    ),
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", F.col("z.i").alias("i"), F.col("z.g").alias("g"))
+    )
+    df_counts = pos.groupBy("g").agg(F.count_distinct("doc_id").alias("ndocs"))
+    return pos.join(df_counts.filter(F.col("ndocs") >= 2), "g").select("doc_id", "i")
+
+
 @register(
     "qx224_dup_span_fraction",
     oracle=DUP_SPAN_ORACLE,
@@ -814,28 +842,7 @@ def qx224_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted (ndocs >= 2 is cross-doc by construction) — self-repetition
     is q75's job."""
     docs = load_catalog(spark, sf_dir).table("documents")
-    t = F.split(F.col("text"), " ")
-    base = docs.select("doc_id", t.alias("t"))
-    pos = (
-        base.filter(F.size("t") >= SPAN_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - (SPAN_N - 1)),
-                    lambda i: F.struct(
-                        i.alias("i"),
-                        F.concat_ws(" ", F.slice("t", i, SPAN_N)).alias("g"),
-                    ),
-                )
-            ).alias("z"),
-        )
-        .select("doc_id", F.col("z.i").alias("i"), F.col("z.g").alias("g"))
-    )
-    df_counts = pos.groupBy("g").agg(
-        F.count_distinct("doc_id").alias("ndocs")
-    )
-    dup = pos.join(df_counts.filter(F.col("ndocs") >= 2), "g").select("doc_id", "i")
+    dup = _dup_span_positions(docs)
 
     prev = (
         Window.partitionBy("doc_id")
@@ -867,6 +874,142 @@ def qx224_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"),
                 6,
             ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx229: duplicated-span CUTTING (rebuild docs from uncovered tokens)
+# ---------------------------------------------------------------------------
+
+DUP_CUT_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - {SPAN_N - 1}),
+        i -> {{'i': i, 'g': list_aggregate(t[i:i+{SPAN_N - 1}], 'string_agg', ' ')}})) AS z
+  FROM toks WHERE len(t) >= {SPAN_N}
+),
+g2 AS (SELECT doc_id, z.i AS i, z.g AS g FROM grams),
+df AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM g2 GROUP BY g),
+dup AS (SELECT g2.doc_id, g2.i FROM g2 JOIN df ON g2.g = df.g WHERE df.ndocs >= 2),
+tok AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+        j -> {{'pos': j, 'w': t[j]}})) AS z
+  FROM toks
+),
+ev AS (
+  SELECT doc_id, i AS pos, 0 AS kind, i + {SPAN_N} AS e, NULL AS w FROM dup
+  UNION ALL
+  SELECT doc_id, z.pos AS pos, 1 AS kind, NULL AS e, z.w AS w FROM tok
+),
+run AS (
+  SELECT doc_id, pos, kind, w,
+         max(e) OVER (PARTITION BY doc_id ORDER BY pos, kind
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS me
+  FROM ev
+),
+kept AS (
+  SELECT doc_id, pos, w FROM run
+  WHERE kind = 1 AND (me IS NULL OR me <= pos)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS cleaned_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "qx229_dup_span_cut",
+    oracle=DUP_CUT_ORACLE,
+    doc="remove cross-doc-shared spans, rebuild each doc from uncovered tokens",
+    tags=("quality", "dedup", "llm-pipeline"),
+)
+def qx229_dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level deduplication — the CUT operator qx224's metric
+    motivates (Lee et al. 2022 remove duplicated substrings rather
+    than whole documents): every token covered by a cross-doc-shared
+    {SPAN_N}-gram is removed and the doc is rebuilt from the surviving
+    tokens in order. Emits (n_tokens, n_kept, md5 of the rebuilt
+    text) per doc, so the oracle pins the EXACT reconstruction, not
+    just counts.
+
+    Plan shape: the dup-start frame is shared with qx224
+    (_dup_span_positions — one gram-keyed exchange). Coverage becomes
+    a single per-doc WINDOW by merging span-start events (carrying
+    end = i+{SPAN_N}) into the token stream and running-maxing the
+    end — a token is covered iff the max end of any start at-or-before
+    it exceeds its position (starts sort before the token at the same
+    position). No token-×-interval range join ever forms. The rebuild
+    sorts each doc's kept tokens inside an array (array_sort of
+    (pos, w) structs — doc-local, bounded by doc length), never in a
+    global sort."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    dup = _dup_span_positions(docs)
+
+    t = F.split(F.col("text"), " ")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t)),
+                lambda j: F.struct(j.alias("pos"), F.element_at(t, j).alias("w")),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.pos").alias("pos"), F.col("z.w").alias("w"))
+
+    starts = dup.select(
+        "doc_id",
+        F.col("i").alias("pos"),
+        F.lit(0).alias("kind"),
+        (F.col("i") + F.lit(SPAN_N)).alias("e"),
+        F.lit(None).cast("string").alias("w"),
+    )
+    tokens = tok.select(
+        "doc_id",
+        "pos",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("e"),
+        "w",
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ev = starts.unionByName(tokens).withColumn("me", F.max("e").over(run))
+    kept = ev.filter(
+        (F.col("kind") == 1) & (F.col("me").isNull() | (F.col("me") <= F.col("pos")))
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            )
+        ).alias("cleaned_md5"),
+    )
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    return (
+        docs.select("doc_id", n_tok.alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
         )
         .orderBy("doc_id")
     )

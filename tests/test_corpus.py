@@ -511,3 +511,37 @@ def test_dup_weights_sum_to_distinct_texts(spark):
     total = sum(r.weight for r in rows)
     # rounded to 6dp per row: tolerance scales with corpus size
     assert abs(total - n_distinct) < 1e-4 * len(rows)
+
+
+def test_dup_span_cut_consistent_with_fraction(spark):
+    """qx229 × qx224 cross-invariant: the cut removes EXACTLY the
+    covered tokens the metric counts (n_tokens − n_kept == dup_tokens
+    for every doc), and untouched docs hash to their original text."""
+    import hashlib
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.quality import (
+        qx224_dup_span_fraction,
+        qx229_dup_span_cut,
+    )
+    from tests.conftest import SF_CORRECT
+
+    frac = {r.doc_id: r for r in qx224_dup_span_fraction(spark, SF_CORRECT).collect()}
+    cut = {r.doc_id: r for r in qx229_dup_span_cut(spark, SF_CORRECT).collect()}
+    assert set(frac) == set(cut)
+    for did, f in frac.items():
+        c = cut[did]
+        assert c.n_tokens - c.n_kept == f.dup_tokens, (did, c, f)
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_catalog(spark, SF_CORRECT)
+        .table("documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    untouched = [d for d, f in frac.items() if f.dup_tokens == 0]
+    assert untouched  # fixture has clean docs
+    for did in untouched[:50]:
+        want = hashlib.md5(texts[did].encode()).hexdigest()
+        assert cut[did].cleaned_md5 == want, did
