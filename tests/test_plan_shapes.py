@@ -606,3 +606,48 @@ def test_qx223_eval_side_broadcasts(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_layout(spark):
+    """Scale machinery: when the partition-column filter is only known
+    at runtime (a join against a filtered dim), Spark must inject a
+    dynamicpruning subquery into the partitioned scan — at 100 TB this
+    is the difference between listing 2 day-directories and all of
+    them. q38 pins the STATIC PartitionFilter; this pins the dynamic
+    leg, plus value-equality against a static spelling."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.operators.lakehouse import (
+        layout_dir_for,
+        write_partitioned_events,
+    )
+
+    write_partitioned_events(spark, SF_CORRECT, layout_dir_for(SF_CORRECT))
+    fact = spark.read.parquet(layout_dir_for(SF_CORRECT))
+    dates = [
+        r.event_date
+        for r in fact.select("event_date").distinct().orderBy("event_date").collect()
+    ]
+    assert len(dates) > 5
+    dim = spark.createDataFrame(
+        [(d, "keep" if i < 2 else "drop") for i, d in enumerate(dates)],
+        "event_date date, tag string",
+    )
+    j = (
+        fact.join(dim.filter(F.col("tag") == "keep"), "event_date")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+    want = sorted(
+        map(
+            tuple,
+            fact.filter(F.col("event_date").isin(dates[:2]))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, j.collect())) == want
