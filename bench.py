@@ -247,6 +247,7 @@ HEADLINE = [
     "qx227_group_holdout",
     "qx228_dup_weights",
     "qx229_dup_span_cut",
+    "qx230_content_fingerprint",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -617,3 +617,77 @@ def qx204_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         parts, "relationship string, n_child bigint, n_orphans bigint, n_null_fk bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# qx230 — order-invariant content fingerprint (dataset versioning)
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_ORACLE = """
+WITH d AS (
+  SELECT CAST(CAST('0x' || substring(md5(
+           CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang || '|'
+           || source || '|' || CAST(n_chars AS VARCHAR)), 1, 15) AS BIGINT)
+         AS DECIMAL(38,0)) AS h
+  FROM documents
+),
+o AS (
+  SELECT CAST(CAST('0x' || substring(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+           || '|' || o_orderstatus || '|' || CAST(o_orderdate AS VARCHAR)), 1, 15)
+         AS BIGINT) AS DECIMAL(38,0)) AS h
+  FROM orders
+)
+SELECT 'documents' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(h) AS VARCHAR) AS content_fp FROM d
+UNION ALL
+SELECT 'orders', CAST(count(*) AS BIGINT), CAST(sum(h) AS VARCHAR) FROM o
+ORDER BY table_name
+"""
+
+
+@register(
+    "qx230_content_fingerprint",
+    oracle=FINGERPRINT_ORACLE,
+    doc="order-invariant per-table content fingerprint (row-hash sum) for dataset versioning",
+    tags=("lakehouse", "versioning", "audit"),
+)
+def qx230_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning primitive: an order- and partitioning-
+    invariant content fingerprint per table — the SUM of a 60-bit
+    md5-prefix hash of each row's canonical encoding (sum is
+    commutative, so any task layout, file order, or shuffle plan
+    yields the identical value; DECIMAL(38,0) accumulation cannot
+    overflow below ~10^19 rows). Two snapshots with equal (n_rows,
+    content_fp) are content-identical with ~2^-60 collision odds —
+    the O(1)-output check a pipeline runs before and after a
+    migration/compaction (q39) or as the cheap pre-filter in front of
+    qx160's full row-level diff. md5 (not xxhash64) so the rule is
+    engine-portable — the same convention as every keep-rule in the
+    curation family.
+
+    Plan: pure projection + one-row partial-aggregated final per
+    table; at 100 TB it runs at scan bandwidth with a 32-row
+    shuffle."""
+    cat = load_catalog(spark, sf_dir)
+
+    def fp(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+        enc = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        h = F.conv(F.substring(F.md5(enc), 1, 15), 16, 10).cast("bigint")
+        return df.select(h.alias("h")).agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("content_fp"),
+        )
+
+    docs = fp(
+        cat.table("documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+        "documents",
+    )
+    orders = fp(
+        cat.table("orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
+        "orders",
+    )
+    return docs.unionByName(orders).orderBy("table_name")

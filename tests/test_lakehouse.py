@@ -291,3 +291,39 @@ def test_qx160_equivalent_to_delta_cdf(spark, tmp_path):
     assert sorted(map(tuple, feed.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_content_fingerprint_order_invariant_and_sensitive(spark):
+    """qx230: the fingerprint must be invariant to partitioning/order
+    (recompute over a reshuffled frame) and sensitive to any single
+    changed cell."""
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.lakehouse import qx230_content_fingerprint
+
+    base = {
+        r.table_name: (r.n_rows, r.content_fp)
+        for r in qx230_content_fingerprint(spark, SF_SMOKE).collect()
+    }
+    assert set(base) == {"documents", "orders"}
+
+    docs = load_catalog(spark, SF_SMOKE).table("documents")
+    enc = F.concat_ws(
+        "|",
+        *[F.col(c).cast("string") for c in ["doc_id", "text", "lang", "source", "n_chars"]],
+    )
+    h = F.conv(F.substring(F.md5(enc), 1, 15), 16, 10).cast("bigint")
+
+    def fp_of(df):
+        row = df.select(h.alias("h")).agg(
+            F.sum(F.col("h").cast("decimal(38,0)")).cast("string")
+        ).collect()[0]
+        return row[0]
+
+    shuffled = docs.repartition(17, "lang")
+    assert fp_of(shuffled) == base["documents"][1]
+
+    mutated = docs.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == 3, F.col("n_chars") + 1).otherwise(F.col("n_chars")),
+    )
+    assert fp_of(mutated) != base["documents"][1]
