@@ -248,6 +248,7 @@ HEADLINE = [
     "qx228_dup_weights",
     "qx229_dup_span_cut",
     "qx230_content_fingerprint",
+    "qx231_streaming_source_drift",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

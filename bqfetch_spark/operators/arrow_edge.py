@@ -470,3 +470,53 @@ def qx200_streaming_pca_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="bqfs_pcastats_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     return run_incremental_pca_stats(spark, sf_dir, work)
+
+
+SOURCE_DRIFT_ORACLE = """
+WITH b AS (
+  SELECT source, count(*) AS n FROM documents WHERE doc_id % 5 <= 2 GROUP BY source
+),
+t AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+nb AS (SELECT sum(n) AS s FROM b),
+nt AS (SELECT sum(n) AS s FROM t)
+SELECT t.source,
+       CAST(coalesce(b.n, 0) AS BIGINT) AS n_docs_baseline,
+       CAST(t.n AS BIGINT) AS n_docs_total,
+       round(CAST(coalesce(b.n, 0) AS DOUBLE) / nb.s, 6) AS share_baseline,
+       round(CAST(t.n AS DOUBLE) / nt.s, 6) AS share_total,
+       round(CAST(t.n AS DOUBLE) / nt.s
+             - CAST(coalesce(b.n, 0) AS DOUBLE) / nb.s, 6) AS drift
+FROM t LEFT JOIN b ON t.source = b.source
+CROSS JOIN nb CROSS JOIN nt
+ORDER BY t.source
+"""
+
+
+@register(
+    "qx231_streaming_source_drift",
+    oracle=SOURCE_DRIFT_ORACLE,
+    doc="incrementally-maintained source-mix store; baseline-vs-current share drift",
+    tags=("streaming", "incremental", "quality", "llm-pipeline"),
+)
+def qx231_streaming_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix drift monitor over an incrementally-maintained store
+    (streaming/drift.py): 60% of the documents backfill per-source
+    count partials; the remaining 40% arrives as two foreachBatch
+    waves, each appending a sources-sized frame under its own
+    ingest_batch partition (O(wave), history never re-read,
+    retry-idempotent dynamic overwrite, checkpoint-lineage ownership).
+    Returns per-source baseline-vs-current shares and their drift —
+    the alarm that catches crawler breakage or licensing cutoffs
+    before they reach training mixes. Integer count additivity makes
+    the store-merged totals bit-equal a one-shot groupBy, so this
+    streaming query carries a FULL value-hash oracle (the qx200
+    property, applied to the mix monitor)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from bqfetch_spark.streaming.drift import run_incremental_source_mix
+
+    work = tempfile.mkdtemp(prefix="bqfs_srcdrift_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return run_incremental_source_mix(spark, sf_dir, work)

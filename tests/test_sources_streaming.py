@@ -1522,3 +1522,56 @@ def test_pca_stats_wave_retry_is_idempotent(spark, tmp_path):
         .groupBy("pos", "bkt").agg(F.sum("q1").alias("q")).collect()
     }
     assert after == before
+
+
+def test_mix_wave_retry_is_idempotent_and_drift_zero_on_uniform(spark, tmp_path):
+    """qx231: a retried wave (same batch_id) must dynamic-overwrite its
+    own ingest_batch partition, leaving the drift report identical;
+    and a store whose waves replicate the baseline mix exactly reports
+    zero drift for every source."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.streaming.drift import (
+        BACKFILL_BATCH_ID,
+        append_mix_wave,
+        drift_report,
+        mix_counts,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_catalog(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "source", "text"
+    )
+    store = str(tmp_path / "mix")
+    (
+        mix_counts(docs.filter(F.col("doc_id") % 5 <= 2))
+        .withColumn("ingest_batch", F.lit(BACKFILL_BATCH_ID).cast("bigint"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(store)
+    )
+    wave = docs.filter(F.col("doc_id") % 5 == 3)
+    append_mix_wave(spark, wave, store, batch_id=0)
+    before = sorted(map(tuple, drift_report(spark, store).collect()))
+    append_mix_wave(spark, wave, store, batch_id=0)  # the retry
+    after = sorted(map(tuple, drift_report(spark, store).collect()))
+    assert before == after
+
+    # uniform ingest: a wave that IS the baseline doubles every count —
+    # shares are scale-invariant, so drift must be exactly zero
+    store2 = str(tmp_path / "mix2")
+    base = docs.filter(F.col("doc_id") % 5 <= 2)
+    (
+        mix_counts(base)
+        .withColumn("ingest_batch", F.lit(BACKFILL_BATCH_ID).cast("bigint"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(store2)
+    )
+    append_mix_wave(spark, base, store2, batch_id=0)
+    assert all(
+        r.drift == 0.0 for r in drift_report(spark, store2).collect()
+    )
