@@ -249,6 +249,8 @@ HEADLINE = [
     "qx229_dup_span_cut",
     "qx230_content_fingerprint",
     "qx231_streaming_source_drift",
+    "qx232_temporal_embargo_split",
+    "qx233_retrieval_metrics",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

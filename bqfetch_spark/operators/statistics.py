@@ -3165,3 +3165,146 @@ def qx226_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx233: retrieval quality metrics (MRR / nDCG@k per query term)
+# ---------------------------------------------------------------------------
+
+RM_TOPK = 10
+RM_REL_TF = 2  # relevance ground truth: tf(term, doc) >= 2
+
+RETRIEVAL_METRICS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+),
+dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+qterms AS (
+  SELECT token, df FROM (
+    SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rn FROM dfr
+  ) WHERE rn BETWEEN {BM25_QRANK_LO} AND {BM25_QRANK_HI}
+),
+scored AS (
+  SELECT q.token AS term, tf.doc_id,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / q.df), 6) AS s,
+         tf.tf >= {RM_REL_TF} AS rel
+  FROM tf JOIN qterms q ON tf.token = q.token CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY term ORDER BY s DESC, doc_id) AS rnk
+  FROM scored
+),
+rtot AS (
+  SELECT term, CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant_total
+  FROM scored GROUP BY term
+),
+top AS (SELECT * FROM ranked WHERE rnk <= {RM_TOPK}),
+m AS (
+  SELECT term,
+         CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant_top,
+         coalesce(round(1.0 / min(CASE WHEN rel THEN rnk END), 6), 0.0) AS mrr,
+         sum(CASE WHEN rel THEN 1.0 / log2(rnk + 1.0) ELSE 0 END) AS dcg
+  FROM top GROUP BY term
+)
+SELECT m.term, r.n_relevant_total, m.n_relevant_top, m.mrr,
+       round(m.dcg / list_sum(list_transform(
+           generate_series(1, CAST(least(r.n_relevant_total, {RM_TOPK}) AS INTEGER)),
+           i -> 1.0 / log2(i + 1.0))), 6) AS ndcg
+FROM m JOIN rtot r ON m.term = r.term
+ORDER BY m.term
+"""
+
+
+@register(
+    "qx233_retrieval_metrics",
+    oracle=RETRIEVAL_METRICS_ORACLE,
+    doc="MRR and nDCG@10 per query term for tf-idf rankings vs a tf-based relevance rule",
+    tags=("text", "retrieval", "metrics", "llm-pipeline"),
+)
+def qx233_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval EVALUATION — the IR metrics (reciprocal rank,
+    nDCG@{RM_TOPK}) a RAG/data-curation stack tracks when it swaps
+    rankers (qx148's BM25, qx199's hybrid RRF): per query term, rank
+    docs by tf·idf (rounded before ranking so cross-engine float noise
+    cannot reorder the cut, doc_id tie-break), ground truth =
+    tf ≥ {RM_REL_TF} (a rule independent of the score's idf factor, so
+    the metric is not trivially 1), nDCG's ideal gain from the TOTAL
+    relevant count capped at k — the textbook definition, not the
+    within-top-k shortcut that inflates scores.
+
+    Plan shape: the tf/df frames are the qx148 exchanges; rankings are
+    windows PARTITIONED BY TERM (parallel across the query set — at a
+    1000-term eval suite that is 1000 independent windows); the ideal-
+    DCG denominator folds a ≤{RM_TOPK}-element sequence per term. No
+    stage touches more than one term's posting list."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    from pyspark.sql.window import Window as W
+
+    # TakeOrdered pulls the df head; the rank window then runs on that
+    # BM25_QRANK_HI-row frame only (the qx148 convention)
+    qterms = (
+        dfr.orderBy(F.col("df").desc(), "token")
+        .limit(BM25_QRANK_HI)
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("df").desc(), "token"))
+        )
+        .filter(F.col("rn") >= BM25_QRANK_LO)
+        .select(F.col("token").alias("term"), "df")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), tf.token == qterms.term)
+        .select(
+            "term",
+            "doc_id",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("s"),
+            (F.col("tf") >= RM_REL_TF).alias("rel"),
+        )
+    )
+    w = W.partitionBy("term").orderBy(F.col("s").desc(), "doc_id")
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    rtot = scored.groupBy("term").agg(
+        F.sum(F.when(F.col("rel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_relevant_total")
+    )
+    top = ranked.filter(F.col("rnk") <= RM_TOPK)
+    m = top.groupBy("term").agg(
+        F.sum(F.when(F.col("rel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_relevant_top"),
+        F.coalesce(
+            F.round(F.lit(1.0) / F.min(F.when(F.col("rel"), F.col("rnk"))), 6),
+            F.lit(0.0),
+        ).alias("mrr"),
+        F.sum(
+            F.when(F.col("rel"), F.lit(1.0) / F.log2(F.col("rnk") + 1.0)).otherwise(
+                0.0
+            )
+        ).alias("dcg"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_relevant_total"), F.lit(RM_TOPK)).cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1.0),
+    )
+    return (
+        m.join(rtot, "term")
+        .select(
+            "term",
+            "n_relevant_total",
+            "n_relevant_top",
+            "mrr",
+            F.round(F.col("dcg") / idcg, 6).alias("ndcg"),
+        )
+        .orderBy("term")
+    )

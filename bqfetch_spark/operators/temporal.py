@@ -703,3 +703,96 @@ def qx173_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().cast("int").alias("is_gap"),
         r6(interp).alias("value_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx232: temporal train/test split with an embargo gap
+# ---------------------------------------------------------------------------
+
+# split at 80% of the time range; embargo = the 2% of range before it
+EMBARGO_SPLIT_NUM, EMBARGO_SPLIT_DEN = 4, 5
+EMBARGO_WIDTH_DEN = 50
+
+TEMPORAL_EMBARGO_ORACLE = f"""
+WITH bounds AS (
+  SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events
+),
+cut AS (
+  SELECT lo, hi,
+         lo + ((hi - lo) * {EMBARGO_SPLIT_NUM}) // {EMBARGO_SPLIT_DEN} AS t_us,
+         (hi - lo) // {EMBARGO_WIDTH_DEN} AS gap_us
+  FROM bounds
+),
+lab AS (
+  SELECT e.event_type,
+         CASE WHEN epoch_us(e.ts) >= c.t_us THEN 'test'
+              WHEN epoch_us(e.ts) >= c.t_us - c.gap_us THEN 'embargo'
+              ELSE 'train' END AS split
+  FROM events e CROSS JOIN cut c
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) AS BIGINT) AS n_embargo,
+       CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+FROM lab GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "qx232_temporal_embargo_split",
+    oracle=TEMPORAL_EMBARGO_ORACLE,
+    doc="point-in-time split with an embargo gap: per-type train/embargo/test counts",
+    tags=("events", "temporal", "holdout", "leakage"),
+)
+def qx232_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TEMPORAL leg of the leakage-control trilogy (content:
+    qx223's n-gram embargo; identity: qx227's cluster-aware split;
+    time: this): a point-in-time cut at 80% of the event-time range,
+    with the 2%-of-range window BEFORE the cut embargoed — the
+    standard guard against label leakage through rows whose features
+    were computed from data that straddles the boundary (the reason
+    financial/forecasting eval uses purged splits). Boundaries are
+    exact INTEGER microsecond arithmetic from the 1-row min/max agg
+    ((hi−lo)·4 div 5 and (hi−lo) div 50), so both engines cut at the
+    identical microsecond — no float-boundary event can flip sides.
+
+    Plan: one scalar min/max pass broadcast back as a literal cross
+    join, then a pure-projection labeling and a groups-sized rollup —
+    two scans at worst, no data-sized shuffle beyond the final
+    event_type agg."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).select(
+        (
+            F.col("lo")
+            + F.expr(
+                f"((hi - lo) * {EMBARGO_SPLIT_NUM}) div {EMBARGO_SPLIT_DEN}"
+            )
+        ).alias("t_us"),
+        F.expr(f"(hi - lo) div {EMBARGO_WIDTH_DEN}").alias("gap_us"),
+    )
+    us = F.unix_micros("ts")
+    split = (
+        F.when(us >= F.col("t_us"), "test")
+        .when(us >= F.col("t_us") - F.col("gap_us"), "embargo")
+        .otherwise("train")
+    )
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .select("event_type", split.alias("split"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("split") == "embargo", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_embargo"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_test"),
+        )
+        .orderBy("event_type")
+    )

@@ -567,3 +567,36 @@ def test_qx205_recovers_planted_plane(spark, tmp_path):
     assert got["plane"].beta_day == 3.0
     assert got["flat"].intercept is None
     assert got["flat"].beta_hour is None
+
+
+def test_temporal_embargo_partitions_all_events(spark):
+    """qx232: train+embargo+test must exactly cover the event table,
+    with a non-empty embargo gap and the test share near 20%."""
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.temporal import qx232_temporal_embargo_split
+    from tests.conftest import SF_CORRECT
+
+    rows = qx232_temporal_embargo_split(spark, SF_CORRECT).collect()
+    n_all = load_catalog(spark, SF_CORRECT).table("events").count()
+    assert sum(r.n_train + r.n_embargo + r.n_test for r in rows) == n_all
+    n_test = sum(r.n_test for r in rows)
+    n_embargo = sum(r.n_embargo for r in rows)
+    assert n_embargo > 0  # the purge gap actually exists
+    assert 0.1 < n_test / n_all < 0.3  # ~20% of the time range
+
+
+def test_retrieval_metrics_bounds_and_perfect_case(spark):
+    """qx233: metric sanity — mrr/ndcg in [0,1]; when every top-k doc
+    is relevant AND the total relevant pool ≥ k, nDCG must be exactly
+    1.0; mrr==1 iff the top-ranked doc is relevant."""
+    from bqfetch_spark.operators.statistics import RM_TOPK, qx233_retrieval_metrics
+    from tests.conftest import SF_CORRECT
+
+    rows = qx233_retrieval_metrics(spark, SF_CORRECT).collect()
+    assert len(rows) == 5  # qrank 10..14
+    for r in rows:
+        assert 0.0 <= r.mrr <= 1.0
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-9
+        assert r.n_relevant_top <= min(RM_TOPK, r.n_relevant_total)
+        if r.n_relevant_top == RM_TOPK and r.n_relevant_total >= RM_TOPK:
+            assert abs(r.ndcg - 1.0) < 1e-6
