@@ -928,6 +928,32 @@ def main() -> None:
     assert worst <= 15, f"qnorm super-linear: worst ratio {worst:.1f}"
     print("qnorm scaling OK")
 
+    # --- qx224/qx229 dup-span family at 10× documents ----------------
+    # replicas REUSE the same token space via the shared-text sfbig
+    # documents (texts identical, shifted doc_ids): every gram that was
+    # duplicated stays duplicated, the positional-gram stream grows
+    # 10×, and the per-doc windows stay doc-sized — measured time must
+    # stay ≈linear (a token×interval range join would be super-linear)
+    from bqfetch_spark.operators.quality import (
+        qx224_dup_span_fraction,
+        qx229_dup_span_cut,
+    )
+
+    for name, fn in (("dupspan", qx224_dup_span_fraction), ("dupcut", qx229_dup_span_cut)):
+        worst = 0.0
+        for i in range(2):
+            t0 = time.time()
+            fn(spark, base).count()
+            ts = time.time() - t0
+            t0 = time.time()
+            fn(spark, f"{tmp}/sfbig").count()
+            tb = time.time() - t0
+            ratio = tb / ts
+            worst = max(worst, ratio)
+            print(f"{name} round{i}: small={ts:.2f}s big={tb:.2f}s ratio={ratio:.1f}")
+        assert worst <= 15, f"{name} super-linear: worst ratio {worst:.1f}"
+        print(f"{name} scaling OK")
+
     # --- qx221 BPE at 10× documents ---------------------------------
     # iteration cost is vocabulary-bounded: replicas REUSE the same
     # token space (no replica prefix), so the vocab frame is identical
