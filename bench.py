@@ -251,6 +251,8 @@ HEADLINE = [
     "qx231_streaming_source_drift",
     "qx232_temporal_embargo_split",
     "qx233_retrieval_metrics",
+    "qx234_prefix_dups",
+    "qx235_sequence_anomaly",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

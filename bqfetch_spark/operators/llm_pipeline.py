@@ -1597,3 +1597,103 @@ def qx222_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx234: prefix-duplicate detection (truncated-crawl artifact)
+# ---------------------------------------------------------------------------
+
+PREFIX_ANCHOR = 10  # anchor width in tokens; prefixes shorter than this
+# are n-gram-containment territory (qx201), not prefix dups
+
+PREFIX_DUPS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+a AS (
+  SELECT doc_id, text,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         md5(list_aggregate(toks[1:{PREFIX_ANCHOR}], 'string_agg', ' ')) AS anchor
+  FROM t WHERE len(toks) >= {PREFIX_ANCHOR}
+)
+SELECT p.doc_id AS prefix_doc_id,
+       s.doc_id AS superset_doc_id,
+       p.n_tok AS n_tokens_prefix,
+       s.n_tok AS n_tokens_superset
+FROM a p JOIN a s ON p.anchor = s.anchor
+WHERE p.n_tok < s.n_tok
+  AND starts_with(s.text, p.text || ' ')
+ORDER BY prefix_doc_id, superset_doc_id
+"""
+
+
+@register(
+    "qx234_prefix_dups",
+    oracle=PREFIX_DUPS_ORACLE,
+    doc="detect docs that are exact token-prefixes of longer docs (truncation dups)",
+    tags=("dedup", "llm-pipeline", "quality"),
+)
+def qx234_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate detection — the truncated-crawl artifact class
+    (re-fetches cut off mid-document, pagination tails, feed
+    summaries) that EXACT dedup misses (different hashes) and near-dup
+    under-ranks (Jaccard shrinks as the superset grows): doc A is a
+    dup of B when B's first len(A) tokens ARE A. Candidates must share
+    the first-{PREFIX_ANCHOR}-token anchor hash, so no pairwise
+    structure forms.
+
+    Plan shape (text never shuffles): stage 1 joins NARROW profiles
+    (doc_id, n_tok, anchor, md5(text)) on the anchor — candidate pairs
+    carry only ids, lengths, and the prefix side's full-text md5;
+    stage 2 ships those narrow candidates BACK to the superset side's
+    token arrays (an equi-join on doc_id against the corpus-partitioned
+    frame) and verifies md5(first n_tok_prefix tokens of B) ==
+    md5(A.text) — an exact token-boundary prefix test without ever
+    moving a text column through an exchange. The oracle spells the
+    same predicate as starts_with over the anchor join."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    t = F.split(F.col("text"), " ")
+    prof = (
+        docs.select("doc_id", t.alias("toks"), "text")
+        .filter(F.size("toks") >= PREFIX_ANCHOR)
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tok"),
+            F.md5(F.concat_ws(" ", F.slice("toks", 1, PREFIX_ANCHOR))).alias("anchor"),
+            F.md5("text").alias("full_md5"),
+        )
+    )
+    p = prof.select(
+        F.col("doc_id").alias("prefix_doc_id"),
+        F.col("n_tok").alias("n_tokens_prefix"),
+        "anchor",
+        F.col("full_md5").alias("prefix_md5"),
+    )
+    s = prof.select(
+        F.col("doc_id").alias("superset_doc_id"),
+        F.col("n_tok").alias("n_tokens_superset"),
+        "anchor",
+    )
+    cand = p.join(s, "anchor").filter(
+        F.col("n_tokens_prefix") < F.col("n_tokens_superset")
+    )
+    sup_toks = docs.select(
+        F.col("doc_id").alias("superset_doc_id"), t.alias("sup_toks")
+    )
+    verified = (
+        cand.join(sup_toks, "superset_doc_id")
+        .filter(
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("sup_toks", 1, F.col("n_tokens_prefix").cast("int"))
+                )
+            )
+            == F.col("prefix_md5")
+        )
+    )
+    return verified.select(
+        "prefix_doc_id",
+        "superset_doc_id",
+        "n_tokens_prefix",
+        "n_tokens_superset",
+    ).orderBy("prefix_doc_id", "superset_doc_id")

@@ -3308,3 +3308,99 @@ def qx233_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx235: Markov sequence-likelihood anomaly scoring (bot detection)
+# ---------------------------------------------------------------------------
+
+SEQ_ANOMALY_TOPK = 25  # most-anomalous users emitted
+
+SEQ_ANOMALY_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+tr AS (
+  SELECT prev_type, event_type, count(*) AS c
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+probs AS (
+  SELECT prev_type, event_type,
+         CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY prev_type) AS p
+  FROM tr
+),
+scored AS (
+  SELECT s.user_id,
+         count(*) AS n_transitions,
+         round(-sum(ln(p.p)) / count(*), 6) AS nll_per_step
+  FROM seq s JOIN probs p
+    ON s.prev_type = p.prev_type AND s.event_type = p.event_type
+  WHERE s.prev_type IS NOT NULL
+  GROUP BY s.user_id
+)
+SELECT user_id, CAST(n_transitions AS BIGINT) AS n_transitions, nll_per_step,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY nll_per_step DESC, user_id) AS rn
+  FROM scored
+)
+WHERE rn <= {SEQ_ANOMALY_TOPK}
+"""
+
+
+@register(
+    "qx235_sequence_anomaly",
+    oracle=SEQ_ANOMALY_ORACLE,
+    doc="per-user Markov negative-log-likelihood per step; top-k anomalous sequences",
+    tags=("events", "sequence", "anomaly", "stats"),
+)
+def qx235_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-anomaly scoring — qx115's transition matrix turned
+    into a DETECTOR: each user's event stream is scored by its average
+    negative log-likelihood per step under the corpus-wide first-order
+    Markov model; users whose transition patterns the population model
+    finds surprising (bots, scripted replays, instrumentation bugs)
+    rank first. Length-normalising by the user's transition count
+    keeps long sessions from dominating on volume alone.
+
+    Plan shape: ONE user_id exchange for the lag window (per-user
+    partitions — qx115's shape); the transition model partial-combines
+    to ≤|types|² rows and BROADCASTS back onto the transition stream
+    (the model join must never shuffle the facts); the top-k is
+    TakeOrderedAndProject. ln(p) terms join from the model's DOUBLE
+    probabilities — both engines derive them from identical integer
+    counts, and the per-user sums round at 6dp."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+
+    tr = seq.groupBy("prev_type", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    wprev = Window.partitionBy("prev_type")
+    probs = tr.select(
+        "prev_type",
+        "event_type",
+        (F.col("c").cast("double") / F.sum("c").over(wprev)).alias("p"),
+    )
+    scored = (
+        seq.join(F.broadcast(probs), ["prev_type", "event_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.round(
+                -F.sum(F.log("p")) / F.count(F.lit(1)), 6
+            ).alias("nll_per_step"),
+        )
+    )
+    wr = Window.orderBy(F.col("nll_per_step").desc(), "user_id")
+    return (
+        scored.orderBy(F.col("nll_per_step").desc(), "user_id")
+        .limit(SEQ_ANOMALY_TOPK)
+        .withColumn("rank", F.row_number().over(wr).cast("bigint"))
+    )

@@ -545,3 +545,26 @@ def test_dup_span_cut_consistent_with_fraction(spark):
     for did in untouched[:50]:
         want = hashlib.md5(texts[did].encode()).hexdigest()
         assert cut[did].cleaned_md5 == want, did
+
+
+def test_prefix_dups_verified_by_string_compare(spark):
+    """qx234: every emitted pair must satisfy the literal definition —
+    superset text starts with prefix text + ' ' — and the pair set
+    must be non-empty on the fixture (clones/truncations exist)."""
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.llm_pipeline import qx234_prefix_dups
+    from tests.conftest import SF_CORRECT
+
+    pairs = qx234_prefix_dups(spark, SF_CORRECT).collect()
+    assert pairs
+    texts = {
+        r.doc_id: r.text
+        for r in load_catalog(spark, SF_CORRECT)
+        .table("documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for p in pairs:
+        a, b = texts[p.prefix_doc_id], texts[p.superset_doc_id]
+        assert b.startswith(a + " "), (p.prefix_doc_id, p.superset_doc_id)
+        assert p.n_tokens_prefix < p.n_tokens_superset

@@ -600,3 +600,18 @@ def test_retrieval_metrics_bounds_and_perfect_case(spark):
         assert r.n_relevant_top <= min(RM_TOPK, r.n_relevant_total)
         if r.n_relevant_top == RM_TOPK and r.n_relevant_total >= RM_TOPK:
             assert abs(r.ndcg - 1.0) < 1e-6
+
+
+def test_sequence_anomaly_scores_are_proper_nll(spark):
+    """qx235: scores must be positive (probabilities < 1), ranked
+    descending, and a user whose transitions are all the corpus's most
+    likely moves must score lower than the top-ranked anomaly."""
+    from bqfetch_spark.operators.statistics import qx235_sequence_anomaly
+    from tests.conftest import SF_CORRECT
+
+    rows = qx235_sequence_anomaly(spark, SF_CORRECT).collect()
+    assert rows
+    assert all(r.nll_per_step > 0 for r in rows)
+    scores = [r.nll_per_step for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
