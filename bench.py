@@ -253,6 +253,8 @@ HEADLINE = [
     "qx233_retrieval_metrics",
     "qx234_prefix_dups",
     "qx235_sequence_anomaly",
+    "qx236_intra_doc_collapse",
+    "qx237_effective_sample_size",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -1287,3 +1287,65 @@ def qx228_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx237: effective sample size per source under duplication weights
+# ---------------------------------------------------------------------------
+
+ESS_ORACLE = """
+WITH cl AS (
+  SELECT doc_id, source, md5(text) AS ck FROM documents
+),
+sz AS (SELECT ck, count(*) AS n FROM cl GROUP BY ck),
+w AS (
+  SELECT cl.source, 1.0 / sz.n AS wt
+  FROM cl JOIN sz ON cl.ck = sz.ck
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(wt), 6) AS sum_w,
+       round(sum(wt) * sum(wt) / sum(wt * wt), 6) AS ess,
+       round((sum(wt) * sum(wt) / sum(wt * wt)) / count(*), 6) AS ess_ratio
+FROM w GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "qx237_effective_sample_size",
+    oracle=ESS_ORACLE,
+    doc="Kish effective sample size per source under 1/cluster-size dup weights",
+    tags=("curation", "sampling", "stats", "llm-pipeline"),
+)
+def qx237_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much INDEPENDENT data each source really contributes:
+    Kish's effective sample size (Σw)²/Σw² over qx228's 1/cluster-size
+    duplication weights — the number mixture design should budget
+    against instead of raw doc counts (a source that is 50% mirrored
+    copies has far fewer effective docs than its row count claims, and
+    temperature mixing over raw counts over-weights it). ess_ratio =
+    ESS/n_docs is the per-source independence score: 1.0 means no
+    duplication, lower means redundancy.
+
+    Plan: qx228's row-local md5 cluster key + ONE ck-keyed count
+    exchange, weights join back, then a groups-sized rollup of three
+    weight moments. Float sums enter at the final per-source
+    reduction only, rounded 6dp."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    cl = docs.select("doc_id", "source", F.md5("text").alias("ck"))
+    sz = cl.groupBy("ck").agg(F.count(F.lit(1)).alias("n"))
+    w = cl.join(sz, "ck").select(
+        "source", (F.lit(1.0) / F.col("n")).alias("wt")
+    )
+    sw = F.sum("wt")
+    sw2 = F.sum(F.col("wt") * F.col("wt"))
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(sw, 6).alias("sum_w"),
+            F.round(sw * sw / sw2, 6).alias("ess"),
+            F.round((sw * sw / sw2) / F.count(F.lit(1)), 6).alias("ess_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -1697,3 +1697,110 @@ def qx234_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens_prefix",
         "n_tokens_superset",
     ).orderBy("prefix_doc_id", "superset_doc_id")
+
+
+# ---------------------------------------------------------------------------
+# qx236: WITHIN-doc repeated-segment collapse (degenerate-text cleanup)
+# ---------------------------------------------------------------------------
+
+INTRA_COLLAPSE_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+seg AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(
+           list_slice(w, i * {SEGMENT_WORDS} + 1, i * {SEGMENT_WORDS} + {SEGMENT_WORDS}),
+           ' ') AS seg
+  FROM words,
+       unnest(range(CAST(ceil(len(w) / {SEGMENT_WORDS}.0) AS BIGINT))) t(i)
+),
+marked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY doc_id, seg ORDER BY seg_idx) AS rn
+  FROM seg
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx),
+                    '')) AS collapsed_md5
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "qx236_intra_doc_collapse",
+    oracle=INTRA_COLLAPSE_ORACLE,
+    doc="collapse repeated segments WITHIN each doc (keep first occurrence)",
+    tags=("quality", "dedup", "llm-pipeline"),
+)
+def qx236_intra_doc_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-segment collapse — the degenerate-text
+    cleanup for looping generations, copy-paste spam, and template
+    stutter: each repeated {SEGMENT_WORDS}-word segment keeps only its
+    FIRST occurrence inside the doc (qx157 removes segments repeated
+    ACROSS docs — this is the intra-doc leg; the two compose, and a
+    synthetic-data pipeline runs this one on model outputs before any
+    cross-doc pass). Emits per-doc segment counts and the md5 of the
+    collapsed reconstruction, so the oracle pins exact ordering.
+
+    Plan shape: segmentation is a row-local transform+explode (the
+    qx157 spelling); the keep decision is a window partitioned by
+    (doc_id, seg) ordered by position — doc-local, parallel across
+    docs, never a corpus-wide key; the rebuild is a doc-local
+    array_sort. ONE doc_id-family exchange total."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    w = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size("w") / float(SEGMENT_WORDS)).cast("int")
+    seg = (
+        docs.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda i: F.struct(
+                        i.alias("seg_idx"),
+                        F.concat_ws(
+                            " ",
+                            F.slice(
+                                "w",
+                                (i * SEGMENT_WORDS + 1).cast("int"),
+                                SEGMENT_WORDS,
+                            ),
+                        ).alias("seg"),
+                    ),
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", F.col("z.seg_idx").alias("seg_idx"), F.col("z.seg").alias("seg"))
+    )
+    keep = Window.partitionBy("doc_id", "seg").orderBy("seg_idx")
+    marked = seg.withColumn("rn", F.row_number().over(keep))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("rn") == 1,
+                                    F.struct("seg_idx", "seg"),
+                                )
+                            )
+                        ),
+                        lambda s: s["seg"],
+                    ),
+                )
+            ).alias("collapsed_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -568,3 +568,96 @@ def test_prefix_dups_verified_by_string_compare(spark):
         a, b = texts[p.prefix_doc_id], texts[p.superset_doc_id]
         assert b.startswith(a + " "), (p.prefix_doc_id, p.superset_doc_id)
         assert p.n_tokens_prefix < p.n_tokens_superset
+
+
+def _planted_docs_dir(spark, tmp_path):
+    """documents = SF_SMOKE + a looping doc (repeated segments, id 900001)
+    + two exact copies of doc 900002's text under 900002/900003; other
+    catalog tables symlinked from the fixture."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import TABLES, load_catalog
+    from tests.conftest import SF_SMOKE
+
+    d = str(tmp_path / "sfplant")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(os.path.join(SF_SMOKE, f"{t}.parquet"), os.path.join(d, f"{t}.parquet"))
+    docs = load_catalog(spark, SF_SMOKE).table("documents")
+    loop_seg = " ".join(["loop"] * 10)
+    tail = " ".join(["tail"] * 10)
+    extra = spark.createDataFrame(
+        [
+            (900001, f"{loop_seg} {loop_seg} {tail}", "en", "srcP", 0),
+            (900002, "copy " * 9 + "copy", "en", "srcP", 0),
+            (900003, "copy " * 9 + "copy", "en", "srcP", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text"))
+    docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        extra
+    ).coalesce(4).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_intra_doc_collapse_keeps_first_occurrence(spark, tmp_path):
+    """qx236: Python recompute over a doc sample, plus a PLANTED
+    looping doc whose repeated segment must collapse to one copy
+    (the sf fixtures themselves contain no intra-doc repeats)."""
+    import hashlib
+
+    from bqfetch_spark.operators.llm_pipeline import (
+        SEGMENT_WORDS,
+        qx236_intra_doc_collapse,
+    )
+
+    d = _planted_docs_dir(spark, tmp_path)
+    got = {r.doc_id: r for r in qx236_intra_doc_collapse(spark, d).collect()}
+
+    loop = got[900001]
+    assert loop.n_segments == 3 and loop.n_kept == 2  # loop seg collapses
+    loop_seg = " ".join(["loop"] * 10)
+    tail = " ".join(["tail"] * 10)
+    assert loop.collapsed_md5 == hashlib.md5(f"{loop_seg} {tail}".encode()).hexdigest()
+
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{d}/documents.parquet").collect()
+    }
+    for did in sorted(texts)[:40]:
+        toks = texts[did].split(" ")
+        segs = [
+            " ".join(toks[i : i + SEGMENT_WORDS])
+            for i in range(0, len(toks), SEGMENT_WORDS)
+        ]
+        seen, kept = set(), []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        want = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert got[did].n_segments == len(segs)
+        assert got[did].n_kept == len(kept)
+        assert got[did].collapsed_md5 == want, did
+
+
+def test_effective_sample_size_bounds(spark, tmp_path):
+    """qx237: 1 ≤ ESS ≤ n_docs and ess_ratio ∈ (0,1] everywhere; the
+    planted source with two identical texts must show ESS strictly
+    below its doc count (2 copies → 1 effective doc)."""
+    from bqfetch_spark.operators.corpus import qx237_effective_sample_size
+
+    d = _planted_docs_dir(spark, tmp_path)
+    rows = qx237_effective_sample_size(spark, d).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 - 1e-6 <= r.ess <= r.n_docs + 1e-6
+        assert 0.0 < r.ess_ratio <= 1.0 + 1e-9
+    planted = next(r for r in rows if r.source == "srcP")
+    # 3 docs: the loop doc (w=1) + two copies (w=0.5 each) -> sum_w=2,
+    # sum_w2=1.5, ESS=8/3
+    assert planted.n_docs == 3
+    assert abs(planted.ess - (2.0 * 2.0 / 1.5)) < 1e-4
