@@ -255,6 +255,8 @@ HEADLINE = [
     "qx235_sequence_anomaly",
     "qx236_intra_doc_collapse",
     "qx237_effective_sample_size",
+    "qx238_discovered_stopwords",
+    "qx239_context_stitching",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -1804,3 +1804,138 @@ def qx236_intra_doc_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx239: retrieval context stitching (segment hit ± neighbors)
+# ---------------------------------------------------------------------------
+
+CONTEXT_STITCH_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+seg AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(
+           list_slice(w, i * {SEGMENT_WORDS} + 1, i * {SEGMENT_WORDS} + {SEGMENT_WORDS}),
+           ' ') AS seg
+  FROM words,
+       unnest(range(CAST(ceil(len(w) / {SEGMENT_WORDS}.0) AS BIGINT))) t(i)
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tfq AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfr AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+qterms AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY df DESC, token) AS rn FROM dfr
+  ) WHERE rn BETWEEN 10 AND 14
+),
+ctx AS (
+  SELECT doc_id, seg_idx, seg,
+         lag(seg) OVER (PARTITION BY doc_id ORDER BY seg_idx) AS prev_seg,
+         lead(seg) OVER (PARTITION BY doc_id ORDER BY seg_idx) AS next_seg
+  FROM seg
+),
+ql AS (SELECT list(token) AS qs FROM qterms),
+hits AS (
+  SELECT c.doc_id, c.seg_idx,
+         CAST(len(list_intersect(string_split(c.seg, ' '), ql.qs)) AS BIGINT)
+           AS n_terms_matched,
+         md5(concat_ws(' ', coalesce(c.prev_seg, ''), c.seg,
+                       coalesce(c.next_seg, ''))) AS context_md5
+  FROM ctx c CROSS JOIN ql
+  WHERE len(list_intersect(string_split(c.seg, ' '), ql.qs)) > 0
+)
+SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx, n_terms_matched, context_md5
+FROM hits ORDER BY doc_id, seg_idx
+"""
+
+
+@register(
+    "qx239_context_stitching",
+    oracle=CONTEXT_STITCH_ORACLE,
+    doc="stitch matched retrieval segments with their neighbors into RAG contexts",
+    tags=("text", "retrieval", "llm-pipeline"),
+)
+def qx239_context_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context assembly — the step between "a chunk matched" (qx148/
+    qx199/qx207 decide that) and "hand the LLM a context window": a
+    matched {SEGMENT_WORDS}-word segment alone usually cuts the answer
+    mid-sentence, so every hit is STITCHED with its previous and next
+    segments. Hits = segments containing any of the df-ranked-10..14
+    query terms (the qx148 query convention); the oracle pins the
+    exact stitched text via md5.
+
+    Plan shape: segmentation is the qx157 row-local transform+explode;
+    neighbor access is lag/lead over a window PARTITIONED BY doc_id —
+    the stitch never joins, so there is exactly ONE doc-keyed exchange
+    regardless of corpus size; the 5-term query set folds as a literal
+    array_intersect (terms are collected once, the kmeans-centroid
+    pattern). Non-matching segments are filtered AFTER the window but
+    never leave their task."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tfq = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tfq.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window as W
+
+    head = (
+        dfr.orderBy(F.col("df").desc(), "token")
+        .limit(14)
+        .withColumn("rn", F.row_number().over(W.orderBy(F.col("df").desc(), "token")))
+        .filter(F.col("rn") >= 10)
+    )
+    terms = [r.token for r in head.collect()]
+
+    w = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size("w") / float(SEGMENT_WORDS)).cast("int")
+    seg = (
+        docs.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda i: F.struct(
+                        i.cast("long").alias("seg_idx"),
+                        F.concat_ws(
+                            " ",
+                            F.slice("w", (i * SEGMENT_WORDS + 1).cast("int"), SEGMENT_WORDS),
+                        ).alias("seg"),
+                    ),
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", F.col("z.seg_idx").alias("seg_idx"), F.col("z.seg").alias("seg"))
+    )
+    wd = W.partitionBy("doc_id").orderBy("seg_idx")
+    ctx = seg.select(
+        "doc_id",
+        "seg_idx",
+        "seg",
+        F.lag("seg").over(wd).alias("prev_seg"),
+        F.lead("seg").over(wd).alias("next_seg"),
+    )
+    matched = F.size(
+        F.array_intersect(
+            F.split("seg", " "), F.array(*[F.lit(t) for t in terms])
+        )
+    ).cast("bigint")
+    return (
+        ctx.withColumn("n_terms_matched", matched)
+        .filter(F.col("n_terms_matched") > 0)
+        .select(
+            "doc_id",
+            "seg_idx",
+            "n_terms_matched",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.coalesce("prev_seg", F.lit("")),
+                    F.col("seg"),
+                    F.coalesce("next_seg", F.lit("")),
+                )
+            ).alias("context_md5"),
+        )
+        .orderBy("doc_id", "seg_idx")
+    )

@@ -1013,3 +1013,114 @@ def qx229_dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx238: data-derived stopword scoring (self-calibrating prose signal)
+# ---------------------------------------------------------------------------
+
+STOP_DISCOVER_K = 20  # df-top tokens used as the discovered stopword list
+STOP_FLAG_FACTOR = 0.5  # flag docs below half their source's mean ratio
+
+DISCOVERED_STOP_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+dfr AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+stop AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY df DESC, token) AS rn FROM dfr
+  ) WHERE rn <= {STOP_DISCOVER_K}
+),
+per AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         sum(CASE WHEN s.token IS NOT NULL THEN 1 ELSE 0 END) AS n_stop
+  FROM tok t LEFT JOIN stop s ON t.token = s.token
+  GROUP BY t.doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.source,
+         round(CAST(per.n_stop AS DOUBLE) / per.n_tokens, 6) AS stop_ratio
+  FROM documents d JOIN per ON d.doc_id = per.doc_id
+),
+src AS (
+  SELECT source, round(avg(stop_ratio), 6) AS src_mean_ratio
+  FROM scored GROUP BY source
+)
+SELECT s.doc_id, s.source, s.stop_ratio, src.src_mean_ratio,
+       CAST(s.stop_ratio < {STOP_FLAG_FACTOR} * src.src_mean_ratio AS BOOLEAN)
+         AS flagged
+FROM scored s JOIN src ON s.source = src.source
+ORDER BY s.doc_id
+"""
+
+
+@register(
+    "qx238_discovered_stopwords",
+    oracle=DISCOVERED_STOP_ORACLE,
+    doc="df-derived stopword list; per-doc stopword ratio vs source mean, low-ratio flag",
+    tags=("quality", "text", "filter", "llm-pipeline"),
+)
+def qx238_discovered_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-calibrating stopword signal: qx156's Gopher rule needs a
+    HAND-PICKED stopword list, which breaks on unknown languages and
+    domain corpora — here the list is DISCOVERED from the corpus (the
+    {STOP_DISCOVER_K} highest-document-frequency tokens: function
+    words by definition), and each doc's stopword ratio is judged
+    against ITS OWN SOURCE's mean (the qx220 batch-effect stance —
+    an absolute threshold would mis-flag terse sources wholesale).
+    Low ratio relative to source = keyword-stuffed lists, garble, or
+    navigation debris.
+
+    Plan shape: df ranking is a token-keyed exchange + TakeOrdered
+    head (vocab-bounded); the discovered list and the groups-sized
+    source means both BROADCAST back onto row-local projections — the
+    corpus is scanned once for counting and once for scoring, with no
+    data-sized shuffle beyond the per-doc count. Flag compares ROUNDED
+    ratios so both engines make identical boundary calls."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dfr = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    stop = (
+        dfr.orderBy(F.col("df").desc(), "token")
+        .limit(STOP_DISCOVER_K)
+        .select("token")
+    )
+    per = (
+        tok.join(F.broadcast(stop.withColumn("__s", F.lit(1))), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("__s", F.lit(0))).alias("n_stop"),
+        )
+    )
+    scored = (
+        docs.select("doc_id", "source")
+        .join(per, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 6).alias(
+                "stop_ratio"
+            ),
+        )
+    )
+    src = scored.groupBy("source").agg(
+        F.round(F.avg("stop_ratio"), 6).alias("src_mean_ratio")
+    )
+    return (
+        scored.join(F.broadcast(src), "source")
+        .select(
+            "doc_id",
+            "source",
+            "stop_ratio",
+            "src_mean_ratio",
+            (F.col("stop_ratio") < STOP_FLAG_FACTOR * F.col("src_mean_ratio")).alias(
+                "flagged"
+            ),
+        )
+        .orderBy("doc_id")
+    )

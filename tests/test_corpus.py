@@ -661,3 +661,64 @@ def test_effective_sample_size_bounds(spark, tmp_path):
     # sum_w2=1.5, ESS=8/3
     assert planted.n_docs == 3
     assert abs(planted.ess - (2.0 * 2.0 / 1.5)) < 1e-4
+
+
+def test_discovered_stopwords_flag_is_relative_to_source(spark):
+    """qx238: flags must be computed against each doc's OWN source
+    mean — verify per-source flag thresholds independently, and check
+    ratios are well-formed."""
+    from bqfetch_spark.operators.quality import (
+        STOP_FLAG_FACTOR,
+        qx238_discovered_stopwords,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = qx238_discovered_stopwords(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.stop_ratio <= 1.0
+        assert r.flagged == (r.stop_ratio < STOP_FLAG_FACTOR * r.src_mean_ratio)
+
+
+def test_context_stitching_hits_contain_terms(spark):
+    """qx239: every emitted hit's segment must actually contain a
+    query term, and the stitched context md5 must reproduce from the
+    raw text (Python recompute for a sample)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.llm_pipeline import (
+        SEGMENT_WORDS,
+        qx239_context_stitching,
+    )
+    from tests.conftest import SF_CORRECT
+
+    hits = qx239_context_stitching(spark, SF_CORRECT).collect()
+    assert hits
+
+    docs = load_catalog(spark, SF_CORRECT).table("documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    df = (
+        tok.groupBy("doc_id", "t").count().groupBy("t").count()
+        .orderBy(F.col("count").desc(), "t").limit(14).collect()
+    )
+    terms = {r.t for r in df[9:14]}
+
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for h in hits[:60]:
+        toks = texts[h.doc_id]
+        segs = [
+            " ".join(toks[i : i + SEGMENT_WORDS])
+            for i in range(0, len(toks), SEGMENT_WORDS)
+        ]
+        seg = segs[h.seg_idx]
+        assert terms & set(seg.split(" ")), (h.doc_id, h.seg_idx)
+        prev = segs[h.seg_idx - 1] if h.seg_idx > 0 else ""
+        nxt = segs[h.seg_idx + 1] if h.seg_idx + 1 < len(segs) else ""
+        want = hashlib.md5(f"{prev} {seg} {nxt}".encode()).hexdigest()
+        assert h.context_md5 == want, (h.doc_id, h.seg_idx)
