@@ -22,6 +22,8 @@ Scale stance (100 TB of documents):
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -969,7 +971,7 @@ def qx215_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(e).alias("epoch"), "doc_id", key.alias("k")
             ).orderBy("k", "doc_id").limit(SHUFFLE_HEAD)
         )
-    u = heads[0].unionByName(heads[1])
+    u = functools.reduce(lambda a, b: a.unionByName(b), heads)
     w = Window.partitionBy("epoch").orderBy("k", "doc_id")
     return (
         u.withColumn("position", F.row_number().over(w).cast("bigint"))

@@ -746,7 +746,9 @@ def qx223_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.coalesce("n_test", F.lit(0)).cast("bigint").alias("n_test"),
-            (F.col("n_train_all") - F.col("n_train_dropped")).cast("bigint").alias("n_train_kept"),
+            F.coalesce(F.col("n_train_all") - F.col("n_train_dropped"), F.lit(0))
+            .cast("bigint")
+            .alias("n_train_kept"),
             F.coalesce("n_train_dropped", F.lit(0)).cast("bigint").alias("n_train_dropped"),
             F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias("tokens_kept"),
         )

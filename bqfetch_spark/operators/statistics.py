@@ -2580,8 +2580,14 @@ def qx183_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 # qx196 — Holt double-exponential smoothing (level + trend recursion)
 # ---------------------------------------------------------------------------
 
-HOLT_ALPHA = 0.3  # level gain      (1-alpha spelled literally: 0.7)
-HOLT_BETA = 0.1  # trend gain       (1-beta  spelled literally: 0.9)
+# Gains and their complements are ALL module-level literals (the
+# complement is never computed as 1-α at runtime — the bit-identical
+# IEEE requirement) and BOTH the kernel and the oracle reference the
+# same four names, so changing a gain moves both engines together.
+HOLT_ALPHA = 0.3  # level gain
+HOLT_ALPHA_C = 0.7  # literal complement of HOLT_ALPHA
+HOLT_BETA = 0.1  # trend gain
+HOLT_BETA_C = 0.9  # literal complement of HOLT_BETA
 
 
 def _sql_round6(x: float) -> float:
@@ -2597,7 +2603,7 @@ def _sql_round6(x: float) -> float:
 
     return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
-HOLT_ORACLE = """
+HOLT_ORACLE = f"""
 WITH RECURSIVE seq AS (
   SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
@@ -2607,9 +2613,9 @@ hw(user_id, k, event_id, level, trend) AS (
   SELECT user_id, k, event_id, x, CAST(0.0 AS DOUBLE) FROM seq WHERE k = 1
   UNION ALL
   SELECT h.user_id, o.k, o.event_id,
-         0.3 * o.x + 0.7 * (h.level + h.trend),
-         0.1 * ((0.3 * o.x + 0.7 * (h.level + h.trend)) - h.level)
-           + 0.9 * h.trend
+         {HOLT_ALPHA!r} * o.x + {HOLT_ALPHA_C!r} * (h.level + h.trend),
+         {HOLT_BETA!r} * (({HOLT_ALPHA!r} * o.x + {HOLT_ALPHA_C!r} * (h.level + h.trend)) - h.level)
+           + {HOLT_BETA_C!r} * h.trend
   FROM hw h
   JOIN seq o ON o.user_id = h.user_id AND o.k = h.k + 1
 )
@@ -2657,8 +2663,8 @@ def qx196_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             if t == 0:
                 l, b = x, 0.0
             else:
-                l_new = HOLT_ALPHA * x + 0.7 * (l + b)
-                b = HOLT_BETA * (l_new - l) + 0.9 * b
+                l_new = HOLT_ALPHA * x + HOLT_ALPHA_C * (l + b)
+                b = HOLT_BETA * (l_new - l) + HOLT_BETA_C * b
                 l = l_new
             levels.append(_sql_round6(l))
             trends.append(_sql_round6(b))
@@ -3304,7 +3310,13 @@ def qx233_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_relevant_total",
             "n_relevant_top",
             "mrr",
-            F.round(F.col("dcg") / idcg, 6).alias("ndcg"),
+            # zero-relevant terms: F.sequence(1, 0) is DESCENDING [1, 0]
+            # (not empty like generate_series), so the fold would add
+            # 1/log2(1) = +Inf — gate to NULL, matching the oracle's
+            # empty-series list_sum NULL
+            F.when(F.col("n_relevant_total") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(F.col("dcg") / idcg, 6))
+            .alias("ndcg"),
         )
         .orderBy("term")
     )

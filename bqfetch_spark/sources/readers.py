@@ -96,22 +96,50 @@ def text_file_staging_dir(sf_dir: str) -> str:
     return os.path.join(parent, key)
 
 
+def _documents_fingerprint(sf_dir: str) -> str:
+    """Content key for the staged corpus: path + (mtime_ns, size) of
+    every parquet part under documents.parquet. Regenerating the
+    fixture (even same-sized) changes mtime_ns, so a stale stage is
+    detected and rebuilt rather than silently reused."""
+    import glob
+    import hashlib
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    parts = sorted(glob.glob(os.path.join(root, "**"), recursive=True)) or [root]
+    h = hashlib.sha1(os.path.normpath(os.path.abspath(sf_dir)).encode())
+    for p in parts:
+        if os.path.isfile(p):
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_mtime_ns}:{st.st_size}".encode())
+    return h.hexdigest()
+
+
 def stage_document_files(spark, sf_dir: str, out_dir: str) -> str:
     """Materialize `documents` as one UTF-8 ``<doc_id>.txt`` file each —
     the on-disk shape a crawl/scan ingest actually starts from. The
     write is mapInPandas (EXECUTOR-side file IO, one Arrow batch per
-    task — never a driver loop over rows); a marker makes re-stages
-    no-ops. This is scaffolding for the binaryFile scan (qx211): in
-    production the files pre-exist and only the scan runs."""
+    task — never a driver loop over rows); a content-keyed marker
+    (parquet mtime/size fingerprint, not just the path) makes
+    re-stages no-ops while a regenerated fixture forces a clean
+    restage — stale ``<doc_id>.txt`` orphans from the previous corpus
+    are removed first. This is scaffolding for the binaryFile scan
+    (qx211): in production the files pre-exist and only the scan
+    runs."""
+    import glob
+    import tempfile
+
     import pandas as pd
 
-    from bqfetch_spark.catalog import load_catalog
-
+    key = _documents_fingerprint(sf_dir)
     marker = os.path.join(out_dir, "_staged_from")
     if os.path.exists(marker):
         with open(marker) as fh:
-            if fh.read() == sf_dir:
+            if fh.read() == key:
                 return out_dir
+        # fingerprint mismatch: the fixture changed — drop orphans
+        for stale in glob.glob(os.path.join(out_dir, "*.txt")):
+            os.remove(stale)
+        os.remove(marker)
     os.makedirs(out_dir, exist_ok=True)
 
     def write_files(batches):
@@ -125,10 +153,18 @@ def stage_document_files(spark, sf_dir: str, out_dir: str) -> str:
                 n += 1
             yield pd.DataFrame({"n": [n]})
 
-    docs = load_catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    # read the parquet directly (not through the catalog memo): a
+    # fingerprint mismatch means the files CHANGED, and the memoized
+    # DataFrame would hold a stale file listing of the old parts
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
     total = (
         docs.mapInPandas(write_files, "n bigint").agg(F.sum("n")).first()[0]
     )
-    with open(marker, "w") as fh:
-        fh.write(sf_dir)
+    # temp-file + rename: a crashed stage never leaves a valid marker
+    fd, tmp = tempfile.mkstemp(dir=out_dir, prefix="._staged_from.")
+    with os.fdopen(fd, "w") as fh:
+        fh.write(key)
+    os.replace(tmp, marker)
     return out_dir

@@ -183,6 +183,22 @@ def test_epoch_shuffle_permutations_differ_and_are_stable(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
 
 
+def test_epoch_shuffle_union_folds_over_all_epochs(spark, monkeypatch):
+    """qx215 regression: the union must fold over SHUFFLE_EPOCHS, not
+    hardcode heads[0]/heads[1] — extending to 3 epochs (or shrinking
+    to 1) must emit exactly those epochs."""
+    import bqfetch_spark.operators.corpus as corpus
+    from tests.conftest import SF_CORRECT
+
+    monkeypatch.setattr(corpus, "SHUFFLE_EPOCHS", (0, 1, 2))
+    three = {r.epoch for r in corpus.qx215_epoch_shuffle(spark, SF_CORRECT).collect()}
+    assert three == {0, 1, 2}
+
+    monkeypatch.setattr(corpus, "SHUFFLE_EPOCHS", (5,))
+    one = {r.epoch for r in corpus.qx215_epoch_shuffle(spark, SF_CORRECT).collect()}
+    assert one == {5}
+
+
 def test_rendezvous_resharding_moves_only_to_new_shard(spark):
     """qx216: growing 8 -> 9 shards may only move docs INTO the new
     shard (s=8), and the moved mass is ~1/9 of the corpus."""

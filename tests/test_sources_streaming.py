@@ -1575,3 +1575,42 @@ def test_mix_wave_retry_is_idempotent_and_drift_zero_on_uniform(spark, tmp_path)
     assert all(
         r.drift == 0.0 for r in drift_report(spark, store2).collect()
     )
+
+
+def test_stage_document_files_restages_on_fixture_change(spark, tmp_path):
+    """stage_document_files regression: the marker is keyed on the
+    parquet CONTENT fingerprint, not the sf_dir path — regenerating
+    the fixture at the same path must clear orphaned .txt files and
+    restage, while an unchanged fixture is a no-op."""
+    import shutil
+
+    from bqfetch_spark.sources.readers import stage_document_files
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    # load_catalog loads every table eagerly: borrow the others
+    for t in os.listdir(SF_SMOKE):
+        if t.endswith(".parquet") and not t.startswith("documents"):
+            os.symlink(os.path.join(SF_SMOKE, t), os.path.join(sf, t))
+    docs_v1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id bigint, text string"
+    )
+    docs_v1.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = str(tmp_path / "staged")
+    stage_document_files(spark, sf, out)
+    assert sorted(
+        f for f in os.listdir(out) if f.endswith(".txt")
+    ) == ["1.txt", "2.txt"]
+
+    # unchanged fixture: marker matches, files untouched (same inode)
+    ino = os.stat(os.path.join(out, "1.txt")).st_ino
+    stage_document_files(spark, sf, out)
+    assert os.stat(os.path.join(out, "1.txt")).st_ino == ino
+
+    # regenerate the fixture with different docs at the SAME path
+    shutil.rmtree(os.path.join(sf, "documents.parquet"))
+    docs_v2 = spark.createDataFrame([(3, "gamma")], "doc_id bigint, text string")
+    docs_v2.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    stage_document_files(spark, sf, out)
+    staged = sorted(f for f in os.listdir(out) if f.endswith(".txt"))
+    assert staged == ["3.txt"], f"orphans survived restage: {staged}"
