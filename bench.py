@@ -88,7 +88,7 @@ HEADLINE = [
     "q98_streaming_rollup_maintenance",
     "q99_python_datasource_scan",
     "q100_streaming_token_quota",
-    "q101_ann_pq",
+    "qx240_ann_pq",
     "q56_ann_ivfpq",
     "q57_streaming_ann_index",
     "q35_cdc_merge",
@@ -175,7 +175,7 @@ HEADLINE = [
     "qx155_bloom_prefilter_dedup",
     "qx156_gopher_quality_filter",
     "qx157_segment_dedup",
-    "qx158_ann_sq8",
+    "q101_ann_sq8",
     "qx159_streaming_neardup",
     "qx160_snapshot_diff",
     "qx161_sequence_packing",

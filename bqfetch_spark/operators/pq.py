@@ -154,8 +154,8 @@ def unit_normalized(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", F.transform("v", lambda x: x / norm).alias("v"))
 
 
-@register("q101_ann_pq", oracle=None, tags=("similarity", "ann", "pq"))
-def q101_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("qx240_ann_pq", oracle=None, tags=("similarity", "ann", "pq"))
+def qx240_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN top-10 for the 5 standard query vectors (same
     contract as q50/q53/q55): train → encode → ADC scan over 8-byte
     codes with a JVM-side lookup-table expression → exact cosine
@@ -395,7 +395,7 @@ def q56_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ combined ANN — the full FAISS-IVFPQ serving shape, built
     from the engine's two halves: the coarse quantizer (trained KMeans
     cells, q55/q69) prunes WHICH vectors are scored (only IVFPQ_PROBE
-    of IVFPQ_CELLS cells per query), and PQ (q101) shrinks WHAT is
+    of IVFPQ_CELLS cells per query), and PQ (qx240) shrinks WHAT is
     scored (8-byte RESIDUAL codes — v minus its cell centroid, the
     encoding FAISS uses because residuals have ~cells× less variance
     than raw vectors, so the same 8 bytes quantize finer).

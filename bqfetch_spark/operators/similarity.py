@@ -545,7 +545,7 @@ def qx133_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams through once with no shuffle (q50's brute-force shape);
     ranking uses the ROUNDED cosine + neighbor_id so float noise can't
     reorder the cut, and the vote reduce touches |queries|×|labels|
-    rows. At real scale the same vote runs over q53/q55/q101's
+    rows. At real scale the same vote runs over q53/q55/qx240's
     IVF/PQ candidate sets instead of the exact scan — the top-k
     contract is identical."""
     emb = load_catalog(spark, sf_dir).table("embeddings").select(
@@ -746,15 +746,15 @@ WHERE rn <= {SQ8_TOPK}
 
 
 @register(
-    "qx158_ann_sq8",
+    "q101_ann_sq8",
     oracle=SQ8_ORACLE,
     doc="int8 scalar-quantized top-k similarity with exact integer scoring",
     tags=("similarity", "ann", "quantization"),
 )
-def qx158_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q101_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar quantization (SQ8) — the FAISS/Milvus memory-cut that
     stores each dimension as one int8 instead of a float32 (4× smaller
-    scan, integer dot products). Unlike the PQ legs (q56/q101), SQ8's
+    scan, integer dot products). Unlike the PQ legs (q56/qx240), SQ8's
     pipeline is fully deterministic end-to-end: the corpus-wide scale
     s = max|x| is an exact double aggregate, quantization is
     floor(x/s*127 + 0.5) — the identical IEEE expression in both

@@ -169,12 +169,12 @@ def test_q51_allpairs_guard_points_at_ivf(spark, monkeypatch):
 
 
 def test_pq_recall_vs_bruteforce(spark):
-    """PQ-compressed ANN (q101): normalized-vector codebooks + ADC scan
+    """PQ-compressed ANN (qx240): normalized-vector codebooks + ADC scan
     + exact re-rank must keep recall@10 vs the exact baseline.
     Measured 0.92 at sf0.001 (K=32, rerank 100); the gate leaves
     margin for fixture regeneration, not for a broken index."""
     exact = _topk(spark, "q50_cosine_topk")
-    pq = _topk(spark, "q101_ann_pq")
+    pq = _topk(spark, "qx240_ann_pq")
     assert _mean_recall(exact, pq) >= 0.8
 
 
@@ -217,13 +217,13 @@ def test_sq8_recall_vs_exact_cosine(spark):
     top-10 should be near-perfect (deterministic at this fixture)."""
     from tests.conftest import SF_CORRECT
 
-    from bqfetch_spark.operators.similarity import q50_cosine_topk, qx158_ann_sq8
+    from bqfetch_spark.operators.similarity import q50_cosine_topk, q101_ann_sq8
 
     exact = {
         (r.query_id, r.neighbor_id) for r in q50_cosine_topk(spark, SF_CORRECT).collect()
     }
     sq8 = {
-        (r.query_id, r.neighbor_id) for r in qx158_ann_sq8(spark, SF_CORRECT).collect()
+        (r.query_id, r.neighbor_id) for r in q101_ann_sq8(spark, SF_CORRECT).collect()
     }
     recall = len(exact & sq8) / len(exact)
     assert recall >= 0.9, recall

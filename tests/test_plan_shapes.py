@@ -476,11 +476,11 @@ def test_qx156_gopher_is_pure_projection(spark):
     assert "Exchange" not in plan
 
 
-def test_qx158_sq8_broadcasts_scale_and_queries(spark):
+def test_q101_sq8_broadcasts_scale_and_queries(spark):
     # corpus scanned once: both small sides (1-row scale, 5-row query
     # set) ride broadcast nested loop joins; no hash exchange before
     # the per-query top-k window
-    plan = _plan(spark, "qx158_ann_sq8")
+    plan = _plan(spark, "q101_ann_sq8")
     assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
 
 
