@@ -225,7 +225,7 @@ class Fetcher:
         The bucketing is the adaptive exact-ntile spelling
         (plans/ranks.with_ntile_auto): small domains use a plain ntile
         window; domains past the estimated single-sort crossover use
-        the range-partition + offset spelling — no unpartitioned
+        the bucket-partition + offset spelling — no unpartitioned
         window, so planning itself survives a 100 TB table with a huge
         domain (the collect stays O(n_chunks) either way).
 

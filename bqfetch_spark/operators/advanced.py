@@ -116,7 +116,7 @@ def q25_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelling (plans/ranks.with_ntile_auto): inputs under the estimated
     single-sort crossover use the plain ntile window (0.99 s vs 2.45 s
     at sf0.1 — the scalable machinery is a 100×-scale tax the small
-    case shouldn't pay); larger inputs get the range-partition +
+    case shouldn't pay); larger inputs get the bucket-partition +
     offset spelling with no single-task sort. Identical bucket
     assignment either way."""
     from bqfetch_spark.plans.ranks import with_ntile_auto

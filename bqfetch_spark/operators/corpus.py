@@ -9,9 +9,9 @@ Scale stance (100 TB of documents):
   same doc is kept or dropped on every run (md5 keys, not rand()).
 - Shard packing needs a global running sum of token counts; the
   naive spelling is an unpartitioned window (single-task sort of the
-  corpus). We use the two-pass range-partition form
-  (plans/ranks.py:with_global_cumsum) — exact, and no task touches
-  more than one partition's rows.
+  corpus). We use the one-pass deterministic-bucket form
+  (plans/ranks.py:with_global_cumsum) — exact, one corpus shuffle,
+  and no task touches more than one bucket's rows.
 - Cluster resolution is iterative hash-min label propagation over the
   near-dup pair graph: per iteration one equi-join + one groupBy-min,
   converging in O(cluster diameter) rounds (near-dup clusters are
@@ -136,9 +136,9 @@ def q73_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     count integer-divided by the budget, so shard boundaries fall at
     fixed token offsets regardless of partitioning.
 
-    The running sum uses the scalable two-pass range-partition form —
-    the SQL-window spelling in the oracle would be a single-task sort
-    of the whole corpus at scale."""
+    The running sum uses the scalable one-pass deterministic-bucket
+    form — the SQL-window spelling in the oracle would be a
+    single-task sort of the whole corpus at scale."""
     docs = load_catalog(spark, sf_dir).table("documents")
     toks = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
@@ -408,9 +408,9 @@ def qx161_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries — each doc gets its starting sequence id, its offset
     within that sequence, and how many sequences it spans. Everything
     derives from ONE exact global token cumsum, computed with the
-    range-exchange two-pass (plans/ranks.with_global_cumsum) — the
+    one-pass bucket exchange (plans/ranks.with_global_cumsum) — the
     oracle's SQL window would single-task-sort the corpus at 100 TB,
-    the range exchange never sorts more than one partition per task.
+    the bucket exchange never sorts more than one bucket per task.
     Downstream, a writer groups by sequence id to emit packed training
     shards; this frame IS the doc→sequence index that makes that write
     embarrassingly parallel. Complements q73 (shard-level packing:
@@ -618,7 +618,7 @@ def qx176_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic over a dense corpus index — fully deterministic (reruns
     and both engines pick identical negatives; no RNG, no seed
     plumbing), self-pairs skipped by a +1 shift. The dense index is
-    the range-exchange global rank (plans/ranks — no single-task
+    the bucket-exchange global rank (plans/ranks — no single-task
     sort); the resolve step is one equi-join of the k·N pair frame
     against the N-row index map, shuffled on the dense index. At
     100 TB: k·N rows of three longs, no text or embeddings move."""
@@ -696,10 +696,10 @@ def qx195_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame
     wasted padding slots / utilization.
 
     Plan shape: the total order is plans/ranks.with_global_rank — a
-    range exchange + per-partition offsets, NEVER a single-task global
+    bucket exchange + per-bucket offsets, NEVER a single-task global
     sort — then one partial-aggregated groupBy(batch_id). Batch ids
     are contiguous rank slices, so each output row aggregates
-    BATCH_SIZE adjacent rows of the range exchange: at 100 TB this is
+    BATCH_SIZE adjacent rows of the bucket exchange: at 100 TB this is
     one scan + one range shuffle of (doc_id, n_tokens) pairs — text
     never moves. The padding-reduction claim vs arrival-order
     batching is pytest-asserted, not assumed
@@ -958,10 +958,10 @@ def qx215_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the HEAD of a seeded order is a top-k, not a sort —
     each epoch is one TakeOrderedAndProject (per-partition heap of k,
-    O(k) merge at the driver), never a global range-exchange sort of
+    O(k) merge at the driver), never a global bucket-exchange sort of
     the corpus. Materializing a FULL epoch order would instead use
     with_global_rank (plans/ranks.py) over the same key — the
-    two-phase range-partition rank with no single-task sort."""
+    one-pass bucket-partition rank with no single-task sort."""
     docs = load_catalog(spark, sf_dir).table("documents")
     heads = []
     for e in SHUFFLE_EPOCHS:
@@ -1105,7 +1105,7 @@ def qx220_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to corpus curation).
 
     Scale shape: both total orders are plans/ranks.with_global_rank
-    (range exchange + tiny offset broadcast — no single-task sort of
+    (bucket exchange + tiny offset broadcast — no single-task sort of
     the corpus). Per-source ranks derive from the (source, score, id)
     global order by subtracting each source's min rank (a
     groups-sized broadcast agg), so a source holding 40% of a 100 TB
@@ -1130,8 +1130,8 @@ def qx220_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # each source's min global rank is 1 + the cumulative count of all
     # earlier sources — a groups-sized agg + metadata window, NOT a
-    # second execution of the rank subplan (a min("rsg") spelling made
-    # Spark run the corpus range exchange twice)
+    # second execution of the rank subplan (a min("rsg") spelling would
+    # re-execute the rank subplan's corpus exchange)
     src_counts = scored.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
     prior = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
     src_stats = src_counts.select(

@@ -737,7 +737,7 @@ def qx203_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — the reason this operator is interesting on Spark:
     the walk needs a PER-TYPE time ordering, and a per-type window is
     a skew trap (one hot type = one giant sorting task). Instead the
-    deltas ride plans/ranks' range-exchange GLOBAL cumsum ordered by
+    deltas ride plans/ranks' bucket-exchange GLOBAL cumsum ordered by
     (event_type, t, delta) — and because every +1 has a matching −1,
     each type's deltas sum to zero, so the global running sum RESETS
     to exactly zero at every type boundary and IS the per-type

@@ -241,7 +241,7 @@ def qx117_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # MATERIALIZE the per-distinct-value counters once: the cumsum
-    # machinery references this frame three times (range exchange,
+    # machinery references this frame three times (bucket exchange,
     # per-partition totals, sample sizes), and as a lazy branch each
     # reference would re-run the fact join — measured 6 fact scans.
     # The frame is domain-bounded, exactly what a 100 TB run caches.
@@ -548,7 +548,7 @@ def qx123_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the [lo, hi] bounds ARE the exact decile boundaries (the shape
     optimizers and data-profiling UIs want). Bucketing runs through
     plans/ranks.with_ntile_auto: at fixture scale a single-window
-    ntile, past the measured crossover the range-exchange + offset
+    ntile, past the measured crossover the bucket-exchange + offset
     spelling with no single-task sort — bit-identical bucket
     membership either way, because offsets derive from actual
     partition counts and ties break on the unique o_orderkey. The
@@ -2029,7 +2029,7 @@ def qx151_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation-invariant in Σi·x, so the custkey tie-break is for
     determinism of the plan, not the value.
 
-    The global ascending rank is the repo's range-exchange machinery
+    The global ascending rank is the repo's bucket-exchange machinery
     (plans/ranks.with_global_rank — no single-task sort), which is the
     point at 100 TB: ranking 1.5B customers is exactly the operation a
     naive Window.orderBy turns into one task. Zero-revenue customers
@@ -2220,7 +2220,7 @@ def qx153_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every quantity is integer until the single final division, so the
     oracle matches exactly. The only ordered pass runs on the DISTINCT
     score frame through plans/ranks.with_global_cumsums — the
-    range-exchange cumsum (no single-task sort), the same machinery as
+    bucket-exchange cumsum (no single-task sort), the same machinery as
     the KS test — so a 1e9-distinct-score corpus ranks in parallel.
     The rank2 accumulator is Σ p·2·rank ≲ 2·n² — fits BIGINT through
     ~2e9 users; past that, lift rank2 to DECIMAL(38,0)."""
@@ -2836,7 +2836,7 @@ def qx209_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     telling you something upstream broke (template spam flattens the
     head, aggressive dedup starves the tail, OCR noise fattens the
     hapax mass — hence the ≥2 cutoff). One token exchange produces
-    exact frequencies; the frequency RANK is the range-exchange global
+    exact frequencies; the frequency RANK is the bucket-exchange global
     rank (no single-task vocabulary sort — the vocabulary of 100 TB
     of text is itself big data); the log-log OLS reduces to 5 moments
     via one more partial-aggregated pass and the closed form evaluates

@@ -275,7 +275,7 @@ def qx165_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule filter prunes docs before the segment explode ever happens.
     Shares its constants with the standalone ops so thresholds cannot
     drift. Exchange count is bounded by the stage keys (seg window,
-    doc rebuild, rebuilt-text dedup, pack range exchange + cumsum
+    doc rebuild, rebuilt-text dedup, pack bucket exchange + cumsum
     metadata) and — unlike running the stages standalone — nothing is
     materialized between stages."""
     from bqfetch_spark.plans.ranks import with_global_cumsum
@@ -430,7 +430,7 @@ def qx202_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode (the expensive stage) ever runs. Constants are imported
     from the standalone ops so thresholds cannot drift. Exchange
     count: text-dedup window, one g exchange (cap window + self-join +
-    sizes), pair groupBy, drop anti-join, then qx195's range-exchange
+    sizes), pair groupBy, drop anti-join, then qx195's bucket-exchange
     rank — text itself crosses the wire once, for the dedup window."""
     from bqfetch_spark.plans.ranks import with_global_rank
 

@@ -1,13 +1,19 @@
-"""Scalable global ranking: exact row_number/ntile over a total order
-WITHOUT an unpartitioned window (which sorts the entire input in one
-task — the first OOM at 100× scale).
+"""Scalable global ranking: exact row_number/ntile/cumsum over a total
+order with an ADAPTIVE physical spelling — a plain unpartitioned
+window below the measured single-sort crossover (cheapest when the
+frame is small), and above it a one-shuffle bucket plan that never
+sorts the whole input in one task (the first OOM at 100× scale).
 
-Spelling: range-repartition on the order key (each partition holds a
-contiguous, disjoint key range), rank locally inside each partition,
-then add the number of rows in all earlier partitions. The per-
-partition row counts are metadata (one row per partition), so the
+Scale spelling: assign each row a DETERMINISTIC range-bucket id (count of
+sampled boundary keys ≤ its key — a broadcast expression), count rows
+per bucket with a map-side partial aggregate of the UN-shuffled frame
+(no corpus shuffle — the deterministic id is what makes this legal),
+hash-exchange the data on the bucket id ONCE, rank locally inside
+each bucket, then add the number of rows in all earlier buckets. The
+per-bucket row counts are metadata (one row per bucket), so the
 cumulative-offset window runs over ~dozens of rows; the data-sized
-work is one range exchange plus one pid-clustered local sort.
+work is one exchange plus one bucket-clustered local sort, with a
+cheap key-column TakeOrdered pass for the boundaries.
 
 This replaces the reference-shaped `ntile-over-everything` plans
 (q25 quartiles, Fetcher.chunks domain bucketing) with the same exact
@@ -22,6 +28,105 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# boundary-sample size per requested bucket (hash-min top-k rows)
+RANK_SAMPLE_PER_BUCKET = 32
+
+
+def _lex_ge(order_cols: list[str], boundary: tuple) -> F.Column:
+    """Deterministic lexicographic ``(c1, c2, …) >= boundary`` built
+    from explicit column comparisons (struct literals would need
+    field-name/type gymnastics). A NULL anywhere yields SQL NULL,
+    which the caller folds to 0 — null keys sort first under Spark's
+    asc NULLS FIRST, so 'always below every boundary' is exactly the
+    monotone bucket they need."""
+    ge = F.lit(True)
+    for c, b in reversed(list(zip(order_cols, boundary))):
+        ge = (F.col(c) > F.lit(b)) | ((F.col(c) == F.lit(b)) & ge)
+    return ge
+
+
+def _bucket_expr(df: DataFrame, order_cols: list[str], n_buckets: int) -> F.Column:
+    """DETERMINISTIC range-bucket id for the global-rank machinery:
+    boundaries come from a hash-min sample of the order key (a
+    ``TakeOrderedAndProject`` over just the key columns — per-partition
+    heaps, no shuffle, same rows on every run/retry), and the bucket
+    id is the count of boundaries ≤ the row's key — a pure broadcast
+    expression.
+
+    Why not ``repartitionByRange + spark_partition_id()``: pid is
+    flagged nondeterministic, so the counts branch could only learn a
+    row's partition AFTER the exchange ran — forcing the corpus
+    through the range exchange TWICE (the round-7 documented double
+    pass). A deterministic bucket id is known BEFORE any exchange, so
+    per-bucket counts come from a map-side partial aggregate of the
+    un-shuffled frame (n_buckets rows per task shuffled, not the
+    corpus), and only the data branch pays a corpus shuffle — once.
+
+    Exactness does not depend on where the sampled boundaries land
+    (offsets come from actual counts); the sample only balances bucket
+    sizes. Monotone by construction, ties share a bucket, and a NULL
+    key lands in bucket 0 (nulls-first asc order)."""
+    key_struct = F.struct(*[F.col(c) for c in order_cols])
+    sample = (
+        df.select(key_struct.alias("__k"))
+        .orderBy(F.xxhash64(F.col("__k")), F.col("__k"))
+        .limit(n_buckets * RANK_SAMPLE_PER_BUCKET)
+        .collect()
+    )
+    keys = sorted(
+        (tuple(r["__k"]) for r in sample),
+        key=lambda t: tuple((v is not None, v) for v in t),
+    )
+    step = max(1, len(keys) // n_buckets)
+    boundaries = []
+    for i in range(step, len(keys), step):
+        if keys[i] != keys[i - 1] and (not boundaries or keys[i] != boundaries[-1]):
+            boundaries.append(keys[i])
+        if len(boundaries) >= n_buckets - 1:
+            break
+    bucket = F.lit(0)
+    for b in boundaries:
+        bucket = bucket + F.when(_lex_ge(order_cols, b), 1).otherwise(0)
+    return bucket.cast("int")
+
+
+# rows below which a materialized (checkpointed) frame takes the plain
+# single-window spelling: ~SINGLE_SORT_BYTES at a typical ~64 B/row
+SINGLE_SORT_ROWS = 4_000_000
+
+
+def _resolve_rank_input(df: DataFrame) -> tuple[DataFrame, bool]:
+    """Physical-plan chooser for the rank/cumsum machinery. Returns
+    ``(frame, use_single_window)``.
+
+    - Plan-estimated size under ``SINGLE_SORT_BYTES``: single window,
+      untouched frame — one job, cheapest at small scale.
+    - Frames built through an Aggregate: Catalyst's size estimate is
+      junk above joins (qx151's 15k-row customer-revenue frame
+      estimates at 57 GB), and the scale path would re-run the
+      expensive upstream THREE times (boundary sample, counts, data
+      exchange). Materialize ONCE with a lazy localCheckpoint, count
+      it (the count IS the materializing action — not wasted work),
+      and decide by exact rows: small → single window over the
+      materialized frame, big → bucket machinery over it (re-reads
+      now hit executor-local blocks, not the upstream join).
+    - Scan-shaped frames past the crossover: bucket machinery on the
+      lazy frame — the extra references are cheap column-pruned scans,
+      and checkpointing a raw 100 TB corpus to executor disk would be
+      the wrong trade."""
+    if plan_size_bytes(df) <= SINGLE_SORT_BYTES:
+        return df, True
+    try:
+        has_agg = "Aggregate" in df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        has_agg = False
+    if has_agg:
+        ck = df.localCheckpoint(eager=False)
+        if ck.count() <= SINGLE_SORT_ROWS:
+            return ck, True
+        return ck, False
+    return df, False
+
 
 def with_global_rank(
     df: DataFrame,
@@ -34,28 +139,41 @@ def with_global_rank(
     end in a unique tie-break key for a deterministic total order).
     Adds ``rank_col`` and ``total_col`` (the overall row count).
 
-    Plan shape: RangeExchange(order_cols) → [tiny: per-partition
-    counts + cumulative offsets] → broadcast-join offsets back →
-    local sort + window per partition. No single-task stage touches
-    more than one partition's rows.
+    Plan shape (ONE corpus shuffle): a hash-min boundary sample over
+    just the key columns (TakeOrdered — heaps, no shuffle) →
+    deterministic bucket-id expression → the counts branch aggregates
+    per-bucket row counts DIRECTLY on the un-shuffled frame (map-side
+    partial aggregation: n_buckets rows per task reach the tiny
+    offsets window — a column-pruned scan, no corpus shuffle) → the
+    data branch hash-exchanges on the bucket id once, broadcast-joins
+    the offsets back, and ranks locally per bucket. No single-task
+    stage touches more than one bucket's rows.
 
-    Known cost note: ``spark_partition_id()`` is flagged
-    nondeterministic, which disables Catalyst's ReuseExchange between
-    the counts branch and the data branch — the range exchange
-    therefore EXECUTES twice (two corpus passes, still zero
-    single-task stages). Both spellings that would collapse it to one
-    pass trade laziness away (persist leaks across queries;
-    localCheckpoint swaps the second exchange for a full local-disk
-    materialization and hides the upstream plan from every
-    plan-shape assertion), so the two-pass cost is the documented
-    price of an exact, deterministic, lazily-composable global rank;
-    callers that rank the same frame repeatedly should checkpoint at
-    the call site (see qx219's stats checkpoint for the pattern).
-    """
-    ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    Round 7 spelled this with ``repartitionByRange`` +
+    ``spark_partition_id()``; pid's nondeterminism meant counts were
+    only knowable AFTER an exchange, so the corpus was range-exchanged
+    twice. The deterministic bucket id moves the counts before any
+    exchange — and task retries recompute identical bucket ids,
+    removing pid's retry-reassignment hazard as well. Bucket balance
+    comes from the boundary sample; hash placement may co-locate a few
+    buckets in one task (bounded small constant).
+
+    Adaptive (see :func:`_resolve_rank_input`): small or
+    small-after-materialization inputs take the plain unpartitioned
+    window — cheapest at small scale and bit-identical in output;
+    genuinely big inputs take the bucket machinery."""
+    df, single = _resolve_rank_input(df)
+    if single:
+        w = Window.orderBy(*order_cols)
+        everything = Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        return df.withColumn(
+            rank_col, F.row_number().over(w).cast("bigint")
+        ).withColumn(total_col, F.count(F.lit(1)).over(everything))
+    bucketed = df.withColumn("__pid", _bucket_expr(df, order_cols, n_partitions))
+    ranged = bucketed.repartition(n_partitions, "__pid")
+    counts = bucketed.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     # windows below run over n_partitions rows (metadata, not data)
     prior = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     everything = Window.orderBy(F.lit(1)).rowsBetween(
@@ -82,11 +200,12 @@ def with_global_cumsum(
     cum_col: str = "__cum",
 ) -> DataFrame:
     """Exact inclusive running sum of ``val_col`` over a global order,
-    same two-pass shape as :func:`with_global_rank`: range-exchange on
-    the order key, per-partition local running sums, plus the sum of
-    all earlier partitions' totals (a window over n_partitions
-    metadata rows). No single task ever sorts more than one
-    partition's rows — this is the scalable spelling of
+    same one-pass shape as :func:`with_global_rank`: map-side partial
+    per-bucket totals off the un-shuffled frame, ONE deterministic
+    bucket exchange of the data, per-bucket local running sums, plus
+    the sum of all earlier buckets' totals (a window over n_buckets
+    metadata rows). No single task ever sorts
+    more than one bucket's rows — this is the scalable spelling of
     ``sum(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)``."""
     return with_global_cumsums(df, order_cols, {val_col: cum_col}, n_partitions)
 
@@ -97,16 +216,28 @@ def with_global_cumsums(
     val_to_cum: dict[str, str],
     n_partitions: int,
 ) -> DataFrame:
-    """Multi-column :func:`with_global_cumsum`: one range exchange and
+    """Multi-column :func:`with_global_cumsum`: one bucket exchange and
     one local sort produce an exact inclusive running sum for EVERY
     ``val_col -> cum_col`` in ``val_to_cum`` (e.g. the two per-sample
     CDF counters of a KS test). Sharing the exchange is the point —
     calling the single-column helper k times would range-shuffle the
-    data k times for the same order."""
-    ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    totals = ranged.groupBy("__pid").agg(
+    data k times for the same order. Adaptive like
+    :func:`with_global_rank`: under the crossover a plain
+    unpartitioned running-sum window, above it the one-shuffle bucket
+    machinery — bit-identical outputs either way."""
+    df, single = _resolve_rank_input(df)
+    if single:
+        w = (
+            Window.orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = df
+        for v, cum_col in val_to_cum.items():
+            out = out.withColumn(cum_col, F.sum(v).over(w).cast("bigint"))
+        return out
+    bucketed = df.withColumn("__pid", _bucket_expr(df, order_cols, n_partitions))
+    ranged = bucketed.repartition(n_partitions, "__pid")
+    totals = bucketed.groupBy("__pid").agg(
         *[F.sum(v).alias(f"__pt_{v}") for v in val_to_cum]
     )
     prior = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -132,7 +263,7 @@ def with_global_cumsums(
 
 # Crossover for the adaptive chooser (VERDICT r3 #6): below this
 # estimated input size a plain `ntile() OVER (ORDER BY ...)` — one
-# single-task sort — beats the range-exchange + offset-join machinery
+# single-task sort — beats the bucket-exchange + offset-join machinery
 # (measured at sf0.1: 0.99 s single-window vs 2.45 s scalable for q25's
 # 150k-row orders projection). 256 MB sorts in well under a second on
 # one core; anything bigger takes the scalable path.

@@ -99,8 +99,9 @@ def test_q25_ntile_adaptive_spelling(spark, monkeypatch):
     monkeypatch.setattr(ranks, "SINGLE_SORT_BYTES", -1)
     big = _plan(spark, "q25_ntile_quartiles")
     assert "ntile" not in big
-    assert "rangepartitioning" in big.lower()
-    # the data-sized rank window is clustered on the range partition id
+    # one deterministic-bucket corpus exchange (round-8 one-pass shape)
+    assert "hashpartitioning(__pid" in big
+    # the data-sized rank window is clustered on the bucket id
     assert "row_number() windowspecdefinition(__pid" in big
 
 
@@ -392,17 +393,53 @@ def test_qx152_single_scan(spark):
     assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
 
 
-def test_qx151_no_single_partition_sort_of_customers(spark):
-    """Gini's global ascending rank must come from the range-exchange
-    machinery, not a single-task Window sort of every customer: the
-    plan must contain a rangepartitioning exchange and no
-    SinglePartition window over the customer-revenue frame."""
+def test_qx151_scale_path_has_no_single_partition_sort(spark, monkeypatch):
+    """Gini's global ascending rank is adaptive (plans/ranks): at
+    fixture scale the customer frame is far under the single-sort
+    crossover, so the plain window is the chosen physical plan; past
+    the crossover (forced here) the rank must come from the
+    bucket-exchange machinery — deterministic-bucket exchange, local
+    per-bucket ranks, no SinglePartition window over the whole
+    customer-revenue frame."""
+    import bqfetch_spark.plans.ranks as ranks
+
+    monkeypatch.setattr(ranks, "SINGLE_SORT_BYTES", -1)
+    monkeypatch.setattr(ranks, "SINGLE_SORT_ROWS", -1)
     plan = _plan(spark, "qx151_gini_concentration")
-    assert "rangepartitioning(cents" in plan
+    assert "hashpartitioning(__pid" in plan
     # the row_number window over ranked customers partitions on __pid
-    # (per-range-partition local ranks + broadcast offsets), never a
+    # (per-bucket local ranks + broadcast offsets), never a
     # SinglePartition window over the whole customer frame
     assert "windowspecdefinition(__pid" in plan
+
+
+def test_global_rank_single_corpus_exchange(spark, monkeypatch):
+    """Round-8 one-pass proof (VERDICT r7 #2): with_global_rank must
+    shuffle the corpus exactly ONCE. The round-7 spelling
+    (repartitionByRange + nondeterministic spark_partition_id) ran the
+    data-sized range exchange twice — counts branch and data branch.
+    The deterministic bucket id moves the counts to a map-side partial
+    aggregate of the UN-shuffled frame, so the only data-sized
+    exchange left is the single explicit repartition
+    (REPARTITION_BY_NUM); everything else shuffles n_buckets-sized
+    metadata. rangepartitioning must be gone entirely."""
+    import bqfetch_spark.plans.ranks as ranks
+    from tests.conftest import SF_CORRECT
+
+    monkeypatch.setattr(ranks, "SINGLE_SORT_BYTES", -1)  # force scale path
+    monkeypatch.setattr(ranks, "SINGLE_SORT_ROWS", -1)
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    r = ranks.with_global_rank(docs, ["n_chars", "doc_id"], 16)
+    r.collect()  # materialize so AQE finalizes the plan
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("REPARTITION_BY_NUM") == 1, final
+    assert "rangepartitioning" not in final
+    # counts reach the offsets window via map-side partial aggregation,
+    # never a corpus shuffle
+    assert "partial_count" in final
 
 
 def test_qx150_single_user_exchange(spark):

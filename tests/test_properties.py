@@ -328,21 +328,29 @@ def test_global_cumsums_match_single_window_reference(spark):
 )
 @settings(max_examples=15, deadline=None)
 def test_global_rank_equals_single_window(spark, vals, parts):
-    """plans/ranks.with_global_rank (the range-exchange machinery under
-    qx151's Gini, qx153's AUC cumsum and the fetcher's ntile chunks)
-    must produce EXACTLY the ranks a single-window row_number would,
-    for any values/ties/partition-count — including the degenerate
-    1-partition and all-equal-values cases hypothesis will find."""
+    """plans/ranks.with_global_rank (the bucket-exchange machinery
+    under qx151's Gini, qx153's AUC cumsum and the fetcher's ntile
+    chunks) must produce EXACTLY the ranks a single-window row_number
+    would, for any values/ties/partition-count — including the
+    degenerate 1-partition and all-equal-values cases hypothesis will
+    find. The crossover is forced to -1 so the SCALE path is what's
+    exercised (tiny frames would otherwise take the single-window
+    spelling, making the parity trivially true)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    from bqfetch_spark.plans.ranks import with_global_rank
+    import bqfetch_spark.plans.ranks as ranks
 
     df = spark.createDataFrame(vals, "v long, k long")
-    got = {
-        (r.v, r.k): r.i
-        for r in with_global_rank(df, ["v", "k"], parts, rank_col="i").collect()
-    }
+    old = (ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS)
+    ranks.SINGLE_SORT_BYTES = ranks.SINGLE_SORT_ROWS = -1
+    try:
+        got = {
+            (r.v, r.k): r.i
+            for r in ranks.with_global_rank(df, ["v", "k"], parts, rank_col="i").collect()
+        }
+    finally:
+        ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS = old
     w = Window.orderBy("v", "k")
     want = {
         (r.v, r.k): r.i
