@@ -257,6 +257,7 @@ HEADLINE = [
     "qx237_effective_sample_size",
     "qx238_discovered_stopwords",
     "qx239_context_stitching",
+    "qx241_time_travel",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -691,3 +691,270 @@ def qx230_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders",
     )
     return docs.unionByName(orders).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# Versioned parquet table: snapshot manifests + time travel + vacuum
+# ---------------------------------------------------------------------------
+#
+# The environment blocks delta-spark (no pip), so the table-format leg
+# the ACID lakehouses provide is built directly on parquet, the way
+# Iceberg does it: DATA FILES ARE IMMUTABLE — every commit writes new
+# part files and a JSON manifest (manifests/v<N>.json) listing exactly
+# the files that make up that snapshot. Readers never list the data
+# directory; they read the manifest and open precisely those files, so
+#   - time travel = read an old manifest (the files still exist),
+#   - commits are atomic = the manifest appears via temp-file+rename,
+#   - concurrent writers conflict on the manifest name, not on data,
+#   - vacuum = drop expired manifests, then delete any data file no
+#     surviving manifest references.
+# At 100 TB the manifest is O(n_files) paths — the same scaling as
+# Iceberg's manifest lists — and a snapshot read costs zero directory
+# listings (reference cite: bqfetch/bqfetch.py:457-502 reads managed
+# BigQuery tables; this gives the unmanaged-parquet user the same
+# read-a-consistent-snapshot contract).
+
+TT_MANIFESTS = "manifests"
+TT_DATA = "data"
+
+
+def table_version(table_dir: str) -> int:
+    """Latest committed version (0 = empty table, no commits yet)."""
+    mdir = os.path.join(table_dir, TT_MANIFESTS)
+    if not os.path.isdir(mdir):
+        return 0
+    versions = [
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, TT_MANIFESTS, f"v{version:06d}.json")
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    import json
+
+    path = _manifest_path(table_dir, version)
+    if not os.path.exists(path):
+        raise KeyError(
+            f"snapshot v{version} does not exist in {table_dir} "
+            f"(latest = v{table_version(table_dir)}; vacuumed manifests are gone)"
+        )
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def commit_snapshot(
+    spark: SparkSession, table_dir: str, df: DataFrame, mode: str = "overwrite"
+) -> int:
+    """Commit ``df`` as the table's next snapshot; returns the new
+    version number. ``mode='overwrite'``: the new snapshot is exactly
+    ``df``. ``mode='append'``: the parent snapshot's files plus ``df``
+    (no rewrite of history — append is an O(delta) metadata commit).
+
+    The data files land under data/commit-<version>/ (immutable — a
+    commit never touches another commit's files); the manifest is
+    written temp-file+os.replace, so a crashed commit leaves orphaned
+    data files (vacuum collects them) but never a half-visible
+    snapshot. A concurrent committer racing to the same version loses
+    on the atomic manifest rename — optimistic concurrency, the
+    Iceberg/Delta protocol shape."""
+    import json
+    import tempfile
+
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    parent = table_version(table_dir)
+    version = parent + 1
+    os.makedirs(os.path.join(table_dir, TT_MANIFESTS), exist_ok=True)
+    commit_dir = os.path.join(table_dir, TT_DATA, f"commit-{version:06d}")
+    df.write.mode("error").parquet(commit_dir)
+    new_files = sorted(
+        os.path.join(TT_DATA, f"commit-{version:06d}", f)
+        for f in os.listdir(commit_dir)
+        if f.endswith(".parquet")
+    )
+    files = new_files
+    if mode == "append" and parent > 0:
+        files = _read_manifest(table_dir, parent)["files"] + new_files
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": mode,
+        "schema": df.schema.json(),
+        "files": files,
+    }
+    fd, tmp = tempfile.mkstemp(dir=os.path.join(table_dir, TT_MANIFESTS), prefix=".v.")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    target = _manifest_path(table_dir, version)
+    if os.path.exists(target):
+        os.remove(tmp)
+        raise RuntimeError(f"concurrent commit conflict on v{version} in {table_dir}")
+    os.replace(tmp, target)
+    return version
+
+
+def read_snapshot(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
+    """The table AS OF ``version`` (default: latest) — reads exactly
+    the manifest's files, no directory listing, so a snapshot is
+    immutable even while newer commits land."""
+    if version is None:
+        version = table_version(table_dir)
+    man = _read_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, p) for p in man["files"]]
+    if not paths:
+        raise KeyError(f"snapshot v{version} is empty in {table_dir}")
+    return spark.read.parquet(*paths)
+
+
+def vacuum_snapshots(table_dir: str, keep_last: int) -> dict:
+    """Retention: keep only the most recent ``keep_last`` manifests,
+    delete every data file no surviving manifest references (plus
+    crash-orphaned files no manifest ever referenced). Returns
+    {'manifests_removed': n, 'files_removed': n} for audit logs.
+    Time travel beyond the horizon then raises KeyError — the Delta
+    VACUUM contract."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    mdir = os.path.join(table_dir, TT_MANIFESTS)
+    versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    drop, keep = versions[:-keep_last], versions[-keep_last:]
+    kept_files = set()
+    for v in keep:
+        kept_files.update(_read_manifest(table_dir, v)["files"])
+    for v in drop:
+        os.remove(_manifest_path(table_dir, v))
+    removed_files = 0
+    data_root = os.path.join(table_dir, TT_DATA)
+    for commit_name in sorted(os.listdir(data_root)):
+        cdir = os.path.join(data_root, commit_name)
+        for f in sorted(os.listdir(cdir)):
+            rel = os.path.join(TT_DATA, commit_name, f)
+            if f.endswith(".parquet") and rel not in kept_files:
+                os.remove(os.path.join(cdir, f))
+                removed_files += 1
+        if not os.listdir(cdir):
+            os.rmdir(cdir)
+    return {"manifests_removed": len(drop), "files_removed": removed_files}
+
+
+def _timetravel_store_dir(sf_dir: str) -> str:
+    """Content-keyed, uid-scoped store dir for qx241's 3-version table
+    (same path policy as layout_dir_for)."""
+    import hashlib
+    import tempfile
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    key = hashlib.sha1(norm.encode()).hexdigest()[:16]
+    parent = os.path.join(tempfile.gettempdir(), f"bqfs_timetravel_u{os.getuid()}")
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    return os.path.join(parent, key)
+
+
+def build_timetravel_store(spark: SparkSession, sf_dir: str, table_dir: str) -> str:
+    """Deterministic 3-version documents table exercising both commit
+    modes (v1 overwrite = base corpus; v2 append = the doc_id%17==2
+    clones under shifted keys; v3 overwrite = qx160's mutated version
+    B). Skips when already built for this fixture (marker keyed on the
+    sf_dir path — the versions derive deterministically from it)."""
+    marker = os.path.join(table_dir, "_store_of")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == sf_dir and table_version(table_dir) == 3:
+                return table_dir
+        import shutil
+
+        shutil.rmtree(table_dir)
+    docs = load_catalog(spark, sf_dir).table("documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    clones = docs.filter(F.col("doc_id") % 17 == 2).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    version_b = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 17 == 1, F.col("n_chars") + 1).otherwise(
+                F.col("n_chars")
+            ),
+        )
+        .unionByName(clones)
+    )
+    commit_snapshot(spark, table_dir, docs, mode="overwrite")  # v1
+    commit_snapshot(spark, table_dir, clones, mode="append")  # v2 = v1 + clones
+    commit_snapshot(spark, table_dir, version_b, mode="overwrite")  # v3
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
+    return table_dir
+
+
+TIMETRAVEL_ORACLE = """
+WITH v1 AS (
+  SELECT doc_id, n_chars, text FROM documents
+),
+clones AS (
+  SELECT doc_id + 1000000 AS doc_id, n_chars, text
+  FROM documents WHERE doc_id % 17 = 2
+),
+v2 AS (
+  SELECT * FROM v1 UNION ALL SELECT * FROM clones
+),
+v3 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 1 THEN n_chars + 1 ELSE n_chars END AS n_chars,
+         text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL SELECT * FROM clones
+),
+all_v AS (
+  SELECT 1 AS version, * FROM v1
+  UNION ALL SELECT 2, * FROM v2
+  UNION ALL SELECT 3, * FROM v3
+)
+SELECT CAST(version AS BIGINT) AS version, doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS content_md5
+FROM all_v
+"""
+
+
+@register(
+    "qx241_time_travel",
+    oracle=TIMETRAVEL_ORACLE,
+    doc="manifest-based time travel: every historical snapshot read back content-identical",
+    tags=("lakehouse", "time-travel", "versioning"),
+)
+def qx241_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the manifest-versioned parquet table: a
+    3-commit history (overwrite, append, overwrite — so history
+    contains both O(delta) metadata appends and full replacements) is
+    read back AS OF every version, and each row carries an md5 content
+    checksum. The oracle reconstructs all three historical states
+    from the source table directly, so the driver's value hash proves
+    the manifest machinery returns every snapshot byte-identical —
+    including v1/v2 AFTER the v3 overwrite landed (immutability, the
+    property a plain overwritten parquet dir loses). Scale shape:
+    manifest reads are O(n_files) driver-side JSON; each snapshot scan
+    opens exactly its files with zero directory listings; the union of
+    three snapshot scans stays a flat parquet scan + projection."""
+    store = build_timetravel_store(spark, sf_dir, _timetravel_store_dir(sf_dir))
+    out = None
+    for v in (1, 2, 3):
+        snap = read_snapshot(spark, store, v).select(
+            F.lit(v).cast("bigint").alias("version"),
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.md5(F.col("text")).alias("content_md5"),
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out

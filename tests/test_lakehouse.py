@@ -327,3 +327,142 @@ def test_content_fingerprint_order_invariant_and_sensitive(spark):
         F.when(F.col("doc_id") == 3, F.col("n_chars") + 1).otherwise(F.col("n_chars")),
     )
     assert fp_of(mutated) != base["documents"][1]
+
+
+def _doc_fingerprint(df):
+    enc = F.concat_ws(
+        "|",
+        *[F.col(c).cast("string") for c in ["doc_id", "text", "lang", "source", "n_chars"]],
+    )
+    h = F.conv(F.substring(F.md5(enc), 1, 15), 16, 10).cast("bigint")
+    row = df.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("fp"),
+    ).collect()[0]
+    return (row["n"], row["fp"])
+
+
+def test_time_travel_snapshots_are_immutable(spark, tmp_path):
+    """commit/read_snapshot contract: every historical version reads
+    back content-identical AFTER later commits — including after an
+    overwrite replaced the table — and append commits are O(delta)
+    metadata (they reference the parent's files, never rewrite them)."""
+    import json
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.lakehouse import (
+        _manifest_path,
+        commit_snapshot,
+        read_snapshot,
+        table_version,
+    )
+
+    docs = load_catalog(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    store = str(tmp_path / "tt")
+    assert commit_snapshot(spark, store, half, mode="overwrite") == 1
+    fp_v1 = _doc_fingerprint(read_snapshot(spark, store, 1))
+    assert commit_snapshot(spark, store, rest, mode="append") == 2
+    assert commit_snapshot(spark, store, half.limit(3), mode="overwrite") == 3
+    assert table_version(store) == 3
+
+    # v1 unchanged after append AND overwrite; v2 == full table
+    assert _doc_fingerprint(read_snapshot(spark, store, 1)) == fp_v1
+    assert _doc_fingerprint(read_snapshot(spark, store, 2)) == _doc_fingerprint(docs)
+    assert read_snapshot(spark, store, 3).count() == 3
+    # default = latest
+    assert read_snapshot(spark, store).count() == 3
+
+    # the append manifest references the parent's files verbatim
+    with open(_manifest_path(store, 1)) as fh:
+        v1_files = json.load(fh)["files"]
+    with open(_manifest_path(store, 2)) as fh:
+        v2 = json.load(fh)
+    assert v2["mode"] == "append" and set(v1_files) <= set(v2["files"])
+
+    with pytest.raises(KeyError):
+        read_snapshot(spark, store, 99)
+
+
+def test_vacuum_enforces_retention_and_collects_orphans(spark, tmp_path):
+    """vacuum contract: expired manifests go away (time travel past the
+    horizon raises), data files referenced only by expired manifests
+    are deleted, files shared with surviving snapshots survive, and
+    crash-orphaned files (no manifest ever referenced them) are
+    collected too."""
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.lakehouse import (
+        TT_DATA,
+        commit_snapshot,
+        read_snapshot,
+        vacuum_snapshots,
+    )
+
+    docs = load_catalog(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    store = str(tmp_path / "tt")
+    commit_snapshot(spark, store, docs.filter(F.col("doc_id") % 2 == 0))  # v1
+    commit_snapshot(spark, store, docs.filter(F.col("doc_id") % 2 == 1), mode="append")  # v2
+    fp_v2 = _doc_fingerprint(read_snapshot(spark, store, 2))
+    # a crash-orphan: data written, manifest never committed
+    orphan_dir = os.path.join(store, TT_DATA, "commit-000099")
+    docs.limit(1).write.parquet(orphan_dir)
+    assert any(f.endswith(".parquet") for f in os.listdir(orphan_dir))
+
+    stats = vacuum_snapshots(store, keep_last=1)
+    assert stats["manifests_removed"] == 1
+    assert stats["files_removed"] >= 1  # at least the orphan
+
+    # v2 appends v1's files, so retention keeps them: content intact
+    assert _doc_fingerprint(read_snapshot(spark, store, 2)) == fp_v2
+    with pytest.raises(KeyError):
+        read_snapshot(spark, store, 1)
+    assert not os.path.exists(orphan_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(orphan_dir)
+    )
+
+    with pytest.raises(ValueError):
+        vacuum_snapshots(store, keep_last=0)
+
+
+def test_commit_conflict_raises(spark, tmp_path):
+    """Optimistic concurrency: a second committer racing to the same
+    version must fail on the manifest rename, never corrupt history."""
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.lakehouse import (
+        _manifest_path,
+        commit_snapshot,
+    )
+
+    docs = load_catalog(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).limit(5)
+    store = str(tmp_path / "tt")
+    commit_snapshot(spark, store, docs)
+    # simulate the race: v2's manifest appears between version pick and rename
+    import json
+    import os as _os
+
+    path = _manifest_path(store, 2)
+    _os.makedirs(_os.path.dirname(path), exist_ok=True)
+
+    from bqfetch_spark.operators import lakehouse
+
+    real_table_version = lakehouse.table_version
+
+    def stale_version(table_dir):
+        v = real_table_version(table_dir)
+        with open(path, "w") as fh:
+            json.dump({"version": 2, "files": []}, fh)
+        return v
+
+    lakehouse.table_version = stale_version
+    try:
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            commit_snapshot(spark, store, docs)
+    finally:
+        lakehouse.table_version = real_table_version
