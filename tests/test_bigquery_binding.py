@@ -220,3 +220,86 @@ def test_row_restriction_matches_predicate_semantics(spark, fetcher=None):
         n_values=0, elements=(),
     )
     assert both(empty) == set()
+
+
+# ---------------------------------------------------------------------------
+# Transport-level contract (env-gated: google-cloud-bigquery-storage is
+# not installable in this container — no pip — so these skip here, the
+# delta-spark treatment from tests/test_lakehouse.py. When the lib IS
+# present, they push FetchingChunk.row_restriction() through the REAL
+# client serialization path: the ReadSession proto round-trips through
+# protobuf wire format, and a client built on an anonymous channel
+# must fail at TRANSPORT level — i.e. after client-side request
+# validation/serialization accepted our options.)
+# ---------------------------------------------------------------------------
+
+def _bqstorage():
+    return pytest.importorskip(
+        "google.cloud.bigquery_storage_v1",
+        reason="google-cloud-bigquery-storage not installed (no pip in sandbox)",
+    )
+
+
+def _sample_chunk():
+    from bqfetch_spark.fetcher import FetchingChunk
+
+    return FetchingChunk(
+        column="l_orderkey", index=0, n_chunks=4, lower=1, upper=1500,
+        n_values=375, includes_null=True,
+    )
+
+
+def test_read_session_proto_roundtrips_options():
+    """row_restriction + selected_fields survive the real protobuf
+    serialization: build a ReadSession proto the way the reference did
+    (bqfetch/bqfetch.py:457-502), serialize to wire bytes, parse back,
+    and compare field-for-field."""
+    types = _bqstorage().types
+
+    chunk = _sample_chunk()
+    session = types.ReadSession(
+        table="projects/p/datasets/d/tables/t",
+        data_format=types.DataFormat.ARROW,
+        read_options=types.ReadSession.TableReadOptions(
+            selected_fields=["l_orderkey", "l_quantity"],
+            row_restriction=chunk.row_restriction(),
+        ),
+    )
+    wire = type(session).serialize(session)
+    back = type(session).deserialize(wire)
+    assert back.read_options.row_restriction == chunk.row_restriction()
+    assert list(back.read_options.selected_fields) == ["l_orderkey", "l_quantity"]
+    assert back.data_format == types.DataFormat.ARROW
+
+
+def test_create_read_session_fails_at_transport_not_validation():
+    """A real BigQueryReadClient over an anonymous channel to a dead
+    endpoint must raise a TRANSPORT error (Unavailable/DeadlineExceeded)
+    — never a client-side validation/serialization error — proving the
+    option plumbing produces a well-formed request."""
+    mod = _bqstorage()
+    import google.api_core.exceptions as gexc
+    from google.api_core.client_options import ClientOptions
+    from google.auth.credentials import AnonymousCredentials
+
+    BigQueryReadClient, types = mod.BigQueryReadClient, mod.types
+
+    client = BigQueryReadClient(
+        credentials=AnonymousCredentials(),
+        client_options=ClientOptions(api_endpoint="localhost:1"),
+    )
+    chunk = _sample_chunk()
+    session = types.ReadSession(
+        table="projects/p/datasets/d/tables/t",
+        data_format=types.DataFormat.ARROW,
+        read_options=types.ReadSession.TableReadOptions(
+            row_restriction=chunk.row_restriction(),
+        ),
+    )
+    with pytest.raises(gexc.GoogleAPICallError):
+        client.create_read_session(
+            parent="projects/p",
+            read_session=session,
+            max_stream_count=1,  # the reference's pin, bqfetch.py:496-500
+            timeout=2.0,
+        )
