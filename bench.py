@@ -258,6 +258,7 @@ HEADLINE = [
     "qx238_discovered_stopwords",
     "qx239_context_stitching",
     "qx241_time_travel",
+    "qx242_ann_drift_retrain",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -520,3 +520,78 @@ def qx231_streaming_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="bqfs_srcdrift_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     return run_incremental_source_mix(spark, sf_dir, work)
+
+
+@register(
+    "qx242_ann_drift_retrain",
+    oracle=None,
+    doc="drift-triggered ANN retrain: cell-occupancy JSD gates an artifact rebuild",
+    tags=("streaming", "ann", "drift", "incremental"),
+)
+def qx242_ann_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain trigger q57's frozen-artifact design deliberately
+    left offline (streaming/ann_index.py:ingest_with_drift_monitor):
+    every ingest wave's cell-occupancy histogram — a free by-product
+    of coarse assignment — is compared to the trained baseline's via
+    Jensen-Shannon divergence; a wave that still looks like the
+    training distribution appends in O(wave), a drifted wave (JSD >
+    ANN_DRIFT_JSD) rebuilds centroids + codebooks on corpus+wave and
+    re-encodes the store (the FAISS retrain-and-swap loop, composing
+    qx231's distribution-drift stance with the vector index).
+
+    Two planted waves make both branches execute deterministically:
+    an in-distribution wave (held-out fixture vectors — low JSD, no
+    retrain) and a drifted wave (a seeded dense 2-mode cloud in
+    directions the trained centroids never saw — high JSD, retrain
+    fires; the cloud is denser than the rerank budget, so the frozen
+    artifacts genuinely lose recall there: measured 0.48 frozen vs
+    0.74 retrained at sf0.01). Rows-only by design (JSD of a trained
+    quantizer has no SQL spelling); recall recovery on the drifted
+    workload is pytest-gated (tests/test_ann_recall.py)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from bqfetch_spark.functions.vectors import as_double
+    from bqfetch_spark.streaming.ann_index import (
+        build_index,
+        drifted_wave,
+        ingest_with_drift_monitor,
+        ivfpq_encode,
+        unit_normalized,
+    )
+    from bqfetch_spark.streaming.ann_index import _clustered_for_store
+
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    emb_n = unit_normalized(emb)
+    initial = emb_n.filter(F.pmod("vec_id", F.lit(5)) <= 2)
+    dim = emb_n.select(F.size("v").alias("d")).first()["d"]
+
+    work = tempfile.mkdtemp(prefix="bqfs_anndrift_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    index_dir = os.path.join(work, "index")
+    cents, books = build_index(spark, initial, dim, index_dir)
+    (
+        _clustered_for_store(ivfpq_encode(spark, initial, cents, books))
+        .withColumn("ingest_batch", F.lit(-1).cast("bigint"))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch", "cell_id")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
+
+    in_dist = emb_n.filter(F.pmod("vec_id", F.lit(5)) == 3)
+    drifted = drifted_wave(spark, dim)
+    rows = []
+    corpus = initial
+    for name, wave in (("in_distribution", in_dist), ("drifted", drifted)):
+        rec = ingest_with_drift_monitor(spark, corpus, wave, dim, index_dir)
+        corpus = corpus.unionByName(wave)
+        rows.append(
+            (name, int(rec["n_wave"]), round(float(rec["jsd"]), 6), bool(rec["retrained"]))
+        )
+    return spark.createDataFrame(
+        rows, "wave string, n_vectors bigint, jsd double, retrained boolean"
+    )

@@ -228,3 +228,123 @@ def run_incremental_ann_index(
     )
     cents, books = load_index(spark, index_dir)
     return ivfpq_search(spark, codes, emb, queries, cents, books)
+
+
+# ---------------------------------------------------------------------------
+# Drift-triggered retrain: when ingest waves stop looking like the
+# training distribution, rebuild the frozen artifacts
+# ---------------------------------------------------------------------------
+
+# Jensen-Shannon divergence (base 2, so 0..1) between a wave's
+# cell-occupancy distribution and the trained baseline above which the
+# artifacts are declared stale. Composes qx231's drift-monitor stance
+# (distribution shift measured on cheap integer partials) with this
+# index: occupancy is a free by-product of assignment — no extra pass.
+ANN_DRIFT_JSD = 0.15
+
+
+def cell_occupancy(codes: DataFrame, n_cells: int) -> np.ndarray:
+    """Normalized cell-occupancy histogram of a code frame — the
+    n_cells-bucket fingerprint of WHERE vectors land in the coarse
+    quantizer. O(rows) partial-aggregated groupBy; the collected frame
+    is n_cells rows (the artifacts are KB — so is this)."""
+    rows = codes.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    occ = np.zeros(n_cells, dtype=np.float64)
+    for r in rows:
+        occ[int(r["cell_id"])] = float(r["n"])
+    total = occ.sum()
+    return occ / total if total else occ
+
+
+def occupancy_jsd(p: np.ndarray, q: np.ndarray) -> float:
+    """Jensen-Shannon divergence, base 2 (symmetric, bounded [0,1],
+    defined even when a cell is empty on one side — the reason it
+    beats raw KL for occupancy comparison)."""
+    m = (p + q) / 2.0
+
+    def kl(a: np.ndarray, b: np.ndarray) -> float:
+        mask = a > 0
+        return float((a[mask] * np.log2(a[mask] / b[mask])).sum())
+
+    return 0.5 * kl(p, m) + 0.5 * kl(q, m)
+
+
+def retrain_index(
+    spark: SparkSession, emb_n_all: DataFrame, dim: int, index_dir: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """The offline rebuild the module docstring promises: retrain
+    centroids + codebooks on (a bounded sample of) the CURRENT corpus,
+    re-encode every vector, and swap the store. At 100 TB the rebuild
+    is one encode pass over the vectors — exactly the one-shot build
+    cost — and runs beside the serving store until the swap; here the
+    swap is an in-place overwrite (the parquet store's dynamic
+    partition overwrite)."""
+    cents, books = build_index(spark, emb_n_all, dim, index_dir)
+    (
+        _clustered_for_store(ivfpq_encode(spark, emb_n_all, cents, books))
+        .withColumn("ingest_batch", F.lit(-1).cast("bigint"))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch", "cell_id")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
+    return cents, books
+
+
+def ingest_with_drift_monitor(
+    spark: SparkSession,
+    emb_n_corpus: DataFrame,
+    wave_emb_n: DataFrame,
+    dim: int,
+    index_dir: str,
+    threshold: float = ANN_DRIFT_JSD,
+) -> dict:
+    """Append one wave with the drift check in the loop: encode the
+    wave against the frozen artifacts (O(wave)), compare its cell
+    occupancy to the trained baseline's, and when the JSD crosses
+    ``threshold`` rebuild the artifacts on corpus+wave and re-encode
+    (retrain_index). Returns the decision record the monitoring table
+    stores per wave: {'jsd', 'retrained', 'n_wave'}.
+
+    ``emb_n_corpus`` is the already-indexed vector corpus — only read
+    when a retrain actually fires (the wave path itself never touches
+    history, preserving q57's O(wave) append contract)."""
+    cents, books = load_index(spark, index_dir)
+    n_cells = len(cents)
+    store = os.path.join(index_dir, "codes")
+    baseline = cell_occupancy(spark.read.parquet(store), n_cells)
+    wave_codes = ivfpq_encode(spark, wave_emb_n, cents, books)
+    wave_occ = cell_occupancy(wave_codes, n_cells)
+    jsd = occupancy_jsd(baseline, wave_occ)
+    n_wave = wave_emb_n.count()
+    if jsd > threshold:
+        retrain_index(spark, emb_n_corpus.unionByName(wave_emb_n), dim, index_dir)
+        return {"jsd": jsd, "retrained": True, "n_wave": n_wave}
+    append_wave(spark, wave_emb_n, index_dir)
+    return {"jsd": jsd, "retrained": False, "n_wave": n_wave}
+
+
+# planted drift workload (shared by qx242 and its recall pytest): a
+# dense 2-mode cloud in seeded directions the fixture corpus never
+# produced — unit-norm, tighter than the rerank budget, so frozen
+# artifacts measurably lose recall there and a retrain recovers it
+DRIFT_MODES = 2
+DRIFT_N = 1200
+DRIFT_SPREAD = 0.05
+DRIFT_SEED = 7
+DRIFT_ID_BASE = 2_000_000
+
+
+def drifted_wave(spark: SparkSession, dim: int) -> DataFrame:
+    """Deterministic drifted ingest wave: DRIFT_N unit vectors packed
+    around DRIFT_MODES seeded directions (spread DRIFT_SPREAD). Size
+    is fixed (not SF-proportional): it models a NEW modality arriving,
+    and the pytest gate needs the cloud denser than PQ_RERANK."""
+    rng = np.random.RandomState(DRIFT_SEED)
+    modes = rng.randn(DRIFT_MODES, dim)
+    modes /= np.linalg.norm(modes, axis=1, keepdims=True)
+    rows = []
+    for i in range(DRIFT_N):
+        v = modes[i % DRIFT_MODES] + DRIFT_SPREAD * rng.randn(dim)
+        v = v / np.linalg.norm(v)
+        rows.append((DRIFT_ID_BASE + i, v.tolist()))
+    return spark.createDataFrame(rows, "vec_id bigint, v array<double>")

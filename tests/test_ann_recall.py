@@ -507,3 +507,84 @@ def test_frechet_matches_numpy(spark):
             + np.sum(va + vb - 2.0 * np.sqrt(np.maximum(va * vb, 0.0)))
         )
         assert abs(r.fid2 - want) < 1e-3, (r.label_a, r.label_b, r.fid2, want)
+
+
+def test_drift_retrain_recovers_recall(spark, tmp_path):
+    """qx242's promise, measured: on the planted drifted workload the
+    FROZEN artifacts lose recall (the drifted cloud is denser than the
+    rerank budget and the old codebooks quantize its residuals badly);
+    retraining on corpus+wave recovers it. Also pins the trigger: the
+    drifted wave's occupancy JSD crosses ANN_DRIFT_JSD, the
+    in-distribution wave's does not."""
+    import os
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.functions.vectors import as_double
+    from bqfetch_spark.operators.pq import ivfpq_search
+    from bqfetch_spark.streaming.ann_index import (
+        ANN_DRIFT_JSD,
+        DRIFT_ID_BASE,
+        _clustered_for_store,
+        append_wave,
+        build_index,
+        cell_occupancy,
+        drifted_wave,
+        ivfpq_encode,
+        load_index,
+        occupancy_jsd,
+        retrain_index,
+        unit_normalized,
+    )
+    from tests.conftest import SF_CORRECT
+
+    emb = load_catalog(spark, SF_CORRECT).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    emb_n = unit_normalized(emb)
+    initial = emb_n.filter(F.pmod("vec_id", F.lit(5)) <= 3)
+    dim = emb_n.select(F.size("v").alias("d")).first()["d"]
+    idx = str(tmp_path / "index")
+    cents, books = build_index(spark, initial, dim, idx)
+    (
+        _clustered_for_store(ivfpq_encode(spark, initial, cents, books))
+        .withColumn("ingest_batch", F.lit(-1).cast("bigint"))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch", "cell_id")
+        .parquet(os.path.join(idx, "codes"))
+    )
+    baseline = cell_occupancy(spark.read.parquet(os.path.join(idx, "codes")), len(cents))
+
+    in_dist = emb_n.filter(F.pmod("vec_id", F.lit(5)) == 4)
+    drift = drifted_wave(spark, dim)
+    jsd_in = occupancy_jsd(baseline, cell_occupancy(ivfpq_encode(spark, in_dist, cents, books), len(cents)))
+    jsd_drift = occupancy_jsd(baseline, cell_occupancy(ivfpq_encode(spark, drift, cents, books), len(cents)))
+    assert jsd_in <= ANN_DRIFT_JSD, jsd_in
+    assert jsd_drift > ANN_DRIFT_JSD, jsd_drift
+
+    append_wave(spark, drift, idx)
+    full = initial.unionByName(drift)
+    mat = {int(r["vec_id"]): np.array(r["v"]) for r in full.collect()}
+    qids = [DRIFT_ID_BASE + i for i in range(8)]
+    queries = [(q, mat[q]) for q in qids]
+    exact = {}
+    for q, qv in queries:
+        sims = sorted(((float(np.dot(qv, v)), -i) for i, v in mat.items() if i != q), reverse=True)
+        exact[q] = {-i for _, i in sims[:10]}
+
+    def recall(cents_, books_):
+        codes = spark.read.parquet(os.path.join(idx, "codes"))
+        got = ivfpq_search(spark, codes, full, queries, cents_, books_).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return float(np.mean([len(exact[q] & by_q.get(q, set())) / 10 for q in qids]))
+
+    r_frozen = recall(*load_index(spark, idx))
+    r_retrained = recall(*retrain_index(spark, full, dim, idx))
+    # measured at sf0.01: 0.475 frozen vs 0.7375 retrained
+    assert r_retrained >= r_frozen + 0.15, (r_frozen, r_retrained)
+    assert r_retrained >= 0.65, r_retrained
