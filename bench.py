@@ -259,6 +259,8 @@ HEADLINE = [
     "qx239_context_stitching",
     "qx241_time_travel",
     "qx242_ann_drift_retrain",
+    "qx243_mixture_apportionment",
+    "qx244_packed_shard_writer",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

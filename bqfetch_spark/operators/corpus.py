@@ -23,6 +23,7 @@ Scale stance (100 TB of documents):
 from __future__ import annotations
 
 import functools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1350,4 +1351,259 @@ def qx237_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((sw * sw / sw2) / F.count(F.lit(1)), 6).alias("ess_ratio"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx243: mixture apportionment (largest-remainder token quotas + admission)
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET_PCT = 6  # global token budget = 60% of the corpus (integer 6/10)
+
+MIX_APPORTION_ORACLE = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+budget AS (
+  SELECT CAST({MIX_BUDGET_PCT} * sum(n_tokens) // 10 AS BIGINT) AS b FROM toks
+),
+srcs AS (
+  SELECT source,
+         CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS w
+  FROM (SELECT DISTINCT source FROM toks)
+),
+s AS (SELECT CAST(sum(w) AS BIGINT) AS s FROM srcs),
+fl AS (
+  SELECT srcs.source, srcs.w,
+         CAST(budget.b * srcs.w // s.s AS BIGINT) AS fl,
+         CAST(budget.b * srcs.w % s.s AS BIGINT) AS rem
+  FROM srcs, budget, s
+),
+leftover AS (
+  SELECT (SELECT b FROM budget) - sum(fl) AS k FROM fl
+),
+quota AS (
+  SELECT source, w,
+         fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                        <= (SELECT k FROM leftover)
+                   THEN 1 ELSE 0 END AS quota_tokens
+  FROM fl
+),
+adm AS (
+  SELECT t.source, t.n_tokens,
+         sum(t.n_tokens) OVER (
+           PARTITION BY t.source
+           ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks t
+),
+kept AS (
+  SELECT a.source,
+         CAST(count(*) AS BIGINT) AS n_docs_admitted,
+         CAST(sum(a.n_tokens) AS BIGINT) AS tokens_admitted
+  FROM adm a JOIN quota q ON a.source = q.source
+  WHERE a.cum <= q.quota_tokens
+  GROUP BY a.source
+)
+SELECT q.source,
+       CAST(q.w AS BIGINT) AS target_weight,
+       CAST(q.quota_tokens AS BIGINT) AS quota_tokens,
+       CAST(coalesce(k.n_docs_admitted, 0) AS BIGINT) AS n_docs_admitted,
+       CAST(coalesce(k.tokens_admitted, 0) AS BIGINT) AS tokens_admitted
+FROM quota q LEFT JOIN kept k ON q.source = k.source
+ORDER BY q.source
+"""
+
+
+@register(
+    "qx243_mixture_apportionment",
+    oracle=MIX_APPORTION_ORACLE,
+    doc="largest-remainder token quotas per source + deterministic admission under quota",
+    tags=("curation", "sampling", "mixture", "llm-pipeline"),
+)
+def qx243_mixture_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture apportionment — the step that turns "train on
+    60% of the corpus with source weights w" into per-source integer
+    token quotas and an auditable admitted set. Quotas use the
+    LARGEST-REMAINDER method (Hamilton apportionment): floor(B·w/Σw)
+    per source, then the leftover B−Σfloors tokens go one each to the
+    largest remainders — quotas sum to B EXACTLY, no float rounding
+    drift (the property proportional-float quotas lack). Admission per
+    source is the md5(doc_id)-ordered prefix whose running token sum
+    fits the quota — rerun-stable (pure function of keys), and the
+    prefix rule means a retry admits the identical docs.
+
+    Scale shape: quota math happens on the sources frame (≤ dozens of
+    rows, broadcast); admission is ONE source-partitioned cumsum
+    window (each source's docs sort within its partition — per-source
+    data parallelism, no global sort) + a broadcast quota join. All
+    arithmetic is BIGINT — the oracle matches bit-for-bit."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    total = toks.agg(F.sum("n_tokens").alias("t")).first()["t"]
+    budget = MIX_BUDGET_PCT * int(total) // 10
+
+    srcs = (
+        toks.select("source")
+        .distinct()
+        .withColumn("w", F.row_number().over(Window.orderBy("source")).cast("bigint"))
+    )
+    s_total = srcs.agg(F.sum("w")).first()[0]
+    fl = srcs.select(
+        "source",
+        "w",
+        (F.lit(budget) * F.col("w") / F.lit(s_total)).cast("bigint").alias("fl"),
+        (F.lit(budget) * F.col("w") % F.lit(s_total)).alias("rem"),
+    )
+    leftover = budget - fl.agg(F.sum("fl")).first()[0]
+    quota = fl.withColumn(
+        "quota_tokens",
+        (
+            F.col("fl")
+            + F.when(
+                F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+                <= F.lit(leftover),
+                1,
+            ).otherwise(0)
+        ).cast("bigint"),
+    ).select("source", "w", "quota_tokens")
+
+    adm_w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = (
+        toks.withColumn("cum", F.sum("n_tokens").over(adm_w))
+        .join(F.broadcast(quota.select("source", "quota_tokens")), "source")
+        .filter(F.col("cum") <= F.col("quota_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_admitted"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_admitted"),
+        )
+    )
+    return (
+        quota.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("w").alias("target_weight"),
+            "quota_tokens",
+            F.coalesce("n_docs_admitted", F.lit(0)).cast("bigint").alias("n_docs_admitted"),
+            F.coalesce("tokens_admitted", F.lit(0)).cast("bigint").alias("tokens_admitted"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx244: packed-shard writer (q73's downstream write, audited round-trip)
+# ---------------------------------------------------------------------------
+
+SHARD_WRITER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, text, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM toks
+),
+assigned AS (
+  SELECT CAST((c - n_tokens) // {PACK_BUDGET} AS BIGINT) AS shard_id,
+         doc_id, text, n_tokens
+  FROM cum
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(CAST('0x' || substring(
+             md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)
+           AS DECIMAL(38,0))) AS VARCHAR) AS content_fp
+FROM assigned
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+def shard_store_dir(sf_dir: str) -> str:
+    """uid-scoped scratch dir for qx244's shard store (path policy of
+    layout_dir_for; content is rewritten per run — the write IS the
+    operator under audit)."""
+    import hashlib
+    import tempfile
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    key = hashlib.sha1(norm.encode()).hexdigest()[:16]
+    parent = os.path.join(tempfile.gettempdir(), f"bqfs_shards_u{os.getuid()}")
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    return os.path.join(parent, key)
+
+
+@register(
+    "qx244_packed_shard_writer",
+    oracle=SHARD_WRITER_ORACLE,
+    doc="write q73's packed shards to disk and audit the read-back content per shard",
+    tags=("packing", "sink", "llm-pipeline", "audit"),
+)
+def qx244_packed_shard_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half q73 promises: assign every document its packed
+    training shard (the same preceding-cumsum // PACK_BUDGET rule),
+    materialize the corpus as a shard_id-partitioned parquet store —
+    the on-disk layout a training loader consumes shard-by-shard —
+    then READ THE STORE BACK and emit per-shard doc counts, token
+    totals, and an order-invariant content fingerprint (qx230's
+    md5-prefix row-hash sum). The oracle computes the same three
+    numbers from the source table, so the driver's value hash proves
+    the persisted layout holds exactly the assigned docs, bytes
+    intact — an end-to-end writer audit, not a plan-only claim.
+
+    Scale shape: the assignment is the one-pass bucket-exchange
+    cumsum; the write clusters on shard_id before partitionBy (one
+    file per shard per salt — no small-file debris, the q39 stance);
+    the audit is a scan + per-shard partial aggregate of the store."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    toks = docs.select(
+        "doc_id",
+        "text",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    cum = with_global_cumsum(toks, ["doc_id"], "n_tokens", shuffle_partitions(spark), "c")
+    assigned = cum.select(
+        F.expr(f"(c - n_tokens) div {PACK_BUDGET}").cast("bigint").alias("shard_id"),
+        "doc_id",
+        "text",
+        "n_tokens",
+    )
+    store = shard_store_dir(sf_dir)
+    (
+        assigned.repartition(F.col("shard_id"))
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(store)
+    )
+    back = spark.read.parquet(store)
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), "text")), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        back.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(h.cast("decimal(38,0)")).cast("string").alias("content_fp"),
+        )
+        .select(F.col("shard_id").cast("bigint").alias("shard_id"), "n_docs", "total_tokens", "content_fp")
+        .orderBy("shard_id")
     )

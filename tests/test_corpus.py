@@ -738,3 +738,57 @@ def test_context_stitching_hits_contain_terms(spark):
         nxt = segs[h.seg_idx + 1] if h.seg_idx + 1 < len(segs) else ""
         want = hashlib.md5(f"{prev} {seg} {nxt}".encode()).hexdigest()
         assert h.context_md5 == want, (h.doc_id, h.seg_idx)
+
+
+def test_mixture_apportionment_quotas_exact_and_prefix_stable(spark):
+    """qx243: largest-remainder quotas must sum to the budget EXACTLY
+    (the property float-proportional quotas lack), every source's
+    admitted tokens must fit its quota, admission must be the
+    md5-ordered prefix (adding the next doc would overflow), and a
+    rerun must admit the identical multiset."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.corpus import (
+        MIX_BUDGET_PCT,
+        qx243_mixture_apportionment,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = qx243_mixture_apportionment(spark, SF_CORRECT).collect()
+    docs = load_catalog(spark, SF_CORRECT).table("documents")
+    total = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint")
+    ).first()[0]
+    budget = MIX_BUDGET_PCT * int(total) // 10
+    assert sum(r.quota_tokens for r in rows) == budget
+    assert all(r.tokens_admitted <= r.quota_tokens for r in rows)
+
+    # prefix-maximality: the next md5-ordered doc would overflow
+    toks = {
+        r["source"]: r["ts"]
+        for r in docs.groupBy("source")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.md5(F.col("doc_id").cast("string")).alias("h"),
+                    F.col("doc_id").alias("doc_id"),
+                    F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n"),
+                )
+            ).alias("ts")
+        )
+        .collect()
+    }
+    for r in rows:
+        ordered = sorted(toks[r.source], key=lambda t: (t.h, t.doc_id))
+        cum = 0
+        n_fit = 0
+        for t in ordered:
+            if cum + t.n > r.quota_tokens:
+                break
+            cum += t.n
+            n_fit += 1
+        assert (n_fit, cum) == (r.n_docs_admitted, r.tokens_admitted), r.source
+
+    rerun = qx243_mixture_apportionment(spark, SF_CORRECT).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
