@@ -261,6 +261,7 @@ HEADLINE = [
     "qx242_ann_drift_retrain",
     "qx243_mixture_apportionment",
     "qx244_packed_shard_writer",
+    "qx245_late_data_audit",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

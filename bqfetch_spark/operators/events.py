@@ -775,3 +775,92 @@ def qx203_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_peak_at",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx245: watermark late-data audit (streaming admission replayed in batch)
+# ---------------------------------------------------------------------------
+
+WM_DELAY_MOD = 3600  # synthetic network delay: md5(event_id) % 1h, seconds
+WM_LATENESS = 1800  # watermark horizon W (seconds)
+
+LATE_AUDIT_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, ts,
+         epoch_us(ts) AS ev_us,
+         epoch_us(ts) + (CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4)
+                               AS BIGINT) % {WM_DELAY_MOD}) * 1000000 AS arr_us
+  FROM events
+),
+wm AS (
+  SELECT event_id, ts, ev_us, arr_us,
+         max(ev_us) OVER (ORDER BY arr_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us
+  FROM e
+)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN hwm_us IS NOT NULL
+                      AND ev_us < hwm_us - {WM_LATENESS} * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late_dropped,
+       CAST(max(arr_us - ev_us) // 1000000 AS BIGINT) AS max_lag_s
+FROM wm
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "qx245_late_data_audit",
+    oracle=LATE_AUDIT_ORACLE,
+    doc="watermark admission replayed in batch: per-window late-drop counts under horizon W",
+    tags=("events", "streaming-semantics", "audit"),
+)
+def qx245_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a streaming watermark WOULD have dropped, computed in
+    batch — the audit a pipeline runs before picking its lateness
+    horizon (too small silently drops data; too big holds state). Each
+    event gets a deterministic synthetic arrival time (event time + an
+    md5-hashed delay < {WM_DELAY_MOD}s — rerun-stable, engine-portable);
+    the watermark at an event's arrival is the EXCLUSIVE running max
+    of event time in arrival order minus W — exactly Spark's
+    high-water-mark rule, replayed as one global exclusive cummax.
+    Output per event-time hour: events, would-be-dropped count, and
+    the worst arrival lag.
+
+    Scale shape: the cummax is plans/ranks.with_global_cummax_excl —
+    the adaptive one-shuffle bucket spelling (max is associative, so
+    it decomposes like the rank offsets); everything after is one
+    partial-aggregated hourly rollup. No single-task sort of the
+    stream's history."""
+    from bqfetch_spark.plans.ranks import with_global_cummax_excl
+
+    ev = load_catalog(spark, sf_dir).table("events").select("event_id", "ts")
+    delay_s = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % WM_DELAY_MOD
+    )
+    e = ev.select(
+        "event_id",
+        "ts",
+        (F.unix_micros("ts")).alias("ev_us"),
+        (F.unix_micros("ts") + delay_s * F.lit(1_000_000)).alias("arr_us"),
+    )
+    wm = with_global_cummax_excl(
+        e, ["arr_us", "event_id"], "ev_us", shuffle_partitions(spark), "hwm_us"
+    )
+    late = F.col("hwm_us").isNotNull() & (
+        F.col("ev_us") < F.col("hwm_us") - F.lit(WM_LATENESS * 1_000_000)
+    )
+    return (
+        wm.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(late.cast("int")).cast("bigint").alias("n_late_dropped"),
+            F.floor(F.max(F.col("arr_us") - F.col("ev_us")) / 1_000_000)
+            .cast("bigint")
+            .alias("max_lag_s"),
+        )
+        .orderBy("window_start")
+    )

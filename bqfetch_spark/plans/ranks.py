@@ -321,3 +321,45 @@ def with_global_ntile(
         m + F.floor((r - m * big - 1) / F.greatest(q, F.lit(1))) + 1
     )
     return ranked.withColumn(bucket_col, bucket.cast("bigint")).drop("__rank", "__total")
+
+
+def with_global_cummax_excl(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    n_partitions: int,
+    out_col: str = "__cummax",
+) -> DataFrame:
+    """EXCLUSIVE running max of ``val_col`` over a global order — the
+    max over strictly-earlier rows (NULL for the globally-first row).
+    This is a streaming watermark's high-water mark replayed in batch:
+    ``max(event_time) OVER (ORDER BY arrival ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``.
+
+    Same adaptive one-shuffle shape as :func:`with_global_rank` — max
+    is associative, so it decomposes identically: per-bucket maxima
+    come from a map-side partial aggregate of the un-shuffled frame,
+    the exclusive cross-bucket prefix max is a window over n_buckets
+    metadata rows, and each row's value is greatest(earlier-buckets
+    max, local exclusive max) — F.greatest skips NULLs, which handles
+    both the first bucket (no offset) and each bucket's first row (no
+    local prefix)."""
+    df, single = _resolve_rank_input(df)
+    if single:
+        w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, -1)
+        return df.withColumn(out_col, F.max(val_col).over(w))
+    bucketed = df.withColumn("__pid", _bucket_expr(df, order_cols, n_partitions))
+    ranged = bucketed.repartition(n_partitions, "__pid")
+    totals = bucketed.groupBy("__pid").agg(F.max(val_col).alias("__bmax"))
+    prior = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select("__pid", F.max("__bmax").over(prior).alias("__off"))
+    local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.greatest(F.col("__off"), F.max(val_col).over(local)))
+        .drop("__pid", "__off")
+    )

@@ -271,12 +271,21 @@ def test_qx116_single_user_exchange_serves_window_and_agg(spark):
     assert len(user_ex) == 1, plan
 
 
-def test_qx117_ks_uses_range_exchange_not_single_sort(spark):
-    # the CDF counters must ride the range exchange (with_global_cumsums);
-    # the fact join broadcasts the filtered customer side
-    plan = _plan(spark, "qx117_ks_test")
-    assert "Exchange rangepartitioning" in plan
-    assert "BroadcastHashJoin" in plan
+def test_qx117_ks_scale_path_uses_bucket_exchange(spark, monkeypatch):
+    # the CDF counters ride with_global_cumsums — adaptive since round
+    # 8: single window at fixture scale, the deterministic-bucket
+    # exchange when forced past the crossover; the fact join
+    # broadcasts the filtered customer side in both regimes
+    import bqfetch_spark.plans.ranks as ranks
+
+    small = _plan(spark, "qx117_ks_test")
+    assert "BroadcastHashJoin" in small
+
+    monkeypatch.setattr(ranks, "SINGLE_SORT_BYTES", -1)
+    monkeypatch.setattr(ranks, "SINGLE_SORT_ROWS", -1)
+    big = _plan(spark, "qx117_ks_test")
+    assert "hashpartitioning(__pid" in big
+    assert "BroadcastHashJoin" in big
 
 
 def test_qx120_benford_partial_aggregates(spark):

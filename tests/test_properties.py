@@ -432,3 +432,43 @@ def test_rate_limit_admission_invariant_under_wave_slicing(offsets, cuts):
     assert list(sliced["event_id"]) == list(oneshot["event_id"])
     assert list(sliced["slot"]) == list(oneshot["slot"])
     assert list(sliced["window_start"]) == list(oneshot["window_start"])
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 10**6), st.integers(0, 100)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[1],
+    ),
+    parts=st.integers(1, 5),
+)
+@settings(max_examples=15, deadline=None)
+def test_global_cummax_excl_equals_single_window(spark, vals, parts):
+    """plans/ranks.with_global_cummax_excl (qx245's watermark replay)
+    must equal the plain exclusive-max window for any order/value
+    combination, including ties, 1-partition, and the NULL first row —
+    exercised on the forced SCALE path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    import bqfetch_spark.plans.ranks as ranks
+
+    df = spark.createDataFrame(vals, "o long, k long, v long")
+    old = (ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS)
+    ranks.SINGLE_SORT_BYTES = ranks.SINGLE_SORT_ROWS = -1
+    try:
+        got = {
+            (r.o, r.k): r.m
+            for r in ranks.with_global_cummax_excl(
+                df, ["o", "k"], "v", parts, "m"
+            ).collect()
+        }
+    finally:
+        ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS = old
+    w = Window.orderBy("o", "k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        (r.o, r.k): r.m
+        for r in df.withColumn("m", F.max("v").over(w)).collect()
+    }
+    assert got == want
