@@ -117,10 +117,15 @@ def _resolve_rank_input(df: DataFrame) -> tuple[DataFrame, bool]:
     if plan_size_bytes(df) <= SINGLE_SORT_BYTES:
         return df, True
     try:
-        has_agg = "Aggregate" in df._jdf.queryExecution().optimizedPlan().toString()
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
-        has_agg = False
-    if has_agg:
+        plan = ""
+    if "LogicalRDD" in plan or "ExistingRDD" in plan or "Scan ExistingRDD" in plan:
+        # already materialized (a caller's checkpoint, e.g. qx117's
+        # eager counters): counting it is cheap and exact — route by
+        # rows without re-checkpointing
+        return (df, True) if df.count() <= SINGLE_SORT_ROWS else (df, False)
+    if "Aggregate" in plan:
         ck = df.localCheckpoint(eager=False)
         if ck.count() <= SINGLE_SORT_ROWS:
             return ck, True
