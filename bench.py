@@ -262,6 +262,7 @@ HEADLINE = [
     "qx243_mixture_apportionment",
     "qx244_packed_shard_writer",
     "qx245_late_data_audit",
+    "qx246_streaming_versioned_ingest",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

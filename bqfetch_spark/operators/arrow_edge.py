@@ -595,3 +595,108 @@ def qx242_ann_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "wave string, n_vectors bigint, jsd double, retrained boolean"
     )
+
+
+VERSIONED_INGEST_ORACLE = """
+WITH waves AS (
+  SELECT doc_id, text, CAST(doc_id % 3 AS BIGINT) AS wave FROM documents
+),
+versions AS (
+  SELECT CAST(v AS BIGINT) AS version, w.doc_id, w.text
+  FROM generate_series(1, 3) AS g(v)
+  JOIN waves w ON w.wave < g.v
+)
+SELECT version,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(CAST('0x' || substring(
+             md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)
+           AS DECIMAL(38,0))) AS VARCHAR) AS content_fp
+FROM versions
+GROUP BY version
+ORDER BY version
+"""
+
+
+@register(
+    "qx246_streaming_versioned_ingest",
+    oracle=VERSIONED_INGEST_ORACLE,
+    doc="streaming waves commit time-travel snapshots: every historical version audited",
+    tags=("streaming", "lakehouse", "time-travel", "incremental"),
+)
+def qx246_streaming_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the versioned table (qx241's manifest
+    protocol): three document waves arrive as separate micro-batches
+    (maxFilesPerTrigger=1, mtimes pinned ascending so wave order is
+    the file order), and every foreachBatch APPEND-commits one
+    snapshot — so the table's history IS the ingest log. After the
+    bounded run, each version is read back AS OF and fingerprinted
+    (qx230's order-invariant row-hash sum). The oracle reconstructs
+    version k as waves 0..k-1 from the source table, so the value
+    hash proves (a) the stream committed one snapshot per wave, (b)
+    append commits are cumulative, (c) every historical snapshot
+    still reads back byte-identical after later commits — the
+    exactly-the-ingest-log contract a warehouse's load history gives.
+
+    Scale shape: each commit writes only its wave (O(delta) metadata
+    append); the audit scans each snapshot's manifest files. The
+    commit runs driver-side in foreachBatch — the same external-state
+    topology as q57/q71/q98."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from bqfetch_spark.operators.lakehouse import commit_snapshot, read_snapshot, table_version
+
+    work = tempfile.mkdtemp(prefix="bqfs_vingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    table_dir = os.path.join(work, "table")
+    incoming = os.path.join(work, "incoming")
+    os.makedirs(incoming)
+
+    docs = load_catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    for w in (0, 1, 2):
+        path = os.path.join(incoming, f"wave_{w}")
+        docs.filter(F.col("doc_id") % 3 == w).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+    # pin ascending mtimes so the file source discovers waves in order
+    for i, w in enumerate((0, 1, 2)):
+        base = 1_000_000_000 + i * 60
+        p = os.path.join(incoming, f"wave_{w}")
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (base, base))
+        os.utime(p, (base, base))
+
+    schema = spark.read.parquet(os.path.join(incoming, "wave_0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(incoming, "wave_*"))
+    )
+
+    def _commit(batch: DataFrame, batch_id: int) -> None:
+        commit_snapshot(spark, table_dir, batch, mode="append")
+
+    q = (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), "text")), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    out = None
+    for v in range(1, table_version(table_dir) + 1):
+        snap = read_snapshot(spark, table_dir, v).agg(
+            F.lit(v).cast("bigint").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(h.cast("decimal(38,0)")).cast("string").alias("content_fp"),
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("version")
