@@ -263,6 +263,7 @@ HEADLINE = [
     "qx244_packed_shard_writer",
     "qx245_late_data_audit",
     "qx246_streaming_versioned_ingest",
+    "qx247_versioned_merge",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

@@ -958,3 +958,141 @@ def qx241_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+# ---------------------------------------------------------------------------
+# qx247: MERGE into the versioned table (ACID write + time travel together)
+# ---------------------------------------------------------------------------
+
+VERSIONED_MERGE_ORACLE = """
+WITH merged AS (
+  WITH upd AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           c_acctbal + 100.0 AS c_acctbal,
+           'MIGRATED' AS c_mktsegment
+    FROM customer WHERE c_custkey % 10 = 4
+  ),
+  ins AS (
+    SELECT c_custkey + 1000000 AS c_custkey,
+           'NEW#' || CAST(c_custkey + 1000000 AS VARCHAR) AS c_name,
+           c_nationkey,
+           CAST(0.0 AS DOUBLE) AS c_acctbal,
+           'NEW' AS c_mktsegment
+    FROM customer WHERE c_custkey % 10 = 5
+  ),
+  kept AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 10 NOT IN (3, 4)
+  )
+  SELECT * FROM kept
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+),
+v1 AS (
+  SELECT 1 AS version, c_custkey, c_name,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_mktsegment
+  FROM customer
+),
+v2 AS (
+  SELECT 2 AS version, c_custkey, c_name,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_mktsegment
+  FROM merged
+),
+allv AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(CAST('0x' || substring(md5(
+             CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+             || CAST(bal AS VARCHAR) || '|' || c_mktsegment), 1, 15) AS BIGINT)
+           AS DECIMAL(38,0))) AS VARCHAR) AS content_fp
+FROM allv
+GROUP BY version
+ORDER BY version
+"""
+
+
+@register(
+    "qx247_versioned_merge",
+    oracle=VERSIONED_MERGE_ORACLE,
+    doc="MERGE committed as a snapshot: pre-merge state still readable, both fingerprinted",
+    tags=("lakehouse", "merge", "time-travel", "cdc"),
+)
+def qx247_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACID write story completed: q35's CDC MERGE applied as a
+    COMMIT on the manifest-versioned table (qx241), so the pre-merge
+    snapshot remains readable after the merge lands — Delta's
+    MERGE + VERSION AS OF pair on plain parquet. v1 = the customer
+    snapshot; v2 = the merged result committed copy-on-write (an
+    overwrite commit: MERGE rewrites the table image, history keeps
+    the old files). Both versions read back AS OF and fingerprinted
+    (balances canonicalized to DECIMAL(12,2) so the string hash is
+    engine-identical); the oracle recomputes both states from the
+    source table — value-hash proof that the merge produced exactly
+    the right rows AND that committing it did not disturb history.
+
+    Scale shape: the merge is q35's anti-join + union (change set
+    broadcast); each commit writes once; the audits are per-snapshot
+    scans with one-row partial-aggregated finals."""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = load_catalog(spark, sf_dir).table("customer")
+    mod = F.col("c_custkey") % 10
+    updates = base.filter(mod == 4).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("MIGRATED").alias("c_mktsegment"),
+    )
+    inserts = base.filter(mod == 5).select(
+        (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+        F.concat(
+            F.lit("NEW#"), (F.col("c_custkey") + F.lit(1000000)).cast("string")
+        ).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    touched = base.filter(mod.isin(3, 4)).select("c_custkey")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    merged = (
+        base.select(*cols)
+        .join(F.broadcast(touched), "c_custkey", "left_anti")
+        .unionByName(updates)
+        .unionByName(inserts)
+    )
+
+    work = tempfile.mkdtemp(prefix="bqfs_vmerge_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    store = os.path.join(work, "table")
+    commit_snapshot(spark, store, base.select(*cols), mode="overwrite")  # v1
+    commit_snapshot(spark, store, merged, mode="overwrite")  # v2 (copy-on-write MERGE)
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("c_custkey").cast("string"),
+                    "c_name",
+                    F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
+                    "c_mktsegment",
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    out = None
+    for v in (1, 2):
+        snap = read_snapshot(spark, store, v).agg(
+            F.lit(v).cast("bigint").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(h.cast("decimal(38,0)")).cast("string").alias("content_fp"),
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("version")
