@@ -264,6 +264,9 @@ HEADLINE = [
     "qx245_late_data_audit",
     "qx246_streaming_versioned_ingest",
     "qx247_versioned_merge",
+    "qx248_variant_ingest",
+    "qx249_lateral_topn",
+    "qx250_recursive_hierarchy",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

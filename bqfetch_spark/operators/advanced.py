@@ -282,3 +282,178 @@ def q90_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", F.lit(0.9), acc).alias("p90_qty"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("p50_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx248: VARIANT semi-structured ingestion (Spark 4 parse_json)
+# ---------------------------------------------------------------------------
+
+VARIANT_ORACLE = """
+WITH payload AS (
+  SELECT '{"event":{"type":"' || event_type || '","value":' || CAST(value AS VARCHAR)
+         || '},"user":{"id":' || CAST(user_id AS VARCHAR) || '}}' AS j
+  FROM events
+),
+parsed AS (
+  SELECT CAST(json_extract_string(j, '$.event.type') AS VARCHAR) AS event_type,
+         CAST(json_extract(j, '$.user.id') AS BIGINT) AS user_id,
+         CAST(json_extract(j, '$.event.value') AS DOUBLE) AS value
+  FROM payload
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+FROM parsed
+WHERE value > 10.0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "qx248_variant_ingest",
+    oracle=VARIANT_ORACLE,
+    doc="semi-structured VARIANT path: parse_json -> typed variant_get extraction -> aggregate",
+    tags=("semi-structured", "variant", "json"),
+)
+def qx248_variant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type — the
+    open-table-format answer to schemaless JSON columns (binary
+    variant encoding scans ~8× faster than string re-parsing, and
+    typed ``variant_get`` paths push into the scan). The JSON payload
+    is synthesized deterministically from events (so the oracle can
+    synthesize the identical strings), parsed ONCE with ``parse_json``
+    into a variant column, then three typed paths are extracted and
+    aggregated with the engine's usual DECIMAL-exact conventions.
+
+    At 100 TB the variant column is the stored shape (parse at ingest,
+    not per query); extraction stays JVM-side and whole-stage
+    codegen'd — no Python, no UDF, no second JSON parse per path."""
+    ev = load_catalog(spark, sf_dir).table("events")
+    j = F.concat(
+        F.lit('{"event":{"type":"'),
+        F.col("event_type"),
+        F.lit('","value":'),
+        F.col("value").cast("string"),
+        F.lit('},"user":{"id":'),
+        F.col("user_id").cast("string"),
+        F.lit("}}"),
+    )
+    v = ev.select(F.parse_json(j).alias("v"))
+    parsed = v.select(
+        F.variant_get("v", "$.event.type", "string").alias("event_type"),
+        F.variant_get("v", "$.user.id", "bigint").alias("user_id"),
+        F.variant_get("v", "$.event.value", "double").alias("value"),
+    )
+    return (
+        parsed.filter(F.col("value") > 10.0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx249: LATERAL correlated top-N (decorrelated, not nested-loop)
+# ---------------------------------------------------------------------------
+
+LATERAL_TOPN = 3
+
+LATERAL_ORACLE = f"""
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT {LATERAL_TOPN}
+) o
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+"""
+
+
+@register(
+    "qx249_lateral_topn",
+    oracle=LATERAL_ORACLE,
+    doc="correlated LATERAL top-N per customer, decorrelated by Catalyst to a window",
+    tags=("sql", "lateral", "correlated"),
+)
+def qx249_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-subquery spelling every analyst writes — each
+    BUILDING customer's top-{LATERAL_TOPN} orders via ``LATERAL
+    (... WHERE o_custkey = c.c_custkey ORDER BY ... LIMIT n)`` — run
+    through ``spark.sql`` verbatim. Catalyst DECORRELATES it: the
+    executed plan is a per-customer rank window over one orders
+    exchange joined to the filtered customer side, never a
+    nested-loop re-scan of orders per customer (plan-asserted in
+    tests/test_plan_shapes.py). The operator's point is exactly that
+    parity: the engine accepts the declarative correlated form and
+    produces the same physical plan the hand-written window spelling
+    (q20's idiom) would — SQL-surface completeness without a
+    performance cliff."""
+    cat = load_catalog(spark, sf_dir)
+    cat.table("customer").createOrReplaceTempView("customer")
+    cat.table("orders").createOrReplaceTempView("orders")
+    return spark.sql(LATERAL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# qx250: recursive CTE (hierarchy walk in Spark SQL)
+# ---------------------------------------------------------------------------
+
+RCTE_FANOUT = 4  # synthetic supplier reporting tree: parent = suppkey // 4
+
+RECURSIVE_ORACLE = f"""
+WITH RECURSIVE chain(s_suppkey, root, depth) AS (
+  SELECT s_suppkey, s_suppkey AS root, 0 AS depth
+  FROM supplier WHERE s_suppkey // {RCTE_FANOUT} = 0
+  UNION ALL
+  SELECT s.s_suppkey, c.root, c.depth + 1
+  FROM supplier s JOIN chain c ON s.s_suppkey // {RCTE_FANOUT} = c.s_suppkey
+  WHERE s.s_suppkey <> c.s_suppkey
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(min(s_suppkey) AS BIGINT) AS min_key,
+       CAST(max(s_suppkey) AS BIGINT) AS max_key
+FROM chain
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+RECURSIVE_SPARK_SQL = RECURSIVE_ORACLE.replace("//", "div")
+
+
+@register(
+    "qx250_recursive_hierarchy",
+    oracle=RECURSIVE_ORACLE,
+    doc="WITH RECURSIVE hierarchy walk run natively by Spark SQL",
+    tags=("sql", "recursive", "graph"),
+)
+def qx250_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's native ``WITH RECURSIVE`` — the org-chart/BOM-
+    explosion SQL shape that previously forced the iterative-DataFrame
+    loop (operators/corpus.connected_components). A synthetic supplier
+    reporting tree (parent = suppkey div {RCTE_FANOUT}) is walked from
+    the roots, accumulating depth; output is the per-depth census.
+    Spark runs the SAME statement as the oracle modulo one spelling:
+    integer division is ``div`` in Spark SQL and ``//`` in DuckDB —
+    SQL-surface parity, not translation.
+
+    Scale note: each recursion step is one equi-join of the frontier
+    against the table (Spark plans it as an iterative union, like the
+    hash-min CC loop), so depth-bounded hierarchies (org charts, BOMs)
+    run in O(depth) joins; unbounded graphs should still prefer the
+    pointer-jumping CC operator."""
+    load_catalog(spark, sf_dir).table("supplier").createOrReplaceTempView("supplier")
+    return spark.sql(RECURSIVE_SPARK_SQL)

@@ -697,3 +697,22 @@ def test_dynamic_partition_pruning_fires_on_partitioned_layout(spark):
         )
     )
     assert sorted(map(tuple, j.collect())) == want
+
+
+def test_qx249_lateral_decorrelates_to_window(spark):
+    """The correlated LATERAL top-N must be decorrelated by Catalyst:
+    an equi-join plus a rank window with WindowGroupLimit pushdown
+    (per-partition top-k heaps before the full window) — never a
+    nested-loop or cartesian re-scan of orders per customer."""
+    plan = _plan(spark, "qx249_lateral_topn")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_qx248_variant_stays_jvm_side(spark):
+    """parse_json + variant_get must run as JVM expressions — no
+    Python evaluation anywhere in the semi-structured path."""
+    plan = _plan(spark, "qx248_variant_ingest")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
