@@ -267,6 +267,9 @@ HEADLINE = [
     "qx248_variant_ingest",
     "qx249_lateral_topn",
     "qx250_recursive_hierarchy",
+    "qx251_udtf_chunker",
+    "qx252_footer_aggregates",
+    "qx253_dynamic_partition_pruning",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

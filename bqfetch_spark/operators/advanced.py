@@ -457,3 +457,226 @@ def qx250_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer-jumping CC operator."""
     load_catalog(spark, sf_dir).table("supplier").createOrReplaceTempView("supplier")
     return spark.sql(RECURSIVE_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# qx251: Python UDTF sliding-window chunker (RAG chunk expansion)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64  # window width (tokens)
+CHUNK_STRIDE = 48  # stride (tokens) -> 16-token overlap between chunks
+
+UDTF_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0,
+           greatest(0, CAST(ceil((len(t) - {CHUNK_TOKENS})
+                                 / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT)))) AS i
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS chunk_idx,
+         CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_token,
+         list_aggregate(t[i * {CHUNK_STRIDE} + 1 :
+                          i * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                        'string_agg', ' ') AS chunk
+  FROM idx
+)
+SELECT doc_id, chunk_idx, start_token,
+       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+       md5(chunk) AS chunk_md5
+FROM chunks
+"""
+
+
+@register(
+    "qx251_udtf_chunker",
+    oracle=UDTF_CHUNK_ORACLE,
+    doc="Python UDTF exploding docs into overlapping sliding-window chunks",
+    tags=("text", "udtf", "rag", "llm-pipeline"),
+)
+def qx251_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG chunker as a Python UDTF (Spark 3.5+/4 user-defined
+    TABLE function — the row→rows API that replaces explode-a-built-
+    array when chunk construction carries logic): each document
+    explodes into {CHUNK_TOKENS}-token windows at stride
+    {CHUNK_STRIDE} (overlap keeps boundary context retrievable —
+    qx105's disjoint chunks lose it). Chunks are emitted as md5
+    checksums so the oracle's slice-reconstruction proves every
+    window's CONTENT, not just counts. The final short window is kept
+    (a tail shorter than the width still retrieves); every doc yields
+    at least one chunk.
+
+    Scale shape: a UDTF is a narrow per-row generator — no exchange,
+    chunks inherit the scan's partitioning (like qx105, plan-asserted
+    exchange-free); the Python boundary is Arrow-batched."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx bigint, start_token bigint, "
+          "n_tokens bigint, chunk_md5 string")
+    class Chunker:
+        def eval(self, doc_id: int, text: str):
+            import hashlib
+
+            toks = text.split(" ")
+            i = 0
+            while True:
+                start = i * CHUNK_STRIDE
+                if start >= len(toks) and i > 0:
+                    break
+                window = toks[start : start + CHUNK_TOKENS]
+                if not window:
+                    break
+                chunk = " ".join(window)
+                yield (
+                    doc_id,
+                    i,
+                    start + 1,
+                    len(window),
+                    hashlib.md5(chunk.encode()).hexdigest(),
+                )
+                if start + CHUNK_TOKENS >= len(toks):
+                    break
+                i += 1
+
+    docs = load_catalog(spark, sf_dir).table("documents")
+    spark.udtf.register("bqfs_chunker", Chunker)
+    docs.select("doc_id", "text").createOrReplaceTempView("bqfs_chunk_in")
+    return spark.sql(
+        "SELECT c.* FROM bqfs_chunk_in i, LATERAL bqfs_chunker(i.doc_id, i.text) c"
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx252: parquet footer aggregates (scan-free MIN/MAX/COUNT pushdown)
+# ---------------------------------------------------------------------------
+
+FOOTER_AGG_ORACLE = """
+SELECT 'lineitem' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+       CAST(min(l_orderkey) AS BIGINT) AS min_key,
+       CAST(max(l_orderkey) AS BIGINT) AS max_key
+FROM lineitem
+UNION ALL
+SELECT 'orders',
+       CAST(count(*) AS BIGINT),
+       CAST(min(o_totalprice) AS DOUBLE),
+       CAST(max(o_totalprice) AS DOUBLE),
+       CAST(min(o_orderkey) AS BIGINT),
+       CAST(max(o_orderkey) AS BIGINT)
+FROM orders
+ORDER BY table_name
+"""
+
+
+@register(
+    "qx252_footer_aggregates",
+    oracle=FOOTER_AGG_ORACLE,
+    doc="MIN/MAX/COUNT answered from parquet footer statistics, zero data pages read",
+    tags=("sources", "pushdown", "statistics"),
+)
+def qx252_footer_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-stats queries answered WITHOUT scanning data: Spark's
+    DSv2 parquet reader pushes whole-table MIN/MAX/COUNT into the scan
+    (``spark.sql.parquet.aggregatePushdown``), which answers them from
+    row-group footer statistics — the plan shows ``PushedAggregation``
+    and reads zero data pages. This is the advisor's table-size probe
+    (plans/advisor.py, reference get_nb_chunks_approximation) done the
+    cheapest way the format allows: at 100 TB a COUNT/MIN/MAX costs
+    one footer read per file, not a table scan.
+
+    The configs live on a private ``spark.newSession()`` (same JVM,
+    separate SQLConf): aggregate pushdown requires the DSv2 reader
+    (``useV1SourceList=''``), and flipping that globally would change
+    every other query's physical source. Pushdown quietly degrades to
+    a normal scan if any row group lacks stats — the oracle equality
+    holds either way; the plan assertion (tests/test_plan_shapes.py)
+    is what pins the scan-free path."""
+    sub = spark.newSession()
+    sub.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    sub.conf.set("spark.sql.sources.useV1SourceList", "")
+    import os
+
+    out = None
+    for name, qty_col, key_col in (
+        ("lineitem", "l_quantity", "l_orderkey"),
+        ("orders", "o_totalprice", "o_orderkey"),
+    ):
+        t = sub.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        agg = t.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(qty_col).cast("double").alias("min_qty"),
+            F.max(qty_col).cast("double").alias("max_qty"),
+            F.min(key_col).cast("bigint").alias("min_key"),
+            F.max(key_col).cast("bigint").alias("max_key"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# qx253: dynamic partition pruning (runtime subquery prunes the hive layout)
+# ---------------------------------------------------------------------------
+
+DPP_ORACLE = """
+WITH picked AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d
+  FROM events WHERE event_type = 'purchase' AND value > 99.0
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT CAST(e.ts AS DATE)) AS BIGINT) AS n_days
+FROM events e
+JOIN picked p ON CAST(e.ts AS DATE) = p.d
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@register(
+    "qx253_dynamic_partition_pruning",
+    oracle=DPP_ORACLE,
+    doc="runtime partition pruning: a selective dim filter prunes the hive layout's directories",
+    tags=("lakehouse", "pruning", "optimizer"),
+)
+def qx253_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over the engine's hive layout (q38's
+    event_date-partitioned store): the probe side's partition filter
+    is only knowable at RUNTIME (the distinct days that saw a
+    high-value purchase), so Catalyst plants a dynamicpruning#
+    subquery in the fact scan's PartitionFilters — the scan reads ONLY
+    the matching day directories, skipping the rest at the directory
+    level (plan-asserted). At 100 TB with date-partitioned facts this
+    is the optimization that turns a star-join from a full scan into a
+    few partitions; static pruning can't do it because the day set
+    comes from data.
+
+    The day dimension derives from the same table, but through an
+    independent base-table scan (not the partitioned store), so the
+    pruning subquery is a genuine separate branch."""
+    from bqfetch_spark.operators.lakehouse import layout_dir_for, write_partitioned_events
+
+    store = write_partitioned_events(spark, sf_dir, layout_dir_for(sf_dir))
+    part = spark.read.parquet(store)
+    ev = load_catalog(spark, sf_dir).table("events")
+    picked = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 99.0))
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .distinct()
+    )
+    return (
+        part.join(picked, "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("event_date").cast("bigint").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

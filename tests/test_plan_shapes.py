@@ -716,3 +716,19 @@ def test_qx248_variant_stays_jvm_side(spark):
     plan = _plan(spark, "qx248_variant_ingest")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_qx252_aggregates_pushed_to_parquet_footers(spark):
+    """MIN/MAX/COUNT must be answered from row-group footer statistics:
+    the DSv2 scan carries PushedAggregation (one per audited table) —
+    a stats query that never reads data pages."""
+    plan = _plan(spark, "qx252_footer_aggregates")
+    assert plan.count("PushedAggregation: [COUNT(*)") >= 2, plan
+
+
+def test_qx253_scan_has_runtime_pruning_subquery(spark):
+    """The fact scan's PartitionFilters must carry a dynamicpruning#
+    subquery — the day set is only knowable at runtime, and the scan
+    must skip non-matching day directories rather than read them."""
+    plan = _plan(spark, "qx253_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan, plan
