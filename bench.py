@@ -270,6 +270,7 @@ HEADLINE = [
     "qx251_udtf_chunker",
     "qx252_footer_aggregates",
     "qx253_dynamic_partition_pruning",
+    "qx254_bucketed_join",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

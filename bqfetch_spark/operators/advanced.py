@@ -680,3 +680,92 @@ def qx253_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx254: co-located bucketed join (zero-exchange fact-fact join)
+# ---------------------------------------------------------------------------
+
+BUCKETED_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / 1000000, 6)
+         AS volume_m
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+BUCKETED_N = 8
+
+
+@register(
+    "qx254_bucketed_join",
+    oracle=BUCKETED_JOIN_ORACLE,
+    doc="fact-fact join over co-bucketed tables: zero exchange, sort-merge on file layout",
+    tags=("lakehouse", "bucketing", "join", "layout"),
+)
+def qx254_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB layout lever as a query: orders and lineitem are
+    written ONCE as co-bucketed, bucket-sorted tables (same key, same
+    bucket count — sources/writers.write_bucketed_table), and the
+    fact-fact join then plans with NO Exchange and no per-query sort:
+    the shuffle was paid at write time, every join on the key rides
+    the layout for free. This is what the reference's daily-refresh
+    warehouse tables amount to — pre-partitioned storage the engine's
+    planner recognizes (plan-asserted exchange-free in
+    tests/test_bucketing.py and for THIS query in test_plan_shapes).
+
+    Auto-broadcast is disabled on a private session clone (at real
+    scale neither fact is broadcastable; at fixture scale the planner
+    would otherwise broadcast and hide the co-location proof). The
+    bucketed tables are cached in the warehouse keyed on sf_dir —
+    rebuilds only when the fixture changes."""
+    import hashlib
+    import os
+
+    from bqfetch_spark.sources.writers import write_bucketed_table
+
+    sub = spark.newSession()
+    sub.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    cat = load_catalog(sub, sf_dir)
+    key = hashlib.sha1(
+        os.path.normpath(os.path.abspath(sf_dir)).encode()
+    ).hexdigest()[:12]
+    o_name, l_name = f"orders_bkt_{key}", f"lineitem_bkt_{key}"
+
+    def ensure(table_name: str, src: str, key_col: str) -> None:
+        if sub.catalog.tableExists(table_name):
+            return
+        # the in-memory catalog forgets tables between processes but
+        # the warehouse directory survives — clear the orphaned
+        # location so saveAsTable can claim it
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(sub.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, table_name)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        write_bucketed_table(
+            cat.table(src), table_name, [key_col], BUCKETED_N, sort_cols=[key_col]
+        )
+
+    ensure(o_name, "orders", "o_orderkey")
+    ensure(l_name, "lineitem", "l_orderkey")
+    o = sub.table(o_name)
+    li = sub.table(l_name)
+    vol = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(vol.cast("double") / 1_000_000, 6).alias("volume_m"),
+        )
+        .orderBy("o_orderpriority")
+    )

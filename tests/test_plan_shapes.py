@@ -732,3 +732,17 @@ def test_qx253_scan_has_runtime_pruning_subquery(spark):
     must skip non-matching day directories rather than read them."""
     plan = _plan(spark, "qx253_dynamic_partition_pruning")
     assert "dynamicpruning" in plan, plan
+
+
+def test_qx254_bucketed_join_no_join_key_exchange(spark):
+    """The fact-fact join must ride the bucket layout: no exchange on
+    either join key anywhere in the plan — the only exchanges are the
+    post-join groupBy/orderBy over the groups-sized frame."""
+    df = REG["qx254_bucketed_join"].fn(spark, SF_CORRECT)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final
+    for line in final.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "o_orderkey" not in line and "l_orderkey" not in line, line
