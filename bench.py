@@ -271,6 +271,7 @@ HEADLINE = [
     "qx252_footer_aggregates",
     "qx253_dynamic_partition_pruning",
     "qx254_bucketed_join",
+    "qx255_optimize_commit",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

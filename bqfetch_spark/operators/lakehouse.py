@@ -1096,3 +1096,81 @@ def qx247_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap if out is None else out.unionByName(snap)
     return out.orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# qx255: OPTIMIZE commit (compaction as a snapshot, history intact)
+# ---------------------------------------------------------------------------
+
+OPTIMIZE_ORACLE = """
+WITH clones AS (
+  SELECT doc_id + 1000000 AS doc_id, n_chars, text
+  FROM documents WHERE doc_id % 17 = 2
+),
+v3 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 1 THEN n_chars + 1 ELSE n_chars END AS n_chars,
+         text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL SELECT * FROM clones
+),
+vers AS (
+  SELECT 3 AS version, * FROM v3
+  UNION ALL
+  SELECT 4 AS version, * FROM v3
+)
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(CAST('0x' || substring(
+             md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)
+           AS DECIMAL(38,0))) AS VARCHAR) AS content_fp
+FROM vers
+GROUP BY version
+ORDER BY version
+"""
+
+
+@register(
+    "qx255_optimize_commit",
+    oracle=OPTIMIZE_ORACLE,
+    doc="compaction as a snapshot commit: OPTIMIZE rewrites files, content and history intact",
+    tags=("lakehouse", "compaction", "time-travel"),
+)
+def qx255_optimize_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's OPTIMIZE on the manifest store: the latest snapshot's
+    scattered commit files (qx241's history leaves v3 = one overwrite
+    commit, but a long append chain leaves many small files — q39's
+    debris problem moved into the table format) are rewritten as ONE
+    bin-packed commit. Because compaction is itself a commit, the
+    pre-compaction snapshot stays readable — maintenance never
+    destroys history; vacuum later reclaims the small files once the
+    retention horizon passes. Output: v3 (pre) and v4 (post,
+    compacted) read back AS OF and fingerprinted; the oracle derives
+    both from the source table and they must be IDENTICAL content —
+    the q39 content-identity contract, now version-aware. The
+    file-count drop is pytest-pinned (layout, not content)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bqfs_optimize_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    store = build_timetravel_store(spark, sf_dir, os.path.join(work, "table"))
+    v3 = read_snapshot(spark, store, 3)
+    # bin-pack: one task per ~32 MB of input (fixture → 1 file)
+    commit_snapshot(spark, store, v3.coalesce(1), mode="overwrite")  # v4
+
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), "text")), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    out = None
+    for v in (3, 4):
+        snap = read_snapshot(spark, store, v).agg(
+            F.lit(v).cast("bigint").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(h.cast("decimal(38,0)")).cast("string").alias("content_fp"),
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("version")

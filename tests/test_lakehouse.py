@@ -466,3 +466,29 @@ def test_commit_conflict_raises(spark, tmp_path):
             commit_snapshot(spark, store, docs)
     finally:
         lakehouse.table_version = real_table_version
+
+
+def test_optimize_commit_drops_file_count_and_keeps_history(spark, tmp_path):
+    """qx255's layout claim: the OPTIMIZE commit must reference fewer
+    files than the snapshot it compacts while both stay content-
+    identical — and the pre-compaction manifest must remain readable."""
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.lakehouse import (
+        _read_manifest,
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    docs = load_catalog(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    store = str(tmp_path / "tt")
+    # many small files: 8-way repartitioned commit
+    commit_snapshot(spark, store, docs.repartition(8))
+    fp1 = _doc_fingerprint(read_snapshot(spark, store, 1))
+    commit_snapshot(spark, store, read_snapshot(spark, store, 1).coalesce(1))
+    n1 = len(_read_manifest(store, 1)["files"])
+    n2 = len(_read_manifest(store, 2)["files"])
+    assert n2 < n1, (n1, n2)
+    assert _doc_fingerprint(read_snapshot(spark, store, 2)) == fp1
+    assert _doc_fingerprint(read_snapshot(spark, store, 1)) == fp1
