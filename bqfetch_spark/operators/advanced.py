@@ -513,11 +513,11 @@ def qx251_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: a UDTF is a narrow per-row generator — no exchange,
     chunks inherit the scan's partitioning (like qx105, plan-asserted
-    exchange-free); the Python boundary is Arrow-batched."""
+    exchange-free); the Python boundary is Arrow-batched (useArrow=True — plans as ArrowEvalPythonUDTF, not the row-pickling BatchEvalPython)."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, chunk_idx bigint, start_token bigint, "
-          "n_tokens bigint, chunk_md5 string")
+          "n_tokens bigint, chunk_md5 string", useArrow=True)
     class Chunker:
         def eval(self, doc_id: int, text: str):
             import hashlib
