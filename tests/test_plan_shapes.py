@@ -278,12 +278,16 @@ def test_qx117_ks_scale_path_uses_bucket_exchange(spark, monkeypatch):
     # broadcasts the filtered customer side in both regimes
     import bqfetch_spark.plans.ranks as ranks
 
+    # fixture scale: the caller-checkpointed counters route to the
+    # plain running-sum window — no bucket machinery in the plan
     small = _plan(spark, "qx117_ks_test")
-    assert "BroadcastHashJoin" in small
+    assert "windowspecdefinition" in small
+    assert "__pid" not in small
 
     monkeypatch.setattr(ranks, "SINGLE_SORT_BYTES", -1)
     monkeypatch.setattr(ranks, "SINGLE_SORT_ROWS", -1)
     big = _plan(spark, "qx117_ks_test")
+    # scale path: bucket exchange + broadcast offsets join on __pid
     assert "hashpartitioning(__pid" in big
     assert "BroadcastHashJoin" in big
 
