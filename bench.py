@@ -272,6 +272,8 @@ HEADLINE = [
     "qx253_dynamic_partition_pruning",
     "qx254_bucketed_join",
     "qx255_optimize_commit",
+    "qx256_watermark_sweep",
+    "qx257_epoch_refill_quota",
 ]
 
 GROUP_SIZE = 8  # queries per fresh-session subprocess

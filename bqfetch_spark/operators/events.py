@@ -864,3 +864,78 @@ def qx245_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx256: watermark horizon sweep (late% per candidate W, one pass)
+# ---------------------------------------------------------------------------
+
+WM_SWEEP = (300, 900, 1800, 3600)  # candidate horizons, seconds
+
+_sweep_cols_sql = ",\n       ".join(
+    f"CAST(sum(CASE WHEN hwm_us IS NOT NULL AND ev_us < hwm_us - CAST({w} AS BIGINT) * 1000000 "
+    f"THEN 1 ELSE 0 END) AS BIGINT) AS n_late_w{w}"
+    for w in WM_SWEEP
+)
+
+WM_SWEEP_ORACLE = f"""
+WITH e AS (
+  SELECT event_id,
+         epoch_us(ts) AS ev_us,
+         epoch_us(ts) + (CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4)
+                               AS BIGINT) % {WM_DELAY_MOD}) * 1000000 AS arr_us
+  FROM events
+),
+wm AS (
+  SELECT ev_us, arr_us,
+         max(ev_us) OVER (ORDER BY arr_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us
+  FROM e
+)
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       {_sweep_cols_sql}
+FROM wm
+"""
+
+
+@register(
+    "qx256_watermark_sweep",
+    oracle=WM_SWEEP_ORACLE,
+    doc="late-drop counts for every candidate watermark horizon in one stream pass",
+    tags=("events", "streaming-semantics", "audit"),
+)
+def qx256_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision table behind qx245: would-be-dropped counts for
+    EVERY candidate lateness horizon ({', '.join(str(w) for w in WM_SWEEP)}s),
+    computed in ONE pass — the high-water mark is horizon-independent,
+    so one exclusive global cummax feeds all the per-W conditional
+    sums (k horizons cost k expressions, not k stream replays). This
+    is the table an operator actually reads before setting
+    withWatermark: pick the knee where additional state horizon stops
+    buying admitted data.
+
+    Scale shape: identical to qx245 (adaptive one-shuffle cummax) plus
+    a single 1-row partial-aggregated final."""
+    from bqfetch_spark.plans.ranks import with_global_cummax_excl
+
+    ev = load_catalog(spark, sf_dir).table("events").select("event_id", "ts")
+    delay_s = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % WM_DELAY_MOD
+    )
+    e = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ev_us"),
+        (F.unix_micros("ts") + delay_s * F.lit(1_000_000)).alias("arr_us"),
+    )
+    wm = with_global_cummax_excl(
+        e, ["arr_us", "event_id"], "ev_us", shuffle_partitions(spark), "hwm_us"
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_events")]
+    for w in WM_SWEEP:
+        late = F.col("hwm_us").isNotNull() & (
+            F.col("ev_us") < F.col("hwm_us") - F.lit(w * 1_000_000)
+        )
+        aggs.append(F.sum(late.cast("int")).cast("bigint").alias(f"n_late_w{w}"))
+    return wm.agg(*aggs)

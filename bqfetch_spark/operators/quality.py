@@ -1126,3 +1126,89 @@ def qx238_discovered_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx257: epoch-refilled token quota (token bucket with periodic reset)
+# ---------------------------------------------------------------------------
+
+REFILL_EPOCHS = 4  # docs partition into epochs by md5 (crawl cycles)
+REFILL_BUDGET = 250  # tokens admitted per source per epoch
+
+REFILL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+              % {REFILL_EPOCHS} AS BIGINT) AS epoch
+  FROM documents
+),
+cum AS (
+  SELECT source, epoch, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source, epoch
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM toks
+)
+SELECT source, epoch,
+       CAST(count(*) AS BIGINT) AS n_seen,
+       CAST(sum(CASE WHEN c <= {REFILL_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       CAST(sum(CASE WHEN c <= {REFILL_BUDGET} THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_admitted
+FROM cum
+GROUP BY source, epoch
+ORDER BY source, epoch
+"""
+
+
+@register(
+    "qx257_epoch_refill_quota",
+    oracle=REFILL_ORACLE,
+    doc="token-bucket quota with per-epoch refill: prefix admission within (source, epoch)",
+    tags=("curation", "quota", "sampling"),
+)
+def qx257_epoch_refill_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refill semantics q100's quota deliberately deferred
+    ('production would add a TTL to reopen budgets per crawl epoch'):
+    each source's budget RESETS every epoch — documents hash into
+    {REFILL_EPOCHS} epochs (md5 of the key: rerun-stable crawl-cycle
+    assignment), and within each (source, epoch) the md5-ordered
+    prefix whose running token sum fits {REFILL_BUDGET} is admitted.
+    Output is the per-(source, epoch) admission ledger — the table
+    that shows whether a budget starves a source every cycle or only
+    under bursts.
+
+    Scale shape: one (source, epoch)-partitioned cumsum window — the
+    keys multiply, so partitions stay small and parallelism GROWS with
+    epochs (never a global sort); the ledger rollup partial-aggregates.
+    All-BIGINT arithmetic, exact oracle."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    epoch = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % REFILL_EPOCHS
+    )
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        epoch.alias("epoch"),
+    )
+    w = (
+        Window.partitionBy("source", "epoch")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = toks.withColumn("c", F.sum("n_tokens").over(w))
+    admitted = F.col("c") <= REFILL_BUDGET
+    return (
+        cum.groupBy("source", "epoch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seen"),
+            F.sum(admitted.cast("int")).cast("bigint").alias("n_admitted"),
+            F.sum(F.when(admitted, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_admitted"),
+        )
+        .orderBy("source", "epoch")
+    )
