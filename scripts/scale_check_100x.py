@@ -235,12 +235,69 @@ def check_q57_wave_append(spark) -> None:
     assert worst <= 3, f"q57 wave cost scales with history: {worst:.2f}"
 
 
+def check_global_rank_100x(spark) -> None:
+    """Round-8 one-pass rank machinery at 100x rows: exactly one
+    data-sized exchange per rank (REPARTITION_BY_NUM), cost ~linear in
+    rows, totals exact at both sizes. The 1x frame is 60k rows
+    (lineitem-sized); 100x is 6M synthetic rows with the same key
+    shape (value + unique tiebreak)."""
+    from pyspark.sql import functions as F
+
+    import bqfetch_spark.plans.ranks as ranks
+
+    print("[global-rank] one-pass bucket rank at 100x rows")
+    old = (ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS)
+    ranks.SINGLE_SORT_BYTES = ranks.SINGLE_SORT_ROWS = -1  # force scale path
+    try:
+        def synth(n: int, path: str):
+            (
+                spark.range(n)
+                .select(
+                    F.pmod(F.xxhash64("id"), F.lit(997)).alias("v"),
+                    F.col("id").alias("k"),
+                )
+                .repartition(32)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            return spark.read.parquet(path)
+
+        small = synth(60_000, f"{TMP}/rank_small.parquet")
+        big = synth(6_000_000, f"{TMP}/rank_big.parquet")
+        worst = 0.0
+        for i in range(2):
+            t0 = time.time()
+            r1 = ranks.with_global_rank(small, ["v", "k"], 32, rank_col="r")
+            tot1 = r1.agg(F.max("r"), F.sum(F.col("r").cast("decimal(38,0)"))).collect()[0]
+            t_small = time.time() - t0
+            t0 = time.time()
+            r100 = ranks.with_global_rank(big, ["v", "k"], 32, rank_col="r")
+            tot100 = r100.agg(F.max("r"), F.sum(F.col("r").cast("decimal(38,0)"))).collect()[0]
+            t_big = time.time() - t0
+            # exact rank sums: n(n+1)/2 proves a perfect 1..n permutation
+            assert int(tot1[0]) == 60_000 and int(tot1[1]) == 60_000 * 60_001 // 2
+            assert int(tot100[0]) == 6_000_000 and int(tot100[1]) == 6_000_000 * 6_000_001 // 2
+            ratio = t_big / t_small
+            worst = max(worst, ratio)
+            print(f"  round{i}: 1x={t_small:.2f}s 100x={t_big:.2f}s ratio={ratio:.1f}")
+        plan = r100._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("REPARTITION_BY_NUM") == 1, final
+        assert "rangepartitioning" not in final
+        print(f"  worst ratio={worst:.1f} for 100x rows (linear ~100; single-sort would OOM-shape)")
+        assert worst <= 150, f"rank super-linear at 100x: {worst:.1f}"
+        print("  one corpus exchange asserted; rank permutation exact at both sizes")
+    finally:
+        ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS = old
+
+
 def main() -> None:
     spark = get_session("scale-check-100x")
     spark.sparkContext.setLogLevel("ERROR")
     shutil.rmtree(TMP, ignore_errors=True)
     os.makedirs(TMP, exist_ok=True)
     t0 = time.time()
+    check_global_rank_100x(spark)
     check_q57_wave_append(spark)
     check_q69_candidate_join(spark)
     check_q47_band_join(spark)
