@@ -276,6 +276,52 @@ HEADLINE = [
     "qx257_epoch_refill_quota",
 ]
 
+# Registry queries deliberately NOT benched (VERDICT r8 #7: make the
+# exclusions auditable). Policy: HEADLINE carries one representative per
+# physical plan family; a query is excluded only when a benched query
+# exercises the same plan shape on the same tables, so benching it would
+# re-measure an identical engine path. Every excluded name is still
+# oracle-checked in the full self-sweep each round. bench.py refuses to
+# run if HEADLINE + EXCLUSIONS stops covering the registry exactly
+# (see _check_headline_coverage), so a new query can't silently dodge
+# the bench.
+EXCLUSIONS = {
+    "q02_distinct_values": "distinct projection scan == q04's scan + q40's distinct shape",
+    "q09_anti_join": "same broadcast-anti plan as benched q08 semi join",
+    "q10_union": "set-op scan pair; q18's union-side fact join covers the shape",
+    "q11_intersect": "same set-op exchange shape as q10/q12 family; q08 covers",
+    "q12_except": "same set-op exchange shape as q10/q11 family; q08 covers",
+    "q14_cube": "cube = rollup with more grouping sets; benched q13 rollup covers",
+    "q15_approx_distinct": "HLL agg over one column; q94's sketch leg benches the path",
+    "q17_date_functions": "scalar-function projection == benched q16 on the same table",
+    "q22_moving_average": "sliding ROWS frame == benched q21/q36 window family",
+    "q24_argmax_agg": "single groupBy agg == benched q01/q26 agg family",
+    "q27_having": "groupBy + post-agg filter == benched q03 plus a filter",
+    "q32_skew_report": "groupBy-count + stats == benched q03/qx151 shapes",
+    "q41_text_stats": "per-doc regex/length projection == benched q42/q34 text family",
+    "q44_lang_id": "n-gram scoring projection == benched q43/q45 text family",
+    "q48_simhash": "bit-vote agg == benched q47 minhash family's cheaper sibling",
+    "q52_embedding_norms": "vector-norm projection == benched q50/q51's first stage",
+    "q61_partition_advisor": "driver-side metadata math; no cluster work to time",
+    "q71_streaming_incremental_dedup": "same store anti-join as benched q66/q70",
+    "q86_canonical_corpus": "dedup-pick projection == benched q74/q85 corpus family",
+}
+
+
+def _check_headline_coverage(registry_names) -> None:
+    """HEADLINE ∪ EXCLUSIONS must equal the registry, disjointly."""
+    reg, head, excl = set(registry_names), set(HEADLINE), set(EXCLUSIONS)
+    problems = []
+    if head & excl:
+        problems.append(f"benched AND excluded: {sorted(head & excl)}")
+    if reg - head - excl:
+        problems.append(f"unaccounted registry queries: {sorted(reg - head - excl)}")
+    if (head | excl) - reg:
+        problems.append(f"stale bench names: {sorted((head | excl) - reg)}")
+    if problems:
+        raise SystemExit("bench coverage broken: " + "; ".join(problems))
+
+
 GROUP_SIZE = 8  # queries per fresh-session subprocess
 
 # Round-4 fix (VERDICT r3 #1): single-shot timings made every
@@ -347,6 +393,32 @@ ADJUDICATIONS = {
         "warm-up dominates cold). The same plan recorded 3.38s earlier "
         "in r5 — the query's KMeans stage tracks box load, the plan "
         "shape (bucketed candidate join, salted, pair-dedup) unchanged."
+    ),
+    "qx212_compact_fingerprint_store": (
+        "r8 flag 3.36->5.53s (the round's only n_regressions entry) "
+        "adjudicated as in-group warm-state noise in r9, NOT the r8 "
+        "workload change (the added at-least-once retry wave): an "
+        "isolated fresh-child min-of-5 re-measure gives 3.25s (runs "
+        "8.21/3.74/3.67/3.42/3.25) — BELOW the r7 record of 3.36s even "
+        "with the third incremental_dedup_batch call included. The "
+        "retry wave appends one extra O(wave) fingerprint write, "
+        "invisible at this scale; the 5.53s run sat late in a bench "
+        "group whose earlier streaming queries leave the session warm "
+        "but memory-pressured."
+    ),
+    "q65_training_pipeline": (
+        "r8 verdict watch item (2.58->3.14s over two rounds with the "
+        "module untouched) closed in r9: isolated fresh-child min-of-5 "
+        "gives 2.65s (runs 6.60/3.35/2.65/2.72/2.80) — within 3% of the "
+        "r6 2.58s record and well inside the verdict's 1.2x bound. "
+        "In-group drift tracked box state, not code."
+    ),
+    "qx125_pagerank": (
+        "r8 verdict watch item (4.04->4.68s over two rounds, module "
+        "untouched) closed in r9: isolated fresh-child min-of-5 gives "
+        "3.99s (runs 8.67/4.62/4.40/4.33/3.99) — below the r6 4.04s "
+        "record. Iterative CC/PageRank rounds pay fixed scheduler cost "
+        "per wave; wall time tracks concurrent load, plan unchanged."
     ),
 }
 
@@ -523,6 +595,9 @@ def main() -> None:
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from bqfetch_spark.registry import all_queries
+
+    _check_headline_coverage(all_queries())
     suite_t0 = time.time()
     # Load guard (round-5 VERDICT #4): a busy box quietly inflates every
     # timing; record 1-min load average per CPU at suite start and flag
@@ -589,6 +664,7 @@ def main() -> None:
                 "regressions_vs": prev_name,
                 "regressions": regressions,
                 "adjudications": ADJUDICATIONS,
+                "exclusions": EXCLUSIONS,
                 "suite_wall_incl_startup_sec": suite_wall,
                 "load1_at_start": round(load1, 2),
                 "ncpus": ncpus,

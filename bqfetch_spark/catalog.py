@@ -119,7 +119,9 @@ def _session_uuid(spark: SparkSession) -> str:
 
 
 def load_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
-    key = (spark.sparkContext.applicationId, _session_uuid(spark), sf_dir)
+    from bqfetch_spark.compat import app_id
+
+    key = (app_id(spark), _session_uuid(spark), sf_dir)
     cat = _CATALOGS.get(key)
     if cat is None:
         cat = Catalog(spark, sf_dir).load_all()

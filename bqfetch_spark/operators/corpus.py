@@ -1458,7 +1458,12 @@ def qx243_mixture_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     fl = srcs.select(
         "source",
         "w",
-        (F.lit(budget) * F.col("w") / F.lit(s_total)).cast("bigint").alias("fl"),
+        # `div` is Spark's integral division over BIGINT — NOT `/`, which
+        # is floating-point Divide and can round a .9999… quotient up
+        # (and loses exactness past 2^53). Matches DuckDB `//`.
+        F.expr(f"(CAST({budget} AS BIGINT) * w) div CAST({s_total} AS BIGINT)")
+        .cast("bigint")
+        .alias("fl"),
         (F.lit(budget) * F.col("w") % F.lit(s_total)).alias("rem"),
     )
     leftover = budget - fl.agg(F.sum("fl")).first()[0]

@@ -761,8 +761,9 @@ def commit_snapshot(
     written temp-file+os.replace, so a crashed commit leaves orphaned
     data files (vacuum collects them) but never a half-visible
     snapshot. A concurrent committer racing to the same version loses
-    on the atomic manifest rename — optimistic concurrency, the
-    Iceberg/Delta protocol shape."""
+    on the atomic manifest link (os.link raises EEXIST — the kernel,
+    not a check-then-act exists() probe, arbitrates the race) —
+    optimistic concurrency, the Iceberg/Delta protocol shape."""
     import json
     import tempfile
 
@@ -792,10 +793,18 @@ def commit_snapshot(
     with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh)
     target = _manifest_path(table_dir, version)
-    if os.path.exists(target):
+    try:
+        # os.link fails with EEXIST if the manifest already exists, so the
+        # FILESYSTEM enforces the conflict — a check-then-act exists()
+        # followed by os.replace() would let two racing committers both
+        # "succeed" (os.replace silently overwrites) and lose one commit.
+        os.link(tmp, target)
+    except FileExistsError:
         os.remove(tmp)
-        raise RuntimeError(f"concurrent commit conflict on v{version} in {table_dir}")
-    os.replace(tmp, target)
+        raise RuntimeError(
+            f"concurrent commit conflict on v{version} in {table_dir}"
+        ) from None
+    os.remove(tmp)
     return version
 
 

@@ -1732,7 +1732,16 @@ def qx147_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_min_sketch("token", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)).alias("cms"),
         F.count(F.lit(1)).alias("n_total"),
     ).first()
-    jvm = spark._jvm
+    from bqfetch_spark.compat import jvm_or_none
+
+    jvm = jvm_or_none(spark)
+    if jvm is None:  # Spark Connect: no JVM-side sketch deserializer
+        raise RuntimeError(
+            "qx147's sketch-bound probe deserializes Spark's CountMinSketch "
+            "driver-side via the JVM reader, which Spark Connect does not "
+            "expose; run this query on classic PySpark (every other column "
+            "of the result is plain DataFrame output and Connect-safe)"
+        )
     sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         bytes(agg["cms"])
     )

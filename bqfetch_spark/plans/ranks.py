@@ -32,16 +32,21 @@ from pyspark.sql.window import Window
 RANK_SAMPLE_PER_BUCKET = 32
 
 
-def _lex_ge(order_cols: list[str], boundary: tuple) -> F.Column:
-    """Deterministic lexicographic ``(c1, c2, …) >= boundary`` built
-    from explicit column comparisons (struct literals would need
-    field-name/type gymnastics). A NULL anywhere yields SQL NULL,
+def _lex_ge(order_cols: list[str], boundary) -> F.Column:
+    """Deterministic lexicographic ``(c1, c2, …) >= boundary``.
+    ``boundary`` is either a Python tuple of literals or a struct
+    Column (an element of the broadcast boundary array) whose fields
+    are named after ``order_cols``. A NULL anywhere yields SQL NULL,
     which the caller folds to 0 — null keys sort first under Spark's
     asc NULLS FIRST, so 'always below every boundary' is exactly the
     monotone bucket they need."""
+    if isinstance(boundary, tuple):
+        parts = [F.lit(b) for b in boundary]
+    else:
+        parts = [boundary[c] for c in order_cols]
     ge = F.lit(True)
-    for c, b in reversed(list(zip(order_cols, boundary))):
-        ge = (F.col(c) > F.lit(b)) | ((F.col(c) == F.lit(b)) & ge)
+    for c, b in reversed(list(zip(order_cols, parts))):
+        ge = (F.col(c) > b) | ((F.col(c) == b) & ge)
     return ge
 
 
@@ -65,7 +70,16 @@ def _bucket_expr(df: DataFrame, order_cols: list[str], n_buckets: int) -> F.Colu
     Exactness does not depend on where the sampled boundaries land
     (offsets come from actual counts); the sample only balances bucket
     sizes. Monotone by construction, ties share a bucket, and a NULL
-    key lands in bucket 0 (nulls-first asc order)."""
+    key lands in bucket 0 (nulls-first asc order).
+
+    Physical spelling of the id: the sorted boundary list is a SINGLE
+    broadcast array-of-structs literal and the id is
+    ``size(filter(boundaries, b -> key >= b))`` — one higher-order
+    expression whose codegen loops over array DATA at runtime. The
+    naive alternative (one nested WHEN per boundary) grows the
+    expression TREE with n_buckets and at ~200 boundaries × multi-column
+    compares risks blowing the 64 KB JVM method limit and falling out
+    of whole-stage codegen — in the exact plan that exists for scale."""
     key_struct = F.struct(*[F.col(c) for c in order_cols])
     sample = (
         df.select(key_struct.alias("__k"))
@@ -84,10 +98,24 @@ def _bucket_expr(df: DataFrame, order_cols: list[str], n_buckets: int) -> F.Colu
             boundaries.append(keys[i])
         if len(boundaries) >= n_buckets - 1:
             break
-    bucket = F.lit(0)
-    for b in boundaries:
-        bucket = bucket + F.when(_lex_ge(order_cols, b), 1).otherwise(0)
-    return bucket.cast("int")
+    if not boundaries:
+        return F.lit(0).cast("int")
+    types = {c: df.schema[c].dataType for c in order_cols}
+    arr = F.array(
+        *[
+            F.struct(
+                *[
+                    F.lit(v).cast(types[c]).alias(c)
+                    for c, v in zip(order_cols, b)
+                ]
+            )
+            for b in boundaries
+        ]
+    )
+    # NULL key fields make _lex_ge NULL; filter() drops NULL-predicate
+    # elements, so null keys count 0 boundaries → bucket 0, identical
+    # to the old fold-to-0 WHEN spelling.
+    return F.size(F.filter(arr, lambda b: _lex_ge(order_cols, b))).cast("int")
 
 
 # rows below which a materialized (checkpointed) frame takes the plain
@@ -116,10 +144,16 @@ def _resolve_rank_input(df: DataFrame) -> tuple[DataFrame, bool]:
       the wrong trade."""
     if plan_size_bytes(df) <= SINGLE_SORT_BYTES:
         return df, True
-    try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-    except Exception:
-        plan = ""
+    from bqfetch_spark.compat import optimized_plan_string
+
+    plan = optimized_plan_string(df)
+    if plan is None:
+        # Connect / API drift: no plan introspection at all. Materialize
+        # once and route by exact rows — the same scale-safe shape as the
+        # aggregate branch (never a blind single-task sort, never three
+        # upstream re-runs).
+        ck = df.localCheckpoint(eager=False)
+        return (ck, True) if ck.count() <= SINGLE_SORT_ROWS else (ck, False)
     if "LogicalRDD" in plan or "ExistingRDD" in plan or "Scan ExistingRDD" in plan:
         # already materialized (a caller's checkpoint, e.g. qx117's
         # eager counters): counting it is cheap and exact — route by
@@ -229,7 +263,26 @@ def with_global_cumsums(
     data k times for the same order. Adaptive like
     :func:`with_global_rank`: under the crossover a plain
     unpartitioned running-sum window, above it the one-shuffle bucket
-    machinery — bit-identical outputs either way."""
+    machinery — bit-identical outputs either way.
+
+    Output type: integral ``val_col``s produce BIGINT running sums
+    (exact, and identical across both physical spellings — integer
+    addition is associative). Non-integral inputs keep Spark's native
+    ``sum`` result type (double for double, widened decimal for
+    decimal) — decimals stay exact across spellings; doubles may
+    differ in final ULPs between spellings because float addition is
+    not associative."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    casts = {
+        v: "bigint" if isinstance(df.schema[v].dataType, integral) else None
+        for v in val_to_cum
+    }
+
+    def _typed(col: F.Column, v: str) -> F.Column:
+        return col.cast(casts[v]) if casts[v] else col
+
     df, single = _resolve_rank_input(df)
     if single:
         w = (
@@ -238,7 +291,7 @@ def with_global_cumsums(
         )
         out = df
         for v, cum_col in val_to_cum.items():
-            out = out.withColumn(cum_col, F.sum(v).over(w).cast("bigint"))
+            out = out.withColumn(cum_col, _typed(F.sum(v).over(w), v))
         return out
     bucketed = df.withColumn("__pid", _bucket_expr(df, order_cols, n_partitions))
     ranged = bucketed.repartition(n_partitions, "__pid")
@@ -261,7 +314,7 @@ def with_global_cumsums(
     out = ranged.join(F.broadcast(offsets), "__pid")
     for v, cum_col in val_to_cum.items():
         out = out.withColumn(
-            cum_col, (F.col(f"__off_{v}") + F.sum(v).over(local)).cast("bigint")
+            cum_col, _typed(F.col(f"__off_{v}") + F.sum(v).over(local), v)
         )
     return out.drop("__pid", *[f"__off_{v}" for v in val_to_cum])
 
@@ -281,10 +334,10 @@ def plan_size_bytes(df: DataFrame) -> int:
     fraction, propagated through operators). Unavailable internals
     (Connect, API drift) return +inf so callers fall back to the
     scale-safe path, never the single-task one."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        return 1 << 62
+    from bqfetch_spark.compat import plan_size_bytes_or_none
+
+    size = plan_size_bytes_or_none(df)
+    return size if size is not None else 1 << 62
 
 
 def with_ntile_auto(

@@ -52,10 +52,12 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def pushed_filters(df: DataFrame) -> list[str]:
     """Parse PushedFilters out of the formatted physical plan — the
-    scan-level proof that a predicate reached the source."""
-    plan = df._jdf.queryExecution().explainString(
-        spark_explain_mode("formatted")
-    )
+    scan-level proof that a predicate reached the source. Plan text
+    comes via compat.formatted_plan, so this works under Spark Connect
+    (explain-capture fallback) as well as classic PySpark."""
+    from bqfetch_spark.compat import formatted_plan
+
+    plan = formatted_plan(df)
     out: list[str] = []
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
         body = m.group(1).strip()
@@ -65,17 +67,13 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 
 def read_schema(df: DataFrame) -> str | None:
-    """The ReadSchema of the scan — proof of column pruning."""
-    plan = df._jdf.queryExecution().explainString(spark_explain_mode("formatted"))
+    """The ReadSchema of the scan — proof of column pruning.
+    Connect-tolerant via compat.formatted_plan."""
+    from bqfetch_spark.compat import formatted_plan
+
+    plan = formatted_plan(df)
     m = re.search(r"ReadSchema: (\S+)", plan)
     return m.group(1) if m else None
-
-
-def spark_explain_mode(mode: str):
-    from pyspark.sql import SparkSession as _S
-
-    jvm = _S.getActiveSession()._jvm
-    return jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
 
 
 # ---------------------------------------------------------------------------

@@ -24,3 +24,14 @@ def test_all_modules_import_without_spark_session():
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
+
+
+def test_bench_headline_plus_exclusions_cover_registry_exactly():
+    """VERDICT r8 #7: every registry query is either benched (HEADLINE)
+    or carries an explicit covered-by exclusion — disjointly, with no
+    stale names. The same check gates bench.py at runtime; this pytest
+    catches it at development time."""
+    import bench
+    from bqfetch_spark.registry import all_queries
+
+    bench._check_headline_coverage(all_queries())

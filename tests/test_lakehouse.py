@@ -20,9 +20,9 @@ def test_q38_scan_is_partition_pruned(spark):
     """The day filter must land in PartitionFilters (directory-level
     pruning), not as a data filter over every file."""
     df = REG["q38_partition_pruned_scan"].fn(spark, SF_SMOKE)
-    from bqfetch_spark.sources.readers import spark_explain_mode
+    from bqfetch_spark.compat import formatted_plan
 
-    plan = df._jdf.queryExecution().explainString(spark_explain_mode("formatted"))
+    plan = formatted_plan(df)
     assert "PartitionFilters" in plan
     assert "event_date" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
     # prove the pruned scan equals the unpruned-filter spelling
@@ -466,6 +466,13 @@ def test_commit_conflict_raises(spark, tmp_path):
             commit_snapshot(spark, store, docs)
     finally:
         lakehouse.table_version = real_table_version
+    # the loser must NOT have overwritten the winner's manifest (os.link
+    # EEXIST enforces this; a check-then-act os.replace would clobber it)
+    with open(path) as fh:
+        assert json.load(fh) == {"version": 2, "files": []}
+    # and no temp manifest may be left behind
+    mdir = _os.path.dirname(path)
+    assert not [f for f in _os.listdir(mdir) if f.startswith(".v.")]
 
 
 def test_optimize_commit_drops_file_count_and_keeps_history(spark, tmp_path):

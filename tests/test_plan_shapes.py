@@ -16,10 +16,10 @@ def _plan(spark, name: str) -> str:
 
 
 def _formatted(spark, name: str) -> str:
-    from bqfetch_spark.sources.readers import spark_explain_mode
+    from bqfetch_spark.compat import formatted_plan
 
     df = REG[name].fn(spark, SF_CORRECT)
-    return df._jdf.queryExecution().explainString(spark_explain_mode("formatted"))
+    return formatted_plan(df)
 
 
 def test_q01_filter_pushed_to_scan(spark):

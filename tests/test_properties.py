@@ -472,3 +472,89 @@ def test_global_cummax_excl_equals_single_window(spark, vals, parts):
         for r in df.withColumn("m", F.max("v").over(w)).collect()
     }
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-100, 100)),
+            st.integers(0, 10**6),
+            st.integers(0, 50),
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[1],
+    ),
+    parts=st.integers(1, 5),
+)
+@settings(max_examples=15, deadline=None)
+def test_global_rank_and_cummax_nullable_keys(spark, vals, parts):
+    """NULL order keys through the forced SCALE path: _lex_ge folds a
+    NULL comparison to 'not >= any boundary', so null keys must land in
+    bucket 0 and rank FIRST — exactly Spark's asc NULLS FIRST that the
+    single-window spelling gets natively. A regression in the null fold
+    (ADVICE r8: documented but untested) would misplace null keys and
+    break parity here."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    import bqfetch_spark.plans.ranks as ranks
+
+    df = spark.createDataFrame(vals, "v long, k long, x long")
+    old = (ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS)
+    ranks.SINGLE_SORT_BYTES = ranks.SINGLE_SORT_ROWS = -1
+    try:
+        got_rank = {
+            r.k: r.i
+            for r in ranks.with_global_rank(
+                df, ["v", "k"], parts, rank_col="i"
+            ).collect()
+        }
+        got_max = {
+            r.k: r.m
+            for r in ranks.with_global_cummax_excl(
+                df, ["v", "k"], "x", parts, "m"
+            ).collect()
+        }
+    finally:
+        ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS = old
+    w = Window.orderBy("v", "k")
+    want_rank = {
+        r.k: r.i for r in df.withColumn("i", F.row_number().over(w)).collect()
+    }
+    wx = Window.orderBy("v", "k").rowsBetween(Window.unboundedPreceding, -1)
+    want_max = {
+        r.k: r.m for r in df.withColumn("m", F.max("x").over(wx)).collect()
+    }
+    assert got_rank == want_rank
+    assert got_max == want_max
+
+
+def test_global_cumsum_preserves_double_type(spark):
+    """ADVICE r8: with_global_cumsums must not truncate non-integral
+    value columns to bigint. Doubles keep a double running sum in BOTH
+    physical spellings; integers still come back bigint."""
+    import bqfetch_spark.plans.ranks as ranks
+
+    rows = [(i, 0.5 + i, i) for i in range(20)]
+    df = spark.createDataFrame(rows, "k long, d double, n int")
+    for force_scale in (False, True):
+        old = (ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS)
+        if force_scale:
+            ranks.SINGLE_SORT_BYTES = ranks.SINGLE_SORT_ROWS = -1
+        try:
+            out = ranks.with_global_cumsums(
+                df, ["k"], {"d": "cd", "n": "cn"}, 4
+            )
+            schema = {f.name: f.dataType.simpleString() for f in out.schema}
+            assert schema["cd"] == "double", (force_scale, schema)
+            assert schema["cn"] == "bigint", (force_scale, schema)
+            got = {r.k: (r.cd, r.cn) for r in out.collect()}
+        finally:
+            ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS = old
+        run_d, run_n = 0.0, 0
+        for k, d, n in rows:
+            run_d += d
+            run_n += n
+            assert abs(got[k][0] - run_d) < 1e-9, (force_scale, k)
+            assert got[k][1] == run_n, (force_scale, k)
