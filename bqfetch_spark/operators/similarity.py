@@ -969,10 +969,99 @@ def decode_stat_sums(rows, n: int):
     return sx, sxy
 
 
+def _pca_eig_inputs(spark: SparkSession, sf_dir: str):
+    """(n, mu list, flat symmetric covariance) as UNROUNDED doubles in
+    the exact expression the oracle spells — verified bit-identical
+    across engines (2080/2080 covariance entries, 64/64 means at
+    sf0.01): both sides hold the same integer sums (qx192's fixed-point
+    trick), and decimal→double conversion plus the combine arithmetic
+    are correctly-rounded IEEE ops in both CPython and DuckDB."""
+    n, sx, sxy = _embedding_sufficient_stats(spark, sf_dir)
+    cov_flat = [0.0] * (PCA_DIM * PCA_DIM)
+    for (i, j), s in sxy.items():
+        c = (n * s - sx[i] * sx[j]) / (float(n) * n)
+        cov_flat[i * PCA_DIM + j] = c
+        cov_flat[j * PCA_DIM + i] = c
+    mu = [sx[i] / float(n) for i in range(PCA_DIM)]
+    return n, mu, cov_flat
+
+
+def _pca_shared_oracle_ctes() -> str:
+    """The oracle CTE chain shared by qx193/qx208: quantized moments →
+    unrounded covariance grid → flat matrix + mean vector → the
+    deterministic Jacobi eigensolver (functions/detmath.py — bit-equal
+    to the driver spelling). Requires WITH RECURSIVE."""
+    from bqfetch_spark.functions.detmath import jacobi_sql_ctes
+
+    d = PCA_DIM
+    return f"""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+nn AS (SELECT count(*) AS n FROM e),
+idx AS (SELECT unnest(generate_series(1, {d})) AS p),
+moments AS (
+  SELECT ii.p AS i, jj.p AS j,
+         sum(CAST(round(e.v[ii.p] * e.v[jj.p] * {PCA_Q:.1f}) AS BIGINT)) AS q
+  FROM e, idx ii, idx jj WHERE ii.p <= jj.p GROUP BY ii.p, jj.p
+),
+means AS (
+  SELECT ii.p AS i, sum(CAST(round(e.v[ii.p] * {PCA_Q:.1f}) AS BIGINT)) AS q
+  FROM e, idx ii GROUP BY ii.p
+),
+covful AS (
+  SELECT gi.p AS i, gj.p AS j,
+         (nn.n * (CAST(m.q AS DOUBLE) / {PCA_Q:.1f})
+          - (CAST(mi.q AS DOUBLE) / {PCA_Q:.1f})
+            * (CAST(mj.q AS DOUBLE) / {PCA_Q:.1f}))
+         / (CAST(nn.n AS DOUBLE) * nn.n) AS cov
+  FROM idx gi
+  CROSS JOIN idx gj
+  JOIN moments m ON m.i = least(gi.p, gj.p) AND m.j = greatest(gi.p, gj.p)
+  JOIN means mi ON mi.i = gi.p
+  JOIN means mj ON mj.i = gj.p
+  CROSS JOIN nn
+),
+a0(a) AS MATERIALIZED (SELECT list(cov ORDER BY i, j) FROM covful),
+mu0(mu) AS MATERIALIZED (
+  SELECT list((CAST(q AS DOUBLE) / {PCA_Q:.1f}) / CAST(nn.n AS DOUBLE) ORDER BY i)
+  FROM means, nn
+),
+{jacobi_sql_ctes("a0", d)}"""
+
+
+def _pca_oracle() -> str:
+    from bqfetch_spark.functions.detmath import _d, seq_dot_sql, sign_pin_sql
+
+    d = PCA_DIM
+    center_terms = f"list_transform(range(1,{d}+1), k -> (e.v[k] - mu[k]) * c.w[k])"
+    pc = f"round({seq_dot_sql(center_terms)}, 6) + {_d(0.0)}"
+    pivot = ",\n  ".join(
+        f"max(CASE WHEN rk = {k + 1} THEN pc END) AS pc{k + 1}"
+        for k in range(PCA_K)
+    )
+    return f"""
+WITH RECURSIVE {_pca_shared_oracle_ctes()},
+comps AS MATERIALIZED (
+  SELECT rk, {sign_pin_sql('w0')} AS w
+  FROM (
+    SELECT row_number() OVER (ORDER BY lam[ii.p] DESC, ii.p) AS rk,
+           list_transform(range(1,{d}+1), r -> vm[(r-1)*{d} + ii.p]) AS w0
+    FROM jfin, idx ii
+  ) WHERE rk <= {PCA_K}
+),
+proj AS (
+  SELECT e.vec_id, c.rk, {pc} AS pc
+  FROM e, comps c, mu0
+)
+SELECT vec_id, {pivot}
+FROM proj GROUP BY vec_id
+"""
+
+
 @register(
     "qx193_embedding_pca",
-    oracle=None,
-    doc="PCA projection of embeddings to PCA_K dims (driver eigh over qx192's stats)",
+    oracle=_pca_oracle(),
+    doc="PCA projection of embeddings to PCA_K dims (deterministic Jacobi over qx192's stats)",
     tags=("similarity", "pca", "dimensionality"),
 )
 def qx193_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -980,35 +1069,29 @@ def qx193_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-compression step before ANN indexing / whitening in embedding
     pipelines. The covariance comes from qx192's one-pass exact
     sufficient statistics (4160-key exchange, never a vector pair);
-    the 64×64 eigendecomposition is DRIVER-side numpy (eigh on a
-    matrix this size is microseconds — distributing it would be
-    theater); the projection back over the table is a broadcast of
-    k×64 literal doubles folded per row with zip_with/aggregate — all
-    JVM, no Python in the per-vector path, no second shuffle. At
-    100 TB: the stats pass reads the corpus once, the projection is a
-    map-only rewrite. Signs are fixed deterministically (largest-|w|
-    component positive, ties to the lower index) so output is stable
-    across LAPACK builds; order-exact fixed-point input sums make the
-    eigenvectors themselves bit-stable across partitionings.
-    Rows-only by design (no SQL eigendecomposition); numpy-parity,
-    variance-ordering, and orthonormality are pytest-gated
-    (tests/test_ann_recall.py)."""
-    import numpy as np
+    the 64×64 eigendecomposition is DRIVER-side (microseconds-scale
+    matrix — distributing it would be theater); the projection back
+    over the table is a broadcast of k×64 literal doubles folded per
+    row with zip_with/aggregate — all JVM, no Python in the per-vector
+    path, no second shuffle. At 100 TB: the stats pass reads the
+    corpus once, the projection is a map-only rewrite.
 
-    n, sx, sxy = _embedding_sufficient_stats(spark, sf_dir)
-    sx_f = np.array([float(s) for s in sx])
-    cov = np.zeros((64, 64))
-    for (i, j), s in sxy.items():
-        c = (n * float(s) - sx_f[i] * sx_f[j]) / (float(n) * n)
-        cov[i, j] = cov[j, i] = c
-    mu = sx_f / n
-    evals, evecs = np.linalg.eigh(cov)
-    order = np.argsort(evals)[::-1][:PCA_K]
-    comps = evecs[:, order].T  # (k, 64)
-    for r in range(PCA_K):  # deterministic sign: largest-|w| positive
-        m = np.argmax(np.abs(comps[r]))
-        if comps[r, m] < 0:
-            comps[r] = -comps[r]
+    FULL VALUE-HASH ORACLE (VERDICT r8 #2 — this was rows-only through
+    r8): the eigensolver is functions/detmath.py's fixed-schedule
+    parallel Jacobi, spelled once in driver Python and once in the
+    oracle's WITH-RECURSIVE SQL with every FP op in the same order, so
+    eigenvalues/eigenvectors are BIT-IDENTICAL across engines (the
+    near-isotropic fixture spectrum, λk/λk+1 ≈ 1.01, makes any
+    tolerance-based comparison meaningless — exactness is the only
+    honest check). Signs pinned largest-|w|-positive, order pinned
+    (λ desc, index asc); ``+ 0.0`` folds -0.0 so both engines render
+    zero identically. numpy-parity, variance-ordering, and
+    orthonormality remain pytest-gated (tests/test_ann_recall.py)."""
+    from bqfetch_spark.functions.detmath import jacobi_eigh_flat, top_components
+
+    n, mu, cov_flat = _pca_eig_inputs(spark, sf_dir)
+    lam, vflat = jacobi_eigh_flat(cov_flat, PCA_DIM)
+    comps = top_components(lam, vflat, PCA_DIM, PCA_K)
 
     emb = load_catalog(spark, sf_dir).table("embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
@@ -1018,16 +1101,19 @@ def qx193_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     projected = emb.select("vec_id", centered.alias("vc"))
     cols = [
-        r6(
-            F.aggregate(
-                F.zip_with(
-                    "vc",
-                    F.array(*[F.lit(float(w)) for w in comps[k]]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+        (
+            r6(
+                F.aggregate(
+                    F.zip_with(
+                        "vc",
+                        F.array(*[F.lit(float(w)) for w in comps[k]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
             )
+            + F.lit(0.0)
         ).alias(f"pc{k + 1}")
         for k in range(PCA_K)
     ]
@@ -1369,9 +1455,38 @@ def qx199_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 ZCA_EPS = 1e-5  # eigenvalue floor: don't amplify near-null directions
 
 
+def _zca_oracle() -> str:
+    from bqfetch_spark.functions.detmath import _d, seq_dot_sql
+
+    d = PCA_DIM
+    # W[i][j] = Σ_k V[i][k]·g[k]·V[j][k], reduce-from-first (matches
+    # detmath.whitening_flat — NOT the 0.0-prepended output sums)
+    w_terms = (
+        f"list_transform(range(1,{d}+1), k -> "
+        f"vm[((x-1)//{d})*{d} + k] * g[k] * vm[((x-1)%{d})*{d} + k])"
+    )
+    out_terms = f"list_transform(range(1,{d}+1), k -> (e.v[k] - mu[k]) * w[(r-1)*{d} + k])"
+    return f"""
+WITH RECURSIVE {_pca_shared_oracle_ctes()},
+gl(g) AS MATERIALIZED (
+  SELECT list_transform(lam, l -> {_d(1.0)} / sqrt(greatest(l, {_d(0.0)}) + {_d(ZCA_EPS)}))
+  FROM jfin
+),
+wm(w) AS MATERIALIZED (
+  SELECT list_transform(range(1,{d * d}+1), x ->
+           list_reduce({w_terms}, (xx, yy) -> xx + yy))
+  FROM jfin, gl
+)
+SELECT e.vec_id,
+       list_transform(range(1,{d}+1), r ->
+         round({seq_dot_sql(out_terms)}, 6) + {_d(0.0)}) AS whitened
+FROM e, wm, mu0
+"""
+
+
 @register(
     "qx208_embedding_whitening",
-    oracle=None,
+    oracle=_zca_oracle(),
     doc="ZCA-whitened embeddings: W = U diag(1/sqrt(l+eps)) U^T over qx192's stats",
     tags=("similarity", "pca", "whitening"),
 )
@@ -1383,25 +1498,23 @@ def qx208_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x − μ), the unique whitener CLOSEST to the identity, so whitened
     vectors stay interpretable. Same execution shape as qx193: exact
     one-pass sufficient statistics (qx192's fixed-point sums →
-    bit-stable eigendecomposition), driver-side 64×64 eigh, then the
-    64×64 whitening matrix folds per row as broadcast-literal
+    bit-stable eigendecomposition), driver-side 64×64 eigensolve, then
+    the 64×64 whitening matrix folds per row as broadcast-literal
     zip_with/aggregate expressions — map-only, JVM-side, no second
     shuffle. ε floors near-null eigenvalues so noise directions are
-    not amplified 1/√λ → ∞. Rows-only (no SQL eigendecomposition);
-    the whitened covariance ≈ I property — the operator's entire
-    point — is pytest-gated (tests/test_ann_recall.py), which an
-    output-hash oracle could not express anyway."""
-    import numpy as np
+    not amplified 1/√λ → ∞.
 
-    n, sx, sxy = _embedding_sufficient_stats(spark, sf_dir)
-    sx_f = np.array(sx)
-    cov = np.zeros((PCA_DIM, PCA_DIM))
-    for (i, j), s in sxy.items():
-        c = (n * s - sx_f[i] * sx_f[j]) / (float(n) * n)
-        cov[i, j] = cov[j, i] = c
-    mu = sx_f / n
-    evals, evecs = np.linalg.eigh(cov)
-    wmat = evecs @ np.diag(1.0 / np.sqrt(np.maximum(evals, 0.0) + ZCA_EPS)) @ evecs.T
+    FULL VALUE-HASH ORACLE (VERDICT r8 #2 — rows-only through r8): the
+    eigensolver and the whitener assembly are functions/detmath.py's
+    deterministic spellings (fixed-schedule parallel Jacobi +
+    natural-order Gram assembly), bit-identical between the driver and
+    the oracle's WITH-RECURSIVE SQL; the whitened-covariance≈I pytest
+    gate (tests/test_ann_recall.py) keeps pinning the semantics."""
+    from bqfetch_spark.functions.detmath import jacobi_eigh_flat, whitening_flat
+
+    n, mu, cov_flat = _pca_eig_inputs(spark, sf_dir)
+    lam, vflat = jacobi_eigh_flat(cov_flat, PCA_DIM)
+    wmat_flat = whitening_flat(lam, vflat, PCA_DIM, ZCA_EPS)
 
     emb = load_catalog(spark, sf_dir).table("embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
@@ -1415,13 +1528,19 @@ def qx208_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(
                 F.zip_with(
                     "vc",
-                    F.array(*[F.lit(float(w)) for w in wmat[k]]),
+                    F.array(
+                        *[
+                            F.lit(float(w))
+                            for w in wmat_flat[k * PCA_DIM : (k + 1) * PCA_DIM]
+                        ]
+                    ),
                     lambda x, y: x * y,
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
         )
+        + F.lit(0.0)
         for k in range(PCA_DIM)
     ]
     return projected.select("vec_id", F.array(*comps).alias("whitened"))
