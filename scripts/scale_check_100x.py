@@ -291,6 +291,135 @@ def check_global_rank_100x(spark) -> None:
         ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS = old
 
 
+def check_rank_hotkey_100x(spark) -> None:
+    """Round-9 (VERDICT r8 #6): planted 10%-hot order key through the
+    one-pass rank. The bucket boundaries are sampled over the FULL key
+    tuple (value + unique tiebreak), so a hot VALUE's ties are split
+    across buckets by the tiebreak column — no single bucket absorbs
+    the hot key. Asserts (a) the bucket histogram stays bounded under
+    skew, (b) ranks remain an exact permutation, (c) skewed wall time
+    stays within ~2x of the uniform corpus at the same size."""
+    from pyspark.sql import functions as F
+
+    import bqfetch_spark.plans.ranks as ranks
+
+    print("[global-rank] planted 10%-hot key at 6M rows")
+    n = 6_000_000
+    n_parts = 32
+    skew = (
+        spark.range(n)
+        .select(
+            # 10% of rows share v=0; the rest spread over 997 values
+            F.when(F.col("id") % 10 == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(997)) + 1)
+            .alias("v"),
+            F.col("id").alias("k"),
+        )
+        .repartition(32)
+    )
+    skew.write.mode("overwrite").parquet(f"{TMP}/rank_skew.parquet")
+    skew = spark.read.parquet(f"{TMP}/rank_skew.parquet")
+    uni = spark.read.parquet(f"{TMP}/rank_big.parquet")  # from check_global_rank_100x
+
+    old = (ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS)
+    ranks.SINGLE_SORT_BYTES = ranks.SINGLE_SORT_ROWS = -1
+    try:
+        # (a) bucket histogram under skew: the hot key must split
+        hist = (
+            skew.withColumn("b", ranks._bucket_expr(skew, ["v", "k"], n_parts))
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        counts = sorted((r["count"] for r in hist), reverse=True)
+        mean = n / len(counts)
+        print(
+            f"  buckets={len(counts)} max={counts[0]} mean={mean:.0f} "
+            f"max/mean={counts[0] / mean:.2f}"
+        )
+        assert counts[0] <= 3 * mean, (
+            f"hot key concentrated: max bucket {counts[0]} vs mean {mean:.0f}"
+        )
+        # (b)+(c) exact permutation and bounded slowdown vs uniform
+        worst = 0.0
+        for i in range(2):
+            t0 = time.time()
+            ru = ranks.with_global_rank(uni, ["v", "k"], n_parts, rank_col="r")
+            ru.agg(F.max("r")).collect()
+            t_uni = time.time() - t0
+            t0 = time.time()
+            rs = ranks.with_global_rank(skew, ["v", "k"], n_parts, rank_col="r")
+            tot = rs.agg(
+                F.max("r"), F.sum(F.col("r").cast("decimal(38,0)"))
+            ).collect()[0]
+            t_skew = time.time() - t0
+            assert int(tot[0]) == n and int(tot[1]) == n * (n + 1) // 2
+            ratio = t_skew / t_uni
+            worst = max(worst, ratio)
+            print(f"  round{i}: uniform={t_uni:.2f}s hot-key={t_skew:.2f}s ratio={ratio:.2f}")
+        print(f"  worst skew/uniform ratio={worst:.2f} (bounded target ~1; one-bucket sort ~{n_parts})")
+        assert worst <= 2.5, f"hot key degrades rank: {worst:.2f}"
+    finally:
+        ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS = old
+
+
+def check_lakehouse_history_100x(spark) -> None:
+    """Round-9 (VERDICT r8 #5): the versioned-manifest family claims
+    O(delta) commits and O(live-files) snapshot reads. Build a
+    3-commit store and a 300-commit store whose LATEST snapshots hold
+    the same content (each commit overwrites, so live files stay
+    constant while history grows 100x); then a fresh append commit, a
+    latest-snapshot read, and an OPTIMIZE must each cost ~the same on
+    both stores — and time travel to v2 must still work under 300
+    manifests."""
+    from bqfetch_spark.operators.lakehouse import (
+        commit_snapshot,
+        read_snapshot,
+        table_version,
+    )
+
+    df = (
+        spark.read.parquet(f"{BASE}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .limit(500)
+        .localCheckpoint(eager=True)
+    )
+    small = os.path.join(TMP, "tt_small")
+    big = os.path.join(TMP, "tt_big")
+    print("[lakehouse] commit/read/OPTIMIZE vs 100x commit history:")
+    t0 = time.time()
+    for store, n_commits in ((small, 3), (big, 300)):
+        commit_snapshot(spark, store, df)
+        for _ in range(n_commits - 1):
+            commit_snapshot(spark, store, df, mode="overwrite")
+    print(f"  built 3-commit and 300-commit stores in {time.time() - t0:.1f}s")
+    assert table_version(small) == 3 and table_version(big) == 300
+
+    def append(store):
+        return commit_snapshot(spark, store, df, mode="append")
+
+    def read_latest(store):
+        return read_snapshot(spark, store).count()
+
+    def optimize(store):
+        latest = read_snapshot(spark, store)
+        return commit_snapshot(spark, store, latest.coalesce(1), mode="overwrite")
+
+    worst = 0.0
+    for label, op in (("append-commit", append), ("read-latest", read_latest),
+                      ("OPTIMIZE", optimize)):
+        ts, _ = timed(f"{label} on 3-commit store", lambda: op(small))
+        tb, _ = timed(f"{label} on 300-commit store", lambda: op(big))
+        # floor at 0.2s: sub-constant ops are scheduler noise, not history cost
+        ratio = tb / max(ts, 0.2)
+        worst = max(worst, ratio)
+        print(f"  {label} ratio={ratio:.2f}")
+    # time travel to an early version under deep history (correctness)
+    assert read_snapshot(spark, big, 2).count() == df.count()
+    print(f"  worst ratio={worst:.2f} (O(live-files) target ~1; O(history) ~100)")
+    assert worst <= 3, f"lakehouse op scales with commit history: {worst:.2f}"
+
+
 def main() -> None:
     spark = get_session("scale-check-100x")
     spark.sparkContext.setLogLevel("ERROR")
@@ -298,6 +427,8 @@ def main() -> None:
     os.makedirs(TMP, exist_ok=True)
     t0 = time.time()
     check_global_rank_100x(spark)
+    check_rank_hotkey_100x(spark)
+    check_lakehouse_history_100x(spark)
     check_q57_wave_append(spark)
     check_q69_candidate_join(spark)
     check_q47_band_join(spark)

