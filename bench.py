@@ -274,6 +274,10 @@ HEADLINE = [
     "qx255_optimize_commit",
     "qx256_watermark_sweep",
     "qx257_epoch_refill_quota",
+    "qx258_split_assignment",
+    "qx259_benchmark_contamination",
+    "qx260_sequence_packing",
+    "qx261_embedding_simhash_bands",
 ]
 
 # Registry queries deliberately NOT benched (VERDICT r8 #7: make the

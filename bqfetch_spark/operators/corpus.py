@@ -1612,3 +1612,166 @@ def qx244_packed_shard_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("shard_id").cast("bigint").alias("shard_id"), "n_docs", "total_tokens", "content_fp")
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx258: deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 10  # md5 bucket space: 0-7 train, 8 val, 9 test
+
+SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % {SPLIT_BUCKETS} AS b
+  FROM documents
+),
+labeled AS (
+  SELECT CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+         n_tokens
+  FROM assigned
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM labeled)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(count(*) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS doc_frac
+FROM labeled
+GROUP BY split
+ORDER BY split
+"""
+
+
+@register(
+    "qx258_split_assignment",
+    oracle=SPLIT_ORACLE,
+    doc="deterministic md5-hash train/val/test split with per-split token budgets",
+    tags=("curation", "corpus", "splitting"),
+)
+def qx258_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment for a training corpus — the step every
+    pipeline needs between curation and sharding, and the one that must
+    NEVER be random: the split is a pure function of the document key
+    (md5 bucket 0-7 train / 8 val / 9 test), so reruns, retries, and
+    incremental ingests route every document to the same split, and
+    leakage checks can recompute membership from keys alone (the same
+    rerun-stable keep-rule stance as q72's stratified sampler).
+
+    Scale shape: one scan, a map-only hash + CASE projection, one
+    3-group aggregate — no shuffle beyond the final tiny exchange.
+    100 TB corpus → identical plan."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % SPLIT_BUCKETS
+    )
+    labeled = docs.select(
+        F.when(b <= 7, "train").when(b == 8, "val").otherwise("test").alias("split"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    total = labeled.count()
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            r6(F.col("n_docs").cast("double") / F.lit(float(total))).alias("doc_frac"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx260: sequence packing (concat-and-chunk into fixed token windows)
+# ---------------------------------------------------------------------------
+
+PACK_WINDOW = 2048  # tokens per training sequence window
+
+PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY ord_key, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_incl
+  FROM toks
+),
+placed AS (
+  SELECT doc_id, n_tokens, cum_incl,
+         (cum_incl - n_tokens) // {PACK_WINDOW} AS window_id,
+         CASE WHEN (cum_incl - n_tokens) // {PACK_WINDOW}
+                   <> (cum_incl - 1) // {PACK_WINDOW} THEN 1 ELSE 0 END AS spans
+  FROM cum
+)
+SELECT CAST(window_id AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(spans) AS BIGINT) AS n_spanning
+FROM placed
+GROUP BY window_id
+ORDER BY window_id
+"""
+
+
+@register(
+    "qx260_sequence_packing",
+    oracle=PACK_ORACLE,
+    doc="concat-and-chunk sequence packing into fixed token windows (one-pass global cumsum)",
+    tags=("curation", "corpus", "packing", "rank-machinery"),
+)
+def qx260_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the GPT-style pretraining step that
+    concatenates documents in a deterministic order and slices the
+    token stream into fixed windows (PACK_WINDOW tokens): each
+    document's window is floor(exclusive-cumsum / W), and a document
+    whose span crosses a boundary is flagged (its loss mask straddles
+    two sequences). Order is (md5(doc_id), doc_id) — rerun-stable
+    shuffling without rand().
+
+    Scale shape: the global running sum rides
+    plans/ranks.with_global_cumsum — ONE deterministic-bucket corpus
+    exchange, no single-task sort of the token stream (the naive
+    unpartitioned window is the first OOM at 100x; cf.
+    q73_shard_packing). Everything downstream of the cumsum is
+    integer arithmetic, so the oracle matches bit-for-bit."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    toks = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    cum = with_global_cumsum(
+        toks, ["ord_key", "doc_id"], "n_tokens", shuffle_partitions(spark), "cum_incl"
+    )
+    placed = cum.select(
+        "n_tokens",
+        F.expr(f"(cum_incl - n_tokens) div {PACK_WINDOW}").alias("window_id"),
+        F.when(
+            F.expr(f"(cum_incl - n_tokens) div {PACK_WINDOW}")
+            != F.expr(f"(cum_incl - 1) div {PACK_WINDOW}"),
+            1,
+        )
+        .otherwise(0)
+        .alias("spans"),
+    )
+    return (
+        placed.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("spans").cast("bigint").alias("n_spanning"),
+        )
+        .select(F.col("window_id").cast("bigint").alias("window_id"), "n_docs", "n_tokens", "n_spanning")
+        .orderBy("window_id")
+    )

@@ -1948,3 +1948,83 @@ def qx239_context_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "seg_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx259: benchmark contamination (exact n-gram collision detection)
+# ---------------------------------------------------------------------------
+
+CONTAM_N = 5  # n-gram width of the collision check
+CONTAM_MOD = 7  # doc_id % CONTAM_MOD == 0 plays the "benchmark" set
+
+CONTAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - {CONTAM_N} + 2),
+                i -> array_to_string(w[i:i+{CONTAM_N}-1], ' '))) AS g
+  FROM tok WHERE len(w) >= {CONTAM_N}
+),
+bench AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id % {CONTAM_MOD} = 0
+)
+SELECT s.doc_id,
+       CAST(count(DISTINCT s.g) AS BIGINT) AS n_shared_ngrams
+FROM sh s JOIN bench b USING (g)
+WHERE s.doc_id % {CONTAM_MOD} <> 0
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@register(
+    "qx259_benchmark_contamination",
+    oracle=CONTAM_ORACLE,
+    doc="training docs sharing exact n-grams with a benchmark set (decontamination scan)",
+    tags=("text", "dedup", "contamination"),
+)
+def qx259_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination — the scan every serious pretraining
+    pipeline runs before training: find training documents that share
+    an exact CONTAM_N-gram with any benchmark document (here the
+    deterministic doc_id % CONTAM_MOD == 0 subset plays the benchmark;
+    a real run points this at the eval suites). The GPT-3/PaLM-style
+    n-gram collision rule: one shared n-gram flags the doc.
+
+    Scale shape: training-side shingles join the benchmark shingle set
+    on a 64-bit xxhash64 BUCKET key with the gram string re-checked
+    inside the join (the q40 collision-safe pattern) — full gram text
+    never drives the exchange alone, and the benchmark side of a real
+    run is tiny (eval suites) → broadcast. Counting distinct shared
+    GRAMS (not hashes) keeps the output hash-collision-proof and lets
+    DuckDB spell the identical semantics."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    w = F.split(F.col("text"), " ")
+    sh = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= CONTAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - CONTAM_N + 1),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, CONTAM_N)),
+                )
+            ).alias("g"),
+        )
+        .withColumn("h", F.xxhash64("g"))
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % CONTAM_MOD == 0)
+        .select("h", F.col("g").alias("bg"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    return (
+        train.join(bench, (train["h"] == bench["h"]) & (train["g"] == bench["bg"]))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").cast("bigint").alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )

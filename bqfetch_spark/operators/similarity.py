@@ -1803,3 +1803,133 @@ def qx219_embedding_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "label_a", "label_b", F.round(mterm + vterm, 4).alias("fid2")
     ).orderBy("label_a", "label_b")
+
+
+# ---------------------------------------------------------------------------
+# qx261: embedding SimHash bands (sign-sketch near-dup candidate buckets)
+# ---------------------------------------------------------------------------
+
+SH_BITS = 16  # sign bits per vector
+SH_BANDS = 4  # LSH bands (4 bits each): near-dups collide in >=1 band
+SH_BAND_W = SH_BITS // SH_BANDS
+
+
+def sh_sign(j: int, k: int) -> int:
+    """+1/-1 from the parity of the first hex char of md5('sh:j:k') —
+    the qx218 jl_sign construction under its own namespace, shared
+    verbatim with the oracle so the hyperplane matrix is a pure
+    deterministic function in both engines."""
+    import hashlib
+
+    return 1 if hashlib.md5(f"sh:{j}:{k}".encode()).hexdigest()[0] in "02468ace" else -1
+
+
+SIMHASH_BANDS_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {PCA_Q:.1f}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+sgn AS (
+  SELECT j.j, k.k,
+         CASE WHEN substring(md5('sh:' || CAST(j.j AS VARCHAR) || ':' || CAST(k.k AS VARCHAR)), 1, 1)
+                   IN ('0','2','4','6','8','a','c','e')
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range({SH_BITS})) AS j) j,
+       (SELECT unnest(range({PCA_DIM})) AS k) k
+),
+comp AS (
+  SELECT q.vec_id, e.k, e.x
+  FROM q, LATERAL (SELECT unnest(qv) AS x, generate_subscripts(qv, 1) - 1 AS k) e
+),
+bits AS (
+  SELECT c.vec_id, s.j,
+         CASE WHEN sum(s.s * c.x) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM comp c JOIN sgn s ON c.k = s.k
+  GROUP BY 1, 2
+),
+keys AS (
+  SELECT vec_id, j // {SH_BAND_W} AS band_id,
+         CAST(sum(bit * (1 << (j % {SH_BAND_W}))) AS BIGINT) AS band_key
+  FROM bits GROUP BY 1, 2
+),
+buckets AS (
+  SELECT band_id, band_key, count(*) AS c
+  FROM keys GROUP BY 1, 2
+)
+SELECT CAST(band_id AS BIGINT) AS band_id,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_candidate_pairs
+FROM buckets
+GROUP BY band_id
+ORDER BY band_id
+"""
+
+
+@register(
+    "qx261_embedding_simhash_bands",
+    oracle=SIMHASH_BANDS_ORACLE,
+    doc="sign-sketch (SimHash) banding over embeddings: bucket histogram + candidate-pair mass",
+    tags=("similarity", "dedup", "lsh"),
+)
+def qx261_embedding_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash over EMBEDDINGS (the text SimHash q48's vector sibling):
+    each vector gets SH_BITS sign bits against deterministic md5-derived
+    hyperplanes, the bits split into SH_BANDS bands, and near-duplicates
+    collide in at least one band — the candidate structure an
+    embedding-dedup pass probes instead of an all-pairs cosine. Output
+    is the per-band bucket count and candidate-pair mass (Σ C(c,2) over
+    buckets) — the quantities that decide whether the banding is usable
+    at scale (pair mass ≈ linear) before any expensive verify join.
+
+    Exactness: components quantize to BIGINT at PCA_Q (the qx192
+    trick), hyperplane entries are ±1, so every bit is the sign of an
+    INTEGER sum — no FP parity surface at all, and the oracle matches
+    bit-for-bit. Scale shape: bits are map-only JVM expressions
+    (broadcast ±1 literals folded with zip_with/aggregate), then one
+    groupBy over (band, 4-bit key) — bucket count is bounded by
+    SH_BANDS·2^SH_BAND_W, so the histogram is metadata-sized at any
+    corpus size; the verify join (not materialized here) would probe
+    only within buckets, the q47 band-join shape."""
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id",
+        F.transform(
+            as_double(F.col("embedding")),
+            lambda x: F.round(x * F.lit(float(PCA_Q))).cast("long"),
+        ).alias("qv"),
+    )
+    bit_cols = []
+    for j in range(SH_BITS):
+        signs = F.array(*[F.lit(sh_sign(j, k)) for k in range(PCA_DIM)])
+        acc = F.aggregate(
+            F.zip_with("qv", signs, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        bit_cols.append(F.when(acc >= 0, 1).otherwise(0).alias(f"b{j}"))
+    bits = emb.select("vec_id", *bit_cols)
+    keyed = bits.select(
+        "vec_id",
+        *[
+            sum(
+                (F.col(f"b{b * SH_BAND_W + w}") * F.lit(1 << w))
+                for w in range(SH_BAND_W)
+            )
+            .cast("bigint")
+            .alias(f"key{b}")
+            for b in range(SH_BANDS)
+        ],
+    )
+    per_band = None
+    for b in range(SH_BANDS):
+        buckets = keyed.groupBy(F.col(f"key{b}").alias("band_key")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        row = buckets.agg(
+            F.lit(b).cast("bigint").alias("band_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(F.expr("c * (c - 1) div 2")).cast("bigint").alias("n_candidate_pairs"),
+        )
+        per_band = row if per_band is None else per_band.unionByName(row)
+    return per_band.orderBy("band_id")

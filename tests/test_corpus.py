@@ -792,3 +792,143 @@ def test_mixture_apportionment_quotas_exact_and_prefix_stable(spark):
 
     rerun = qx243_mixture_apportionment(spark, SF_CORRECT).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
+
+
+def test_qx258_split_is_a_deterministic_partition(spark):
+    """Splits must partition the corpus (doc counts sum to the table
+    count, fractions sum to 1), hold all three labels, and be a pure
+    function of doc_id — two runs bit-identical."""
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.corpus import qx258_split_assignment
+    from tests.conftest import SF_SMOKE
+
+    out1 = {r.split: r for r in qx258_split_assignment(spark, SF_SMOKE).collect()}
+    out2 = {r.split: r for r in qx258_split_assignment(spark, SF_SMOKE).collect()}
+    assert set(out1) == {"train", "val", "test"}
+    total = load_catalog(spark, SF_SMOKE).table("documents").count()
+    assert sum(r.n_docs for r in out1.values()) == total
+    assert abs(sum(r.doc_frac for r in out1.values()) - 1.0) < 1e-5
+    assert out1["train"].n_docs > out1["val"].n_docs  # 8:1:1 shape
+    for k in out1:
+        assert (out1[k].n_docs, out1[k].n_tokens) == (out2[k].n_docs, out2[k].n_tokens)
+
+
+def test_qx260_packing_matches_python_recompute(spark):
+    """Full-parity recompute: collect (doc_id, n_tokens), replay the
+    md5-order concat-and-chunk in Python, and compare every window row
+    — plus the global invariants (token conservation, contiguous
+    window ids at fixture scale where every doc < PACK_WINDOW)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.corpus import PACK_WINDOW, qx260_sequence_packing
+    from tests.conftest import SF_SMOKE
+
+    got = {r.window_id: r for r in qx260_sequence_packing(spark, SF_SMOKE).collect()}
+
+    docs = (
+        load_catalog(spark, SF_SMOKE)
+        .table("documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    )
+    ordered = sorted(
+        ((hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id, r.n) for r in docs)
+    )
+    want: dict[int, list[int]] = {}
+    cum = 0
+    for _, _, n in ordered:
+        wid = cum // PACK_WINDOW
+        spans = 1 if (cum // PACK_WINDOW) != ((cum + n - 1) // PACK_WINDOW) else 0
+        d = want.setdefault(wid, [0, 0, 0])
+        d[0] += 1
+        d[1] += n
+        d[2] += spans
+        cum += n
+    assert set(got) == set(want)
+    for wid, (nd, nt, ns) in want.items():
+        assert (got[wid].n_docs, got[wid].n_tokens, got[wid].n_spanning) == (nd, nt, ns), wid
+    assert sum(r.n_tokens for r in got.values()) == sum(n for _, _, n in ordered)
+    assert sorted(got) == list(range(len(got)))  # contiguous at fixture scale
+
+
+def test_qx259_planted_contamination_detected(spark, tmp_path):
+    """A planted training doc that copies an exact CONTAM_N-gram from a
+    benchmark doc must be flagged (the fixture's organic overlap is
+    sparse, so the planted positive proves detection, not luck)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import TABLES, load_catalog
+    from bqfetch_spark.operators.llm_pipeline import (
+        CONTAM_MOD,
+        CONTAM_N,
+        qx259_benchmark_contamination,
+    )
+    from tests.conftest import SF_SMOKE
+
+    d = str(tmp_path / "sfcontam")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(os.path.join(SF_SMOKE, f"{t}.parquet"), os.path.join(d, f"{t}.parquet"))
+    docs = load_catalog(spark, SF_SMOKE).table("documents")
+    bench_text = (
+        docs.filter(F.col("doc_id") % CONTAM_MOD == 0).orderBy("doc_id").first().text
+    )
+    stolen = " ".join(bench_text.split(" ")[:CONTAM_N])
+    plant_id = 900005
+    assert plant_id % CONTAM_MOD != 0  # must land on the training side
+    extra = spark.createDataFrame(
+        [(plant_id, f"zz0 zz1 zz2 {stolen} zz3 zz4", "en", "srcP", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text"))
+    docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        extra
+    ).coalesce(4).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    flagged = {r.doc_id: r.n_shared_ngrams for r in qx259_benchmark_contamination(spark, d).collect()}
+    assert flagged.get(plant_id, 0) >= 1
+
+
+def test_qx261_planted_duplicate_collides_in_every_band(spark, tmp_path):
+    """An exact duplicate vector must share every band key with its
+    original, so each band's candidate-pair mass strictly grows vs the
+    un-planted fixture — and the fixture run itself must be
+    deterministic across invocations."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import TABLES, load_catalog
+    from bqfetch_spark.operators.similarity import qx261_embedding_simhash_bands
+    from tests.conftest import SF_SMOKE
+
+    base = {r.band_id: r for r in qx261_embedding_simhash_bands(spark, SF_SMOKE).collect()}
+    again = {r.band_id: r for r in qx261_embedding_simhash_bands(spark, SF_SMOKE).collect()}
+    assert sorted(base) == [0, 1, 2, 3]
+    for b in base:
+        assert (base[b].n_buckets, base[b].n_candidate_pairs) == (
+            again[b].n_buckets,
+            again[b].n_candidate_pairs,
+        )
+
+    d = str(tmp_path / "sfdupvec")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(os.path.join(SF_SMOKE, f"{t}.parquet"), os.path.join(d, f"{t}.parquet"))
+    emb = load_catalog(spark, SF_SMOKE).table("embeddings")
+    dup = emb.orderBy("vec_id").limit(1).select(
+        F.lit(900000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    emb.select("vec_id", "embedding", "label").unionByName(dup).coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "embeddings.parquet"))
+
+    planted = {r.band_id: r for r in qx261_embedding_simhash_bands(spark, d).collect()}
+    for b in base:
+        assert planted[b].n_candidate_pairs > base[b].n_candidate_pairs, b
