@@ -278,6 +278,8 @@ HEADLINE = [
     "qx259_benchmark_contamination",
     "qx260_sequence_packing",
     "qx261_embedding_simhash_bands",
+    "qx262_packing_manifest",
+    "qx263_source_unigram_drift",
 ]
 
 # Registry queries deliberately NOT benched (VERDICT r8 #7: make the

@@ -1775,3 +1775,184 @@ def qx260_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window_id").cast("bigint").alias("window_id"), "n_docs", "n_tokens", "n_spanning")
         .orderBy("window_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx262: packing manifest (per-window loss-mask segments)
+# ---------------------------------------------------------------------------
+
+PACK_MANIFEST_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY ord_key, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_incl
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, n_tokens, cum_incl - n_tokens AS lo, cum_incl AS hi
+  FROM cum
+)
+SELECT CAST(w AS BIGINT) AS window_id,
+       doc_id,
+       CAST(greatest(lo - w * {PACK_WINDOW}, 0) AS BIGINT) AS seg_start,
+       CAST(least(hi, (w + 1) * {PACK_WINDOW}) - greatest(lo, w * {PACK_WINDOW}) AS BIGINT) AS seg_len
+FROM spans,
+     LATERAL (SELECT unnest(generate_series(lo // {PACK_WINDOW}, (hi - 1) // {PACK_WINDOW})) AS w) ws
+ORDER BY window_id, seg_start
+"""
+
+
+@register(
+    "qx262_packing_manifest",
+    oracle=PACK_MANIFEST_ORACLE,
+    doc="per-window loss-mask segments for the packed token stream (doc, start, len)",
+    tags=("curation", "corpus", "packing", "rank-machinery"),
+)
+def qx262_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loss-mask manifest a training loader consumes for qx260's
+    packed windows: every (window, document) SEGMENT with its in-window
+    start offset and length — a document spanning m windows emits m
+    segments, and each window's segments tile [0, PACK_WINDOW) exactly
+    (pytest-asserted), so attention/loss masks can be built without
+    re-tokenizing. This is the artifact that makes concat-and-chunk
+    packing actually usable, not just counted (qx260 reports the
+    histogram; this emits the layout).
+
+    Scale shape: the only corpus-sized coordination is the SAME
+    one-pass global cumsum qx260 rides; the window fan-out is a
+    row-local sequence explode (a doc touches ⌈len/W⌉ windows), and
+    every output column is BIGINT arithmetic — bit-exact oracle."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    toks = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    cum = with_global_cumsum(
+        toks, ["ord_key", "doc_id"], "n_tokens", shuffle_partitions(spark), "cum_incl"
+    )
+    spans = cum.select(
+        "doc_id",
+        (F.col("cum_incl") - F.col("n_tokens")).alias("lo"),
+        F.col("cum_incl").alias("hi"),
+    )
+    w = F.col("w")
+    return (
+        spans.select(
+            "doc_id",
+            "lo",
+            "hi",
+            F.explode(
+                F.sequence(
+                    F.expr(f"lo div {PACK_WINDOW}"), F.expr(f"(hi - 1) div {PACK_WINDOW}")
+                )
+            ).alias("w"),
+        )
+        .select(
+            w.cast("bigint").alias("window_id"),
+            "doc_id",
+            F.greatest(F.col("lo") - w * PACK_WINDOW, F.lit(0)).cast("bigint").alias("seg_start"),
+            (
+                F.least(F.col("hi"), (w + 1) * PACK_WINDOW)
+                - F.greatest(F.col("lo"), w * PACK_WINDOW)
+            ).cast("bigint").alias("seg_len"),
+        )
+        .orderBy("window_id", "seg_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx263: per-source unigram drift (integer-exact total variation distance)
+# ---------------------------------------------------------------------------
+
+TVD_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+per_sw AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+),
+per_s AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts FROM per_sw GROUP BY 1),
+per_w AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM per_sw GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM per_sw),
+grid AS (
+  SELECT s.source, s.ts, v.w, v.cw, coalesce(p.c, 0) AS c, tot.t
+  FROM per_s s CROSS JOIN per_w v
+  LEFT JOIN per_sw p ON p.source = s.source AND p.w = v.w
+  CROSS JOIN tot
+)
+SELECT source,
+       CAST(max(ts) AS BIGINT) AS n_tokens,
+       round(CAST(sum(CAST(abs(c * t - cw * ts) AS DECIMAL(38,0))) AS DOUBLE)
+             / (2.0 * CAST(max(ts) AS DOUBLE) * CAST(max(t) AS DOUBLE)), 6) AS tvd
+FROM grid
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "qx263_source_unigram_drift",
+    oracle=TVD_ORACLE,
+    doc="per-source total-variation distance between its unigram mix and the corpus mix",
+    tags=("curation", "text", "mixing", "statistics"),
+)
+def qx263_source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing drift monitor: for each source, the total-variation
+    distance between its unigram distribution and the corpus-wide one —
+    the quantity a mixture tuner watches to spot a crawl slice whose
+    vocabulary departed from the blend (KL needs smoothing and a log;
+    TVD is the assumption-free half-L1 and, on counts, EXACT).
+
+    Exactness: TVD = Σ_w |c_sw·T − C_w·T_s| / (2·T_s·T) — the numerator
+    is a sum of |integer| terms accumulated in DECIMAL(38,0), so both
+    engines hold the identical integer before ONE final double division
+    (same expression, same rounding). No per-term float sum order to
+    worry about. Scale shape: two token-keyed aggregates (map-side
+    partial) + a (source × vocab) grid join — vocab-bounded, the qx221
+    vocab-trick stance; sources are dozens, vocab is the distinct-token
+    set, never the corpus."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    per_sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    per_s = per_sw.groupBy("source").agg(F.sum("c").cast("bigint").alias("ts"))
+    per_w = per_sw.groupBy("w").agg(F.sum("c").cast("bigint").alias("cw"))
+    t = int(per_sw.agg(F.sum("c")).first()[0])
+    grid = (
+        per_s.crossJoin(per_w)
+        .join(per_sw, ["source", "w"], "left")
+        .select(
+            "source",
+            "ts",
+            "cw",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("ts").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.abs(F.col("c") * F.lit(t) - F.col("cw") * F.col("ts")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("num"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            r6(
+                F.col("num").cast("double")
+                / (F.lit(2.0) * F.col("n_tokens").cast("double") * F.lit(float(t)))
+            ).alias("tvd"),
+        )
+        .orderBy("source")
+    )

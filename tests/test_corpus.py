@@ -932,3 +932,75 @@ def test_qx261_planted_duplicate_collides_in_every_band(spark, tmp_path):
     planted = {r.band_id: r for r in qx261_embedding_simhash_bands(spark, d).collect()}
     for b in base:
         assert planted[b].n_candidate_pairs > base[b].n_candidate_pairs, b
+
+
+def test_qx262_segments_tile_every_window_exactly(spark):
+    """The manifest's whole point: per window, segments must tile
+    [0, PACK_WINDOW) with no gaps or overlaps (final window tiles
+    [0, total mod W)), and per document the segment lengths must sum
+    to its token count — cross-checked against qx260's histogram."""
+    from collections import defaultdict
+
+    from bqfetch_spark.operators.corpus import (
+        PACK_WINDOW,
+        qx260_sequence_packing,
+        qx262_packing_manifest,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = qx262_packing_manifest(spark, SF_SMOKE).collect()
+    by_w = defaultdict(list)
+    by_doc = defaultdict(int)
+    for r in rows:
+        assert r.seg_len > 0
+        by_w[r.window_id].append((r.seg_start, r.seg_len))
+        by_doc[r.doc_id] += r.seg_len
+    last = max(by_w)
+    for wid, segs in by_w.items():
+        segs.sort()
+        pos = 0
+        for start, ln in segs:
+            assert start == pos, (wid, start, pos)
+            pos += ln
+        if wid < last:
+            assert pos == PACK_WINDOW, (wid, pos)
+    # doc token totals and window count agree with qx260
+    hist = {r.window_id: r for r in qx260_sequence_packing(spark, SF_SMOKE).collect()}
+    assert set(by_w) == set(hist)
+    assert sum(by_doc.values()) == sum(r.n_tokens for r in hist.values())
+
+
+def test_qx263_tvd_bounds_and_planted_drift(spark, tmp_path):
+    """TVD must sit in [0, 1] for every source, and a planted source
+    whose vocabulary is entirely novel must score (near) the maximum —
+    strictly above every organic source."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import TABLES, load_catalog
+    from bqfetch_spark.operators.corpus import qx263_source_unigram_drift
+    from tests.conftest import SF_SMOKE
+
+    base = qx263_source_unigram_drift(spark, SF_SMOKE).collect()
+    assert all(0.0 <= r.tvd <= 1.0 for r in base)
+
+    d = str(tmp_path / "sfdrift")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(os.path.join(SF_SMOKE, f"{t}.parquet"), os.path.join(d, f"{t}.parquet"))
+    docs = load_catalog(spark, SF_SMOKE).table("documents")
+    alien = spark.createDataFrame(
+        [(900010 + i, " ".join(f"xq{i}w{j}" for j in range(40)), "xx", "srcAlien", 0)
+         for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text"))
+    docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        alien
+    ).coalesce(4).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    drifted = {r.source: r.tvd for r in qx263_source_unigram_drift(spark, d).collect()}
+    organic_max = max(v for k, v in drifted.items() if k != "srcAlien")
+    assert drifted["srcAlien"] > organic_max
+    assert drifted["srcAlien"] > 0.95  # fully novel vocabulary ≈ max drift
