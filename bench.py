@@ -280,6 +280,7 @@ HEADLINE = [
     "qx261_embedding_simhash_bands",
     "qx262_packing_manifest",
     "qx263_source_unigram_drift",
+    "qx264_minhash_lsh_exact",
 ]
 
 # Registry queries deliberately NOT benched (VERDICT r8 #7: make the

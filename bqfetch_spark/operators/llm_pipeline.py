@@ -2028,3 +2028,179 @@ def qx259_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count_distinct("g").cast("bigint").alias("n_shared_ngrams"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx264: cross-engine-exact MinHash-LSH (the oracle-bearing LSH sibling)
+# ---------------------------------------------------------------------------
+
+MH_P = 2147483647  # Mersenne prime 2^31-1: a*h+b stays in BIGINT
+MH_K = 16  # minhash signature width
+MH_R = 4  # rows per band
+MH_B = MH_K // MH_R  # 4 bands
+MH_SHINGLE = 3  # word-gram width
+
+
+def _mh_coefs() -> list[tuple[int, int]]:
+    """Fixed (a, b) for the K universal-hash permutations
+    h_i(x) = (a_i·x + b_i) mod P — compile-time constants shared
+    verbatim with the oracle (no RNG, no seed plumbing)."""
+    return [(2 * i + 1, i * 12345 + 6789) for i in range(MH_K)]
+
+
+def _mh_oracle() -> str:
+    mins = ",\n         ".join(
+        f"min(({a} * h31 + {b}) % {MH_P}) AS s{i}"
+        for i, (a, b) in enumerate(_mh_coefs())
+    )
+    band_keys = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(s{b * MH_R + r} AS VARCHAR)" for r in range(MH_R)
+            ),
+        )
+        for b in range(MH_B)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i:i+{MH_SHINGLE - 1}], ' ') AS g
+  FROM tok, LATERAL (SELECT unnest(range(1, len(w) - {MH_SHINGLE} + 2)) AS i) ii
+  WHERE len(w) >= {MH_SHINGLE}
+),
+hashed AS (
+  SELECT doc_id, g,
+         CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % {MH_P} AS h31
+  FROM grams
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+bands AS ({band_keys}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(DISTINCT a.band) AS BIGINT) AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS ninter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+       round(CAST(coalesce(i.ninter, 0) AS DOUBLE)
+             / CAST(sa.n + sb.n - coalesce(i.ninter, 0) AS DOUBLE), 6) AS jaccard
+FROM cand c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
+@register(
+    "qx264_minhash_lsh_exact",
+    oracle=_mh_oracle(),
+    doc="MinHash-LSH candidate pairs with md5-derived universal hashes (full value-hash oracle)",
+    tags=("dedup", "lsh", "text"),
+)
+def qx264_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH whose ENTIRE pipeline is cross-engine exact — the
+    oracle-bearing sibling of q47 (rows-only since round 2 because
+    xxhash64 has no DuckDB spelling): the shingle hash is the first 15
+    hex chars of md5 (identical string function in both engines), the
+    K=16 signature permutations are fixed-constant universal hashes
+    (a·h+b mod 2^31−1 — pure BIGINT arithmetic, products bounded by
+    2^62), the band keys are md5 over the comma-joined signature
+    quartets, and the verify step is true Jaccard on distinct gram
+    STRINGS (integer counts, one final rounded division). Every row is
+    therefore value-hash-checkable — no planted-dup proxy needed.
+
+    Scale shape: one doc-keyed exchange builds the 16-way min
+    signature (map-side partial min); band buckets are the q47 join
+    geometry (tiny buckets, never all-pairs); the Jaccard verify joins
+    grams only for CANDIDATE pairs, so the expensive step is
+    output-bounded. md5 costs ~3x xxhash64 per gram — the price of an
+    exact oracle, paid once per gram, still JVM-side."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    w = F.split(F.col("text"), " ")
+    grams = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= MH_SHINGLE)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - MH_SHINGLE + 1),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, MH_SHINGLE)),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    hashed = grams.withColumn(
+        "h31",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint") % MH_P,
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h31") + F.lit(b)) % MH_P).alias(f"s{i}")
+            for i, (a, b) in enumerate(_mh_coefs())
+        ]
+    )
+    bands = None
+    for b in range(MH_B):
+        key = F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"s{b * MH_R + r}").cast("string") for r in range(MH_R)]
+            )
+        )
+        part = sig.select("doc_id", F.lit(b).alias("band"), key.alias("key"))
+        bands = part if bands is None else bands.unionByName(part)
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.key") == F.col("bb.key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .groupBy(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .agg(F.count_distinct("ba.band").cast("bigint").alias("n_shared_bands"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    inter = (
+        cand.join(ga, F.col("ga.doc_id") == F.col("doc_a"))
+        .join(gb, (F.col("gb.doc_id") == F.col("doc_b")) & (F.col("gb.g") == F.col("ga.g")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ninter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            r6(
+                F.coalesce(F.col("ninter"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("ninter"), F.lit(0))).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

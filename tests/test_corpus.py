@@ -1004,3 +1004,21 @@ def test_qx263_tvd_bounds_and_planted_drift(spark, tmp_path):
     organic_max = max(v for k, v in drifted.items() if k != "srcAlien")
     assert drifted["srcAlien"] > organic_max
     assert drifted["srcAlien"] > 0.95  # fully novel vocabulary ≈ max drift
+
+
+def test_qx264_planted_exact_copies_collide_in_all_bands(spark, tmp_path):
+    """Two exact copies must share ALL bands with jaccard 1.0 (their
+    signatures are equal by construction) — the planted positive the
+    fixture's organic near-dups can't guarantee. Also pins the
+    recall>precision band contract: every output pair shares >=1 band."""
+    from bqfetch_spark.operators.llm_pipeline import MH_B, qx264_minhash_lsh_exact
+
+    d = _planted_docs_dir(spark, tmp_path)
+    pairs = {
+        (r.doc_a, r.doc_b): r for r in qx264_minhash_lsh_exact(spark, d).collect()
+    }
+    hit = pairs[(900002, 900003)]
+    assert hit.n_shared_bands == MH_B
+    assert hit.jaccard == 1.0
+    assert all(1 <= r.n_shared_bands <= MH_B for r in pairs.values())
+    assert all(0.0 <= r.jaccard <= 1.0 for r in pairs.values())
