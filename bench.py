@@ -281,6 +281,7 @@ HEADLINE = [
     "qx262_packing_manifest",
     "qx263_source_unigram_drift",
     "qx264_minhash_lsh_exact",
+    "qx265_streaming_decontamination",
 ]
 
 # Registry queries deliberately NOT benched (VERDICT r8 #7: make the

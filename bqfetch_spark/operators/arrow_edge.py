@@ -700,3 +700,42 @@ def qx246_streaming_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFr
         )
         out = snap if out is None else out.unionByName(snap)
     return out.orderBy("version")
+
+
+def _qx265_oracle() -> str:
+    # a document's flagged row is finalized by its own ingest wave
+    # (docs never straddle waves), so the store-merged report is
+    # bit-equal to the one-shot scan and shares its oracle verbatim
+    from bqfetch_spark.operators.llm_pipeline import CONTAM_ORACLE
+
+    return CONTAM_ORACLE
+
+
+@register(
+    "qx265_streaming_decontamination",
+    oracle=_qx265_oracle(),
+    doc="incremental benchmark decontamination: waves checked against a frozen shingle store on ingest",
+    tags=("streaming", "incremental", "contamination", "llm-pipeline"),
+)
+def qx265_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qx259's decontamination scan as a continuously-ingesting
+    pipeline (streaming/decontam.py): the benchmark shingle set is a
+    FROZEN broadcast-sized artifact; 60% of the training docs backfill
+    the flag store and the remaining 40% arrives as two foreachBatch
+    waves, each joining ONLY its own shingles against the frozen store
+    (O(wave), history never re-scanned, retry-idempotent dynamic
+    overwrite, checkpoint-lineage ownership). Because a document
+    belongs to exactly one wave, its flagged row is final when the
+    wave commits — the store-merged report is bit-identical to the
+    one-shot scan, so this streaming query carries qx259's FULL
+    value-hash oracle verbatim (the qx200/qx231 streaming-oracle
+    stance, without even needing additivity)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from bqfetch_spark.streaming.decontam import run_incremental_decontamination
+
+    work = tempfile.mkdtemp(prefix="bqfs_decontam_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return run_incremental_decontamination(spark, sf_dir, work)

@@ -1979,6 +1979,27 @@ ORDER BY s.doc_id
 """
 
 
+def contam_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, g, h) distinct CONTAM_N-gram shingles with their
+    xxhash64 bucket key — shared by the one-shot scan (qx259) and the
+    streaming decontamination waves (streaming/decontam.py)."""
+    w = F.split(F.col("text"), " ")
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= CONTAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - CONTAM_N + 1),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, CONTAM_N)),
+                )
+            ).alias("g"),
+        )
+        .withColumn("h", F.xxhash64("g"))
+    )
+
+
 @register(
     "qx259_benchmark_contamination",
     oracle=CONTAM_ORACLE,
@@ -2001,21 +2022,7 @@ def qx259_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     GRAMS (not hashes) keeps the output hash-collision-proof and lets
     DuckDB spell the identical semantics."""
     docs = load_catalog(spark, sf_dir).table("documents")
-    w = F.split(F.col("text"), " ")
-    sh = (
-        docs.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= CONTAM_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - CONTAM_N + 1),
-                    lambda i: F.concat_ws(" ", F.slice("w", i, CONTAM_N)),
-                )
-            ).alias("g"),
-        )
-        .withColumn("h", F.xxhash64("g"))
-    )
+    sh = contam_shingles(docs)
     bench = (
         sh.filter(F.col("doc_id") % CONTAM_MOD == 0)
         .select("h", F.col("g").alias("bg"))

@@ -1614,3 +1614,47 @@ def test_stage_document_files_restages_on_fixture_change(spark, tmp_path):
     stage_document_files(spark, sf, out)
     staged = sorted(f for f in os.listdir(out) if f.endswith(".txt"))
     assert staged == ["3.txt"], f"orphans survived restage: {staged}"
+
+
+def test_qx265_wave_slicing_invariant_and_frozen_bench(spark, tmp_path):
+    """However the training stream is sliced, the maintained flag
+    store must equal the one-shot scan (same doc_ids, same counts) —
+    and the benchmark store must stay byte-stable across waves (it is
+    a frozen artifact, never appended)."""
+    import os
+
+    from bqfetch_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    REG = all_queries()
+    streaming = {
+        r.doc_id: r.n_shared_ngrams
+        for r in REG["qx265_streaming_decontamination"].fn(spark, SF_SMOKE).collect()
+    }
+    oneshot = {
+        r.doc_id: r.n_shared_ngrams
+        for r in REG["qx259_benchmark_contamination"].fn(spark, SF_SMOKE).collect()
+    }
+    assert streaming == oneshot and len(streaming) > 0
+
+    # frozen-bench property: two manual waves never mutate the store
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.streaming.decontam import build_benchmark_store, flag_wave
+
+    work = str(tmp_path / "dc")
+    bench_dir = os.path.join(work, "bench")
+    store_dir = os.path.join(work, "flags")
+    docs = load_catalog(spark, SF_SMOKE).table("documents").select("doc_id", "text")
+    build_benchmark_store(docs, bench_dir)
+    before = sorted(f for f in os.listdir(bench_dir) if f.endswith(".parquet"))
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    flag_wave(spark, train.filter(F.col("doc_id") % 2 == 0), bench_dir, store_dir, batch_id=0)
+    flag_wave(spark, train.filter(F.col("doc_id") % 2 == 1), bench_dir, store_dir, batch_id=1)
+    assert sorted(f for f in os.listdir(bench_dir) if f.endswith(".parquet")) == before
+    two_wave = {
+        r.doc_id: r.n_shared_ngrams
+        for r in spark.read.parquet(store_dir).select("doc_id", "n_shared_ngrams").collect()
+    }
+    assert two_wave == oneshot
