@@ -282,6 +282,7 @@ HEADLINE = [
     "qx263_source_unigram_drift",
     "qx264_minhash_lsh_exact",
     "qx265_streaming_decontamination",
+    "qx266_simhash_exact",
 ]
 
 # Registry queries deliberately NOT benched (VERDICT r8 #7: make the

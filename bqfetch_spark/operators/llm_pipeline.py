@@ -2211,3 +2211,136 @@ def qx264_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx266: cross-engine-exact SimHash near-dup pairs (q48's oracle sibling)
+# ---------------------------------------------------------------------------
+
+SH64_BITS = 60  # md5 supplies 60 clean bits (15 hex chars)
+SH64_BAND_BITS = 15  # 4 bands of 15 bits
+SH64_BANDS = SH64_BITS // SH64_BAND_BITS
+SH64_MAXHAM = 4  # report pairs within this Hamming distance
+
+SIMHASH_EXACT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+),
+h AS (
+  SELECT doc_id, c,
+         CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS hv
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, j.j,
+         sum(CASE WHEN (hv >> j.j) & 1 = 1 THEN c ELSE -c END) AS v
+  FROM h, (SELECT unnest(range({SH64_BITS})) AS j) j
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS s
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.b, (s >> (b.b * {SH64_BAND_BITS})) & {(1 << SH64_BAND_BITS) - 1} AS key, s
+  FROM sig, (SELECT unnest(range({SH64_BANDS})) AS b) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(CAST(xor(a.s, b.s) AS BIT)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming
+FROM pairs WHERE hamming <= {SH64_MAXHAM}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "qx266_simhash_exact",
+    oracle=SIMHASH_EXACT_ORACLE,
+    doc="SimHash near-dup pairs with md5-derived bits (full value-hash oracle)",
+    tags=("dedup", "simhash", "text"),
+)
+def qx266_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash whose whole pipeline is cross-engine exact — q48's
+    oracle-bearing sibling, completing the qx264 program for the
+    second hash-dedup family: token hashes are 60 md5 bits (identical
+    string function both engines), the signature is the sign of
+    frequency-weighted INTEGER bit votes, banding is plain bit
+    slicing, and the pair metric is bit_count(xor) — not one
+    floating-point operation anywhere, so every candidate pair
+    value-hash-matches DuckDB.
+
+    Scale shape: votes are one doc-keyed aggregate over the (doc,
+    token, count) frame (Spark spells the 60 bit-votes as 60 CASE-sum
+    columns in a single groupBy — no 60-way row blowup; the oracle's
+    unnest spelling sums the same integers); band buckets are the q47
+    join geometry; the Hamming verify is output-bounded. At a real
+    corpus's vocabulary the signature join dominates and stays
+    bucket-local."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    hv = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint")
+    h = tok.select("doc_id", "c", hv.alias("hv"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, F.col("c"))
+                .otherwise(-F.col("c"))
+            ).alias(f"v{j}")
+            for j in range(SH64_BITS)
+        ]
+    )
+    sig_expr = None
+    for j in range(SH64_BITS):
+        term = F.when(F.col(f"v{j}") >= 0, F.lit(1).cast("bigint") * (1 << j)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sig = votes.select("doc_id", sig_expr.alias("s"))
+    mask = (1 << SH64_BAND_BITS) - 1
+    bands = sig.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("s"), b * SH64_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(SH64_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "s", F.col("bk.b").alias("b"), F.col("bk.key").alias("key"))
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    return (
+        ba.join(
+            bb,
+            (F.col("ba.b") == F.col("bb.b"))
+            & (F.col("ba.key") == F.col("bb.key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"),
+            F.col("bb.doc_id").alias("doc_b"),
+            F.bit_count(F.col("ba.s").bitwiseXOR(F.col("bb.s")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SH64_MAXHAM)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1022,3 +1022,16 @@ def test_qx264_planted_exact_copies_collide_in_all_bands(spark, tmp_path):
     assert hit.jaccard == 1.0
     assert all(1 <= r.n_shared_bands <= MH_B for r in pairs.values())
     assert all(0.0 <= r.jaccard <= 1.0 for r in pairs.values())
+
+
+def test_qx266_planted_exact_copies_at_hamming_zero(spark, tmp_path):
+    """Exact copies have identical signatures → hamming 0, reported
+    through every band; pairs are unique and within the cutoff."""
+    from bqfetch_spark.operators.llm_pipeline import SH64_MAXHAM, qx266_simhash_exact
+
+    d = _planted_docs_dir(spark, tmp_path)
+    rows = qx266_simhash_exact(spark, d).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert len(pairs) == len(rows)  # no duplicate pair rows
+    assert pairs[(900002, 900003)] == 0
+    assert all(0 <= h <= SH64_MAXHAM for h in pairs.values())
