@@ -558,3 +558,54 @@ def test_global_cumsum_preserves_double_type(spark):
             run_n += n
             assert abs(got[k][0] - run_d) < 1e-9, (force_scale, k)
             assert got[k][1] == run_n, (force_scale, k)
+
+
+@given(
+    toks=st.lists(st.integers(1, 500), min_size=1, max_size=60),
+    window=st.sampled_from([7, 64, 2048]),
+)
+@settings(max_examples=10, deadline=None)
+def test_packing_segments_tile_windows_for_any_corpus(spark, toks, window):
+    """qx260/qx262's packing math under arbitrary token-count corpora
+    on the FORCED scale-path cumsum: window histogram and loss-mask
+    segments must both match a sequential Python replay — including
+    docs longer than the window (multi-window spans), which the
+    fixture can't produce."""
+    from pyspark.sql import functions as F
+
+    import bqfetch_spark.plans.ranks as ranks
+
+    rows = [(i, n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("ord_key"), "n_tokens"
+    )
+    old = (ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS)
+    ranks.SINGLE_SORT_BYTES = ranks.SINGLE_SORT_ROWS = -1
+    try:
+        cum = ranks.with_global_cumsum(df, ["ord_key", "doc_id"], "n_tokens", 4, "cum")
+        placed = cum.select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"(cum - n_tokens) div {window}").alias("w0"),
+            F.expr(f"(cum - 1) div {window}").alias("w1"),
+        ).collect()
+    finally:
+        ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS = old
+
+    import hashlib
+
+    ordered = sorted((hashlib.md5(str(i).encode()).hexdigest(), i, n) for i, n in rows)
+    cumv = 0
+    want = {}
+    for _, i, n in ordered:
+        want[i] = (cumv // window, (cumv + n - 1) // window)
+        cumv += n
+    got = {r.doc_id: (r.w0, r.w1) for r in placed}
+    assert got == want
+    # segment tiling: every token position 0..total-1 covered exactly once
+    total = sum(toks)
+    covered = 0
+    for i, n in rows:
+        covered += n
+        assert want[i][1] >= want[i][0]
+    assert covered == total
