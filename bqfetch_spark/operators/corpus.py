@@ -1889,7 +1889,8 @@ grid AS (
 )
 SELECT source,
        CAST(max(ts) AS BIGINT) AS n_tokens,
-       round(CAST(sum(CAST(abs(c * t - cw * ts) AS DECIMAL(38,0))) AS DOUBLE)
+       round(CAST(sum(abs(CAST(c AS HUGEINT) * CAST(t AS HUGEINT)
+                          - CAST(cw AS HUGEINT) * CAST(ts AS HUGEINT))) AS DOUBLE)
              / (2.0 * CAST(max(ts) AS DOUBLE) * CAST(max(t) AS DOUBLE)), 6) AS tvd
 FROM grid
 GROUP BY source
@@ -1911,8 +1912,11 @@ def qx263_source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     TVD is the assumption-free half-L1 and, on counts, EXACT).
 
     Exactness: TVD = Σ_w |c_sw·T − C_w·T_s| / (2·T_s·T) — the numerator
-    is a sum of |integer| terms accumulated in DECIMAL(38,0), so both
-    engines hold the identical integer before ONE final double division
+    multiplies decimal(19,0) OPERANDS (Spark) / HUGEINT operands (DuckDB)
+    so the T²-magnitude products never pass through int64 (which wraps
+    silently past ~3e9 corpus tokens), and the sum of |integer| terms is
+    accumulated exactly, so both engines hold the identical integer
+    before ONE final double division
     (same expression, same rounding). No per-term float sum order to
     worry about. Scale shape: two token-keyed aggregates (map-side
     partial) + a (source × vocab) grid join — vocab-bounded, the qx221
@@ -1941,8 +1945,15 @@ def qx263_source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("ts").cast("bigint").alias("n_tokens"),
             F.sum(
-                F.abs(F.col("c") * F.lit(t) - F.col("cw") * F.col("ts")).cast(
-                    "decimal(38,0)"
+                # Operands (not the product) go decimal: c·T and C_w·T_s
+                # approach T² and overflow int64 past ~3e9 corpus tokens —
+                # non-ANSI Spark would wrap silently.  decimal(19,0)
+                # operands multiply into decimal(38,0), exact to 1e38;
+                # the oracle mirrors this with HUGEINT (int128) operands.
+                F.abs(
+                    F.col("c").cast("decimal(19,0)") * F.lit(t).cast("decimal(19,0)")
+                    - F.col("cw").cast("decimal(19,0)")
+                    * F.col("ts").cast("decimal(19,0)")
                 )
             ).alias("num"),
         )

@@ -1006,6 +1006,36 @@ def test_qx263_tvd_bounds_and_planted_drift(spark, tmp_path):
     assert drifted["srcAlien"] > 0.95  # fully novel vocabulary ≈ max drift
 
 
+def test_qx263_numerator_survives_int64_overflow(spark):
+    """The TVD numerator term |c·T − C_w·T_s| reaches T² magnitude; at
+    100-TB corpora (T > ~3e9 tokens) an int64 product wraps silently
+    under non-ANSI Spark.  Plant counts in that regime and check the
+    decimal-operand expression against Python bigint math exactly."""
+    from pyspark.sql import functions as F
+
+    c, t, cw, ts = 4_000_000_000, 9_000_000_000, 3_999_999_998, 9_000_000_003
+    expected = abs(c * t - cw * ts)
+    assert c * t > 2**63  # the planted regime really does overflow int64
+    df = spark.createDataFrame([(c, cw, ts)], "c bigint, cw bigint, ts bigint")
+    got = df.select(
+        F.abs(
+            F.col("c").cast("decimal(19,0)") * F.lit(t).cast("decimal(19,0)")
+            - F.col("cw").cast("decimal(19,0)") * F.col("ts").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("num")
+    ).first()[0]
+    assert int(got) == expected
+
+    import duckdb
+
+    oracle = duckdb.sql(
+        f"""SELECT abs(CAST({c} AS HUGEINT) * CAST({t} AS HUGEINT)
+                      - CAST({cw} AS HUGEINT) * CAST({ts} AS HUGEINT))"""
+    ).fetchone()[0]
+    assert int(oracle) == expected
+
+
 def test_qx264_planted_exact_copies_collide_in_all_bands(spark, tmp_path):
     """Two exact copies must share ALL bands with jaccard 1.0 (their
     signatures are equal by construction) — the planted positive the
