@@ -344,6 +344,28 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 # Adjudications of previously-flagged regressions (recorded into
 # BENCH_DETAIL.json so the flag and its resolution travel together).
 ADJUDICATIONS = {
+    "qx228_dup_weights": (
+        "r9 driver flag 0.72->2.12s adjudicated as load noise in r10: "
+        "the driver's run recorded load1=4.6 at suite start (yet "
+        "self-described clean under the old per-CPU guard — fixed this "
+        "round to an absolute load1>1.0 threshold), operators/corpus.py "
+        "was byte-untouched in r9 (judge-verified git diff), the "
+        "builder's committed idle-box r9 bench had it at the 0.72s "
+        "record, and an isolated fresh-child min-of-5 on an idle box "
+        "(load1 0.75) gives 1.01s (runs 2.92/1.18/1.39/1.04/1.01) — "
+        "within spread of the record and below both regression "
+        "thresholds."
+    ),
+    "qx231_streaming_source_drift": (
+        "r9 driver flag 2.12->4.32s adjudicated as load noise in r10, "
+        "same evidence shape as qx228: driver ran at load1=4.6, "
+        "streaming/drift.py and arrow_edge.py byte-untouched in r9, "
+        "idle-box r9 bench at the 2.12s record, and an isolated "
+        "fresh-child min-of-5 (load1 0.75) gives 2.20s (runs "
+        "7.13/3.15/2.36/2.25/2.20) — at the record level; the first-run "
+        "7.1s is the usual streaming micro-batch warm-up the min-of-"
+        "repeats policy absorbs."
+    ),
     "q36_range_frame": (
         "r5 flag 0.44->0.67s (the round's only n_regressions entry) "
         "adjudicated as noise in r6: operators/temporal.py is untouched "
@@ -615,7 +637,13 @@ def main() -> None:
     # after the fact.
     ncpus = os.cpu_count() or 1
     load1 = os.getloadavg()[0]
-    load_flagged = load1 / ncpus > 0.25
+    # Round-10 tightening (VERDICT r9 #1): the old per-CPU threshold
+    # (load1/ncpus > 0.25 = load1 > 8 here) let a load1-4.6 run
+    # self-describe as clean while flagging two byte-untouched queries
+    # as regressions. At suite START the box should be idle — the bench
+    # children haven't spawned yet — so ANY sustained co-tenant load
+    # means timings will run hot. Absolute load1 > 1.0 is the guard.
+    load_flagged = load1 > 1.0
     if load_flagged:
         print(
             f"# WARNING: load1={load1:.1f} on {ncpus} CPUs — timings will "

@@ -56,6 +56,27 @@ def timed(label, fn):
     return dt, out
 
 
+# Load guard (ADVICE r9): wall-clock ratio assertions are only hard
+# failures on an idle box — a concurrent process can spuriously fail a
+# certification even though the plan shape is unchanged. Structural
+# assertions (bucket histograms, exact permutations, plan shapes) stay
+# hard everywhere; recorded like bench.py's load1 guard.
+LOAD1_AT_START = os.getloadavg()[0]
+LOAD_FLAGGED = LOAD1_AT_START > 1.0
+
+
+def timing_gate(ok: bool, msg: str) -> None:
+    if ok:
+        return
+    if LOAD_FLAGGED:
+        print(
+            f"  !! TIMING WARNING (not asserted: load1={LOAD1_AT_START:.1f} "
+            f"at start, box not idle): {msg}"
+        )
+        return
+    raise AssertionError(msg)
+
+
 def check_q47_band_join(spark) -> None:
     """Real q47 over 1× (fixture) vs 100× (synthetic distinct texts)."""
     from bqfetch_spark.registry import all_queries
@@ -99,7 +120,7 @@ def check_q47_band_join(spark) -> None:
     tb, nb = timed("100x (500k docs)", lambda: q47(spark, big_dir).count())
     ratio = tb / ts
     print(f"  ratio={ratio:.1f} (linear target ~100, quadratic would be ~10000)")
-    assert ratio <= 200, f"q47 band join super-linear at 100x: {ratio:.1f}"
+    timing_gate(ratio <= 200, f"q47 band join super-linear at 100x: {ratio:.1f}")
 
 
 def check_q69_candidate_join(spark) -> None:
@@ -185,7 +206,7 @@ def check_q69_candidate_join(spark) -> None:
     )
     ratio = tb / ts
     print(f"  ratio={ratio:.1f} (linear target ~100; fixed-cell quadratic ~10000)")
-    assert ratio <= 200, f"q69 candidate join super-linear at 100x: {ratio:.1f}"
+    timing_gate(ratio <= 200, f"q69 candidate join super-linear at 100x: {ratio:.1f}")
 
 
 def check_q57_wave_append(spark) -> None:
@@ -232,7 +253,7 @@ def check_q57_wave_append(spark) -> None:
         t100, _ = timed(f"round{i} 100x-history", lambda: append_wave(spark, wave, idx100))
         worst = max(worst, t100 / t1)
     print(f"  worst ratio={worst:.2f} (flat target ~1; history-rescanning ~100)")
-    assert worst <= 3, f"q57 wave cost scales with history: {worst:.2f}"
+    timing_gate(worst <= 3, f"q57 wave cost scales with history: {worst:.2f}")
 
 
 def check_global_rank_100x(spark) -> None:
@@ -285,7 +306,7 @@ def check_global_rank_100x(spark) -> None:
         assert final.count("REPARTITION_BY_NUM") == 1, final
         assert "rangepartitioning" not in final
         print(f"  worst ratio={worst:.1f} for 100x rows (linear ~100; single-sort would OOM-shape)")
-        assert worst <= 150, f"rank super-linear at 100x: {worst:.1f}"
+        timing_gate(worst <= 150, f"rank super-linear at 100x: {worst:.1f}")
         print("  one corpus exchange asserted; rank permutation exact at both sizes")
     finally:
         ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS = old
@@ -358,7 +379,7 @@ def check_rank_hotkey_100x(spark) -> None:
             worst = max(worst, ratio)
             print(f"  round{i}: uniform={t_uni:.2f}s hot-key={t_skew:.2f}s ratio={ratio:.2f}")
         print(f"  worst skew/uniform ratio={worst:.2f} (bounded target ~1; one-bucket sort ~{n_parts})")
-        assert worst <= 2.5, f"hot key degrades rank: {worst:.2f}"
+        timing_gate(worst <= 2.5, f"hot key degrades rank: {worst:.2f}")
     finally:
         ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS = old
 
@@ -417,7 +438,7 @@ def check_lakehouse_history_100x(spark) -> None:
     # time travel to an early version under deep history (correctness)
     assert read_snapshot(spark, big, 2).count() == df.count()
     print(f"  worst ratio={worst:.2f} (O(live-files) target ~1; O(history) ~100)")
-    assert worst <= 3, f"lakehouse op scales with commit history: {worst:.2f}"
+    timing_gate(worst <= 3, f"lakehouse op scales with commit history: {worst:.2f}")
 
 
 def main() -> None:
