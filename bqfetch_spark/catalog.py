@@ -114,8 +114,24 @@ _CATALOGS: dict[tuple[str, str, str], Catalog] = {}
 def _session_uuid(spark: SparkSession) -> str:
     try:
         return str(spark._jsparkSession.sessionUUID())
-    except Exception:  # Connect / future API drift: fall back per-proxy
-        return str(id(spark))
+    except Exception:
+        # Connect / future API drift: stamp a uuid4 onto the session
+        # proxy on first touch. A plain id(spark) fallback would
+        # reintroduce the exact hazard the memo key is documented to
+        # prevent — CPython can reuse the address after GC and
+        # resurrect a catalog whose DataFrames point at a dead session.
+        # A NEW session object can never carry the old attribute, so
+        # address reuse is harmless here.
+        u = getattr(spark, "_bqfs_session_uuid", None)
+        if u is None:
+            import uuid
+
+            u = str(uuid.uuid4())
+            try:
+                spark._bqfs_session_uuid = u
+            except Exception:
+                pass  # unsettable proxy: key degrades to per-call (no reuse, just no memo)
+        return u
 
 
 def load_catalog(spark: SparkSession, sf_dir: str) -> Catalog:

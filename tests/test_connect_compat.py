@@ -95,6 +95,25 @@ def test_app_id_fallback_chain(spark):
     assert app_id(_NoInternals(spark)) == spark.conf.get("spark.app.id")
 
 
+def test_session_uuid_fallback_is_stable_and_gc_safe(spark):
+    """ADVICE r9: the Connect fallback must NOT be id(spark) — CPython
+    reuses addresses after GC, which would resurrect a catalog whose
+    DataFrames point at a dead session. The fallback stamps a uuid4 on
+    first touch: stable across calls on the SAME proxy, distinct on a
+    NEW proxy even if it lands at a recycled address."""
+    from bqfetch_spark.catalog import _session_uuid
+
+    real = _session_uuid(spark)
+    assert real == str(spark._jsparkSession.sessionUUID())
+
+    proxy_a = _NoInternals(spark)
+    ua = _session_uuid(proxy_a)
+    assert ua != str(id(proxy_a))  # not the address-reuse hazard
+    assert _session_uuid(proxy_a) == ua  # stable per proxy (memo works)
+    proxy_b = _NoInternals(spark)
+    assert _session_uuid(proxy_b) != ua  # a new session never inherits
+
+
 def test_global_rank_takes_checkpoint_route_without_plan_access(spark):
     """with_global_rank on a plan-opaque frame must still produce exact
     single-window-identical ranks — via the materialize-and-count route,
