@@ -1659,9 +1659,15 @@ def qx258_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage checks can recompute membership from keys alone (the same
     rerun-stable keep-rule stance as q72's stratified sampler).
 
-    Scale shape: one scan, a map-only hash + CASE projection, one
-    3-group aggregate — no shuffle beyond the final tiny exchange.
-    100 TB corpus → identical plan."""
+    Scale shape: ONE scan (VERDICT r9 #6 — the doc_frac denominator
+    used to cost a second corpus action; it is derivable from the
+    3-row aggregate itself), a map-only hash + CASE projection, one
+    3-group aggregate, then an unpartitioned window-sum over the
+    ≤3-row result for the denominator — a single-partition final over
+    a reduced frame, the recorded-plan-audit category, never the
+    corpus. 100 TB corpus → identical plan."""
+    from pyspark.sql import Window
+
     docs = load_catalog(spark, sf_dir).table("documents")
     b = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -1671,7 +1677,6 @@ def qx258_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(b <= 7, "train").when(b == 8, "val").otherwise("test").alias("split"),
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
     )
-    total = labeled.count()
     return (
         labeled.groupBy("split")
         .agg(
@@ -1682,7 +1687,10 @@ def qx258_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split",
             "n_docs",
             "n_tokens",
-            r6(F.col("n_docs").cast("double") / F.lit(float(total))).alias("doc_frac"),
+            r6(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(Window.partitionBy()).cast("double")
+            ).alias("doc_frac"),
         )
         .orderBy("split")
     )

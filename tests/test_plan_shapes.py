@@ -170,6 +170,17 @@ def test_q83_profile_single_scan(spark):
     assert "Expand" in plan
 
 
+def test_qx258_split_report_single_scan(spark):
+    # VERDICT r9 #6: the doc_frac denominator must come from the 3-row
+    # aggregate itself (unpartitioned window-sum), not a second corpus
+    # action — ONE FileScan of documents in the whole plan
+    import re
+
+    plan = _plan(spark, "qx258_split_assignment")
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
+    assert "Window" in plan
+
+
 def test_qx104_grouping_sets_single_expand(spark):
     # three grouping sets must plan as ONE Expand into ONE hash
     # aggregate (a single hashpartitioning exchange) — no per-set
