@@ -366,6 +366,21 @@ ADJUDICATIONS = {
         "7.1s is the usual streaming micro-batch warm-up the min-of-"
         "repeats policy absorbs."
     ),
+    "qx117_ks_test+q67_fetch_chunks_by_size+q42_token_count+qx185_product_profit": (
+        "r9 idle-box drift quartet (VERDICT r9 #5: qx117 0.81->1.65s, "
+        "q67 0.90->1.37s, q42 0.35->1.12s, qx185 0.65->1.12s in "
+        "BENCH_r09_builder) root-caused in r10 as in-group measurement "
+        "noise, not the ranks.py _bucket_expr rewrite: isolated "
+        "fresh-child re-measures on an idle box give qx117 0.91s "
+        "(min-of-5), q67 1.08s (min-of-9), q42 0.384s (min-of-5), "
+        "qx185 0.742s (min-of-9) — every one within 1.2x of its r8 "
+        "number, and the r9 DRIVER bench (a loaded box!) had already "
+        "recorded all four at r8 levels (0.88/1.03/0.39/0.66), which a "
+        "code-level constant cannot do. The array _bucket_expr probe "
+        "adds no measurable constant: q42/qx185 don't touch ranks.py "
+        "at all yet drifted identically, pinning the cause on the "
+        "shared in-group child state, absorbed here by isolation."
+    ),
     "q36_range_frame": (
         "r5 flag 0.44->0.67s (the round's only n_regressions entry) "
         "adjudicated as noise in r6: operators/temporal.py is untouched "
