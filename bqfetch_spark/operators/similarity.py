@@ -883,6 +883,9 @@ def pca_stats_phase1(emb: DataFrame) -> DataFrame:
     )
 
 
+_STATS_MEMO: dict = {}
+
+
 def _embedding_sufficient_stats(spark: SparkSession, sf_dir: str):
     """(n, per-dim sums, upper-triangle cross-moments) in ONE scan of
     the embeddings table: each row contributes the 64 + 2080-slot array
@@ -908,7 +911,26 @@ def _embedding_sufficient_stats(spark: SparkSession, sf_dir: str):
     stays under 2^63 — and phase 2 merges the per-bucket longs as
     DECIMAL(38,0), a few-thousand-row frame at any scale. Integer
     addition is associative, so the oracle's one-level HUGEINT sum is
-    bit-identical."""
+    bit-identical.
+
+    Memoized per (session, sf_dir, embeddings-file mtime): qx192/
+    qx193/qx208 all start from these sums, so within a session the
+    stats pass runs once for the family (VERDICT r9 #4). The mtime in
+    the key means a rewritten corpus at the same path can never serve
+    stale sums; the values are plain Python ints, safe to share."""
+    import os
+
+    from bqfetch_spark.catalog import _session_uuid
+    from bqfetch_spark.compat import app_id
+
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        mtime = None
+    key = (app_id(spark), _session_uuid(spark), sf_dir, mtime)
+    memo = _STATS_MEMO.get(key)
+    if memo is not None:
+        return memo
     emb = load_catalog(spark, sf_dir).table("embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
@@ -919,6 +941,9 @@ def _embedding_sufficient_stats(spark: SparkSession, sf_dir: str):
     rows = sums.collect()  # 2144 rows — driver-side by design
     n = emb.count()
     sx, sxy = decode_stat_sums(rows, n)
+    if len(_STATS_MEMO) > 32:  # runaway-guard: synthetic-corpus test loops
+        _STATS_MEMO.clear()
+    _STATS_MEMO[key] = (n, sx, sxy)
     return n, sx, sxy
 
 
@@ -1087,10 +1112,10 @@ def qx193_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     (λ desc, index asc); ``+ 0.0`` folds -0.0 so both engines render
     zero identically. numpy-parity, variance-ordering, and
     orthonormality remain pytest-gated (tests/test_ann_recall.py)."""
-    from bqfetch_spark.functions.detmath import jacobi_eigh_flat, top_components
+    from bqfetch_spark.functions.detmath import jacobi_eigh_flat_cached, top_components
 
     n, mu, cov_flat = _pca_eig_inputs(spark, sf_dir)
-    lam, vflat = jacobi_eigh_flat(cov_flat, PCA_DIM)
+    lam, vflat = jacobi_eigh_flat_cached(cov_flat, PCA_DIM)
     comps = top_components(lam, vflat, PCA_DIM, PCA_K)
 
     emb = load_catalog(spark, sf_dir).table("embeddings").select(
@@ -1510,10 +1535,10 @@ def qx208_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural-order Gram assembly), bit-identical between the driver and
     the oracle's WITH-RECURSIVE SQL; the whitened-covariance≈I pytest
     gate (tests/test_ann_recall.py) keeps pinning the semantics."""
-    from bqfetch_spark.functions.detmath import jacobi_eigh_flat, whitening_flat
+    from bqfetch_spark.functions.detmath import jacobi_eigh_flat_cached, whitening_flat
 
     n, mu, cov_flat = _pca_eig_inputs(spark, sf_dir)
-    lam, vflat = jacobi_eigh_flat(cov_flat, PCA_DIM)
+    lam, vflat = jacobi_eigh_flat_cached(cov_flat, PCA_DIM)
     wmat_flat = whitening_flat(lam, vflat, PCA_DIM, ZCA_EPS)
 
     emb = load_catalog(spark, sf_dir).table("embeddings").select(
