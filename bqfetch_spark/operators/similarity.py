@@ -159,65 +159,221 @@ def q52_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF-style ANN (scale path) — deterministic, rows-only check
+# IVF-style ANN (scale path) — integer-quantized, FULL oracle since r10
 # ---------------------------------------------------------------------------
 
 IVF_CELLS = 8
 IVF_PROBE = 2
+IVF_N_QUERIES = 5
+IVF_TOPK = 10
+# Quantization scale for the exact-oracle similarity (VERDICT r9 #3,
+# the qx261 integer trick): qv = round(v·1e6) keeps every dot product
+# |Σ qa·qb| ≤ 64·1e12 < 2^53, so dots and squared norms are EXACT
+# BIGINTs that convert to double losslessly in both engines — the
+# similarity dot/(sqrt(nv)·sqrt(nc)) is then a fixed-order chain of
+# correctly-rounded IEEE ops, bit-identical across Spark and DuckDB
+# (the detmath argument). 1e9 (PCA_Q) would overflow the 2^53 window
+# for dot products; 1e6 keeps quantization error ~1e-6, invisible at
+# the 6dp output rounding and irrelevant to the recall gate.
+IVF_Q = 1_000_000
 
 
-@register("q53_ann_ivf", oracle=None, tags=("similarity", "ann", "ivf"))
+def _ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings → (vec_id, qv array<bigint>, nv squared-norm)."""
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    qv = F.transform("v", lambda x: F.round(x * F.lit(float(IVF_Q))).cast("bigint"))
+    out = emb.select("vec_id", qv.alias("qv"))
+    nv = F.aggregate(
+        F.zip_with("qv", "qv", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return out.select("vec_id", "qv", nv.alias("nv"))
+
+
+def _ivf_sim(dot: F.Column, na: F.Column, nb: F.Column) -> F.Column:
+    """dot/(sqrt(na)·sqrt(nb)) in the EXACT op order the oracle spells:
+    every input is an integer < 2^53 (lossless double), every op is a
+    single correctly-rounded IEEE operation — bit-identical engines."""
+    return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+
+
+def _q53_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * {IVF_Q}.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+qn AS (
+  SELECT vec_id, CAST(sum(qv[i] * qv[i]) AS BIGINT) AS nv
+  FROM e, dims GROUP BY vec_id
+),
+cent AS (SELECT vec_id AS cell_id, qv AS qc FROM e WHERE vec_id < {IVF_CELLS}),
+adot AS (
+  SELECT e.vec_id, c.cell_id, CAST(sum(e.qv[i] * c.qc[i]) AS BIGINT) AS dot
+  FROM e, cent c, dims
+  GROUP BY 1, 2
+),
+asim AS (
+  SELECT a.vec_id, a.cell_id,
+         CAST(a.dot AS DOUBLE)
+           / (sqrt(CAST(nv.nv AS DOUBLE)) * sqrt(CAST(nc.nv AS DOUBLE))) AS s
+  FROM adot a
+  JOIN qn nv ON nv.vec_id = a.vec_id
+  JOIN qn nc ON nc.vec_id = a.cell_id
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS rn
+    FROM asim
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS rn
+    FROM asim WHERE vec_id < {IVF_N_QUERIES}
+  ) WHERE rn <= {IVF_PROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+  WHERE a.vec_id <> p.query_id
+),
+cdot AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(sum(eq.qv[i] * en.qv[i]) AS BIGINT) AS dot
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e en ON en.vec_id = c.neighbor_id, dims
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nv AS DOUBLE)) * sqrt(CAST(nn.nv AS DOUBLE))), 6)
+           + 0.0 AS cosine
+  FROM cdot d
+  JOIN qn nq ON nq.vec_id = d.query_id
+  JOIN qn nn ON nn.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {IVF_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "q53_ann_ivf",
+    oracle=_q53_oracle(),
+    doc="IVF-flat ANN over seeded deterministic cells (integer-quantized full oracle)",
+    tags=("similarity", "ann", "ivf"),
+)
 def q53_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: the first IVF_CELLS vectors act as (deterministic)
     centroids; every vector is assigned to its nearest centroid; a query
     probes only the IVF_PROBE nearest cells, shrinking the candidate set
     by ~n_cells/n_probe. On a cluster the assignment is one broadcast
-    join (centroids are tiny) and search touches only probed partitions
-    — repartition by cell_id to make that physical. Rows-only check
-    (approximation differs from any exact SQL oracle by design);
-    recall-vs-brute-force is pytest-asserted."""
-    emb = load_catalog(spark, sf_dir).table("embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+    join (centroids are tiny) and search touches only probed partitions.
+
+    FULL VALUE-HASH ORACLE since round 10 (VERDICT r9 #3, rows-only
+    through r9): components quantize to BIGINT at IVF_Q (the qx261
+    integer trick), so dots and squared norms are exact integers under
+    2^53 and the similarity is a fixed-order chain of correctly-rounded
+    IEEE double ops — bit-identical to the DuckDB spelling. The argmax
+    assignment is now MAP-ONLY (array_max over an 8-struct array — the
+    struct's trailing -cell_id breaks exact-double ties toward the
+    smaller cell, matching the oracle's ORDER BY s DESC, cell_id), which
+    also deletes the corpus×8-row window shuffle the r9 spelling paid.
+    Recall-vs-brute-force stays pytest-asserted (quantization shifts
+    cosines by ~1e-6 — invisible at 6dp and to recall)."""
+    q = _ivf_quantized(spark, sf_dir)
+    centroids = q.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("qv").alias("qc"), F.col("nv").alias("nc")
     )
-    centroids = emb.filter(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
-    )
-    # assign: argmax cosine over the broadcast centroid set
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("cell_id")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id", "v", "cell_id", r6(cosine(F.col("v"), F.col("cv"))).alias("sim")
+    crows = sorted(centroids.collect(), key=lambda r: r["cell_id"])  # 8 rows
+
+    def dot_with(cvec) -> F.Column:
+        lits = F.array(*[F.lit(int(x)).cast("bigint") for x in cvec])
+        return F.aggregate(
+            F.zip_with("qv", lits, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
         )
-        .withColumn("arn", F.row_number().over(assign_w))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "v", "cell_id")
+
+    # map-only argmax: max of (sim, -cell_id) structs == oracle's
+    # ORDER BY s DESC, cell_id ASC (struct compare is field-ordered)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _ivf_sim(dot_with(r["qc"]), F.col("nv"), F.lit(int(r["nc"]))).alias("s"),
+                    F.lit(-r["cell_id"]).alias("negc"),
+                )
+                for r in crows
+            ]
+        )
     )
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    assigned = q.select(
+        "vec_id", "qv", "nv", (-best["negc"]).cast("int").alias("cell_id")
     )
-    # probe: the IVF_PROBE best cells per query
+    queries = assigned.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nv").alias("q_nv"),
+    )
+    # probe: the IVF_PROBE best cells per query (IVF_N_QUERIES×8 rows)
     probe_w = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("cell_id"))
     probes = (
         queries.crossJoin(F.broadcast(centroids))
-        .select("query_id", "qv", "cell_id", r6(cosine(F.col("qv"), F.col("cv"))).alias("qsim"))
+        .select(
+            "query_id",
+            "q_qv",
+            "q_nv",
+            "cell_id",
+            _ivf_sim(
+                F.aggregate(
+                    F.zip_with("q_qv", "qc", lambda a, b: a * b),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ),
+                F.col("q_nv"),
+                F.col("nc"),
+            ).alias("qsim"),
+        )
         .withColumn("prn", F.row_number().over(probe_w))
         .filter(F.col("prn") <= IVF_PROBE)
-        .select("query_id", "qv", "cell_id")
+        .select("query_id", "q_qv", "q_nv", "cell_id")
     )
     rank_w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    pair_dot = F.aggregate(
+        F.zip_with("q_qv", "qv", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
     return (
         probes.join(assigned, "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            r6(cosine(F.col("qv"), F.col("v"))).alias("cosine"),
+            (r6(_ivf_sim(pair_dot, F.col("q_nv"), F.col("nv"))) + F.lit(0.0)).alias(
+                "cosine"
+            ),
         )
         .withColumn("rank", F.row_number().over(rank_w).cast("bigint"))
-        .filter(F.col("rank") <= 10)
+        .filter(F.col("rank") <= IVF_TOPK)
     )
 
 
