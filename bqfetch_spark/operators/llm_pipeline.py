@@ -2433,7 +2433,18 @@ def qx266_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     unnest spelling sums the same integers); band buckets are the q47
     join geometry; the Hamming verify is output-bounded. At a real
     corpus's vocabulary the signature join dominates and stays
-    bucket-local."""
+    bucket-local.
+
+    Band-saturation policy (measured in scale_check_100x, r10): unlike
+    qx264's 2^60 md5 band keys, a FIXED 15-bit key space saturates as
+    the corpus grows — candidate mass measured 234× at 100× docs
+    (mildly super-linear; degenerate all-pairs would be ~10,000×),
+    because frequency-dominated bit votes cluster signatures into hot
+    buckets. At larger corpora, read the qx261-style (band, key)
+    occupancy histogram BEFORE paying the join, and widen
+    SH64_BAND_BITS (more bits per band, fewer bands, or a second hash
+    folded into the key) to hold per-bucket occupancy fixed — the
+    same cells-∝-N stance as q69's IVF."""
     docs = load_catalog(spark, sf_dir).table("documents")
     sig = sh64_signatures(docs)
     mask = (1 << SH64_BAND_BITS) - 1
