@@ -1602,6 +1602,64 @@ def qx217_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 8  # merge rules to learn
 
 
+def _bpe_sql_ctes() -> str:
+    """The unrolled BPE learning chain as DuckDB CTEs (VERDICT r9 #8 —
+    the last rows-only family with deterministic SQL-conceivable
+    semantics): v0 = the distinct-word symbol table; then per round k,
+    p_k counts adjacent pairs weighted by word frequency, b_k takes the
+    deterministic argmax (cnt DESC, l, r), and v_k applies the merge as
+    a string fold — symbols joined on chr(31), so "append WITHOUT the
+    separator" IS the merge, and the leftmost-first non-overlap rule
+    falls out exactly as in _bpe_merge_word (a merged symbol can never
+    re-match `l` because it strictly contains it). Everything is
+    MATERIALIZED: DuckDB inlines plain CTEs, which would re-evaluate
+    the chain exponentially (the detmath lesson). 8 rounds ≈ 24 CTEs —
+    the style the 504-step Jacobi chain already proved out.
+
+    chr(31) (unit separator) is safe as a symbol delimiter because
+    fixture tokens never contain control characters; a corpus that did
+    would need a longer sentinel, not a different algorithm."""
+    ctes = ["""v0 AS MATERIALIZED (
+  SELECT word, string_split(word, '') AS syms, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+)"""]
+    for k in range(1, BPE_MERGES + 1):
+        ctes.append(f"""p{k} AS (
+  SELECT v.syms[i] AS l, v.syms[i + 1] AS r, CAST(sum(v.freq) AS BIGINT) AS cnt
+  FROM v{k - 1} v, LATERAL (SELECT unnest(range(1, len(v.syms))) AS i) ii
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+),
+v{k} AS MATERIALIZED (
+  SELECT v.word,
+         string_split(
+           list_reduce(v.syms,
+             (acc, sym) -> CASE
+               WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l)) AND sym = b.r
+               THEN acc || b.r
+               ELSE acc || chr(31) || sym END),
+           chr(31)) AS syms,
+         v.freq
+  FROM v{k - 1} v, b{k} b
+)""")
+    return ",\n".join(ctes)
+
+
+def _bpe_merges_oracle() -> str:
+    steps = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, l AS \"left\", r AS \"right\", "
+        f"l || r AS merged, cnt AS pair_count FROM b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+WITH {_bpe_sql_ctes()}
+SELECT * FROM ({steps}) ORDER BY step
+"""
+
+
 def _bpe_merge_word(a: str, b: str):
     """Column expression applying ONE merge rule (a,b) -> a+b to a
     symbol array, leftmost-first non-overlapping — the classic BPE
@@ -1642,8 +1700,7 @@ def _bpe_merge_word(a: str, b: str):
 
 @register(
     "qx221_bpe_merges",
-    oracle=None,  # iterative argmax-and-rewrite: not SQL-expressible;
-    # pinned against a pure-Python BPE reference in tests/test_corpus.py
+    oracle=_bpe_merges_oracle(),
     doc="first 8 BPE merge rules learned from corpus word frequencies",
     tags=("llm-pipeline", "tokenization", "iterative"),
 )
@@ -1725,10 +1782,43 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
     return rules, vocab
 
 
+def _bpe_encode_oracle() -> str:
+    """qx222's twin: the same unrolled merge chain, then the
+    vocab-trick encode — the final v{K} frame IS the encoding table,
+    joined against per-(source, word) counts. Integer sums; the two
+    ratios are single correctly-rounded double divisions."""
+    k = BPE_MERGES
+    return f"""
+WITH {_bpe_sql_ctes()},
+enc AS (
+  SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe,
+         CAST(length(word) AS BIGINT) AS n_chars_w
+  FROM v{k}
+),
+sw AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT sw.source,
+         CAST(sum(sw.cnt) AS BIGINT) AS n_words,
+         CAST(sum(sw.cnt * e.n_bpe) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(sw.cnt * e.n_chars_w) AS BIGINT) AS n_chars
+  FROM sw JOIN enc e USING (word)
+  GROUP BY sw.source
+)
+SELECT source, n_words, n_bpe_tokens, n_chars,
+       round(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 6) AS chars_per_token,
+       round(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS tokens_per_word
+FROM agg
+ORDER BY source
+"""
+
+
 @register(
     "qx222_bpe_encode",
-    oracle=None,  # the encoding table is the output of qx221's iterative
-    # learner: not SQL-expressible; pinned against the Python reference
+    oracle=_bpe_encode_oracle(),
     doc="apply learned BPE merges: per-source token counts and compression ratio",
     tags=("llm-pipeline", "tokenization"),
 )
