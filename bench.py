@@ -283,6 +283,11 @@ HEADLINE = [
     "qx264_minhash_lsh_exact",
     "qx265_streaming_decontamination",
     "qx266_simhash_exact",
+    "qx267_packing_efficiency",
+    "qx268_cross_source_overlap",
+    "qx269_vocab_growth",
+    "qx270_lsh_clusters_exact",
+    "qx272_ann_recall_report",
 ]
 
 # Registry queries deliberately NOT benched (VERDICT r8 #7: make the
@@ -295,6 +300,7 @@ HEADLINE = [
 # (see _check_headline_coverage), so a new query can't silently dodge
 # the bench.
 EXCLUSIONS = {
+    "qx271_dedup_savings": "qx270's cluster chain + a sources rollup; benching it would re-run benched qx270 end-to-end plus a q03-shaped aggregate",
     "q02_distinct_values": "distinct projection scan == q04's scan + q40's distinct shape",
     "q09_anti_join": "same broadcast-anti plan as benched q08 semi join",
     "q10_union": "set-op scan pair; q18's union-side fact join covers the shape",

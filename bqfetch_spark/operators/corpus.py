@@ -1975,3 +1975,357 @@ def qx263_source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx267: packing-efficiency planner (pad-vs-pack waste per window size)
+# ---------------------------------------------------------------------------
+
+PACK_EFF_WINDOWS = (512, 1024, 2048, 4096)
+
+PACK_EFF_ORACLE = f"""
+WITH toks AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+),
+grid AS (
+  SELECT w.w, t.n FROM toks t,
+       (SELECT unnest([{", ".join(str(w) for w in PACK_EFF_WINDOWS)}]) AS w) w
+),
+agg AS (
+  SELECT CAST(w AS BIGINT) AS "window",
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(sum(((n + w - 1) // w) * w) AS BIGINT) AS pad_tokens
+  FROM grid GROUP BY w
+)
+SELECT "window", n_docs, n_tokens, pad_tokens,
+       round(CAST(pad_tokens - n_tokens AS DOUBLE) / CAST(pad_tokens AS DOUBLE), 6)
+         AS pad_waste_frac,
+       round(CAST(((n_tokens + "window" - 1) // "window") * "window" - n_tokens AS DOUBLE)
+             / CAST(((n_tokens + "window" - 1) // "window") * "window" AS DOUBLE), 6)
+         AS pack_waste_frac
+FROM agg
+ORDER BY "window"
+"""
+
+
+@register(
+    "qx267_packing_efficiency",
+    oracle=PACK_EFF_ORACLE,
+    doc="pad-vs-pack token waste per candidate training window size",
+    tags=("curation", "corpus", "packing", "planning"),
+)
+def qx267_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planning query run BEFORE qx260: for each candidate training
+    window size, how many tokens does pad-to-window burn versus
+    concat-and-chunk packing? pad_tokens = Σ ceil(len/W)·W (every doc
+    padded to its own window multiple — the naive loader); the packing
+    alternative wastes only the final window's slack, derivable from
+    the same aggregate. The waste-fraction gap across W is the number
+    that justifies the packing pipeline's complexity to a training
+    team — and it shifts with the corpus length distribution, so it
+    must be measured per corpus, not assumed.
+
+    Scale shape: ONE corpus scan, a 4-literal explode (rows ×4, all
+    map-side), one 4-group aggregate with partial aggregation —
+    integer arithmetic end-to-end, two final rounded divisions.
+    100 TB corpus → identical plan; output is always 4 rows."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    toks = docs.select(F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n"))
+    grid = toks.select(
+        "n", F.explode(F.array(*[F.lit(w).cast("bigint") for w in PACK_EFF_WINDOWS])).alias("w")
+    )
+    agg = grid.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(
+            F.expr("((n + w - 1) div w) * w")
+        ).cast("bigint").alias("pad_tokens"),
+    )
+    pack_padded = F.expr("((n_tokens + window - 1) div window) * window")
+    return (
+        agg.select(
+            F.col("w").alias("window"),
+            "n_docs",
+            "n_tokens",
+            "pad_tokens",
+        )
+        .select(
+            "window",
+            "n_docs",
+            "n_tokens",
+            "pad_tokens",
+            r6(
+                (F.col("pad_tokens") - F.col("n_tokens")).cast("double")
+                / F.col("pad_tokens").cast("double")
+            ).alias("pad_waste_frac"),
+            r6(
+                (pack_padded - F.col("n_tokens")).cast("double")
+                / pack_padded.cast("double")
+            ).alias("pack_waste_frac"),
+        )
+        .orderBy("window")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx270: exact-LSH cluster resolution (end-to-end exact dedup groups)
+# ---------------------------------------------------------------------------
+
+MH_CLUSTER_JACCARD = 0.8
+
+
+def _mh_clusters_oracle() -> str:
+    from bqfetch_spark.operators.llm_pipeline import _mh_oracle
+
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_mh_oracle()}) q
+  WHERE jaccard >= {MH_CLUSTER_JACCARD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT
+  src AS doc_id,
+  least(src, min(dst)) AS cluster_id,
+  CAST(src = least(src, min(dst)) AS INTEGER) AS is_canonical
+FROM reach
+GROUP BY src
+"""
+
+
+@register(
+    "qx270_lsh_clusters_exact",
+    oracle=_mh_clusters_oracle(),
+    doc="connected-component dedup clusters over the exact MinHash-LSH pairs",
+    tags=("dedup", "clustering", "lsh"),
+)
+def qx270_lsh_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END exact near-dup resolution: qx264's cross-engine-exact
+    MinHash-LSH candidates, thresholded at true Jaccard ≥
+    MH_CLUSTER_JACCARD, resolved into keep-one-copy clusters by the
+    same hash-min connected components as q74 — the full production
+    dedup chain (shingle → LSH → verify → cluster → canonical flag)
+    where EVERY stage now carries a value-hash oracle (q74's chain
+    rests on q46's shared-shingle join, which is quadratic in hot
+    shingles; this one rests on the banded join that scales).
+
+    Scale shape: qx264's band-bucket join (100×-certified linear),
+    then label propagation whose state is one (node, label) row per
+    clustered doc — never the corpus. The oracle resolves the same
+    components by recursive-CTE transitive closure (O(component²),
+    fine at fixture scale)."""
+    from bqfetch_spark.operators.llm_pipeline import qx264_minhash_lsh_exact
+
+    pairs = qx264_minhash_lsh_exact(spark, sf_dir).filter(
+        F.col("jaccard") >= MH_CLUSTER_JACCARD
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx271: dedup savings report (what the cluster chain buys, per source)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_savings_oracle() -> str:
+    return f"""
+WITH clusters AS MATERIALIZED ({_mh_clusters_oracle()}),
+toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+flagged AS (
+  SELECT t.source, t.n_tokens,
+         CASE WHEN c.doc_id IS NOT NULL AND c.is_canonical = 0 THEN 1 ELSE 0 END AS dropped
+  FROM toks t LEFT JOIN clusters c ON c.doc_id = t.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(dropped) AS BIGINT) AS docs_dropped,
+       CAST(sum(CASE WHEN dropped = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_dropped,
+       round(CAST(sum(CASE WHEN dropped = 1 THEN n_tokens ELSE 0 END) AS DOUBLE)
+             / CAST(sum(n_tokens) AS DOUBLE), 6) AS savings_frac
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "qx271_dedup_savings",
+    oracle=_dedup_savings_oracle(),
+    doc="per-source token savings from dropping non-canonical near-dup cluster members",
+    tags=("dedup", "curation", "reporting"),
+)
+def qx271_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number a curation team actually reports: per source, how
+    many documents and tokens the exact-LSH dedup chain (qx264 pairs →
+    qx270 clusters, keep the canonical min-doc_id member) removes, and
+    the savings fraction. This is where dedup decisions get made —
+    a source with 30% near-dup mass gets a different mixture weight
+    (or a crawl fix) — so it belongs in the engine, not a notebook.
+
+    Scale shape: qx270's cluster frame is clustered-docs-sized (tiny
+    vs corpus) and LEFT-joins the one-scan (doc, source, n_tokens)
+    projection — broadcast at any realistic dup rate; then a
+    sources-sized rollup. Text never moves."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    clusters = qx270_lsh_clusters_exact(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    flagged = toks.join(F.broadcast(clusters), "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        F.when(
+            F.col("is_canonical").isNotNull() & (F.col("is_canonical") == 0), 1
+        )
+        .otherwise(0)
+        .alias("dropped"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("dropped").cast("bigint").alias("docs_dropped"),
+            F.sum(F.when(F.col("dropped") == 1, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "docs_dropped",
+            "tokens_dropped",
+            r6(
+                F.col("tokens_dropped").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("savings_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx269: vocabulary growth curve (Heaps' law, measured not assumed)
+# ---------------------------------------------------------------------------
+
+# Deterministic corpus prefixes: a doc is in the p-fraction sample iff
+# its 60-bit md5 value < floor(p·2^60). Thresholds are Python-computed
+# integer literals, so neither engine does any floating arithmetic to
+# decide membership — and the prefixes are NESTED (p1 ⊂ p2 ⊂ …), which
+# is what makes this a growth CURVE, not four unrelated samples.
+VOCAB_FRACS = (0.01, 0.1, 0.5, 1.0)
+_VOCAB_THRS = tuple(int(p * (1 << 60)) for p in VOCAB_FRACS)
+
+VOCAB_GROWTH_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv,
+         string_split(text, ' ') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, hv, unnest(t) AS w FROM d),
+fr AS (
+  SELECT * FROM (VALUES {", ".join(f"({p}, CAST({t} AS BIGINT))" for p, t in zip(VOCAB_FRACS, _VOCAB_THRS))})
+       AS v(frac, thr)
+),
+doc_stats AS (
+  SELECT f.frac,
+         CAST(count(DISTINCT tok.doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM tok JOIN fr f ON tok.hv < f.thr
+  GROUP BY f.frac
+),
+wmin AS (SELECT w, CAST(min(hv) AS BIGINT) AS hmin FROM tok GROUP BY w),
+voc AS (
+  SELECT f.frac, CAST(count(*) AS BIGINT) AS vocab
+  FROM wmin JOIN fr f ON wmin.hmin < f.thr
+  GROUP BY f.frac
+)
+SELECT d.frac, d.n_docs, d.n_tokens, v.vocab,
+       round(CAST(v.vocab AS DOUBLE) / CAST(d.n_tokens AS DOUBLE), 6) AS type_token_ratio
+FROM doc_stats d JOIN voc v ON v.frac = d.frac
+ORDER BY d.frac
+"""
+
+
+@register(
+    "qx269_vocab_growth",
+    oracle=VOCAB_GROWTH_ORACLE,
+    doc="vocabulary growth over nested deterministic corpus prefixes (Heaps' law curve)",
+    tags=("curation", "text", "statistics"),
+)
+def qx269_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law measurement: distinct-token vocabulary at nested
+    deterministic corpus prefixes (1%, 10%, 50%, 100% by md5 order) —
+    the curve that tells a pipeline owner whether "vocab-bounded"
+    stages (the qx221 BPE vocab trick, qx263's grids, dictionary
+    encodings) will hold their size promise at 100× the corpus, and
+    whether a source is saturating (TTR falling) or still contributing
+    novel text. The engine CLAIMS Heaps' law in a dozen docstrings;
+    this query measures it on the actual corpus.
+
+    Exactness: membership is an integer compare against Python-
+    computed literal thresholds; every output but the final rounded
+    ratio is an integer count. Scale shape: one scan → token explode;
+    vocab rides ONE word-keyed exchange (min(hv) per word — the
+    hmin trick turns four nested distinct-counts into one aggregate +
+    a 4-row broadcast join); doc stats partial-aggregate map-side.
+    Output is always len(VOCAB_FRACS) rows."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    tok = docs.select(
+        "doc_id", hv.alias("hv"), F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    fr = docs.sparkSession.createDataFrame(
+        [(p, t) for p, t in zip(VOCAB_FRACS, _VOCAB_THRS)], "frac double, thr bigint"
+    )
+    doc_stats = (
+        tok.join(F.broadcast(fr), F.col("hv") < F.col("thr"))
+        .groupBy("frac")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    wmin = tok.groupBy("w").agg(F.min("hv").alias("hmin"))
+    voc = (
+        wmin.join(F.broadcast(fr), F.col("hmin") < F.col("thr"))
+        .groupBy("frac")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    )
+    return (
+        doc_stats.join(voc, "frac")
+        .select(
+            "frac",
+            "n_docs",
+            "n_tokens",
+            "vocab",
+            r6(F.col("vocab").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "type_token_ratio"
+            ),
+        )
+        .orderBy("frac")
+    )

@@ -1212,3 +1212,100 @@ def qx257_epoch_refill_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "epoch")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx268: cross-source overlap matrix (pairwise shared distinct n-grams)
+# ---------------------------------------------------------------------------
+
+XSRC_ORACLE = f"""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(
+             generate_series(1, len(t) - {CONTAM_N - 1}),
+             i -> list_aggregate(t[i:i+{CONTAM_N - 1}], 'string_agg', ' '))) AS g
+  FROM toks WHERE len(t) >= {CONTAM_N}
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_grams
+  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.shared_grams,
+       round(CAST(s.shared_grams AS DOUBLE)
+             / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE), 6) AS containment
+FROM shared s
+JOIN sizes sa ON sa.source = s.source_a
+JOIN sizes sb ON sb.source = s.source_b
+ORDER BY s.source_a, s.source_b
+"""
+
+
+@register(
+    "qx268_cross_source_overlap",
+    oracle=XSRC_ORACLE,
+    doc="pairwise shared distinct n-gram counts and containment between sources",
+    tags=("quality", "decontamination", "curation"),
+)
+def qx268_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-SOURCE contamination matrix: for every source pair,
+    how many distinct {CONTAM_N}-grams they share and the containment
+    fraction (shared / smaller source's gram set). q77 screens train
+    against a benchmark; this screens the corpus against ITSELF — the
+    query a curation team runs to find mirrored crawls, syndicated
+    content, or a source that is secretly a subset of another before
+    mixture weights are assigned (a duplicated source would otherwise
+    be double-weighted).
+
+    vs qx217 (the rare-shingle leakage matrix): qx217 counts DF-capped
+    rare 3-grams — a sensitive tripwire for any shared text, but its
+    cap deliberately throws away the denominators, so it cannot say
+    "B ⊆ A". This one keeps ALL {CONTAM_N}-grams and reports
+    containment against the SMALLER set — 1.0 is the subset-source
+    signature the mixture-weight decision needs; the two reports are
+    read together in a qx174-style data card.
+
+    Scale shape: distinct (source, gram) — one gram-keyed exchange,
+    vocab-bounded output (Heaps' law) — then a self-join ON GRAM: a
+    gram present in k sources contributes C(k,2) pairs, and k is
+    bounded by the source count (dozens), so join output ≤
+    |gram vocab|·C(S,2)/…, never corpus-sized. The final matrix is
+    S²-sized — metadata. Text never moves past the projection."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    t = F.split(F.col("text"), " ")
+    tok = docs.select("source", t.alias("t")).filter(F.size("t") >= CONTAM_N)
+    width = F.size("t") - (CONTAM_N - 1)
+    z = F.arrays_zip(*[F.slice("t", i + 1, width).alias(f"w{i}") for i in range(CONTAM_N)])
+    grams = (
+        tok.select("source", F.explode(z).alias("z"))
+        .select("source", F.concat_ws(" ", *[f"z.w{i}" for i in range(CONTAM_N)]).alias("g"))
+        .dropDuplicates(["source", "g"])
+    )
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    shared = (
+        ga.join(gb, (F.col("ga.g") == F.col("gb.g")) & (F.col("ga.source") < F.col("gb.source")))
+        .groupBy(F.col("ga.source").alias("source_a"), F.col("gb.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            r6(
+                F.col("shared_grams").cast("double")
+                / F.least("na", "nb").cast("double")
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )

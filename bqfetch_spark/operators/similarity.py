@@ -2114,3 +2114,125 @@ def qx261_embedding_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         per_band = row if per_band is None else per_band.unionByName(row)
     return per_band.orderBy("band_id")
+
+
+# ---------------------------------------------------------------------------
+# qx272: ANN recall report — the quality gate as a first-class query
+# ---------------------------------------------------------------------------
+
+
+def _q53_recall_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * {IVF_Q}.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+qn AS (
+  SELECT vec_id, CAST(sum(qv[i] * qv[i]) AS BIGINT) AS nv
+  FROM e, dims GROUP BY vec_id
+),
+bdot AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         CAST(sum(q.qv[i] * n.qv[i]) AS BIGINT) AS dot
+  FROM e q JOIN e n ON n.vec_id <> q.vec_id, dims
+  WHERE q.vec_id < {IVF_N_QUERIES}
+  GROUP BY 1, 2
+),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT d.query_id, d.neighbor_id,
+           row_number() OVER (
+             PARTITION BY d.query_id
+             ORDER BY CAST(d.dot AS DOUBLE)
+                      / (sqrt(CAST(nq.nv AS DOUBLE)) * sqrt(CAST(nn.nv AS DOUBLE))) DESC,
+                      d.neighbor_id
+           ) AS rk
+    FROM bdot d
+    JOIN qn nq ON nq.vec_id = d.query_id
+    JOIN qn nn ON nn.vec_id = d.neighbor_id
+  ) WHERE rk <= {IVF_TOPK}
+),
+approx AS (SELECT query_id, neighbor_id FROM ({_q53_oracle()}) q53)
+SELECT b.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(count(a.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS recall
+FROM brute b
+LEFT JOIN approx a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""
+
+
+@register(
+    "qx272_ann_recall_report",
+    oracle=_q53_recall_oracle(),
+    doc="recall@10 of the IVF index vs exact brute force, per query (full oracle)",
+    tags=("similarity", "ann", "ivf", "quality-gate"),
+)
+def qx272_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN quality gate as a first-class query: recall@{IVF_TOPK}
+    of q53's probed IVF search against the exact brute-force top-k,
+    per query — the number an index owner monitors after every
+    retrain/re-shard (tests/test_ann_recall.py asserts a floor once;
+    this makes the measurement reproducible inside the engine, on any
+    corpus, with a full value-hash oracle — both legs ride the same
+    IVF_Q integer-quantized similarity, so there is no FP ambiguity
+    in either ranking).
+
+    Scale shape: the brute leg is queries×corpus with broadcast
+    queries — IVF_N_QUERIES is small by definition (a recall AUDIT
+    samples queries; it never brute-forces the corpus against itself),
+    so this is a map-only scored scan + per-query top-k. The approx
+    leg is q53's probed search. The join is (queries × k)-sized."""
+    q = _ivf_quantized(spark, sf_dir)
+    queries = q.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nv").alias("q_nv"),
+    )
+    pair_dot = F.aggregate(
+        F.zip_with("q_qv", "qv", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    brute = (
+        q.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _ivf_sim(pair_dot, F.col("q_nv"), F.col("nv")).alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(rank_w))
+        .filter(F.col("rk") <= IVF_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    approx = q53_ann_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        brute.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            r6(F.col("n_hit").cast("double") / F.col("n_exact").cast("double")).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id")
+    )

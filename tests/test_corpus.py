@@ -1065,3 +1065,129 @@ def test_qx266_planted_exact_copies_at_hamming_zero(spark, tmp_path):
     assert len(pairs) == len(rows)  # no duplicate pair rows
     assert pairs[(900002, 900003)] == 0
     assert all(0 <= h <= SH64_MAXHAM for h in pairs.values())
+
+
+def test_qx267_pad_always_wastes_at_least_pack(spark):
+    """Per-doc padding can never beat concat-and-chunk packing, every
+    fraction must be a valid [0, 1) fraction, and a larger window can
+    only increase pad waste on a fixed corpus... which is false in
+    general (a window matching the length mode can win) — so assert
+    only the invariants that are true: pad >= pack per window, and
+    pad_tokens >= n_tokens with equality only if every doc length is
+    a multiple of the window."""
+    from bqfetch_spark.operators.corpus import qx267_packing_efficiency
+    from tests.conftest import SF_SMOKE
+
+    rows = qx267_packing_efficiency(spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert 0.0 <= r.pack_waste_frac <= r.pad_waste_frac < 1.0
+        assert r.pad_tokens >= r.n_tokens
+        assert r.pad_tokens % r.window == 0
+
+
+def test_qx268_planted_subset_source_has_full_containment(spark, tmp_path):
+    """A planted source whose single doc is a verbatim copy of an
+    existing doc must show containment 1.0 against that doc's source
+    (its gram set is a subset)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import TABLES, load_catalog
+    from bqfetch_spark.operators.quality import qx268_cross_source_overlap
+    from tests.conftest import SF_SMOKE
+
+    d = str(tmp_path / "sfsubset")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(os.path.join(SF_SMOKE, f"{t}.parquet"), os.path.join(d, f"{t}.parquet"))
+    docs = load_catalog(spark, SF_SMOKE).table("documents")
+    donor = docs.orderBy("doc_id").limit(1).collect()[0]
+    extra = spark.createDataFrame(
+        [(900050, donor.text, donor.lang, "zzMirror", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text"))
+    docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        extra
+    ).coalesce(4).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    rows = qx268_cross_source_overlap(spark, d).collect()
+    mirror = [r for r in rows if r.source_b == "zzMirror" and r.source_a == donor.source]
+    assert mirror and mirror[0].containment == 1.0  # subset source fully contained
+    for r in rows:
+        assert 0.0 < r.containment <= 1.0 and r.shared_grams >= 1
+
+
+def test_qx269_growth_curve_is_monotone_and_exact_at_full(spark):
+    """Nested prefixes: docs/tokens/vocab must be nondecreasing in
+    frac; the 100% row must equal the true corpus-wide counts; and the
+    type-token ratio must FALL as the corpus grows (Heaps' law — the
+    property a dozen vocab-bounded docstrings rely on)."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.corpus import qx269_vocab_growth
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(qx269_vocab_growth(spark, SF_SMOKE).collect(), key=lambda r: r.frac)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_docs <= b.n_docs and a.n_tokens <= b.n_tokens and a.vocab <= b.vocab
+        assert a.type_token_ratio >= b.type_token_ratio  # Heaps: TTR falls
+    docs = load_catalog(spark, SF_SMOKE).table("documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    full = rows[-1]
+    assert full.frac == 1.0
+    assert full.n_docs == docs.count()
+    assert full.n_tokens == tok.count()
+    assert full.vocab == tok.distinct().count()
+
+
+def test_qx270_planted_copies_share_a_cluster(spark, tmp_path):
+    """The planted exact copies (900002/900003) must land in one
+    cluster with the smaller doc_id canonical; the looping doc must
+    not join them."""
+    from bqfetch_spark.operators.corpus import qx270_lsh_clusters_exact
+
+    d = _planted_docs_dir(spark, tmp_path)
+    got = {r.doc_id: r for r in qx270_lsh_clusters_exact(spark, d).collect()}
+    assert got[900002].cluster_id == got[900003].cluster_id == 900002
+    assert got[900002].is_canonical == 1 and got[900003].is_canonical == 0
+    assert 900001 not in got or got[900001].cluster_id != 900002
+
+
+def test_qx271_savings_account_for_planted_dup(spark, tmp_path):
+    """srcP gains one droppable copy: docs_dropped 1, tokens_dropped =
+    the copy's token count; every source's totals must sum to the
+    corpus; fractions in [0, 1)."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.corpus import qx271_dedup_savings
+
+    d = _planted_docs_dir(spark, tmp_path)
+    rows = qx271_dedup_savings(spark, d).collect()
+    docs = load_catalog(spark, d).table("documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    by_src = {r.source: r for r in rows}
+    assert by_src["srcP"].docs_dropped == 1
+    assert by_src["srcP"].tokens_dropped == 10  # "copy" x10
+    for r in rows:
+        assert 0.0 <= r.savings_frac < 1.0
+        assert r.tokens_dropped <= r.n_tokens
+
+
+def test_qx272_recall_report_matches_recall_gate(spark):
+    """Every query row must have n_exact = IVF_TOPK and recall in
+    [0, 1]; the mean must clear the same floor tests/test_ann_recall.py
+    asserts for q53 (the report IS that measurement, made queryable)."""
+    from bqfetch_spark.operators.similarity import IVF_TOPK, qx272_ann_recall_report
+    from tests.conftest import SF_SMOKE
+
+    rows = qx272_ann_recall_report(spark, SF_SMOKE).collect()
+    assert {r.query_id for r in rows} == set(range(5))
+    for r in rows:
+        assert r.n_exact == IVF_TOPK and 0.0 <= r.recall <= 1.0
+        assert r.n_hit <= r.n_exact
+    assert sum(r.recall for r in rows) / len(rows) >= 0.6
