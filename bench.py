@@ -288,6 +288,7 @@ HEADLINE = [
     "qx269_vocab_growth",
     "qx270_lsh_clusters_exact",
     "qx272_ann_recall_report",
+    "qx273_streaming_vocab_growth",
 ]
 
 # Registry queries deliberately NOT benched (VERDICT r8 #7: make the

@@ -739,3 +739,45 @@ def qx265_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
     work = tempfile.mkdtemp(prefix="bqfs_decontam_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     return run_incremental_decontamination(spark, sf_dir, work)
+
+
+def _qx273_oracle() -> str:
+    # min-merge (associative, idempotent) word partials + additive
+    # integer doc stats: the store-merged report is bit-equal to the
+    # one-shot qx269 aggregate and shares its oracle verbatim
+    from bqfetch_spark.operators.corpus import VOCAB_GROWTH_ORACLE
+
+    return VOCAB_GROWTH_ORACLE
+
+
+@register(
+    "qx273_streaming_vocab_growth",
+    oracle=_qx273_oracle(),
+    doc="incrementally-maintained vocabulary-growth store; Heaps curve from min-merge partials",
+    tags=("streaming", "incremental", "text", "llm-pipeline"),
+)
+def qx273_streaming_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qx269's vocabulary growth curve over an incrementally-maintained
+    store (streaming/vocab.py): 60% of the documents backfill per-word
+    MIN-doc-hash partials and per-prefix integer doc stats; the
+    remaining 40% arrives as two foreachBatch waves, each appending a
+    wave-vocab-sized frame under its own ingest_batch partition
+    (O(wave), history never re-read, retry-idempotent dynamic
+    overwrite, checkpoint-lineage ownership).
+
+    FULL value-hash oracle — qx269's, VERBATIM — on the strongest
+    streaming-merge argument in the repo: the word store merges by
+    min(), which is associative AND idempotent, so the merged store is
+    bit-equal to the one-shot aggregate under any ingest slicing and
+    even under blind wave replays (stronger than qx231's integer
+    additivity, which needs overwrite discipline to avoid double
+    counts); the doc-stat partials are plain additive integers."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from bqfetch_spark.streaming.vocab import run_incremental_vocab
+
+    work = tempfile.mkdtemp(prefix="bqfs_vocab_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return run_incremental_vocab(spark, sf_dir, work)

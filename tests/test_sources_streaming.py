@@ -1658,3 +1658,46 @@ def test_qx265_wave_slicing_invariant_and_frozen_bench(spark, tmp_path):
         for r in spark.read.parquet(store_dir).select("doc_id", "n_shared_ngrams").collect()
     }
     assert two_wave == oneshot
+
+
+def test_streaming_vocab_growth_matches_oneshot_and_survives_blind_replay(
+    spark, tmp_path
+):
+    """qx273: (a) the store-merged growth report must equal qx269's
+    one-shot curve exactly; (b) the word store's min-merge is
+    IDEMPOTENT, so even a blind double-append of the same wave (no
+    dynamic-overwrite discipline at all) must leave the vocab column
+    unchanged — the property that makes this store strictly more
+    replay-tolerant than the additive-count stores."""
+    import os
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.corpus import qx269_vocab_growth
+    from bqfetch_spark.streaming.vocab import (
+        _wave_of,
+        append_vocab_wave,
+        run_incremental_vocab,
+        vocab_report,
+    )
+    from tests.conftest import SF_CORRECT
+
+    work = str(tmp_path / "vocabwork")
+    got = run_incremental_vocab(spark, SF_CORRECT, work)
+    one = qx269_vocab_growth(spark, SF_CORRECT)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, one.collect()))
+
+    # blind replay of wave 3 (manual append, NOT a dynamic overwrite):
+    # vocab (min-merged) must not move; doc stats (additive) would
+    # double-count, which is exactly why they keep the overwrite
+    # discipline — assert the split behavior explicitly
+    store = os.path.join(work, "vocab")
+    docs = load_catalog(spark, SF_CORRECT).table("documents").select(
+        "doc_id", "source", "text"
+    )
+    append_vocab_wave(spark, docs.filter(_wave_of() == 3), store, batch_id=None)
+    replayed = {r.frac: r for r in vocab_report(spark, store).collect()}
+    for r in one.collect():
+        assert replayed[r.frac].vocab == r.vocab  # min-merge idempotent
+    assert any(
+        replayed[r.frac].n_tokens > r.n_tokens for r in one.collect()
+    )  # additive stats DO double-count under a blind append — by design
