@@ -289,6 +289,7 @@ HEADLINE = [
     "qx270_lsh_clusters_exact",
     "qx272_ann_recall_report",
     "qx273_streaming_vocab_growth",
+    "qx274_zorder_layout",
 ]
 
 # Registry queries deliberately NOT benched (VERDICT r8 #7: make the

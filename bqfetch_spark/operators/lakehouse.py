@@ -1183,3 +1183,168 @@ def qx255_optimize_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap if out is None else out.unionByName(snap)
     return out.orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# qx274: Z-order layout effectiveness (data-skipping planner)
+# ---------------------------------------------------------------------------
+
+Z_BITS = 10  # quantization bits per dimension (1024 buckets)
+Z_FILE_ROWS = 4096  # rows per simulated file
+
+
+def _zorder_interleave_sql(xq: str, yq: str) -> str:
+    return " + ".join(
+        f"((({xq} >> {b}) & 1) << {2 * b}) + ((({yq} >> {b}) & 1) << {2 * b + 1})"
+        for b in range(Z_BITS)
+    )
+
+
+ZORDER_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+  FROM orders
+),
+dom AS (
+  SELECT min(c) AS cmin, max(c) AS cmax, min(d) AS dmin, max(d) AS dmax FROM o
+),
+q AS (
+  SELECT o.k, o.c, o.d,
+         ((o.c - dom.cmin) * {1 << Z_BITS}) // (dom.cmax - dom.cmin + 1) AS cq,
+         ((o.d - dom.dmin) * {1 << Z_BITS}) // (dom.dmax - dom.dmin + 1) AS dq
+  FROM o, dom
+),
+z AS (SELECT k, c, d, {_zorder_interleave_sql("cq", "dq")} AS zv FROM q),
+ranked AS (
+  SELECT c, d,
+         (row_number() OVER (ORDER BY k) - 1) // {Z_FILE_ROWS} AS f_nat,
+         (row_number() OVER (ORDER BY c, k) - 1) // {Z_FILE_ROWS} AS f_key,
+         (row_number() OVER (ORDER BY zv, k) - 1) // {Z_FILE_ROWS} AS f_z
+  FROM z
+),
+files AS (
+  SELECT 'natural' AS strategy, f_nat AS f, min(c) AS c0, max(c) AS c1,
+         min(d) AS d0, max(d) AS d1 FROM ranked GROUP BY f_nat
+  UNION ALL
+  SELECT 'bykey', f_key, min(c), max(c), min(d), max(d) FROM ranked GROUP BY f_key
+  UNION ALL
+  SELECT 'zorder', f_z, min(c), max(c), min(d), max(d) FROM ranked GROUP BY f_z
+)
+SELECT files.strategy,
+       CAST(count(*) AS BIGINT) AS n_files,
+       round(CAST(sum(c1 - c0 + 1) AS DOUBLE)
+             / CAST(dom.cmax - dom.cmin + 1 AS DOUBLE) / count(*), 6)
+         AS custkey_span_frac,
+       round(CAST(sum(d1 - d0 + 1) AS DOUBLE)
+             / CAST(dom.dmax - dom.dmin + 1 AS DOUBLE) / count(*), 6)
+         AS date_span_frac
+FROM files, dom
+GROUP BY files.strategy, dom.cmax, dom.cmin, dom.dmax, dom.dmin
+ORDER BY files.strategy
+"""
+
+
+@register(
+    "qx274_zorder_layout",
+    oracle=ZORDER_ORACLE,
+    doc="Z-order vs natural vs single-key layout: per-file min/max span fractions",
+    tags=("lakehouse", "layout", "planning"),
+)
+def qx274_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout planner for scan pruning at 100 TB: simulate writing
+    orders into Z_FILE_ROWS-row files under three orderings — natural
+    (arrival), single-key sort (o_custkey), and Z-ORDER (bit-interleave
+    of quantized custkey × order-day) — and report each file set's
+    average per-file min/max SPAN FRACTION in both dimensions. The
+    span fraction IS the expected fraction of files a uniform point
+    predicate must read under min/max skipping (parquet row-group /
+    Delta-style file stats): natural order prunes nothing (~1.0 in
+    both dims), a single-key sort is perfect on its key and useless on
+    the other, and Z-order pays a bounded factor in BOTH — the
+    measured justification for OPTIMIZE ZORDER BY before anyone
+    rewrites 100 TB.
+
+    Exactness: quantization, interleave, file assignment and spans are
+    pure BIGINT arithmetic; two final rounded divisions. Scale shape:
+    domain min/max is a 1-row broadcast; each strategy's file
+    assignment is a global rank (rides plans/ranks.with_global_rank —
+    the ONE-exchange bucket machinery past the crossover, never a
+    single-task sort of the corpus); per-file stats partial-aggregate
+    map-side; output is 3 rows."""
+    from bqfetch_spark.plans.ranks import with_global_rank
+    from bqfetch_spark.session import shuffle_partitions
+
+    orders = load_catalog(spark, sf_dir).table("orders")
+    o = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    dom = o.agg(
+        F.min("c").alias("cmin"),
+        F.max("c").alias("cmax"),
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+    )
+    q = o.crossJoin(F.broadcast(dom)).select(
+        "k",
+        "c",
+        "d",
+        "cmin",
+        "cmax",
+        "dmin",
+        "dmax",
+        F.expr(f"((c - cmin) * {1 << Z_BITS}) div (cmax - cmin + 1)").alias("cq"),
+        F.expr(f"((d - dmin) * {1 << Z_BITS}) div (dmax - dmin + 1)").alias("dq"),
+    )
+    zv = None
+    for b in range(Z_BITS):
+        term = F.shiftleft(F.shiftright("cq", b).bitwiseAND(F.lit(1)), 2 * b) + F.shiftleft(
+            F.shiftright("dq", b).bitwiseAND(F.lit(1)), 2 * b + 1
+        )
+        zv = term if zv is None else zv + term
+    base = q.select("k", "c", "d", "cmin", "cmax", "dmin", "dmax", zv.alias("zv"))
+    np_ = shuffle_partitions(spark)
+
+    def file_stats(order_cols: list[str], name: str) -> DataFrame:
+        ranked = with_global_rank(base, order_cols, np_, rank_col="__rn")
+        return (
+            ranked.select(
+                "c", "d", "cmin", "cmax", "dmin", "dmax",
+                F.expr(f"(__rn - 1) div {Z_FILE_ROWS}").alias("f"),
+            )
+            .groupBy("f")
+            .agg(
+                F.min("c").alias("c0"), F.max("c").alias("c1"),
+                F.min("d").alias("d0"), F.max("d").alias("d1"),
+                F.max("cmin").alias("cmin"), F.max("cmax").alias("cmax"),
+                F.max("dmin").alias("dmin"), F.max("dmax").alias("dmax"),
+            )
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_files"),
+                r6(
+                    F.sum(F.col("c1") - F.col("c0") + 1).cast("double")
+                    / (F.max("cmax") - F.max("cmin") + 1).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("custkey_span_frac"),
+                r6(
+                    F.sum(F.col("d1") - F.col("d0") + 1).cast("double")
+                    / (F.max("dmax") - F.max("dmin") + 1).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("date_span_frac"),
+            )
+            .select(F.lit(name).alias("strategy"), "n_files", "custkey_span_frac", "date_span_frac")
+        )
+
+    return (
+        file_stats(["k"], "natural")
+        .unionByName(file_stats(["c", "k"], "bykey"))
+        .unionByName(file_stats(["zv", "k"], "zorder"))
+        .orderBy("strategy")
+    )

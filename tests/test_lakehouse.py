@@ -499,3 +499,22 @@ def test_optimize_commit_drops_file_count_and_keeps_history(spark, tmp_path):
     assert n2 < n1, (n1, n2)
     assert _doc_fingerprint(read_snapshot(spark, store, 2)) == fp1
     assert _doc_fingerprint(read_snapshot(spark, store, 1)) == fp1
+
+
+def test_qx274_zorder_bounds_both_dimensions(spark):
+    """The operator's reason to exist: Z-order's WORST dimension must
+    beat the worst dimension of both alternatives (natural order prunes
+    nothing; a single-key sort is perfect on its key and useless on the
+    other), and per-dimension it must beat natural order in both."""
+    from bqfetch_spark.operators.lakehouse import qx274_zorder_layout
+    from tests.conftest import SF_CORRECT
+
+    rows = {r.strategy: r for r in qx274_zorder_layout(spark, SF_CORRECT).collect()}
+    nat, key, z = rows["natural"], rows["bykey"], rows["zorder"]
+    assert nat.n_files == key.n_files == z.n_files  # same rows, same file size
+    worst = lambda r: max(r.custkey_span_frac, r.date_span_frac)  # noqa: E731
+    assert worst(z) < worst(nat)
+    assert worst(z) < worst(key)
+    assert z.custkey_span_frac < nat.custkey_span_frac
+    assert z.date_span_frac < nat.date_span_frac
+    assert key.custkey_span_frac < z.custkey_span_frac  # single-key is perfect on its key
