@@ -290,6 +290,7 @@ HEADLINE = [
     "qx272_ann_recall_report",
     "qx273_streaming_vocab_growth",
     "qx274_zorder_layout",
+    "qx275_neardup_ivf_exact",
 ]
 
 # Registry queries deliberately NOT benched (VERDICT r8 #7: make the

@@ -336,9 +336,19 @@ def q71_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     return run_incremental_dedup(spark, sf_dir, work)
 
 
+def _qx159_oracle() -> str:
+    # the union of per-wave pair sets is bit-equal to the one-shot q47
+    # band join (pytest-asserted incl. wave retries), and q47 carries a
+    # full md5-recipe oracle since round 10 — so this streaming query
+    # shares it VERBATIM (the qx265/qx273 streaming-oracle stance)
+    from bqfetch_spark.operators.llm_pipeline import _q47_oracle
+
+    return _q47_oracle()
+
+
 @register(
     "qx159_streaming_neardup",
-    oracle=None,
+    oracle=_qx159_oracle(),
     doc="Incremental MinHash-LSH near-dup: band store maintained per ingest wave",
     tags=("streaming", "dedup", "minhash", "lsh", "incremental"),
 )
@@ -353,9 +363,11 @@ def qx159_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-read — only their band rows are probed, the same O(wave)
     posture as q57's ANN index and q71's fingerprint store. The union
     of per-wave pair sets is IDENTICAL to the one-shot q47 batch join
-    (pytest-asserted bit equality, incl. under wave retries), which is
-    why the same rows-only check q47 carries applies. xxhash64-based →
-    not DuckDB-expressible by design."""
+    (pytest-asserted bit equality, incl. under wave retries) — and q47
+    carries a full value-hash oracle since round 10 (the md5
+    universal-hash recipe both ride through the SHARED helpers), so
+    this streaming query carries q47's oracle VERBATIM: a FULL
+    value-hash check, not rows-only (the qx265/qx273 stance)."""
     import atexit
     import shutil
     import tempfile

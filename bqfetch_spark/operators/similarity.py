@@ -2236,3 +2236,151 @@ def qx272_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx275: seeded-cell IVF near-dup — q69's oracle-bearing sibling
+# ---------------------------------------------------------------------------
+
+ND_EXACT_CELLS = 16
+ND_EXACT_PROBE = 3
+
+
+def _qx275_oracle() -> str:
+    # list_dot_product on integer-valued doubles is EXACT here: every
+    # component is round(x*1e6) <= ~1e6, products <= 1e12, 64-term sums
+    # <= 6.4e13 < 2^53 — so any summation order yields the same integer
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> round(x * {IVF_Q}.0)) AS qv
+  FROM embeddings
+),
+qn AS (
+  SELECT vec_id, CAST(list_dot_product(qv, qv) AS BIGINT) AS nv FROM e
+),
+cent AS (SELECT vec_id AS cell_id, qv AS qc FROM e WHERE vec_id < {ND_EXACT_CELLS}),
+asim AS (
+  SELECT v.vec_id, c.cell_id,
+         CAST(CAST(list_dot_product(v.qv, c.qc) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(nv.nv AS DOUBLE)) * sqrt(CAST(nc.nv AS DOUBLE))) AS s
+  FROM e v
+  JOIN qn nv ON nv.vec_id = v.vec_id
+  JOIN cent c ON true
+  JOIN qn nc ON nc.vec_id = c.cell_id
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS rn
+    FROM asim
+  ) WHERE rn <= {ND_EXACT_PROBE}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         round(CAST(CAST(list_dot_product(ea.qv, eb.qv) AS BIGINT) AS DOUBLE)
+               / (sqrt(CAST(na.nv AS DOUBLE)) * sqrt(CAST(nb.nv AS DOUBLE))), 6)
+           AS cosine
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.vec_a
+  JOIN e eb ON eb.vec_id = c.vec_b
+  JOIN qn na ON na.vec_id = c.vec_a
+  JOIN qn nb ON nb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored
+WHERE cosine >= {NEARDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "qx275_neardup_ivf_exact",
+    oracle=_qx275_oracle(),
+    doc="embedding near-dup over seeded deterministic IVF cells (full oracle)",
+    tags=("similarity", "dedup", "ivf"),
+)
+def qx275_neardup_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup through SEEDED deterministic IVF cells —
+    q69's oracle-bearing sibling, completing the family symmetry the
+    ANN side already has (q51 exact-all-pairs : qx275 seeded-cells :
+    q69 trained-KMeans = q50 : q53 : q55): the first ND_EXACT_CELLS
+    vectors act as centroids, every vector multi-assigns to its
+    ND_EXACT_PROBE nearest cells on the IVF_Q integer-quantized
+    similarity (the q53 recipe — exact BIGINT dots under 2^53, one
+    fixed-order double chain, zero FP ambiguity), candidate pairs
+    share a cell, and the exact rounded cosine gates the output at
+    NEARDUP_THRESHOLD. The oracle's list_dot_product is exact for the
+    same reason any summation order is: integer-valued doubles below
+    2^53.
+
+    Scale shape: assignment is map-only (sort_array over a 16-struct
+    array — no corpus window); the candidate join is cell-bucketed
+    (never all-pairs; q69's salted variant is the skew-hardened
+    spelling, 100×-certified); the verify cosine runs only on
+    candidates. Trained cells (q69) buy recall; seeded cells buy a
+    value-hash oracle — both belong in the registry."""
+    q = _ivf_quantized(spark, sf_dir)
+    centroids = q.filter(F.col("vec_id") < ND_EXACT_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("qv").alias("qc"), F.col("nv").alias("nc")
+    )
+    crows = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+
+    def dot_with(cvec) -> F.Column:
+        lits = F.array(*[F.lit(int(x)).cast("bigint") for x in cvec])
+        return F.aggregate(
+            F.zip_with("qv", lits, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    cells = F.slice(
+        F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        _ivf_sim(dot_with(r["qc"]), F.col("nv"), F.lit(int(r["nc"]))).alias("s"),
+                        F.lit(-r["cell_id"]).alias("negc"),
+                    )
+                    for r in crows
+                ]
+            ),
+            asc=False,
+        ),
+        1,
+        ND_EXACT_PROBE,
+    )
+    assigned = q.select(
+        "vec_id",
+        "qv",
+        "nv",
+        F.explode(F.transform(cells, lambda c: -c["negc"])).alias("cell_id"),
+    )
+    a = assigned.alias("a")
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qv_b"),
+        F.col("nv").alias("nv_b"),
+        "cell_id",
+    ).alias("b")
+    pair_dot = F.aggregate(
+        F.zip_with("a.qv", "qv_b", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, (F.col("a.cell_id") == F.col("b.cell_id")) & (F.col("a.vec_id") < F.col("vec_b")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            "vec_b",
+            r6(_ivf_sim(pair_dot, F.col("a.nv"), F.col("nv_b"))).alias("cosine"),
+        )
+        .distinct()
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -588,3 +588,21 @@ def test_drift_retrain_recovers_recall(spark, tmp_path):
     # measured at sf0.01: 0.475 frozen vs 0.7375 retrained
     assert r_retrained >= r_frozen + 0.15, (r_frozen, r_retrained)
     assert r_retrained >= 0.65, r_retrained
+
+
+def test_qx275_seeded_neardup_recall_vs_exact(spark):
+    """qx275 (seeded cells) must recover a solid majority of q51's
+    exact all-pairs near-dups at the same threshold — the family's
+    recall stance (seeded cells trade recall for an oracle; trained
+    cells, q69, trade the oracle for recall)."""
+    from bqfetch_spark.operators.similarity import (
+        q51_embedding_neardup,
+        qx275_neardup_ivf_exact,
+    )
+    from tests.conftest import SF_SMOKE
+
+    exact = {(r.vec_a, r.vec_b) for r in q51_embedding_neardup(spark, SF_SMOKE).collect()}
+    got = {(r.vec_a, r.vec_b) for r in qx275_neardup_ivf_exact(spark, SF_SMOKE).collect()}
+    assert got <= exact or not exact  # candidates are verified: no false positives
+    if exact:
+        assert len(got & exact) / len(exact) >= 0.5, (len(got & exact), len(exact))
