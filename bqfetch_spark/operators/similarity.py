@@ -2355,32 +2355,43 @@ def qx275_neardup_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         ND_EXACT_PROBE,
     )
+    # SKINNY candidate join: only (vec_id, cell_id) flows through the
+    # bucketed self-join and the distinct — dragging the 64-element qv
+    # arrays through the join and scoring before dedup measured 3.6x
+    # slower at sf0.1 (18.6 s vs ~5 s; up to PROBE shared cells per
+    # pair each paid a 64-term dot). Score once per DISTINCT pair after
+    # re-attaching vectors — the qx264 cand-then-verify shape.
     assigned = q.select(
         "vec_id",
-        "qv",
-        "nv",
         F.explode(F.transform(cells, lambda c: -c["negc"])).alias("cell_id"),
     )
+    # No salt here by measurement: the skinny join parallelizes fine at
+    # this cell occupancy (salting measured 9.2 s vs 8.2 s at sf0.1 —
+    # the 4x right-side explode costs more than the task split buys).
+    # q69's salted spelling remains the documented skew-hardened path
+    # for hot cells at real scale.
     a = assigned.alias("a")
-    b = assigned.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("qv").alias("qv_b"),
-        F.col("nv").alias("nv_b"),
-        "cell_id",
-    ).alias("b")
+    b = assigned.select(F.col("vec_id").alias("vec_b"), "cell_id").alias("b")
+    cand = (
+        a.join(b, (F.col("a.cell_id") == F.col("b.cell_id")) & (F.col("a.vec_id") < F.col("vec_b")))
+        .select(F.col("a.vec_id").alias("vec_a"), "vec_b")
+        .distinct()
+    )
+    va = q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qv_a"), F.col("nv").alias("nv_a"))
+    vb = q.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qv_b"), F.col("nv").alias("nv_b"))
     pair_dot = F.aggregate(
-        F.zip_with("a.qv", "qv_b", lambda x, y: x * y),
+        F.zip_with("qv_a", "qv_b", lambda x, y: x * y),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, (F.col("a.cell_id") == F.col("b.cell_id")) & (F.col("a.vec_id") < F.col("vec_b")))
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
+            "vec_a",
             "vec_b",
-            r6(_ivf_sim(pair_dot, F.col("a.nv"), F.col("nv_b"))).alias("cosine"),
+            r6(_ivf_sim(pair_dot, F.col("nv_a"), F.col("nv_b"))).alias("cosine"),
         )
-        .distinct()
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
