@@ -291,6 +291,7 @@ HEADLINE = [
     "qx273_streaming_vocab_growth",
     "qx274_zorder_layout",
     "qx275_neardup_ivf_exact",
+    "qx276_streaming_packing",
 ]
 
 # Registry queries deliberately NOT benched (VERDICT r8 #7: make the

@@ -793,3 +793,73 @@ def qx273_streaming_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="bqfs_vocab_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     return run_incremental_vocab(spark, sf_dir, work)
+
+
+def _qx276_oracle() -> str:
+    # the one-shot spelling of ARRIVAL-ORDERED packing: the same
+    # placement arithmetic as qx260's oracle, over the stream's
+    # deterministic arrival order (backfill slice, then wave 3, then
+    # wave 4; per-wave md5 shuffle). Window-histogram partials are
+    # integer counts, so the store-merge is bit-equal to this.
+    from bqfetch_spark.operators.corpus import PACK_WINDOW
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 <= 2 THEN 0 WHEN doc_id % 5 = 3 THEN 1 ELSE 2 END
+           AS ingest_rank,
+         md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY ingest_rank, ord_key, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_incl
+  FROM toks
+),
+placed AS (
+  SELECT n_tokens,
+         (cum_incl - n_tokens) // {PACK_WINDOW} AS window_id,
+         CASE WHEN (cum_incl - n_tokens) // {PACK_WINDOW}
+                   <> (cum_incl - 1) // {PACK_WINDOW} THEN 1 ELSE 0 END AS spans
+  FROM cum
+)
+SELECT CAST(window_id AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(spans) AS BIGINT) AS n_spanning
+FROM placed
+GROUP BY window_id
+ORDER BY window_id
+"""
+
+
+@register(
+    "qx276_streaming_packing",
+    oracle=_qx276_oracle(),
+    doc="incrementally-maintained sequence packing: waves append where the stream ended",
+    tags=("streaming", "incremental", "packing", "llm-pipeline"),
+)
+def qx276_streaming_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qx260's concat-and-chunk packing as a continuously-ingesting
+    pipeline (streaming/packing.py): 60% of the documents backfill the
+    token stream; the remaining 40% arrives as two sequential waves,
+    each packed starting at the integer offset where the stream ended
+    (derived from the store itself, own batch excluded — so a
+    foreachBatch retry recomputes the identical offset; Structured
+    Streaming guarantees batch N retries before N+1 starts). A window
+    that straddles two waves receives integer-count partials from
+    both, and integer addition is exact — so the store-merged
+    histogram carries a FULL value-hash oracle: the one-shot spelling
+    of the SAME arrival order. History is never repacked; per-wave
+    cost is the wave's own cumsum + a windows-sized partial frame."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from bqfetch_spark.streaming.packing import run_incremental_packing
+
+    work = tempfile.mkdtemp(prefix="bqfs_pack_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return run_incremental_packing(spark, sf_dir, work)

@@ -1701,3 +1701,58 @@ def test_streaming_vocab_growth_matches_oneshot_and_survives_blind_replay(
     assert any(
         replayed[r.frac].n_tokens > r.n_tokens for r in one.collect()
     )  # additive stats DO double-count under a blind append — by design
+
+
+def test_streaming_packing_straddles_and_retries_correctly(spark, tmp_path):
+    """qx276: (a) the store-merged histogram must tile exactly — every
+    non-final window sums to PACK_WINDOW tokens; (b) at least one
+    window must receive partials from TWO store partitions (the
+    straddle case the additivity argument exists for); (c) a retry of
+    the last wave (same batch_id, dynamic overwrite, offset excluding
+    own batch) must leave the histogram byte-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.streaming.packing import (
+        _wave_of,
+        append_pack_wave,
+        packing_report,
+        run_incremental_packing,
+    )
+    from tests.conftest import SF_CORRECT
+
+    work = str(tmp_path / "packwork")
+    rep = run_incremental_packing(spark, SF_CORRECT, work).collect()
+    docs0 = load_catalog(spark, SF_CORRECT).table("documents")
+    total = docs0.select(
+        F.sum(F.size(F.split("text", " ")).cast("bigint"))
+    ).first()[0]
+    # whole-doc attribution: token totals match the corpus, window ids
+    # are contiguous from 0, and every window's doc starting offsets
+    # fit its PACK_WINDOW slot (n_tokens can EXCEED the window when a
+    # doc straddles — that is what n_spanning counts)
+    assert sum(r.n_tokens for r in rep) == total
+    ids = sorted(r.window_id for r in rep)
+    assert ids == list(range(len(ids)))
+    assert any(r.n_spanning > 0 for r in rep)
+
+    store = os.path.join(work, "pack")
+    raw = spark.read.parquet(store)
+    straddled = (
+        raw.groupBy("window_id")
+        .agg(F.count_distinct("ingest_batch").alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .count()
+    )
+    assert straddled >= 1  # the additivity argument is actually exercised
+
+    # retry of the LAST wave (batch_id 1): histogram must not move
+    docs = load_catalog(spark, SF_CORRECT).table("documents").select(
+        "doc_id", "source", "text"
+    )
+    before = sorted(map(tuple, rep))
+    append_pack_wave(spark, docs.filter(_wave_of() == 4), store, batch_id=1)
+    after = sorted(map(tuple, packing_report(spark, store).collect()))
+    assert after == before
