@@ -2329,3 +2329,98 @@ def qx269_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("frac")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx277: dedup threshold sweep (pick the Jaccard cutoff BEFORE the rewrite)
+# ---------------------------------------------------------------------------
+
+# The sweep grid is shared verbatim by the Spark expression and the
+# oracle; every value is exactly representable in a double, and qx264's
+# jaccard column is round(·, 6) in both engines, so `jaccard >= thr` is
+# a bit-identical comparison cross-engine.
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _dedup_sweep_oracle() -> str:
+    from bqfetch_spark.operators.llm_pipeline import _mh_oracle
+
+    values = ", ".join(f"({t})" for t in SWEEP_THRESHOLDS)
+    return f"""
+WITH pairs AS MATERIALIZED ({_mh_oracle()}),
+thr AS (SELECT * FROM (VALUES {values}) v(thr)),
+hit AS (
+  SELECT t.thr, p.doc_a, p.doc_b
+  FROM pairs p JOIN thr t ON p.jaccard >= t.thr
+),
+pair_stats AS (
+  SELECT thr, CAST(count(*) AS BIGINT) AS n_pairs FROM hit GROUP BY thr
+),
+doc_stats AS (
+  SELECT thr, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected
+  FROM (
+    SELECT thr, doc_a AS d FROM hit
+    UNION ALL
+    SELECT thr, doc_b FROM hit
+  ) u
+  GROUP BY thr
+)
+SELECT t.thr,
+       coalesce(p.n_pairs, 0) AS n_pairs,
+       coalesce(d.n_docs_affected, 0) AS n_docs_affected
+FROM thr t
+LEFT JOIN pair_stats p ON p.thr = t.thr
+LEFT JOIN doc_stats d ON d.thr = t.thr
+ORDER BY t.thr
+"""
+
+
+@register(
+    "qx277_dedup_threshold_sweep",
+    oracle=_dedup_sweep_oracle(),
+    doc="near-dup pair/doc counts at a grid of Jaccard cutoffs over the exact-LSH pairs",
+    tags=("dedup", "lsh", "reporting"),
+)
+def qx277_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity report for the near-dup chain: at each
+    Jaccard cutoff in SWEEP_THRESHOLDS, how many verified pairs survive
+    and how many distinct documents sit in at least one such pair. This
+    is the table a curation team reads BEFORE running qx270/qx271 at a
+    chosen cutoff — on 100 TB you sweep once, pick the knee, and only
+    then pay for cluster resolution and the rewrite (reference analog:
+    the fetch-plan "dry run" posture of bqfetch/bqfetch.py:430-455,
+    which sizes work before executing it).
+
+    Scale shape: qx264's verified-pair frame is output-bounded
+    (100x-certified ≈linear in corpus size, scripts/scale_check_100x.py)
+    and the sweep grid is a 5-row broadcast — the threshold join
+    multiplies pairs by at most |grid| before two pairs-sized
+    aggregations. The corpus text is never touched again."""
+    from bqfetch_spark.operators.llm_pipeline import qx264_minhash_lsh_exact
+
+    pairs = qx264_minhash_lsh_exact(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    thr = spark.createDataFrame(
+        [(float(t),) for t in SWEEP_THRESHOLDS], "thr double"
+    )
+    hit = pairs.join(F.broadcast(thr), F.col("jaccard") >= F.col("thr")).select(
+        "thr", "doc_a", "doc_b"
+    )
+    pair_stats = hit.groupBy("thr").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    docs = hit.select("thr", F.col("doc_a").alias("d")).unionAll(
+        hit.select("thr", F.col("doc_b").alias("d"))
+    )
+    doc_stats = docs.groupBy("thr").agg(
+        F.countDistinct("d").cast("bigint").alias("n_docs_affected")
+    )
+    return (
+        thr.join(pair_stats, "thr", "left")
+        .join(doc_stats, "thr", "left")
+        .select(
+            "thr",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce(F.col("n_docs_affected"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_affected"),
+        )
+        .orderBy("thr")
+    )

@@ -1191,3 +1191,25 @@ def test_qx272_recall_report_matches_recall_gate(spark):
         assert r.n_exact == IVF_TOPK and 0.0 <= r.recall <= 1.0
         assert r.n_hit <= r.n_exact
     assert sum(r.recall for r in rows) / len(rows) >= 0.6
+
+
+def test_qx277_sweep_monotone_and_consistent(spark, tmp_path):
+    """Raising the Jaccard cutoff can only shrink the pair set, so both
+    counters must be non-increasing in thr; the planted exact copy pair
+    (jaccard 1.0) must survive every cutoff; and each row must satisfy
+    the graph identity n_docs_affected <= 2 * n_pairs."""
+    from bqfetch_spark.operators.corpus import (
+        SWEEP_THRESHOLDS,
+        qx277_dedup_threshold_sweep,
+    )
+
+    d = _planted_docs_dir(spark, tmp_path)
+    rows = sorted(qx277_dedup_threshold_sweep(spark, d).collect(), key=lambda r: r.thr)
+    assert [r.thr for r in rows] == sorted(SWEEP_THRESHOLDS)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_affected >= b.n_docs_affected
+    for r in rows:
+        assert r.n_docs_affected <= 2 * r.n_pairs
+    # the planted exact copies are a jaccard-1.0 pair: present at 0.9
+    assert rows[-1].n_pairs >= 1
