@@ -1309,3 +1309,138 @@ def qx268_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx278: char-bigram familiarity (statistical quality score, no model)
+# ---------------------------------------------------------------------------
+
+FAMILIARITY_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, source, substring(text, i, 2) AS g
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text))) AS i) ii
+  WHERE length(text) >= 2
+),
+dg AS (
+  SELECT doc_id, source, g, CAST(count(*) AS BIGINT) AS c
+  FROM pos GROUP BY 1, 2, 3
+),
+gtab AS (SELECT g, CAST(sum(c) AS BIGINT) AS cg FROM dg GROUP BY g),
+docfam AS (
+  SELECT d.doc_id, d.source,
+         CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+         sum(CAST(d.c AS HUGEINT) * CAST(gl.cg AS HUGEINT)) AS wsum
+  FROM dg d JOIN gtab gl ON gl.g = d.g
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, source, n_bigrams, wsum,
+         round(CAST(wsum AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS fam
+  FROM docfam
+),
+ranked AS (
+  SELECT source, doc_id, fam,
+         row_number() OVER (PARTITION BY source ORDER BY fam, doc_id) AS rn
+  FROM scored
+),
+per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+         round(CAST(sum(wsum) AS DOUBLE) / CAST(sum(n_bigrams) AS DOUBLE), 6)
+           AS mean_familiarity,
+         min(fam) AS min_familiarity
+  FROM scored GROUP BY source
+)
+SELECT p.source, p.n_docs, p.n_bigrams, p.mean_familiarity, p.min_familiarity,
+       r.doc_id AS least_familiar_doc
+FROM per_source p JOIN ranked r ON r.source = p.source AND r.rn = 1
+ORDER BY p.source
+"""
+
+
+@register(
+    "qx278_char_bigram_familiarity",
+    oracle=FAMILIARITY_ORACLE,
+    doc="per-source mean/min corpus-frequency familiarity of char bigrams (model-free quality)",
+    tags=("quality", "text", "scoring"),
+)
+def qx278_char_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free quality scoring: a document whose character bigrams
+    are RARE in the corpus (mojibake, binary spill, wrong-language
+    fragments, markup soup) scores low on mean corpus-frequency of its
+    bigrams — the classic cheap proxy a 100-TB pipeline runs before any
+    learned quality model (reference analog: the per-table statistics
+    the reference fetches to plan work, bqfetch/bqfetch.py:430-455,
+    generalized to content statistics). Reports, per source, the doc
+    count, bigram mass, mean and min familiarity, and the least
+    familiar document (the outlier a reviewer opens first).
+
+    Exactness: the per-doc score multiplies decimal(19,0) OPERANDS
+    (count × global-count — products reach corpus-bigram-total
+    magnitude squared, far past int64 at 100 TB; the oracle mirrors
+    with HUGEINT), sums exactly, and rounds ONCE after a single double
+    division. Source means divide the exact decimal sums — never a
+    float accumulation. min() over identically-rounded doubles is
+    order-free; the argmin doc uses a (fam, doc_id) total order.
+
+    Scale shape: the bigram explode is map-side; per-(doc, bigram)
+    counts ride ONE doc_id-keyed exchange; the global bigram table
+    aggregates THAT frame (vocab is charset², tiny) and broadcasts
+    back; per-source rollup is sources-sized. AQE's ReusedExchange
+    covers the dg frame feeding both branches."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    pos = docs.filter(F.length("text") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        ).alias("g"),
+    )
+    dg = pos.groupBy("doc_id", "source", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    glob = dg.groupBy("g").agg(F.sum("c").cast("bigint").alias("cg"))
+    docfam = (
+        dg.join(F.broadcast(glob), "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.col("c").cast("decimal(19,0)") * F.col("cg").cast("decimal(19,0)")
+            ).alias("wsum"),
+        )
+    )
+    scored = docfam.select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        "wsum",
+        r6(F.col("wsum").cast("double") / F.col("n_bigrams").cast("double")).alias("fam"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("fam").asc(), F.col("doc_id").asc())
+    argmin = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("doc_id").alias("least_familiar_doc"))
+    )
+    per_source = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+        r6(
+            F.sum("wsum").cast("double") / F.sum(F.col("n_bigrams")).cast("double")
+        ).alias("mean_familiarity"),
+        F.min("fam").alias("min_familiarity"),
+    )
+    return (
+        per_source.join(F.broadcast(argmin), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_bigrams",
+            "mean_familiarity",
+            "min_familiarity",
+            "least_familiar_doc",
+        )
+        .orderBy("source")
+    )

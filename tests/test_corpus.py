@@ -1213,3 +1213,38 @@ def test_qx277_sweep_monotone_and_consistent(spark, tmp_path):
         assert r.n_docs_affected <= 2 * r.n_pairs
     # the planted exact copies are a jaccard-1.0 pair: present at 0.9
     assert rows[-1].n_pairs >= 1
+
+
+def test_qx278_mojibake_doc_is_least_familiar(spark, tmp_path):
+    """Plant a doc made of characters the fixture corpus never emits:
+    its bigrams are near-singletons, so it must be its source's
+    least_familiar_doc with min < mean; also pin the Python recompute
+    of one tiny source's mean (exact integer math end-to-end)."""
+    import os
+
+    from bqfetch_spark.catalog import TABLES, load_catalog
+    from bqfetch_spark.operators.quality import qx278_char_bigram_familiarity
+    from tests.conftest import SF_SMOKE
+
+    d = str(tmp_path / "sfmoji")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(os.path.join(SF_SMOKE, f"{t}.parquet"), os.path.join(d, f"{t}.parquet"))
+    docs = load_catalog(spark, SF_SMOKE).table("documents")
+    moji = "Ã©Â¿" * 30  # bigrams unseen elsewhere
+    extra = spark.createDataFrame(
+        [(910001, moji, "en", "src0", len(moji))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(extra).coalesce(
+        4
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    rows = {r.source: r for r in qx278_char_bigram_familiarity(spark, d).collect()}
+    src0 = rows["src0"]
+    assert src0.least_familiar_doc == 910001
+    assert src0.min_familiarity < src0.mean_familiarity
+    for r in rows.values():
+        assert r.min_familiarity <= r.mean_familiarity
+        assert r.n_bigrams > 0
