@@ -1348,3 +1348,113 @@ def qx274_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(file_stats(["zv", "k"], "zorder"))
         .orderBy("strategy")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx279: sort-range planner (sample -> boundaries -> exact bucket census)
+# ---------------------------------------------------------------------------
+
+# Deterministic ~1/64 row sample: md5 of the unique (orderkey, linenumber)
+# row key, first 15 hex chars (60 bits), below 2^54. Fixed-constant
+# threshold shared verbatim with the oracle — no engine does any float
+# arithmetic to decide membership.
+RANGE_SAMPLE_THR = 1 << 54
+RANGE_BUCKETS = 32
+
+SORT_RANGE_ORACLE = f"""
+WITH samp AS (
+  SELECT l_orderkey AS k
+  FROM lineitem
+  WHERE CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                 || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+        < {RANGE_SAMPLE_THR}
+),
+tiles AS (SELECT k, ntile({RANGE_BUCKETS}) OVER (ORDER BY k) AS tile FROM samp),
+bounds AS (
+  SELECT max(k) AS b FROM tiles WHERE tile < {RANGE_BUCKETS} GROUP BY tile
+),
+barr AS (SELECT list_sort(list(b)) AS bs FROM bounds),
+assigned AS (
+  SELECT l_orderkey AS k,
+         CAST(1 + len(list_filter(bs, x -> x < l_orderkey)) AS INTEGER) AS bucket
+  FROM lineitem, barr
+),
+agg AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+  FROM assigned GROUP BY bucket
+)
+SELECT bucket, n_rows, min_key, max_key,
+       round(CAST(n_rows AS DOUBLE) / CAST(sum(n_rows) OVER () AS DOUBLE), 6)
+         AS row_frac
+FROM agg
+ORDER BY bucket
+"""
+
+
+@register(
+    "qx279_sort_range_planner",
+    oracle=SORT_RANGE_ORACLE,
+    doc="RangePartitioner-style sampled sort boundaries with an exact per-bucket census",
+    tags=("lakehouse", "planning", "layout"),
+)
+def qx279_sort_range_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan a global sort/range-layout of lineitem by l_orderkey the way
+    Spark's RangePartitioner does — sample, cut boundaries, THEN measure
+    what the cut would do — without ever paying for the full sort. On
+    100 TB you run this census first: if row_frac is balanced you
+    commit to the repartitionByRange + sortWithinPartitions rewrite; if
+    a bucket is hot you raise the sample rate or salt (reference
+    analog: the chunk-sizing dry run of bqfetch/bqfetch.py:430-455).
+
+    Determinism with duplicate keys: ntile orders the sample BY THE KEY
+    ITSELF, so tile boundaries land at fixed positions in the sorted
+    VALUE sequence — per-tile max is a prefix-range max of that
+    sequence, identical in both engines no matter how ties shuffle.
+    Boundary assignment (count of boundaries strictly below the key)
+    sends boundary-valued rows left, so buckets partition the corpus
+    exactly; repeated boundary values simply leave a bucket empty in
+    BOTH engines.
+
+    Scale shape: the sample filter is map-side (md5 of two int
+    columns); the ntile window runs over the SAMPLE (corpus/64 rows —
+    in production you'd tune the rate to ~1k rows/bucket, the same
+    refinement Spark's own sampler applies); the 31-boundary array
+    broadcasts to an otherwise map-side bucket census that rides ONE
+    bucket-keyed exchange of 32 partial rows per task. No full-corpus
+    sort, no skew exposure."""
+    from bqfetch_spark.operators.llm_pipeline import md5_bigint
+
+    li = load_catalog(spark, sf_dir).table("lineitem")
+    rowkey = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"), F.col("l_linenumber").cast("string")
+    )
+    samp = li.filter(md5_bigint(rowkey, 15) < RANGE_SAMPLE_THR).select(
+        F.col("l_orderkey").alias("k")
+    )
+    tiles = samp.withColumn("tile", F.ntile(RANGE_BUCKETS).over(Window.orderBy("k")))
+    bounds = (
+        tiles.filter(F.col("tile") < RANGE_BUCKETS).groupBy("tile").agg(F.max("k").alias("b"))
+    )
+    barr = bounds.agg(F.sort_array(F.collect_list("b")).alias("bs"))
+    assigned = li.crossJoin(F.broadcast(barr)).select(
+        F.col("l_orderkey").alias("k"),
+        (F.lit(1) + F.size(F.expr("filter(bs, x -> x < l_orderkey)")))
+        .cast("int")
+        .alias("bucket"),
+    )
+    agg = assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("k").cast("bigint").alias("min_key"),
+        F.max("k").cast("bigint").alias("max_key"),
+    )
+    return agg.select(
+        "bucket",
+        "n_rows",
+        "min_key",
+        "max_key",
+        r6(
+            F.col("n_rows").cast("double")
+            / F.sum("n_rows").over(Window.partitionBy()).cast("double")
+        ).alias("row_frac"),
+    ).orderBy("bucket")

@@ -518,3 +518,24 @@ def test_qx274_zorder_bounds_both_dimensions(spark):
     assert z.custkey_span_frac < nat.custkey_span_frac
     assert z.date_span_frac < nat.date_span_frac
     assert key.custkey_span_frac < z.custkey_span_frac  # single-key is perfect on its key
+
+
+def test_qx279_buckets_partition_the_table_exactly(spark):
+    """The bucket census must be an exact partition of lineitem: row
+    counts sum to the table count, key ranges are disjoint and strictly
+    increasing (boundary-valued keys go left), bucket ids stay within
+    [1, RANGE_BUCKETS], and no bucket hoards the table."""
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.operators.lakehouse import RANGE_BUCKETS, qx279_sort_range_planner
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(qx279_sort_range_planner(spark, SF_SMOKE).collect(), key=lambda r: r.bucket)
+    total = load_catalog(spark, SF_SMOKE).table("lineitem").count()
+    assert sum(r.n_rows for r in rows) == total
+    assert all(1 <= r.bucket <= RANGE_BUCKETS for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_key < b.min_key  # strictly increasing disjoint ranges
+        assert a.min_key <= a.max_key
+    assert len(rows) > RANGE_BUCKETS // 2  # sampling really did spread the key space
+    assert max(r.row_frac for r in rows) < 0.5
+    assert abs(sum(r.row_frac for r in rows) - 1.0) < 1e-4
