@@ -292,6 +292,9 @@ HEADLINE = [
     "qx274_zorder_layout",
     "qx275_neardup_ivf_exact",
     "qx276_streaming_packing",
+    "qx278_char_bigram_familiarity",
+    "qx279_sort_range_planner",
+    "qx280_mixture_waterfill",
 ]
 
 # Registry queries deliberately NOT benched (VERDICT r8 #7: make the
@@ -304,6 +307,7 @@ HEADLINE = [
 # (see _check_headline_coverage), so a new query can't silently dodge
 # the bench.
 EXCLUSIONS = {
+    "qx277_dedup_threshold_sweep": "qx264's verified pairs + a 5-row broadcast sweep join; benching it would re-run benched qx264 end-to-end plus a trivially small aggregate",
     "qx271_dedup_savings": "qx270's cluster chain + a sources rollup; benching it would re-run benched qx270 end-to-end plus a q03-shaped aggregate",
     "q02_distinct_values": "distinct projection scan == q04's scan + q40's distinct shape",
     "q09_anti_join": "same broadcast-anti plan as benched q08 semi join",

@@ -2424,3 +2424,175 @@ def qx277_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("thr")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx280: mixture water-filling (fill a token budget under per-source caps)
+# ---------------------------------------------------------------------------
+
+# Budget = 60% of the corpus's total tokens (floor division — exact
+# BIGINT in both engines). Target weights are derived per source from
+# md5 (1..9), so the query needs no hardcoded source list; in
+# production they'd come from a DoReMi-style fit.
+WF_BUDGET_NUM, WF_BUDGET_DEN = 6, 10
+# lcm(1..9): cap * (2520 / w) is an EXACT integer ratio key, so the
+# water-filling order never touches floating point.
+WF_LCM = 2520
+
+MIXTURE_WATERFILL_ORACLE = f"""
+WITH caps AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap_tokens,
+         CAST(1 + CAST('0x' || substring(md5(source), 1, 15) AS BIGINT) % 9
+              AS BIGINT) AS weight
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(cap_tokens) AS BIGINT) AS total_cap,
+         CAST(sum(weight) AS BIGINT) AS total_w,
+         CAST(sum(cap_tokens) * {WF_BUDGET_NUM} // {WF_BUDGET_DEN} AS BIGINT)
+           AS budget
+  FROM caps
+),
+ordered AS (
+  SELECT c.*, t.total_w, t.budget,
+         cap_tokens * ({WF_LCM} // weight) AS ratio_key,
+         coalesce(sum(cap_tokens) OVER (
+           ORDER BY cap_tokens * ({WF_LCM} // weight), source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcap,
+         coalesce(sum(weight) OVER (
+           ORDER BY cap_tokens * ({WF_LCM} // weight), source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw
+  FROM caps c, tot t
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN CAST(cap_tokens AS HUGEINT) * (total_w - cumw)
+                   <= CAST(budget - cumcap AS HUGEINT) * weight
+              THEN 1 ELSE 0 END AS sat_raw
+  FROM ordered
+),
+sat AS (
+  SELECT *,
+         min(sat_raw) OVER (
+           ORDER BY ratio_key, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS saturated
+  FROM flagged
+),
+level AS (
+  SELECT *,
+         sum(CASE WHEN saturated = 1 THEN cap_tokens ELSE 0 END) OVER () AS satcap,
+         sum(CASE WHEN saturated = 1 THEN weight ELSE 0 END) OVER () AS satw
+  FROM sat
+)
+SELECT source, weight, cap_tokens,
+       CAST(saturated AS INTEGER) AS saturated,
+       round(CASE WHEN saturated = 1 THEN CAST(cap_tokens AS DOUBLE)
+                  ELSE CAST(weight AS DOUBLE)
+                       * (CAST(budget - satcap AS DOUBLE)
+                          / CAST(total_w - satw AS DOUBLE)) END, 6) AS take_tokens,
+       round(CASE WHEN saturated = 1 THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(weight AS DOUBLE)
+                       * (CAST(budget - satcap AS DOUBLE)
+                          / CAST(total_w - satw AS DOUBLE))
+                       / CAST(cap_tokens AS DOUBLE) END, 6) AS fill_frac
+FROM level
+ORDER BY source
+"""
+
+
+@register(
+    "qx280_mixture_waterfill",
+    oracle=MIXTURE_WATERFILL_ORACLE,
+    doc="water-filling token allocation: fill a budget at target weights under per-source caps",
+    tags=("curation", "mixing", "planning"),
+)
+def qx280_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture question every pretraining run answers first: given
+    target source weights and the tokens each source actually HAS,
+    which sources saturate and how many tokens does everyone else
+    contribute when a fixed budget is filled at renormalized
+    proportions? Classic water-filling — sources sorted by cap/weight;
+    a prefix saturates (takes all its tokens), the rest split the
+    remaining budget proportionally (reference analog: the chunk
+    quota arithmetic of bqfetch/bqfetch.py:430-455, lifted to mixture
+    planning).
+
+    Exactness: the sort key is cap·(2520/w) — 2520 = lcm(1..9) makes
+    the ratio an EXACT BIGINT, so ordering never touches floats. The
+    saturation test cross-multiplies decimal(19,0) operands (HUGEINT in
+    the oracle): cap_i·(W − Σw_sat) ≤ (B − Σcap_sat)·w_i — products
+    reach budget×weight-mass magnitude, past int64 at 100 TB. The
+    saturated set is a prefix in ratio order (standard water-filling
+    result), enforced by a running-AND window so engine tie-handling
+    can't diverge. Only the final take/fill division is floating — one
+    identical expression, rounded once.
+
+    Scale shape: ONE source-keyed token count (map-side partial over
+    the corpus scan — the text never shuffles), then every window runs
+    over the SOURCES frame (tens of rows at any corpus size). The plan
+    is a corpus aggregate plus driver-free tiny-frame analytics."""
+    from bqfetch_spark.operators.llm_pipeline import md5_bigint
+
+    docs = load_catalog(spark, sf_dir).table("documents")
+    caps = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("cap_tokens"),
+    ).select(
+        "source",
+        "cap_tokens",
+        (F.lit(1) + F.pmod(md5_bigint(F.col("source")), F.lit(9))).cast("bigint").alias("weight"),
+    )
+    tot = caps.agg(
+        F.sum("cap_tokens").cast("bigint").alias("total_cap"),
+        F.sum("weight").cast("bigint").alias("total_w"),
+        F.expr(f"cast((sum(cap_tokens) * {WF_BUDGET_NUM}) div {WF_BUDGET_DEN} as bigint)").alias(
+            "budget"
+        ),
+    )
+    w_order = Window.orderBy("ratio_key", "source")
+    w_prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ordered = (
+        caps.crossJoin(F.broadcast(tot))
+        .withColumn("ratio_key", F.col("cap_tokens") * F.expr(f"{WF_LCM} div weight"))
+        .withColumn("cumcap", F.coalesce(F.sum("cap_tokens").over(w_prev), F.lit(0)))
+        .withColumn("cumw", F.coalesce(F.sum("weight").over(w_prev), F.lit(0)))
+    )
+    flagged = ordered.withColumn(
+        "sat_raw",
+        F.when(
+            F.col("cap_tokens").cast("decimal(19,0)")
+            * (F.col("total_w") - F.col("cumw")).cast("decimal(19,0)")
+            <= (F.col("budget") - F.col("cumcap")).cast("decimal(19,0)")
+            * F.col("weight").cast("decimal(19,0)"),
+            1,
+        ).otherwise(0),
+    )
+    sat = flagged.withColumn("saturated", F.min("sat_raw").over(w_run))
+    level = sat.withColumn(
+        "satcap",
+        F.sum(F.when(F.col("saturated") == 1, F.col("cap_tokens")).otherwise(0)).over(w_all),
+    ).withColumn(
+        "satw",
+        F.sum(F.when(F.col("saturated") == 1, F.col("weight")).otherwise(0)).over(w_all),
+    )
+    s_level = (F.col("budget") - F.col("satcap")).cast("double") / (
+        F.col("total_w") - F.col("satw")
+    ).cast("double")
+    return level.select(
+        "source",
+        "weight",
+        "cap_tokens",
+        F.col("saturated").cast("int").alias("saturated"),
+        r6(
+            F.when(F.col("saturated") == 1, F.col("cap_tokens").cast("double")).otherwise(
+                F.col("weight").cast("double") * s_level
+            )
+        ).alias("take_tokens"),
+        r6(
+            F.when(F.col("saturated") == 1, F.lit(1.0)).otherwise(
+                F.col("weight").cast("double") * s_level / F.col("cap_tokens").cast("double")
+            )
+        ).alias("fill_frac"),
+    ).orderBy("source")

@@ -595,6 +595,96 @@ def check_packing_manifest_100x(spark) -> None:
         ranks.SINGLE_SORT_BYTES, ranks.SINGLE_SORT_ROWS = old
 
 
+def check_round10_census_100x(spark) -> None:
+    """Round-10 additions: (a) qx278's char-bigram familiarity census
+    at 100x documents — the REAL registry function; its scale claim is
+    that the global bigram table stays charset2-bounded (asserted hard
+    at both scales) while wall grows ~linearly. (b) qx279's sort-range
+    planner at 100x lineitem rows — the census must still partition the
+    table EXACTLY (asserted hard, distributed) with ~linear wall; the
+    sample (rate 1/64) and the 31-boundary broadcast are the only
+    non-map-side pieces. qx275 is NOT certified here by design: its
+    seeded-cell spelling embeds centroid literals (the fixture-scale
+    oracle device); its 100-TB join shape is q69's cells-∝-N salted
+    variant, certified in check_q69_candidate_join."""
+    from bqfetch_spark.catalog import TABLES
+    from bqfetch_spark.registry import all_queries
+
+    big_docs = os.path.join(TMP, "docs100")
+    assert os.path.exists(big_docs), "run check_q47_band_join first (builds docs100)"
+
+    qx278 = all_queries()["qx278_char_bigram_familiarity"].fn
+    print("qx278 char-bigram census, 1x vs 100x documents:")
+    ts, _ = timed("1x  ", lambda: qx278(spark, BASE).count())
+    tb, _ = timed("100x", lambda: qx278(spark, big_docs).count())
+
+    def bigram_vocab(sf: str) -> int:
+        from bqfetch_spark.catalog import load_catalog
+
+        docs = load_catalog(spark, sf).table("documents")
+        return (
+            docs.filter(F.length("text") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(text) - 1),"
+                        " i -> substring(text, i, 2))"
+                    )
+                ).alias("g")
+            )
+            .agg(F.countDistinct("g"))
+            .first()[0]
+        )
+
+    v1, v100 = bigram_vocab(BASE), bigram_vocab(big_docs)
+    wall = tb / ts
+    print(f"  bigram vocab {v1} -> {v100} (charset2-bounded); wall ratio={wall:.1f}")
+    assert v100 < 20_000, f"bigram vocab not bounded at 100x: {v100}"
+    timing_gate(wall <= 200, f"qx278 wall super-linear at 100x: {wall:.1f}")
+
+    # qx279: synthesize a 100x lineitem (only the two planner columns
+    # matter; scans prune the rest). Uniform keys -> balanced census.
+    def synth_lineitem(n: int, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        li = spark.range(n).select(
+            (F.xxhash64("id") % 10_000_000).alias("l_orderkey"),
+            (F.pmod(F.col("id"), F.lit(7)) + 1).cast("int").alias("l_linenumber"),
+        )
+        li.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(path, "lineitem.parquet")
+        )
+        for t in TABLES:
+            if t == "lineitem":
+                continue
+            link = os.path.join(path, f"{t}.parquet")
+            if not os.path.exists(link):
+                os.symlink(os.path.join(BASE, f"{t}.parquet"), link)
+
+    d1 = os.path.join(TMP, "li1")
+    d100 = os.path.join(TMP, "li100")
+    synth_lineitem(600_000, d1)
+    synth_lineitem(60_000_000, d100)
+
+    qx279 = all_queries()["qx279_sort_range_planner"].fn
+    print("qx279 sort-range planner, 1x (600k rows) vs 100x (60M rows):")
+    t1, _ = timed("1x  ", lambda: qx279(spark, d1).count())
+    t100, _ = timed("100x", lambda: qx279(spark, d100).count())
+    census = qx279(spark, d100).collect()
+    covered = sum(r.n_rows for r in census)
+    rows = sorted(census, key=lambda r: r.bucket)
+    disjoint = all(a.max_key < b.min_key for a, b in zip(rows, rows[1:]))
+    hot = max(r.row_frac for r in rows)
+    wall = t100 / t1
+    print(
+        f"  covered {covered} rows, disjoint={disjoint}, max row_frac={hot:.3f}, "
+        f"wall ratio={wall:.1f}"
+    )
+    assert covered == 60_000_000, f"census lost rows at 100x: {covered}"
+    assert disjoint, "bucket ranges overlap at 100x"
+    assert hot < 0.25, f"hot bucket at 100x: {hot:.3f}"
+    timing_gate(wall <= 200, f"qx279 wall super-linear at 100x: {wall:.1f}")
+
+
 def main() -> None:
     spark = get_session("scale-check-100x")
     spark.sparkContext.setLogLevel("ERROR")
@@ -609,6 +699,7 @@ def main() -> None:
     check_q47_band_join(spark)
     check_exact_lsh_100x(spark)
     check_packing_manifest_100x(spark)
+    check_round10_census_100x(spark)
     print(f"ALL 100x CHECKS PASSED in {time.time() - t0:.0f}s")
     shutil.rmtree(TMP, ignore_errors=True)
 

@@ -1248,3 +1248,45 @@ def test_qx278_mojibake_doc_is_least_familiar(spark, tmp_path):
     for r in rows.values():
         assert r.min_familiarity <= r.mean_familiarity
         assert r.n_bigrams > 0
+
+
+def test_qx280_waterfill_matches_greedy_recompute(spark):
+    """Replay the classic sequential water-filling greedy in Python
+    bigint math over the same caps/weights and check every column; also
+    pin the invariants: takes sum to the budget, the saturated set is a
+    prefix in exact-ratio order, saturated takes equal caps, unsat
+    fill fractions are equal-leveled (w-proportional) and < 1."""
+    from bqfetch_spark.operators.corpus import WF_BUDGET_DEN, WF_BUDGET_NUM, WF_LCM
+    from bqfetch_spark.operators.corpus import qx280_mixture_waterfill
+    from tests.conftest import SF_SMOKE
+
+    rows = qx280_mixture_waterfill(spark, SF_SMOKE).collect()
+    caps = {r.source: (r.cap_tokens, r.weight) for r in rows}
+    budget = sum(c for c, _ in caps.values()) * WF_BUDGET_NUM // WF_BUDGET_DEN
+    total_w = sum(w for _, w in caps.values())
+
+    order = sorted(caps, key=lambda s: (caps[s][0] * (WF_LCM // caps[s][1]), s))
+    b, rw, expect_sat = budget, total_w, {}
+    for s in order:
+        c, w = caps[s]
+        if c * rw <= b * w:  # proportional share of what's left covers the cap
+            expect_sat[s] = True
+            b -= c
+            rw -= w
+        else:
+            expect_sat[s] = False
+    level = b / rw  # final water level for unsaturated sources
+
+    got = {r.source: r for r in rows}
+    for s in order:
+        r = got[s]
+        assert r.saturated == int(expect_sat[s]), s
+        if expect_sat[s]:
+            assert r.take_tokens == float(r.cap_tokens) and r.fill_frac == 1.0
+        else:
+            assert abs(r.take_tokens - caps[s][1] * level) < 1e-3
+            assert r.fill_frac < 1.0
+    # saturated set is a prefix in ratio order
+    flags = [expect_sat[s] for s in order]
+    assert flags == sorted(flags, reverse=True)
+    assert abs(sum(r.take_tokens for r in rows) - budget) < 1e-3
