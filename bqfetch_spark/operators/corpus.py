@@ -2532,12 +2532,22 @@ def qx280_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus scan — the text never shuffles), then every window runs
     over the SOURCES frame (tens of rows at any corpus size). The plan
     is a corpus aggregate plus driver-free tiny-frame analytics."""
-    from bqfetch_spark.operators.llm_pipeline import md5_bigint
-
     docs = load_catalog(spark, sf_dir).table("documents")
     caps = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("cap_tokens"),
-    ).select(
+    )
+    return waterfill_from_caps(caps)
+
+
+def waterfill_from_caps(caps: DataFrame) -> DataFrame:
+    """Water-filling analytics over a (source, cap_tokens) frame —
+    shared by the one-shot qx280 and the streaming-store qx281 (whose
+    store-merged integer caps are bit-equal, so both carry the SAME
+    oracle). Weights derive from md5(source) so no source list is
+    hardcoded; every window below runs over the sources-sized frame."""
+    from bqfetch_spark.operators.llm_pipeline import md5_bigint
+
+    caps = caps.select(
         "source",
         "cap_tokens",
         (F.lit(1) + F.pmod(md5_bigint(F.col("source")), F.lit(9))).cast("bigint").alias("weight"),
@@ -2596,3 +2606,39 @@ def qx280_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fill_frac"),
     ).orderBy("source")
+
+
+@register(
+    "qx281_streaming_waterfill",
+    oracle=MIXTURE_WATERFILL_ORACLE,
+    doc="water-filling mixture plan read off the incrementally-maintained source-mix store",
+    tags=("streaming", "incremental", "curation", "mixing"),
+)
+def qx281_streaming_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qx280's mixture plan computed from the STREAMING source-mix
+    store (streaming/drift.py): 60% of the corpus backfills per-source
+    token partials, two foreachBatch waves append theirs, and the plan
+    reads the store-merged caps. Integer token counts are additive, so
+    the merged caps are BIT-EQUAL to qx280's one-shot corpus aggregate
+    under any ingest slicing — which is why this streaming query
+    carries qx280's oracle VERBATIM (the qx200/qx273 store property,
+    applied to mixture planning). This is the production posture: the
+    planner re-runs after every ingest wave against a sources-sized
+    store, never re-scanning corpus history.
+
+    Scale shape: O(wave) appends (each wave exchanges a sources-sized
+    partial), then the water-filling windows over the tiny store
+    rollup — corpus text is touched exactly once, at ingest."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from bqfetch_spark.streaming.drift import build_mix_store
+
+    work = tempfile.mkdtemp(prefix="bqfs_wfill_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    store = spark.read.parquet(build_mix_store(spark, sf_dir, work))
+    caps = store.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("cap_tokens")
+    )
+    return waterfill_from_caps(caps)

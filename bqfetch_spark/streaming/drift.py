@@ -113,6 +113,14 @@ def run_incremental_source_mix(
     store; the remaining two slices arrive as separate micro-batches
     through a foreachBatch stream. Returns the drift report computed
     from the maintained store."""
+    return drift_report(spark, build_mix_store(spark, sf_dir, work_dir))
+
+
+def build_mix_store(spark: SparkSession, sf_dir: str, work_dir: str) -> str:
+    """Backfill + stream the per-source mix store and return its path —
+    shared by the drift report (qx231) and the streaming water-filling
+    planner (qx281), which read DIFFERENT columns of the same additive
+    store."""
     from bqfetch_spark.catalog import load_catalog
     from bqfetch_spark.streaming.ownership import (
         claim_store,
@@ -159,4 +167,4 @@ def run_incremental_source_mix(
     )
     q.awaitTermination()
 
-    return drift_report(spark, store_dir)
+    return store_dir

@@ -1290,3 +1290,18 @@ def test_qx280_waterfill_matches_greedy_recompute(spark):
     flags = [expect_sat[s] for s in order]
     assert flags == sorted(flags, reverse=True)
     assert abs(sum(r.take_tokens for r in rows) - budget) < 1e-3
+
+
+def test_qx281_streaming_waterfill_equals_oneshot(spark):
+    """The store property, asserted directly: the plan computed from
+    the streamed store must equal qx280's one-shot plan bit-for-bit
+    (integer caps are additive under any wave slicing)."""
+    from bqfetch_spark.operators.corpus import (
+        qx280_mixture_waterfill,
+        qx281_streaming_waterfill,
+    )
+    from tests.conftest import SF_SMOKE
+
+    one = [tuple(r) for r in qx280_mixture_waterfill(spark, SF_SMOKE).collect()]
+    streamed = [tuple(r) for r in qx281_streaming_waterfill(spark, SF_SMOKE).collect()]
+    assert one == streamed
