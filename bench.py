@@ -295,6 +295,7 @@ HEADLINE = [
     "qx278_char_bigram_familiarity",
     "qx279_sort_range_planner",
     "qx280_mixture_waterfill",
+    "qx282_decontam_span_mask",
 ]
 
 # Registry queries deliberately NOT benched (VERDICT r8 #7: make the

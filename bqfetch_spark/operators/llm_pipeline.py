@@ -2574,3 +2574,130 @@ def qx266_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SH64_MAXHAM)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx282: decontamination span mask (mask the overlap, keep the document)
+# ---------------------------------------------------------------------------
+
+SPAN_MASK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, i, array_to_string(w[i:i+{CONTAM_N}-1], ' ') AS g
+  FROM tok, LATERAL (SELECT unnest(range(1, len(w) - {CONTAM_N} + 2)) AS i) ii
+  WHERE len(w) >= {CONTAM_N}
+),
+bench AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id % {CONTAM_MOD} = 0
+),
+hits AS (
+  SELECT s.doc_id, s.i FROM sh s JOIN bench USING (g)
+  WHERE s.doc_id % {CONTAM_MOD} <> 0
+),
+marks AS (
+  SELECT doc_id, i,
+         CASE WHEN i > coalesce(max(i + {CONTAM_N}) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, i,
+         sum(new_island) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marks
+)
+SELECT doc_id,
+       CAST(min(i) AS BIGINT) AS span_start,
+       CAST(max(i) + {CONTAM_N} AS BIGINT) AS span_end,
+       CAST(max(i) + {CONTAM_N} - min(i) AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+@register(
+    "qx282_decontam_span_mask",
+    oracle=SPAN_MASK_ORACLE,
+    doc="merged token-span loss-mask intervals for benchmark-contaminated n-gram hits",
+    tags=("text", "contamination", "loss-mask"),
+)
+def qx282_decontam_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination — the modern alternative to dropping
+    whole documents (qx259 flags them; q77 drops them): locate every
+    CONTAM_N-gram a training doc shares with the benchmark set and emit
+    MERGED token intervals [span_start, span_end) to zero out of the
+    loss, gaps-and-islands style (the q58 SCD2 trick on token
+    positions). A doc that quotes one benchmark sentence keeps its
+    other 10k tokens. Positions are 1-based token indices; overlapping
+    and touching spans merge (their loss-mask coverage is contiguous
+    either way), so the output is the MINIMAL interval set.
+
+    Exactness: pure integer interval logic end-to-end — positions from
+    the same 1-based sequence in both engines, the island rule
+    (start > running max end) and the running sums are
+    integer-deterministic under the per-doc total order by start.
+
+    Scale shape: positional shingles are map-side; the hit detection
+    is a semi-join against the benchmark gram set (REAL benchmarks are
+    thousands of docs — broadcast; the fixture's doc_id%{CONTAM_MOD}
+    stand-in rides a shuffled semi-join, same plan family as qx259);
+    the island merge windows partition by doc_id over the HITS frame
+    only — contamination is sparse, so that exchange carries a tiny
+    fraction of corpus rows. Reference parity: extends the
+    drop-based screen cited at bqfetch/bqfetch.py:457-502's fetch
+    filtering toward loss-mask curation."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    w = F.split(F.col("text"), " ")
+    sh = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= CONTAM_N)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - CONTAM_N + 1),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, CONTAM_N)),
+                )
+            ).alias("pos0", "g"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("i"), "g")
+    )
+    bench = sh.filter(F.col("doc_id") % CONTAM_MOD == 0).select("g").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") % CONTAM_MOD != 0)
+        .join(bench, "g", "leftsemi")
+        .select("doc_id", "i")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marks = hits.withColumn(
+        "new_island",
+        F.when(
+            F.col("i")
+            > F.coalesce(F.max(F.col("i") + CONTAM_N).over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    )
+    isl = marks.withColumn("island", F.sum("new_island").over(w_run))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("i").cast("bigint").alias("span_start"),
+            (F.max("i") + CONTAM_N).cast("bigint").alias("span_end"),
+            (F.max("i") + CONTAM_N - F.min("i")).cast("bigint").alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+        .orderBy("doc_id", "span_start")
+    )

@@ -1305,3 +1305,40 @@ def test_qx281_streaming_waterfill_equals_oneshot(spark):
     one = [tuple(r) for r in qx280_mixture_waterfill(spark, SF_SMOKE).collect()]
     streamed = [tuple(r) for r in qx281_streaming_waterfill(spark, SF_SMOKE).collect()]
     assert one == streamed
+
+
+def test_qx282_span_mask_merges_planted_intervals(spark, tmp_path):
+    """Fully controlled corpus: one benchmark doc, three training docs.
+    A doc quoting two separated benchmark 5-grams gets two disjoint
+    spans at the exact planted positions; a doc embedding the whole
+    benchmark text gets ONE merged span; a clean doc gets none."""
+    import os
+
+    from bqfetch_spark.catalog import TABLES
+    from bqfetch_spark.operators.llm_pipeline import qx282_decontam_span_mask
+    from tests.conftest import SF_SMOKE
+
+    d = str(tmp_path / "sfspan")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(os.path.join(SF_SMOKE, f"{t}.parquet"), os.path.join(d, f"{t}.parquet"))
+    bench = "b1 b2 b3 b4 b5 c1 c2 c3 c4 c5"
+    quote2 = "x1 x2 b1 b2 b3 b4 b5 y1 y2 y3 y4 y5 y6 c1 c2 c3 c4 c5 z1"
+    embed = "b1 b2 b3 b4 b5 c1 c2 c3 c4 c5 w1"
+    clean = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    rows = [(7000, bench), (9001, quote2), (9004, embed), (9003, clean)]
+    spark.createDataFrame(
+        [(i, t, "en", "srcS", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    got = [
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in qx282_decontam_span_mask(spark, d).collect()
+    ]
+    assert got == [
+        (9001, 3, 8, 5),   # [b1..b5] at token 3
+        (9001, 14, 19, 5),  # [c1..c5] at token 14, disjoint
+        (9004, 1, 11, 10),  # whole benchmark text -> one merged island
+    ]
