@@ -296,6 +296,7 @@ HEADLINE = [
     "qx279_sort_range_planner",
     "qx280_mixture_waterfill",
     "qx282_decontam_span_mask",
+    "qx283_boilerplate_grams",
 ]
 
 # Registry queries deliberately NOT benched (VERDICT r8 #7: make the

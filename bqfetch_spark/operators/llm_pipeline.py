@@ -2701,3 +2701,97 @@ def qx282_decontam_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "span_start", "span_end", "span_tokens")
         .orderBy("doc_id", "span_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx283: boilerplate gram mining (what header/footer text floods the corpus)
+# ---------------------------------------------------------------------------
+
+BP_N = 4  # boilerplate gram width (shorter than CONTAM_N: boilerplate repeats)
+BP_TOPK = 20
+
+BOILERPLATE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i:i+{BP_N}-1], ' ') AS g
+  FROM tok, LATERAL (SELECT unnest(range(1, len(w) - {BP_N} + 2)) AS i) ii
+  WHERE len(w) >= {BP_N}
+),
+df AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS doc_freq FROM sh GROUP BY g
+),
+ranked AS (
+  SELECT g, doc_freq,
+         row_number() OVER (ORDER BY doc_freq DESC, g) AS rn
+  FROM df
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT rn AS rank, g AS gram, doc_freq,
+       round(CAST(doc_freq AS DOUBLE) / CAST(t.n_docs AS DOUBLE), 6) AS doc_share
+FROM ranked, tot t
+WHERE rn <= {BP_TOPK}
+ORDER BY rn
+"""
+
+
+@register(
+    "qx283_boilerplate_grams",
+    oracle=BOILERPLATE_ORACLE,
+    doc="top document-frequency n-grams: the boilerplate mining report",
+    tags=("text", "quality", "boilerplate"),
+)
+def qx283_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining, the C4-style precursor to line filtering:
+    which BP_N-grams appear in the MOST DISTINCT documents (cookie
+    banners, nav bars, license footers)? The report a curation team
+    reads before writing removal rules — at 100 TB you mine once, eye
+    the top of the list, and the rules become cheap map-side filters.
+    Ranking is total-ordered (doc_freq DESC, gram ASC), so the top-k
+    is deterministic in both engines.
+
+    Scale shape: per-doc DISTINCT grams are doc-local (the dedup's
+    exchange key contains doc_id, so hash partitioning on that one
+    exchange covers it), then ONE gram-keyed count exchange with
+    map-side partials; the top-k runs on the df frame (vocab-sized)
+    and the doc-count denominator rides the same plan as a 1-row
+    broadcast — one job, no second action (the qx258 lesson)."""
+    docs = load_catalog(spark, sf_dir).table("documents")
+    w = F.split(F.col("text"), " ")
+    sh = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= BP_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - BP_N + 1),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, BP_N)),
+                )
+            ).alias("g"),
+        )
+        .dropDuplicates(["doc_id", "g"])
+    )
+    df = sh.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+    # Distributed top-k (TakeOrderedAndProject — per-partition heads,
+    # never a single-partition window over the vocab-sized df frame);
+    # the rank number is then a window over the K-row result only.
+    top = df.orderBy(F.col("doc_freq").desc(), F.col("g")).limit(BP_TOPK)
+    ranked = top.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("doc_freq").desc(), F.col("g")))
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rn").cast("bigint").alias("rank"),
+            F.col("g").alias("gram"),
+            "doc_freq",
+            r6(F.col("doc_freq").cast("double") / F.col("n_docs").cast("double")).alias(
+                "doc_share"
+            ),
+        )
+        .orderBy("rank")
+    )

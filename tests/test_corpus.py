@@ -1342,3 +1342,41 @@ def test_qx282_span_mask_merges_planted_intervals(spark, tmp_path):
         (9001, 14, 19, 5),  # [c1..c5] at token 14, disjoint
         (9004, 1, 11, 10),  # whole benchmark text -> one merged island
     ]
+
+
+def test_qx283_planted_boilerplate_ranks_first(spark, tmp_path):
+    """Append a footer gram to 40 fixture docs via a rewritten corpus:
+    that gram's doc_freq must beat every organic gram and take rank 1
+    with the exact planted share."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import TABLES, load_catalog
+    from bqfetch_spark.operators.llm_pipeline import qx283_boilerplate_grams
+    from tests.conftest import SF_SMOKE
+
+    d = str(tmp_path / "sfbp")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(os.path.join(SF_SMOKE, f"{t}.parquet"), os.path.join(d, f"{t}.parquet"))
+    docs = load_catalog(spark, SF_SMOKE).table("documents")
+    footer = "zfooter zrights zreserved zcorp"  # 4 unique tokens = one exact 4-gram
+    docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat_ws(" ", "text", F.lit(footer)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    ).coalesce(4).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    rows = qx283_boilerplate_grams(spark, d).collect()
+    n_docs = docs.count()
+    planted = sum(1 for r in docs.select("doc_id").collect() if r.doc_id % 3 == 0)
+    assert rows[0].gram == footer and rows[0].rank == 1
+    assert rows[0].doc_freq == planted
+    assert abs(rows[0].doc_share - round(planted / n_docs, 6)) < 1e-9
+    assert all(rows[i].doc_freq >= rows[i + 1].doc_freq for i in range(len(rows) - 1))
