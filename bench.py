@@ -310,6 +310,7 @@ HEADLINE = [
 # the bench.
 EXCLUSIONS = {
     "qx281_streaming_waterfill": "qx231's exact store-ingest machinery (benched) + qx280's tiny-frame analytics (benched); benching it would re-run both end-to-end",
+    "qx284_cluster_best_canonical": "qx270's cluster chain (benched) + q43's scalar scorer (benched) + a tiny-frame window; benching it re-runs both end-to-end",
     "qx277_dedup_threshold_sweep": "qx264's verified pairs + a 5-row broadcast sweep join; benching it would re-run benched qx264 end-to-end plus a trivially small aggregate",
     "qx271_dedup_savings": "qx270's cluster chain + a sources rollup; benching it would re-run benched qx270 end-to-end plus a q03-shaped aggregate",
     "q02_distinct_values": "distinct projection scan == q04's scan + q40's distinct shape",

@@ -2642,3 +2642,76 @@ def qx281_streaming_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("cap_tokens")
     )
     return waterfill_from_caps(caps)
+
+
+# ---------------------------------------------------------------------------
+# qx284: quality-aware canonical choice (keep the BEST copy, not the first)
+# ---------------------------------------------------------------------------
+
+
+def _best_canonical_oracle() -> str:
+    from bqfetch_spark.operators.llm_pipeline import QUALITY_ORACLE
+
+    return f"""
+WITH clusters AS MATERIALIZED ({_mh_clusters_oracle()}),
+q AS ({QUALITY_ORACLE}),
+joined AS (
+  SELECT c.doc_id, c.cluster_id, c.is_canonical, q.quality_score
+  FROM clusters c JOIN q ON q.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality_score DESC, doc_id) AS rn
+  FROM joined
+)
+SELECT doc_id, cluster_id, quality_score,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS keep,
+       CAST(CASE WHEN rn = 1 AND is_canonical = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS switched
+FROM ranked
+ORDER BY cluster_id, doc_id
+"""
+
+
+@register(
+    "qx284_cluster_best_canonical",
+    oracle=_best_canonical_oracle(),
+    doc="quality-aware canonical per near-dup cluster (argmax quality, not min doc_id)",
+    tags=("dedup", "curation", "quality"),
+)
+def qx284_cluster_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What production dedup actually keeps: the HIGHEST-QUALITY member
+    of each near-dup cluster, not the lowest doc_id (a crawl's first
+    copy is often the truncated or boilerplate-wrapped one). Joins
+    qx270's clusters to q43's per-doc quality scores and arg-maxes per
+    cluster on the (quality_score DESC, doc_id) total order; `switched`
+    marks clusters where the quality policy disagrees with the min-id
+    policy — the rows a reviewer spot-checks before a 100-TB rewrite.
+
+    Exactness: q43's score is an identical rounded scalar expression
+    tree in both engines, and the tie-break is the doc_id, so the
+    per-cluster argmax is total-ordered. Scale shape: the cluster frame
+    is clustered-docs-sized (tiny vs corpus); the quality join
+    broadcasts it against the one-scan score projection; the window
+    partitions BY CLUSTER over that small frame — corpus text never
+    shuffles."""
+    from bqfetch_spark.operators.llm_pipeline import q43_quality_score
+
+    clusters = qx270_lsh_clusters_exact(spark, sf_dir)
+    scores = q43_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    joined = scores.join(F.broadcast(clusters), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    ranked = joined.withColumn("rn", F.row_number().over(w))
+    return ranked.select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        F.when(F.col("rn") == 1, 1).otherwise(0).cast("int").alias("keep"),
+        F.when((F.col("rn") == 1) & (F.col("is_canonical") == 0), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("switched"),
+    ).orderBy("cluster_id", "doc_id")

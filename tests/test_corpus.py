@@ -1380,3 +1380,27 @@ def test_qx283_planted_boilerplate_ranks_first(spark, tmp_path):
     assert rows[0].doc_freq == planted
     assert abs(rows[0].doc_share - round(planted / n_docs, 6)) < 1e-9
     assert all(rows[i].doc_freq >= rows[i + 1].doc_freq for i in range(len(rows) - 1))
+
+
+def test_qx284_keeps_highest_quality_member(spark, tmp_path):
+    """Planted cluster (900002/900003 exact copies): identical texts →
+    identical scores → tie-break keeps the lower doc_id with switched=0;
+    every cluster keeps exactly one member; any `switched` row must
+    really have a non-min doc_id."""
+    from bqfetch_spark.operators.corpus import qx284_cluster_best_canonical
+
+    d = _planted_docs_dir(spark, tmp_path)
+    rows = qx284_cluster_best_canonical(spark, d).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert by_cluster  # fixture + plant has clusters
+    for cid, members in by_cluster.items():
+        keeps = [m for m in members if m.keep == 1]
+        assert len(keeps) == 1
+        k = keeps[0]
+        best = max(members, key=lambda m: (m.quality_score, -m.doc_id))
+        assert k.doc_id == best.doc_id
+        assert k.switched == (1 if k.doc_id != min(m.doc_id for m in members) else 0)
+    plant = by_cluster.get(900002)
+    assert plant is not None and [m.doc_id for m in plant if m.keep == 1] == [900002]
