@@ -362,6 +362,27 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 # Adjudications of previously-flagged regressions (recorded into
 # BENCH_DETAIL.json so the flag and its resolution travel together).
 ADJUDICATIONS = {
+    "q53_ann_ivf": (
+        "r10 builder flag 1.05->2.91s adjudicated as a REAL, explained "
+        "workload change: q53 gained a full cross-engine oracle this "
+        "round (commit 25eda91 — IVF_Q integer-quantized sims, exact "
+        "BIGINT dots, deterministic re-rank replaced the float "
+        "argmin), the same exactness price qx193 paid in r9. Isolated "
+        "fresh-child min-of-5 on an idle box (load1 0.08): 2.40s "
+        "(runs 8.76/3.98/2.40/2.65/2.82). The plan shape is unchanged "
+        "(seeded cells, bucketed probe join); the added cost is the "
+        "quantization projection, corpus-linear by construction."
+    ),
+    "qx212_compact_fingerprint_store": (
+        "r10 builder flag 3.52->5.95s adjudicated as in-suite "
+        "warm-state noise: streaming/maintenance.py is byte-unchanged "
+        "since creation (r8), and the isolated fresh-child min-of-5 on "
+        "an idle box (load1 0.08) gives 3.46s "
+        "(runs 12.96/3.62/3.66/3.67/3.46) — at the r9-adjudicated "
+        "3.25s level. The query rebuilds its store fixtures per run, "
+        "so late-suite temp-dir and GC state inflate in-suite repeats; "
+        "the isolated number is the plan's cost."
+    ),
     "qx228_dup_weights": (
         "r9 driver flag 0.72->2.12s adjudicated as load noise in r10: "
         "the driver's run recorded load1=4.6 at suite start (yet "
