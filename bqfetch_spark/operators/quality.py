@@ -1337,25 +1337,16 @@ scored AS (
   SELECT doc_id, source, n_bigrams, wsum,
          round(CAST(wsum AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS fam
   FROM docfam
-),
-ranked AS (
-  SELECT source, doc_id, fam,
-         row_number() OVER (PARTITION BY source ORDER BY fam, doc_id) AS rn
-  FROM scored
-),
-per_source AS (
-  SELECT source,
-         CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
-         round(CAST(sum(wsum) AS DOUBLE) / CAST(sum(n_bigrams) AS DOUBLE), 6)
-           AS mean_familiarity,
-         min(fam) AS min_familiarity
-  FROM scored GROUP BY source
 )
-SELECT p.source, p.n_docs, p.n_bigrams, p.mean_familiarity, p.min_familiarity,
-       r.doc_id AS least_familiar_doc
-FROM per_source p JOIN ranked r ON r.source = p.source AND r.rn = 1
-ORDER BY p.source
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(wsum) AS DOUBLE) / CAST(sum(n_bigrams) AS DOUBLE), 6)
+         AS mean_familiarity,
+       min(fam) AS min_familiarity,
+       (min({'f': fam, 'd': doc_id})).d AS least_familiar_doc
+FROM scored GROUP BY source
+ORDER BY source
 """
 
 
@@ -1384,11 +1375,16 @@ def qx278_char_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame
     float accumulation. min() over identically-rounded doubles is
     order-free; the argmin doc uses a (fam, doc_id) total order.
 
-    Scale shape: the bigram explode is map-side; per-(doc, bigram)
-    counts ride ONE doc_id-keyed exchange; the global bigram table
-    aggregates THAT frame (vocab is charset², tiny) and broadcasts
-    back; per-source rollup is sources-sized. AQE's ReusedExchange
-    covers the dg frame feeding both branches."""
+    Scale shape: the canonical TWO-PASS statistics job — pass one
+    builds the global bigram table (the explode is map-side, the agg
+    vocab-bounded at charset²), pass two re-derives per-(doc, bigram)
+    counts and scores against the broadcast table; the per-source
+    rollup folds the argmin into the SAME aggregate via struct-min
+    (both engines order structs field-lexicographically), so the
+    scored frame has exactly one consumer and the plan holds exactly
+    two corpus scans (column pruning makes the two gram subtrees
+    differ, so exchange reuse cannot merge them; at deployment scale
+    you'd materialize the gram frame once instead)."""
     docs = load_catalog(spark, sf_dir).table("documents")
     pos = docs.filter(F.length("text") >= 2).select(
         "doc_id",
@@ -1418,29 +1414,29 @@ def qx278_char_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame
         "wsum",
         r6(F.col("wsum").cast("double") / F.col("n_bigrams").cast("double")).alias("fam"),
     )
-    w = Window.partitionBy("source").orderBy(F.col("fam").asc(), F.col("doc_id").asc())
-    argmin = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("source", F.col("doc_id").alias("least_familiar_doc"))
-    )
-    per_source = scored.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
-        r6(
-            F.sum("wsum").cast("double") / F.sum(F.col("n_bigrams")).cast("double")
-        ).alias("mean_familiarity"),
-        F.min("fam").alias("min_familiarity"),
-    )
+    # ONE per-source aggregate: the argmin rides a struct-min (both
+    # engines compare structs field-lexicographically, and (fam,
+    # doc_id) is a total order) instead of a second consumer of the
+    # scored frame — a window/join spelling doubled the corpus scans.
+    argmin = F.min(F.struct(F.col("fam").alias("f"), F.col("doc_id").alias("d")))
     return (
-        per_source.join(F.broadcast(argmin), "source")
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            r6(
+                F.sum("wsum").cast("double") / F.sum(F.col("n_bigrams")).cast("double")
+            ).alias("mean_familiarity"),
+            F.min("fam").alias("min_familiarity"),
+            argmin.alias("__m"),
+        )
         .select(
             "source",
             "n_docs",
             "n_bigrams",
             "mean_familiarity",
             "min_familiarity",
-            "least_familiar_doc",
+            F.col("__m.d").alias("least_familiar_doc"),
         )
         .orderBy("source")
     )
