@@ -2398,7 +2398,17 @@ def qx277_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations. The corpus text is never touched again."""
     from bqfetch_spark.operators.llm_pipeline import qx264_minhash_lsh_exact
 
-    pairs = qx264_minhash_lsh_exact(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    # The sweep has THREE consumers of the pairs frame (pair counts,
+    # two doc-side projections); without truncation each re-runs the
+    # whole LSH pipeline (measured 60 parquet scans in the final plan).
+    # The verified-pair frame is output-bounded (100x-certified
+    # ≈linear and tiny in absolute terms), so materializing it is the
+    # correct 100-TB trade — same convention as qx270's CC rounds.
+    pairs = (
+        qx264_minhash_lsh_exact(spark, sf_dir)
+        .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint(eager=True)
+    )
     thr = spark.createDataFrame(
         [(float(t),) for t in SWEEP_THRESHOLDS], "thr double"
     )
