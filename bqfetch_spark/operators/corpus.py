@@ -2562,20 +2562,23 @@ def waterfill_from_caps(caps: DataFrame) -> DataFrame:
         "cap_tokens",
         (F.lit(1) + F.pmod(md5_bigint(F.col("source")), F.lit(9))).cast("bigint").alias("weight"),
     )
-    tot = caps.agg(
-        F.sum("cap_tokens").cast("bigint").alias("total_cap"),
-        F.sum("weight").cast("bigint").alias("total_w"),
-        F.expr(f"cast((sum(cap_tokens) * {WF_BUDGET_NUM}) div {WF_BUDGET_DEN} as bigint)").alias(
-            "budget"
-        ),
-    )
     w_order = Window.orderBy("ratio_key", "source")
     w_prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
     w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_all = Window.partitionBy()
+    # Totals/budget as windows over the SAME sources-sized frame — a
+    # separate agg + crossJoin was a second consumer of caps, which
+    # doubled the corpus scan feeding it (the qx258 lesson).
     ordered = (
-        caps.crossJoin(F.broadcast(tot))
-        .withColumn("ratio_key", F.col("cap_tokens") * F.expr(f"{WF_LCM} div weight"))
+        caps.withColumn("ratio_key", F.col("cap_tokens") * F.expr(f"{WF_LCM} div weight"))
+        .withColumn("total_w", F.sum("weight").over(w_all).cast("bigint"))
+        .withColumn(
+            "budget",
+            F.expr(
+                f"cast((sum(cap_tokens) over ()) * {WF_BUDGET_NUM}"
+                f" div {WF_BUDGET_DEN} as bigint)"
+            ),
+        )
         .withColumn("cumcap", F.coalesce(F.sum("cap_tokens").over(w_prev), F.lit(0)))
         .withColumn("cumw", F.coalesce(F.sum("weight").over(w_prev), F.lit(0)))
     )
