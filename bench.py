@@ -309,6 +309,7 @@ HEADLINE = [
 # (see _check_headline_coverage), so a new query can't silently dodge
 # the bench.
 EXCLUSIONS = {
+    "qx285_streaming_span_mask": "qx265's frozen-store ingest machinery (benched) + qx282's island merge (benched); benching it re-runs both end-to-end",
     "qx281_streaming_waterfill": "qx231's exact store-ingest machinery (benched) + qx280's tiny-frame analytics (benched); benching it would re-run both end-to-end",
     "qx284_cluster_best_canonical": "qx270's cluster chain (benched) + q43's scalar scorer (benched) + a tiny-frame window; benching it re-runs both end-to-end",
     "qx277_dedup_threshold_sweep": "qx264's verified pairs + a 5-row broadcast sweep join; benching it would re-run benched qx264 end-to-end plus a trivially small aggregate",

@@ -863,3 +863,42 @@ def qx276_streaming_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="bqfs_pack_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     return run_incremental_packing(spark, sf_dir, work)
+
+
+def _qx285_oracle() -> str:
+    # docs never straddle waves and span merging is doc-local, so the
+    # store-merged intervals are bit-equal the one-shot qx282 scan —
+    # the oracle is shared verbatim (the qx265 argument on spans)
+    from bqfetch_spark.operators.llm_pipeline import SPAN_MASK_ORACLE
+
+    return SPAN_MASK_ORACLE
+
+
+@register(
+    "qx285_streaming_span_mask",
+    oracle=_qx285_oracle(),
+    doc="incremental span-level decontamination: per-wave merged loss-mask intervals",
+    tags=("streaming", "incremental", "contamination", "loss-mask"),
+)
+def qx285_streaming_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qx282's merged loss-mask intervals as a continuously-ingesting
+    pipeline (streaming/spanmask.py): every arriving wave joins its own
+    POSITIONAL shingles against the same frozen benchmark store qx265
+    uses, merges hits into spans doc-locally, and appends a wave-sized
+    partition — so packing (qx262/qx276) can consume a doc's mask the
+    moment its wave commits instead of waiting for a corpus sweep.
+    Span merging partitions by doc_id and docs never straddle waves,
+    so each doc's intervals are FINAL at its own wave and the
+    store-merged report is bit-identical to the one-shot qx282 scan —
+    this streaming query carries qx282's full value-hash oracle
+    VERBATIM. O(wave) appends, retry-idempotent dynamic overwrite,
+    checkpoint-lineage ownership."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from bqfetch_spark.streaming.spanmask import run_incremental_span_mask
+
+    work = tempfile.mkdtemp(prefix="bqfs_spanmask_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return run_incremental_span_mask(spark, sf_dir, work)

@@ -2653,8 +2653,22 @@ def qx282_decontam_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop-based screen cited at bqfetch/bqfetch.py:457-502's fetch
     filtering toward loss-mask curation."""
     docs = load_catalog(spark, sf_dir).table("documents")
+    sh = positional_contam_shingles(docs)
+    bench = sh.filter(F.col("doc_id") % CONTAM_MOD == 0).select("g").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") % CONTAM_MOD != 0)
+        .join(bench, "g", "leftsemi")
+        .select("doc_id", "i")
+    )
+    return merge_hit_spans(hits)
+
+
+def positional_contam_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, g): every CONTAM_N-gram with its 1-based token
+    position — qx282's positional sibling of contam_shingles, shared
+    with the streaming span-mask waves (streaming/spanmask.py)."""
     w = F.split(F.col("text"), " ")
-    sh = (
+    return (
         docs.select("doc_id", w.alias("w"))
         .filter(F.size("w") >= CONTAM_N)
         .select(
@@ -2668,12 +2682,12 @@ def qx282_decontam_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("i"), "g")
     )
-    bench = sh.filter(F.col("doc_id") % CONTAM_MOD == 0).select("g").distinct()
-    hits = (
-        sh.filter(F.col("doc_id") % CONTAM_MOD != 0)
-        .join(bench, "g", "leftsemi")
-        .select("doc_id", "i")
-    )
+
+
+def merge_hit_spans(hits: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of (doc_id, i) n-gram hits into minimal
+    [span_start, span_end) intervals — integer-deterministic under the
+    per-doc total order by start position."""
     w_prev = (
         Window.partitionBy("doc_id").orderBy("i").rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -1404,3 +1404,16 @@ def test_qx284_keeps_highest_quality_member(spark, tmp_path):
         assert k.switched == (1 if k.doc_id != min(m.doc_id for m in members) else 0)
     plant = by_cluster.get(900002)
     assert plant is not None and [m.doc_id for m in plant if m.keep == 1] == [900002]
+
+
+def test_qx285_streaming_span_mask_equals_oneshot(spark):
+    """The spans-are-final-at-their-wave property asserted directly:
+    the streamed store's merged intervals must equal the one-shot
+    qx282 scan bit-for-bit."""
+    from bqfetch_spark.operators.arrow_edge import qx285_streaming_span_mask
+    from bqfetch_spark.operators.llm_pipeline import qx282_decontam_span_mask
+    from tests.conftest import SF_SMOKE
+
+    one = [tuple(r) for r in qx282_decontam_span_mask(spark, SF_SMOKE).collect()]
+    streamed = [tuple(r) for r in qx285_streaming_span_mask(spark, SF_SMOKE).collect()]
+    assert one == streamed and one  # non-empty on the fixture
