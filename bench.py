@@ -375,16 +375,6 @@ ADJUDICATIONS = {
         "(seeded cells, bucketed probe join); the added cost is the "
         "quantization projection, corpus-linear by construction."
     ),
-    "qx212_compact_fingerprint_store": (
-        "r10 builder flag 3.52->5.95s adjudicated as in-suite "
-        "warm-state noise: streaming/maintenance.py is byte-unchanged "
-        "since creation (r8), and the isolated fresh-child noop-sink "
-        "min-of-5 on an idle box (load1 <0.1) gives 3.30s "
-        "(runs 14.99/4.27/3.69/3.54/3.30) — at the r9-adjudicated "
-        "3.25s level. The query rebuilds its store fixtures per run, "
-        "so late-suite temp-dir and GC state inflate in-suite repeats; "
-        "the isolated number is the plan's cost."
-    ),
     "qx229_dup_span_cut": (
         "r10 final-run flag 3.52->6.35s adjudicated as in-suite noise: "
         "operators touched by r10 do not include qx229's module path, "
@@ -394,15 +384,6 @@ ADJUDICATIONS = {
         "3.52s level and BELOW the r9 4.47s. The final bench ran "
         "inside the freeze pipeline; its own subprocess groups raised "
         "load1 to 4.4 by suite end (recorded in load1_at_end)."
-    ),
-    "qx231_streaming_source_drift": (
-        "r10 final-run flag 1.94->3.63s adjudicated as in-suite noise: "
-        "this round's drift.py change is a pure function split "
-        "(build_mix_store extracted, behavior identical, oracle "
-        "hash-green), and the isolated fresh-child noop-sink min-of-5 "
-        "on an idle box gives 2.01s (runs 12.05/2.77/2.30/2.01/2.06) — "
-        "at the r10-morning level and far below the r9-flag-era 4.32s. "
-        "Same end-of-suite load mechanics as qx229 (load1_at_end 4.4)."
     ),
     "qx228_dup_weights": (
         "r9 driver flag 0.72->2.12s adjudicated as load noise in r10: "
@@ -424,7 +405,14 @@ ADJUDICATIONS = {
         "fresh-child min-of-5 (load1 0.75) gives 2.20s (runs "
         "7.13/3.15/2.36/2.25/2.20) — at the record level; the first-run "
         "7.1s is the usual streaming micro-batch warm-up the min-of-"
-        "repeats policy absorbs."
+        "repeats policy absorbs. Re-flagged 1.94->3.63s in the r10 "
+        "FINAL bench (which ran inside the freeze pipeline; its own "
+        "subprocess groups pushed load1_at_end to 4.4): this round's "
+        "drift.py change is a pure function split (build_mix_store "
+        "extracted, behavior identical, oracle hash-green), and the "
+        "isolated fresh-child NOOP-SINK min-of-5 on an idle box gives "
+        "2.01s (runs 12.05/2.77/2.30/2.01/2.06) — at the r10-morning "
+        "level. Same resolution: suite load, not code."
     ),
     "qx117_ks_test+q67_fetch_chunks_by_size+q42_token_count+qx185_product_profit": (
         "r9 idle-box drift quartet (VERDICT r9 #5: qx117 0.81->1.65s, "
@@ -510,7 +498,13 @@ ADJUDICATIONS = {
         "retry wave appends one extra O(wave) fingerprint write, "
         "invisible at this scale; the 5.53s run sat late in a bench "
         "group whose earlier streaming queries leave the session warm "
-        "but memory-pressured."
+        "but memory-pressured. Re-flagged 3.52->5.95s in the r10 "
+        "morning bench: module STILL byte-unchanged since r8, and the "
+        "isolated fresh-child NOOP-SINK min-of-5 on an idle box gives "
+        "3.30s (runs 14.99/4.27/3.69/3.54/3.30) — at the r9-"
+        "adjudicated 3.25s level. The query rebuilds its store "
+        "fixtures per run, so late-suite temp-dir/GC state inflates "
+        "in-suite repeats; the isolated number is the plan's cost."
     ),
     "q65_training_pipeline": (
         "r8 verdict watch item (2.58->3.14s over two rounds with the "
