@@ -2336,9 +2336,12 @@ def qx269_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The sweep grid is shared verbatim by the Spark expression and the
-# oracle; every value is exactly representable in a double, and qx264's
-# jaccard column is round(·, 6) in both engines, so `jaccard >= thr` is
-# a bit-identical comparison cross-engine.
+# oracle. The cross-engine invariant is NOT double-exactness (0.6 etc.
+# are not exact doubles, and DuckDB parses the VALUES literals as
+# DECIMAL(2,1) before casting): it is that Python float(), Spark's
+# literal, and DuckDB's decimal→double cast all land on the SAME
+# nearest double, and qx264's jaccard column is round(·, 6) in both
+# engines — so `jaccard >= thr` compares identical doubles either way.
 SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
 
 
@@ -2705,15 +2708,21 @@ def qx284_cluster_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: q43's score is an identical rounded scalar expression
     tree in both engines, and the tie-break is the doc_id, so the
     per-cluster argmax is total-ordered. Scale shape: the cluster frame
-    is clustered-docs-sized (tiny vs corpus); the quality join
-    broadcasts it against the one-scan score projection; the window
-    partitions BY CLUSTER over that small frame — corpus text never
-    shuffles."""
+    joins the one-scan score projection on doc_id (AQE broadcasts it
+    at benign dup rates; at web-scale dup rates — clusters can cover
+    20-40% of documents — it degrades to the shuffled hash join that
+    shape requires); the window partitions BY CLUSTER — corpus text
+    never shuffles."""
     from bqfetch_spark.operators.llm_pipeline import q43_quality_score
 
     clusters = qx270_lsh_clusters_exact(spark, sf_dir)
     scores = q43_quality_score(spark, sf_dir).select("doc_id", "quality_score")
-    joined = scores.join(F.broadcast(clusters), "doc_id")
+    # No broadcast hint: at benign dup rates AQE broadcasts the small
+    # cluster frame on its own; at web-scale dup rates (clusters can
+    # cover 20-40% of documents) the correct shape is the shuffled
+    # hash join on doc_id this degrades to — a forced broadcast there
+    # would be a driver OOM, not an optimization.
+    joined = scores.join(clusters, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality_score").desc(), F.col("doc_id")
     )

@@ -1373,7 +1373,12 @@ tiles AS (SELECT k, ntile({RANGE_BUCKETS}) OVER (ORDER BY k) AS tile FROM samp),
 bounds AS (
   SELECT max(k) AS b FROM tiles WHERE tile < {RANGE_BUCKETS} GROUP BY tile
 ),
-barr AS (SELECT list_sort(list(b)) AS bs FROM bounds),
+barr AS (
+  -- coalesce: list() over ZERO rows is NULL in DuckDB but [] in
+  -- Spark's collect_list; an empty sample must mean "one bucket",
+  -- not a NULL bucket
+  SELECT coalesce(list_sort(list(b)), CAST([] AS BIGINT[])) AS bs FROM bounds
+),
 assigned AS (
   SELECT l_orderkey AS k,
          CAST(1 + len(list_filter(bs, x -> x < l_orderkey)) AS INTEGER) AS bucket

@@ -2249,25 +2249,30 @@ ORDER BY s.doc_id
 """
 
 
-def contam_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, g, h) distinct CONTAM_N-gram shingles with their
-    xxhash64 bucket key — shared by the one-shot scan (qx259) and the
-    streaming decontamination waves (streaming/decontam.py)."""
+def token_ngrams(docs: DataFrame, n: int, positional: bool = False) -> DataFrame:
+    """Whitespace-token n-grams of the text column — the ONE shingle
+    definition the contamination scans (CONTAM_N), the streaming span
+    masks, and the boilerplate miner (BP_N) all share. Returns
+    (doc_id, g), or (doc_id, i, g) with the 1-based token position
+    when ``positional``."""
     w = F.split(F.col("text"), " ")
-    return (
-        docs.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= CONTAM_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - CONTAM_N + 1),
-                    lambda i: F.concat_ws(" ", F.slice("w", i, CONTAM_N)),
-                )
-            ).alias("g"),
-        )
-        .withColumn("h", F.xxhash64("g"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - n + 1),
+        lambda i: F.concat_ws(" ", F.slice("w", i, n)),
     )
+    base = docs.select("doc_id", w.alias("w")).filter(F.size("w") >= n)
+    if positional:
+        return base.select(
+            "doc_id", F.posexplode(grams).alias("pos0", "g")
+        ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("i"), "g")
+    return base.select("doc_id", F.explode(grams).alias("g"))
+
+
+def contam_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, g, h) CONTAM_N-gram shingles with their xxhash64
+    bucket key — shared by the one-shot scan (qx259) and the streaming
+    decontamination waves (streaming/decontam.py)."""
+    return token_ngrams(docs, CONTAM_N).withColumn("h", F.xxhash64("g"))
 
 
 @register(
@@ -2667,21 +2672,7 @@ def positional_contam_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, i, g): every CONTAM_N-gram with its 1-based token
     position — qx282's positional sibling of contam_shingles, shared
     with the streaming span-mask waves (streaming/spanmask.py)."""
-    w = F.split(F.col("text"), " ")
-    return (
-        docs.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= CONTAM_N)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - CONTAM_N + 1),
-                    lambda i: F.concat_ws(" ", F.slice("w", i, CONTAM_N)),
-                )
-            ).alias("pos0", "g"),
-        )
-        .select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("i"), "g")
-    )
+    return token_ngrams(docs, CONTAM_N, positional=True)
 
 
 def merge_hit_spans(hits: DataFrame) -> DataFrame:
@@ -2773,21 +2764,7 @@ def qx283_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the doc-count denominator rides the same plan as a 1-row
     broadcast — one job, no second action (the qx258 lesson)."""
     docs = load_catalog(spark, sf_dir).table("documents")
-    w = F.split(F.col("text"), " ")
-    sh = (
-        docs.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= BP_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - BP_N + 1),
-                    lambda i: F.concat_ws(" ", F.slice("w", i, BP_N)),
-                )
-            ).alias("g"),
-        )
-        .dropDuplicates(["doc_id", "g"])
-    )
+    sh = token_ngrams(docs, BP_N).dropDuplicates(["doc_id", "g"])
     df = sh.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
     # Distributed top-k (TakeOrderedAndProject — per-partition heads,
     # never a single-partition window over the vocab-sized df frame);

@@ -82,12 +82,19 @@ def flag_wave(
         )
 
 
+FLAG_STORE_SCHEMA = "doc_id long, n_shared_ngrams long, ingest_batch long"
+
+
 def contamination_report(spark: SparkSession, store_dir: str) -> DataFrame:
     """Flagged docs FROM THE MAINTAINED STORE. Each doc's row was
     finalized by its own wave, so this is bit-equal to the one-shot
-    qx259 scan — same schema, same values, same oracle."""
+    qx259 scan — same schema, same values, same oracle. The explicit
+    schema keeps the zero-contamination case honest: a store whose
+    waves flagged nothing has no part files, and a schema-inferring
+    read would raise instead of returning the empty frame."""
     return (
-        spark.read.parquet(store_dir)
+        spark.read.schema(FLAG_STORE_SCHEMA)
+        .parquet(store_dir)
         .select("doc_id", "n_shared_ngrams")
         .orderBy("doc_id")
     )

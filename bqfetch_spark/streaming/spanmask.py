@@ -68,12 +68,22 @@ def mask_wave(
         )
 
 
+SPAN_STORE_SCHEMA = (
+    "doc_id long, span_start long, span_end long, span_tokens long, ingest_batch long"
+)
+
+
 def span_report(spark: SparkSession, store_dir: str) -> DataFrame:
     """Merged mask intervals FROM THE MAINTAINED STORE. Span merging is
     doc-local and docs never straddle waves, so this is bit-equal to
-    the one-shot qx282 scan — same schema, same values, same oracle."""
+    the one-shot qx282 scan — same schema, same values, same oracle.
+    The explicit schema keeps the zero-contamination case honest: a
+    store whose every wave produced no spans has no part files, and a
+    schema-inferring read would raise instead of returning the empty
+    frame the one-shot scan returns."""
     return (
-        spark.read.parquet(store_dir)
+        spark.read.schema(SPAN_STORE_SCHEMA)
+        .parquet(store_dir)
         .select("doc_id", "span_start", "span_end", "span_tokens")
         .orderBy("doc_id", "span_start")
     )
