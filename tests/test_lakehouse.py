@@ -539,3 +539,66 @@ def test_qx279_buckets_partition_the_table_exactly(spark):
     assert len(rows) > RANGE_BUCKETS // 2  # sampling really did spread the key space
     assert max(r.row_frac for r in rows) < 0.5
     assert abs(sum(r.row_frac for r in rows) - 1.0) < 1e-4
+
+
+def test_qx279_empty_sample_agrees_cross_engine(spark, tmp_path):
+    """Regression for the empty-sample edge: build a lineitem whose
+    rows ALL miss the 1/64 md5 sample (ids chosen so every row hash is
+    above the threshold); both engines must put every row in bucket 1
+    — DuckDB's list() over zero rows is NULL and needs the coalesce
+    the oracle now carries."""
+    import hashlib
+    import os
+
+    import duckdb
+
+    from bqfetch_spark.catalog import TABLES
+    from bqfetch_spark.operators.lakehouse import (
+        RANGE_SAMPLE_THR,
+        SORT_RANGE_ORACLE,
+        qx279_sort_range_planner,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def h60(ok: int, ln: int) -> int:
+        return int(hashlib.md5(f"{ok}:{ln}".encode()).hexdigest()[:15], 16)
+
+    ids = [ok for ok in range(1, 4000) if h60(ok, 1) >= RANGE_SAMPLE_THR][:10]
+    assert len(ids) == 10
+
+    d = str(tmp_path / "sfempty")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        if t != "lineitem":
+            os.symlink(os.path.join(SF_SMOKE, f"{t}.parquet"), os.path.join(d, f"{t}.parquet"))
+    spark.createDataFrame(
+        [(ok, 1) for ok in ids], "l_orderkey long, l_linenumber int"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+
+    rows = qx279_sort_range_planner(spark, d).collect()
+    assert len(rows) == 1 and rows[0].bucket == 1 and rows[0].n_rows == 10
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet/*.parquet')"
+    )
+    orc = con.sql(SORT_RANGE_ORACLE).fetchall()
+    assert len(orc) == 1 and orc[0][0] == 1 and orc[0][1] == 10
+
+
+def test_span_and_flag_reports_survive_empty_stores(spark, tmp_path):
+    """Regression for the zero-contamination edge: a store whose waves
+    produced nothing has no part files; the reports must return the
+    empty frame the one-shot scans return, not raise on schema
+    inference."""
+    import os
+
+    from bqfetch_spark.streaming.decontam import contamination_report
+    from bqfetch_spark.streaming.spanmask import span_report
+
+    d1 = str(tmp_path / "emptyspans")
+    d2 = str(tmp_path / "emptyflags")
+    os.makedirs(d1)
+    os.makedirs(d2)
+    assert span_report(spark, d1).collect() == []
+    assert contamination_report(spark, d2).collect() == []
