@@ -893,12 +893,16 @@ def qx285_streaming_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     this streaming query carries qx282's full value-hash oracle
     VERBATIM. O(wave) appends, retry-idempotent dynamic overwrite,
     checkpoint-lineage ownership."""
-    import atexit
-    import shutil
-    import tempfile
+    import os
 
-    from bqfetch_spark.streaming.spanmask import run_incremental_span_mask
+    from bqfetch_spark.streaming.spanmask import build_span_store, span_report
+    from bqfetch_spark.workcache import session_workdir
 
-    work = tempfile.mkdtemp(prefix="bqfs_spanmask_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
-    return run_incremental_span_mask(spark, sf_dir, work)
+    # Memoized per (sf_dir, session): repeated registry invocations reuse
+    # the already-ingested store instead of re-running the backfill+stream
+    # pipeline into a fresh temp dir each time (disk + atexit-handler
+    # accumulation in long-lived sessions).
+    work = session_workdir(
+        "spanmask", sf_dir, lambda w: build_span_store(spark, sf_dir, w)
+    )
+    return span_report(spark, os.path.join(work, "spans"))

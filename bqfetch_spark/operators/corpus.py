@@ -1935,15 +1935,26 @@ def qx263_source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split(F.col("text"), " ")).alias("w")
     )
     per_sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    per_s = per_sw.groupBy("source").agg(F.sum("c").cast("bigint").alias("ts"))
+    # Corpus total T rides as a window-sum over the SOURCES-sized frame —
+    # the qx258/qx280 single-scan recipe.  The previous spelling collected
+    # T with a separate driver action on the uncached shuffled per_sw
+    # aggregate, re-running the token explode + group before the main job
+    # ran the identical lineage again (two corpus scans for one result).
+    # The unpartitioned window is over |sources| rows (dozens), not the
+    # corpus, so the single-partition final is the recorded cheap shape.
+    per_s = (
+        per_sw.groupBy("source")
+        .agg(F.sum("c").cast("bigint").alias("ts"))
+        .withColumn("t", F.sum("ts").over(Window.partitionBy()).cast("bigint"))
+    )
     per_w = per_sw.groupBy("w").agg(F.sum("c").cast("bigint").alias("cw"))
-    t = int(per_sw.agg(F.sum("c")).first()[0])
     grid = (
         per_s.crossJoin(per_w)
         .join(per_sw, ["source", "w"], "left")
         .select(
             "source",
             "ts",
+            "t",
             "cw",
             F.coalesce(F.col("c"), F.lit(0)).alias("c"),
         )
@@ -1952,6 +1963,7 @@ def qx263_source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.groupBy("source")
         .agg(
             F.max("ts").cast("bigint").alias("n_tokens"),
+            F.max("t").cast("bigint").alias("t_tot"),
             F.sum(
                 # Operands (not the product) go decimal: c·T and C_w·T_s
                 # approach T² and overflow int64 past ~3e9 corpus tokens —
@@ -1959,7 +1971,7 @@ def qx263_source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # operands multiply into decimal(38,0), exact to 1e38;
                 # the oracle mirrors this with HUGEINT (int128) operands.
                 F.abs(
-                    F.col("c").cast("decimal(19,0)") * F.lit(t).cast("decimal(19,0)")
+                    F.col("c").cast("decimal(19,0)") * F.col("t").cast("decimal(19,0)")
                     - F.col("cw").cast("decimal(19,0)")
                     * F.col("ts").cast("decimal(19,0)")
                 )
@@ -1970,7 +1982,11 @@ def qx263_source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             r6(
                 F.col("num").cast("double")
-                / (F.lit(2.0) * F.col("n_tokens").cast("double") * F.lit(float(t)))
+                / (
+                    F.lit(2.0)
+                    * F.col("n_tokens").cast("double")
+                    * F.col("t_tot").cast("double")
+                )
             ).alias("tvd"),
         )
         .orderBy("source")
@@ -2603,9 +2619,17 @@ def waterfill_from_caps(caps: DataFrame) -> DataFrame:
         "satw",
         F.sum(F.when(F.col("saturated") == 1, F.col("weight")).otherwise(0)).over(w_all),
     )
-    s_level = (F.col("budget") - F.col("satcap")).cast("double") / (
-        F.col("total_w") - F.col("satw")
-    ).cast("double")
+    # Guard the water level: with the 60% budget the last source can never
+    # saturate, but this helper is shared — a caller handing it a budget
+    # >= the total cap saturates EVERY row, making total_w == satw and the
+    # unguarded division produce Inf/NaN into the (unused) otherwise()
+    # branch.  The guarded form returns 0.0 there, keeping the expression
+    # well-defined for any budget.
+    s_level = F.when(
+        F.col("total_w") != F.col("satw"),
+        (F.col("budget") - F.col("satcap")).cast("double")
+        / (F.col("total_w") - F.col("satw")).cast("double"),
+    ).otherwise(F.lit(0.0))
     return level.select(
         "source",
         "weight",
@@ -2645,15 +2669,18 @@ def qx281_streaming_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: O(wave) appends (each wave exchanges a sources-sized
     partial), then the water-filling windows over the tiny store
     rollup — corpus text is touched exactly once, at ingest."""
-    import atexit
-    import shutil
-    import tempfile
+    import os
 
     from bqfetch_spark.streaming.drift import build_mix_store
+    from bqfetch_spark.workcache import session_workdir
 
-    work = tempfile.mkdtemp(prefix="bqfs_wfill_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
-    store = spark.read.parquet(build_mix_store(spark, sf_dir, work))
+    # Memoized per (sf_dir, session): repeated registry invocations reuse
+    # the already-ingested mix store instead of re-running the backfill +
+    # two streaming waves into a fresh temp dir each time.
+    work = session_workdir(
+        "wfill", sf_dir, lambda w: build_mix_store(spark, sf_dir, w)
+    )
+    store = spark.read.parquet(os.path.join(work, "mix"))
     caps = store.groupBy("source").agg(
         F.sum("n_tokens").cast("bigint").alias("cap_tokens")
     )

@@ -50,9 +50,14 @@ def mask_wave(
     bid = MANUAL_BATCH_ID if batch_id is None else int(batch_id)
     bench = spark.read.parquet(bench_dir)
     sh = positional_contam_shingles(wave_docs).withColumn("h", F.xxhash64("g"))
+    # No explicit broadcast hint on the benchmark store: eval suites are
+    # small today, but a frozen store that grows past driver memory would
+    # OOM under a forced broadcast.  AQE picks broadcast when the store
+    # is actually small and falls back to a shuffled semi-join when it
+    # isn't — the same posture qx282's one-shot spelling documents.
     hits = (
         sh.join(
-            F.broadcast(bench), (sh["h"] == bench["h"]) & (sh["g"] == bench["bg"]), "leftsemi"
+            bench, (sh["h"] == bench["h"]) & (sh["g"] == bench["bg"]), "leftsemi"
         )
         .select("doc_id", "i")
     )
@@ -89,13 +94,11 @@ def span_report(spark: SparkSession, store_dir: str) -> DataFrame:
     )
 
 
-def run_incremental_span_mask(
-    spark: SparkSession, sf_dir: str, work_dir: str
-) -> DataFrame:
+def build_span_store(spark: SparkSession, sf_dir: str, work_dir: str) -> str:
     """Bounded streaming run: freeze the benchmark store, backfill 60%
     of the training docs' spans, stream the remaining two slices as
-    separate micro-batches through foreachBatch, report from the
-    store."""
+    separate micro-batches through foreachBatch; returns the span-store
+    path for a later `span_report` read."""
     from bqfetch_spark.catalog import load_catalog
     from bqfetch_spark.streaming.ownership import (
         claim_store,
@@ -143,4 +146,11 @@ def run_incremental_span_mask(
     )
     q.awaitTermination()
 
-    return span_report(spark, store_dir)
+    return store_dir
+
+
+def run_incremental_span_mask(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Build the span store under work_dir, then report from it."""
+    return span_report(spark, build_span_store(spark, sf_dir, work_dir))

@@ -1,0 +1,47 @@
+"""Per-session memoized scratch directories for store-building queries.
+
+Streaming-store registry queries (qx281 water-fill store, qx285 span-mask
+store, ...) materialize an on-disk store under a temp workdir and return a
+lazy DataFrame whose lineage READS that store — so the directory cannot be
+removed until the session ends (eager cleanup would break the returned
+frame).  The original convention (fresh ``tempfile.mkdtemp`` + one
+``atexit`` handler per invocation) was correct but accumulated disk and
+duplicate handlers when a long-lived session invoked the same registry
+entry repeatedly (bench reruns, rotation sweeps).
+
+``session_workdir`` memoizes the BUILT directory per (tag, key): the first
+invocation creates the dir, runs the build, and registers exactly one
+cleanup; every later invocation with the same key returns the already-built
+store — no disk growth, no duplicate handlers, and the (expensive) ingest
+replay is skipped entirely.  A failed build is rolled back and NOT cached,
+so a transient error does not poison the session.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+from typing import Callable
+
+_BUILT: dict[tuple[str, str], str] = {}
+
+
+def session_workdir(tag: str, key: str, build: Callable[[str], None]) -> str:
+    """Return a scratch dir where ``build(work)`` has run exactly once
+    this session for (tag, key).  ``key`` should capture every input the
+    build depends on (typically the sf_dir), so distinct fixtures never
+    share a store."""
+    memo = (tag, key)
+    cached = _BUILT.get(memo)
+    if cached is not None:
+        return cached
+    work = tempfile.mkdtemp(prefix=f"bqfs_{tag}_")
+    try:
+        build(work)
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    _BUILT[memo] = work
+    return work
