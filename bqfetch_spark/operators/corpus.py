@@ -1446,38 +1446,53 @@ def qx243_mixture_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
     )
-    total = toks.agg(F.sum("n_tokens").alias("t")).first()["t"]
-    budget = MIX_BUDGET_PCT * int(total) // 10
-
-    srcs = (
-        toks.select("source")
-        .distinct()
+    # Quota math rides ENTIRELY on the sources-sized frame: the corpus
+    # token total, the weight total, and the leftover were previously
+    # three driver .first() actions (the first of which re-ran the
+    # corpus scan before the main job ran it again — the qx263 class);
+    # they are now window-sums over the per-source aggregate (dozens of
+    # rows — the recorded cheap single-partition shape), so the build
+    # is fully lazy and the corpus is scanned exactly once per job.
+    w_all = Window.partitionBy()
+    per_s = (
+        toks.groupBy("source")
+        .agg(F.sum("n_tokens").cast("bigint").alias("src_tokens"))
         .withColumn("w", F.row_number().over(Window.orderBy("source")).cast("bigint"))
+        .withColumn(
+            "budget",
+            # `div` is Spark's integral division over BIGINT — NOT `/`,
+            # which is floating-point Divide and can round a .9999…
+            # quotient up (and loses exactness past 2^53). Matches
+            # DuckDB `//`.
+            F.expr(
+                f"(CAST({MIX_BUDGET_PCT} AS BIGINT) * (sum(src_tokens) over ()))"
+                " div 10"
+            ).cast("bigint"),
+        )
+        .withColumn("s_total", F.sum("w").over(w_all).cast("bigint"))
     )
-    s_total = srcs.agg(F.sum("w")).first()[0]
-    fl = srcs.select(
+    fl = per_s.select(
         "source",
         "w",
-        # `div` is Spark's integral division over BIGINT — NOT `/`, which
-        # is floating-point Divide and can round a .9999… quotient up
-        # (and loses exactness past 2^53). Matches DuckDB `//`.
-        F.expr(f"(CAST({budget} AS BIGINT) * w) div CAST({s_total} AS BIGINT)")
-        .cast("bigint")
-        .alias("fl"),
-        (F.lit(budget) * F.col("w") % F.lit(s_total)).alias("rem"),
+        "budget",
+        F.expr("(budget * w) div s_total").cast("bigint").alias("fl"),
+        (F.col("budget") * F.col("w") % F.col("s_total")).alias("rem"),
     )
-    leftover = budget - fl.agg(F.sum("fl")).first()[0]
-    quota = fl.withColumn(
-        "quota_tokens",
-        (
-            F.col("fl")
-            + F.when(
-                F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
-                <= F.lit(leftover),
-                1,
-            ).otherwise(0)
-        ).cast("bigint"),
-    ).select("source", "w", "quota_tokens")
+    quota = (
+        fl.withColumn("leftover", F.col("budget") - F.sum("fl").over(w_all))
+        .withColumn(
+            "quota_tokens",
+            (
+                F.col("fl")
+                + F.when(
+                    F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+                    <= F.col("leftover"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint"),
+        )
+        .select("source", "w", "quota_tokens")
+    )
 
     adm_w = (
         Window.partitionBy("source")

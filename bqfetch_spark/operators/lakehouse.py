@@ -597,26 +597,45 @@ def qx204_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection to the parent's key projection — dimension parents
     broadcast (AQE decides; all true here), the one fact-fact edge
     (lineitem→orders) shuffles both key projections, never full rows.
-    The six 1-row aggregates union into one frame; each child table is
-    scanned at most twice (count + anti-join) with only the FK column
-    read (ReadSchema-pruned)."""
+    The per-edge 1-row aggregates union into ONE LAZY frame — the
+    original spelling collected 18 separate count() actions in a
+    driver loop (3 per edge), serializing the edges; the lazy union
+    runs every edge's scans inside a single action so independent
+    edges overlap, and the build triggers zero jobs (the qx263/action-
+    audit laziness contract). Each child table is scanned at most
+    twice (agg + anti-join) with only the FK column read
+    (ReadSchema-pruned); the per-edge crossJoin glues two 1-ROW
+    aggregates (explicit broadcast → BroadcastNestedLoopJoin, never a
+    CartesianProduct over data-sized frames)."""
     cat = load_catalog(spark, sf_dir)
     parts = []
     for child, fk, parent, pk in FK_EDGES:
         c = cat.table(child)
         p = cat.table(parent).select(pk).distinct()
-        n_child = c.count()
-        n_null = c.filter(F.col(fk).isNull()).count()
-        n_orph = (
+        base = c.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.count(F.when(F.col(fk).isNull(), F.lit(1)))
+            .cast("bigint")
+            .alias("n_null_fk"),
+        )
+        orph = (
             c.select(fk)
             .filter(F.col(fk).isNotNull())
             .join(p, F.col(fk) == F.col(pk), "left_anti")
-            .count()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
         )
-        parts.append((f"{child}.{fk}->{parent}.{pk}", n_child, n_orph, n_null))
-    return spark.createDataFrame(
-        parts, "relationship string, n_child bigint, n_orphans bigint, n_null_fk bigint"
-    )
+        parts.append(
+            base.crossJoin(F.broadcast(orph)).select(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("relationship"),
+                "n_child",
+                "n_orphans",
+                "n_null_fk",
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionAll(part)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1573,16 +1573,25 @@ def qx199_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-based, so the plan downstream of the two rank columns is
     unchanged."""
     docs = load_catalog(spark, sf_dir).table("documents").select("doc_id", "text")
-    n_total = docs.count()
+    # Corpus size N rides as a broadcast 1-ROW aggregate instead of a
+    # build-time docs.count() action (the qx263/action-audit laziness
+    # contract): the count leg is a zero-column parquet scan that now
+    # runs inside the same job as everything else, and the builder
+    # triggers no driver action.
+    n_frame = docs.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
-    idf = toks.groupBy("token").agg(
-        F.round(
-            F.log(F.lit(float(n_total)) / F.countDistinct("doc_id")) * F.lit(1e6)
+    idf = (
+        toks.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_frame))
+        .select(
+            "token",
+            F.round(F.log(F.col("n_total") / F.col("df")) * F.lit(1e6))
+            .cast("bigint")
+            .alias("idf_micro"),
         )
-        .cast("bigint")
-        .alias("idf_micro")
     )
     qtok = toks.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"), "token"

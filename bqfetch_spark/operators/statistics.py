@@ -3260,7 +3260,10 @@ def qx233_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()
+    # Corpus size rides as a broadcast 1-ROW aggregate glued onto the
+    # tiny query-term frame — not a build-time docs.count() action
+    # (the qx263/action-audit laziness contract).
+    n_frame = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     from pyspark.sql.window import Window as W
 
     # TakeOrdered pulls the df head; the rank window then runs on that
@@ -3273,6 +3276,7 @@ def qx233_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") >= BM25_QRANK_LO)
         .select(F.col("token").alias("term"), "df")
+        .crossJoin(F.broadcast(n_frame))
     )
     scored = (
         tf.join(F.broadcast(qterms), tf.token == qterms.term)
@@ -3280,7 +3284,7 @@ def qx233_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             "doc_id",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("s"),
             (F.col("tf") >= RM_REL_TF).alias("rel"),
         )

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Registry-wide build-laziness audit (the qx263 lesson, mechanized).
+
+A registry operator's builder should be LAZY: calling ``fn(spark, sf)``
+declares a plan and triggers zero Spark jobs. A job fired during the
+build is a driver-side action inside the operator — and when that action
+consumes an uncached frame that the returned plan consumes AGAIN, the
+shared lineage (often a full corpus scan) runs twice. qx263 shipped
+exactly that for two rounds (``per_sw.agg(F.sum("c")).first()`` before
+the main job re-ran the token explode); qx258's first spelling did too.
+This sweep makes the class mechanically un-reintroducible: it counts the
+jobs each build triggers via a per-op job group and fails on any op that
+fires one without a recorded rationale.
+
+Deliberate build-time actions are ALLOWLISTED in ``BUILD_ACTIONS`` below
+with (max_jobs, why). They fall into audited families:
+
+- tiny-frame collects: a decision read off an O(buckets)/O(moments)/
+  O(centroids) frame (salting decision, quantizer, Jacobi eigensolver)
+  — the collected frame is orders of magnitude below the corpus and the
+  corpus scan feeding it is NOT re-consumed by the returned plan, or is
+  checkpointed first;
+- iterative algorithms: a bounded driver loop (Lloyd's iterations, BPE
+  merges, connected-components rounds) where each round is one job by
+  construction;
+- store builders: the returned frame reads a materialized store, so the
+  build necessarily runs ingest jobs (streaming-tagged ops are skipped
+  here outright — their wrappers own checkpoint dirs and sinks).
+
+Writes ACTION_AUDIT.json. The pytest gate
+(tests/test_action_audit.py::test_registry_builds_are_lazy) re-runs the
+same sweep and hard-fails on any un-allowlisted build action or any
+allowlisted op exceeding its recorded budget.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("SPARK_GRAFT_AUDIT_SF", "/root/testdata/sf0.001")
+
+# name -> (max_build_jobs, rationale).  max is a budget, not a target:
+# exceeding it means the op's build got MORE eager since the rationale
+# was recorded, which is exactly what this audit exists to catch.
+# Budgets are the sf0.001 job counts observed when the entry was
+# recorded, plus ~25% AQE headroom — a NEW driver action (≥1 job, and
+# with AQE usually 2-3) still trips them.  Family tags:
+#   [store]   build materializes an on-disk layout the returned frame
+#             reads (write + read-back jobs are the op's subject);
+#   [planner] the reference's eager chunk API — boundaries are computed
+#             from value/size stats at plan time by contract
+#             (bqfetch.py fetch chunks are materialized lists);
+#   [train]   a model/quantizer fit (MLlib or centroid collect) whose
+#             collected frame is O(centroids/codebook), never corpus;
+#   [iter]    a bounded driver loop (Lloyd's, hash-min CC, power
+#             iteration, BPE merges) with localCheckpoint per round —
+#             each round is one job by construction;
+#   [decide]  a tiny-frame collect (O(buckets/moments/top-k)) that
+#             parameterizes the returned plan, or an EAGER
+#             localCheckpoint that materializes a shared frame exactly
+#             so the main job does NOT rescan it (the anti-double-scan
+#             device itself).
+BUILD_ACTIONS: dict[str, tuple[int, str]] = {
+    "q38_partition_pruned_scan": (3, "[store] writes the partitioned layout the scan prunes"),
+    "q39_compact_small_files": (9, "[store] writes fragmented input + compacted output"),
+    "q51_embedding_neardup": (4, "[train] MLlib BRP-LSH fit before the similarity join"),
+    "q53_ann_ivf": (3, "[decide] collects the O(cells) seeded coarse quantizer"),
+    "q54_brp_lsh_neighbors": (3, "[train] MLlib BRP-LSH fit"),
+    "q55_ann_ivf_kmeans": (25, "[train][iter] MLlib KMeans Lloyd's iterations"),
+    "q56_ann_ivfpq": (4, "[train] PQ codebook fit (O(codebook) collect)"),
+    "q59_schema_evolution": (6, "[store] writes two schema versions then merges"),
+    "q60_fetch_chunk": (6, "[planner] value-domain chunk bounds from column stats"),
+    "q67_fetch_chunks_by_size": (13, "[planner] size stats + RAM math per reference formula"),
+    "q69_embedding_neardup_ivf": (25, "[train][iter] KMeans cells for the salted IVF join"),
+    "q74_dedup_clusters": (47, "[iter] hash-min CC rounds, localCheckpoint per round"),
+    "q85_multi_grain_rollup": (5, "[decide] grain-domain collect parameterizes the rollup"),
+    "q86_canonical_corpus": (47, "[iter] q74's CC chain feeding the canonical pick"),
+    "q96_fetch_chunk_values": (9, "[planner] distinct value-list chunk boundaries"),
+    "qx117_ks_test": (6, "[decide] eager localCheckpoint shares the CDF base frame"),
+    "qx125_pagerank": (135, "[iter] power iterations, localCheckpoint per round"),
+    "qx131_multiformat_roundtrip": (10, "[store] writes csv/json/orc/parquet round-trips"),
+    "qx136_jsd_divergence": (5, "[decide] eager localCheckpoint shares the mixture frame"),
+    "qx139_embedding_clusters": (170, "[iter] CC over the similarity graph"),
+    "qx145_triangle_count": (9, "[decide] checkpointed edge frame shared by 3 legs"),
+    "qx146_bfs_hops": (61, "[iter] BFS frontier rounds, localCheckpoint per round"),
+    "qx147_heavy_hitters_cms": (7, "[decide] O(sketch) CMS collect + O(k) top collect"),
+    "qx191_embedding_clusters_scale": (191, "[iter] KMeans + CC chain at the scale fixture"),
+    "qx192_embedding_covariance": (8, "[decide] O(moments) Jacobi eigensolver collect"),
+    "qx205_ols_multifeature": (4, "[decide] O(features^2) normal-equation moments collect"),
+    "qx209_zipf_slope": (5, "[decide] O(moments) regression scalars over the rank frame"),
+    "qx219_embedding_frechet": (4, "[decide] eager localCheckpoint shares the moments frame"),
+    "qx221_bpe_merges": (34, "[iter] 8 bounded BPE merge rounds (vocab-sized collects)"),
+    "qx222_bpe_encode": (34, "[iter] qx221's merge chain feeding the encoder"),
+    "qx239_context_stitching": (5, "[decide] O(k) top-terms collect parameterizes stitching"),
+    "qx240_ann_pq": (4, "[train] PQ codebook fit"),
+    "qx241_time_travel": (6, "[store] writes two table versions"),
+    "qx244_packed_shard_writer": (7, "[store] writes the packed shards it audits"),
+    "qx247_versioned_merge": (8, "[store] writes base + CDC versions then merges"),
+    "qx252_footer_aggregates": (4, "[store] writes the parquet whose footers it reads"),
+    "qx253_dynamic_partition_pruning": (3, "[store] writes the partitioned fact side"),
+    "qx254_bucketed_join": (17, "[store] writes both bucketed tables (saveAsTable)"),
+    "qx255_optimize_commit": (10, "[store] fragmented write + OPTIMIZE rewrite"),
+    "qx270_lsh_clusters_exact": (57, "[iter] hash-min CC over the LSH pair graph"),
+    "qx271_dedup_savings": (57, "[iter] qx270's CC chain feeding the savings rollup"),
+    "qx272_ann_recall_report": (3, "[decide] collects the O(cells) coarse quantizer"),
+    "qx275_neardup_ivf_exact": (3, "[decide] collects the O(cells) seeded quantizer"),
+    "qx277_dedup_threshold_sweep": (22, "[decide] eager checkpoint of the pairs frame (scored once, swept 5x)"),
+    "qx284_cluster_best_canonical": (57, "[iter] qx270's CC chain feeding the keeper pick"),
+}
+
+
+def sweep(spark, sf: str, names=None) -> dict:
+    """Build every (non-streaming) registry frame under a per-op job
+    group and record how many jobs the build fired."""
+    from bqfetch_spark.registry import all_queries
+
+    queries = all_queries()
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    # Warm the catalog OUTSIDE any job group: the first read.parquet of
+    # each fixture table fires schema-inference/footer jobs that would
+    # otherwise land in the first audited op's count (q01 measured 10
+    # phantom jobs before this warm-up).
+    from bqfetch_spark.catalog import load_catalog
+
+    load_catalog(spark, sf).load_all()
+    out = {}
+    for name in sorted(names or queries):
+        q = queries[name]
+        if "streaming" in q.tags:
+            out[name] = {"skipped": "streaming wrapper (store build owns its jobs)"}
+            continue
+        group = f"build-audit-{name}"
+        sc.setJobGroup(group, f"action_audit build of {name}")
+        try:
+            q.fn(spark, sf)
+        except Exception as exc:  # noqa: BLE001 — record, don't abort the sweep
+            out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+            continue
+        finally:
+            sc.setJobGroup("", "")
+        n = len(tracker.getJobIdsForGroup(group))
+        rec: dict = {"build_jobs": n}
+        if name in BUILD_ACTIONS:
+            budget, why = BUILD_ACTIONS[name]
+            rec["allowed"] = budget
+            rec["why"] = why
+            rec["over_budget"] = n > budget
+        else:
+            rec["over_budget"] = n > 0
+        out[name] = rec
+    return out
+
+
+def main() -> None:
+    from bqfetch_spark.session import get_session
+
+    spark = get_session("action-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = sweep(spark, SF)
+    offenders = sorted(n for n, r in out.items() if r.get("over_budget"))
+    summary = {
+        "sf": SF,
+        "n_queries": len(out),
+        "n_skipped_streaming": sum(1 for r in out.values() if "skipped" in r),
+        "n_lazy": sum(1 for r in out.values() if r.get("build_jobs") == 0),
+        "n_allowlisted": sum(1 for r in out.values() if "why" in r),
+        "over_budget": offenders,
+        "errors": sorted(n for n, r in out.items() if "error" in r),
+    }
+    with open("ACTION_AUDIT.json", "w") as fh:
+        json.dump({"summary": summary, "queries": out}, fh, indent=1, sort_keys=True)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
