@@ -1375,16 +1375,17 @@ def qx278_char_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame
     float accumulation. min() over identically-rounded doubles is
     order-free; the argmin doc uses a (fam, doc_id) total order.
 
-    Scale shape: the canonical TWO-PASS statistics job — pass one
-    builds the global bigram table (the explode is map-side, the agg
-    vocab-bounded at charset²), pass two re-derives per-(doc, bigram)
-    counts and scores against the broadcast table; the per-source
-    rollup folds the argmin into the SAME aggregate via struct-min
-    (both engines order structs field-lexicographically), so the
-    scored frame has exactly one consumer and the plan holds exactly
-    two corpus scans (column pruning makes the two gram subtrees
-    differ, so exchange reuse cannot merge them; at deployment scale
-    you'd materialize the gram frame once instead)."""
+    Scale shape: ONE corpus scan. The (doc, bigram) count frame is
+    materialized once with an eager localCheckpoint (budgeted in the
+    action audit as the anti-double-scan device), then BOTH consumers
+    — the vocab-bounded global bigram table and the scorer join — read
+    the materialized frame instead of each re-deriving the corpus
+    explode (the spelling rounds 9-10 shipped held two corpus scans;
+    exchange reuse could not merge them because column pruning made
+    the subtrees differ). The per-source rollup folds the argmin into
+    the SAME aggregate via struct-min (both engines order structs
+    field-lexicographically), so the scored frame also has exactly one
+    consumer."""
     docs = load_catalog(spark, sf_dir).table("documents")
     pos = docs.filter(F.length("text") >= 2).select(
         "doc_id",
@@ -1393,8 +1394,10 @@ def qx278_char_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame
             F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
         ).alias("g"),
     )
-    dg = pos.groupBy("doc_id", "source", "g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    dg = (
+        pos.groupBy("doc_id", "source", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
     )
     glob = dg.groupBy("g").agg(F.sum("c").cast("bigint").alias("cg"))
     docfam = (

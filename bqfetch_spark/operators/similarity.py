@@ -200,6 +200,221 @@ def _ivf_sim(dot: F.Column, na: F.Column, nb: F.Column) -> F.Column:
     return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
 
 
+# ---------------------------------------------------------------------------
+# Fixed-point Lloyd's — the qx221 unroll recipe applied to KMeans
+# (VERDICT r10 #2: graduate the trained-KMeans ANN legs).
+#
+# Every quantity is integer-exact so a DuckDB CTE chain mirrors the
+# training bit-for-bit:
+# - vectors live on the IVF_Q grid (qv = round(v·1e6), the q53 trick);
+# - a centroid is the RATIONAL (s, n): the component-sum vector and the
+#   member count — never a rounded mean, so no cross-engine rounding
+#   semantics (Spark HALF_EVEN vs DuckDB HALF_UP) can leak in;
+# - squared L2 distance to centroid j is A_j/n_j² with
+#   A_j = Σ_i (n_j·x_i − s_j_i)², compared across cells via the
+#   truncated integer d = A div n² (granularity 1 quantized-unit²
+#   = 1e-12 in embedding units — far below any real separation; exact
+#   ties break on cell_id in both engines);
+# - magnitudes: |n·x − s| ≤ 2n·Q·max|x|, so A ≤ 64·(1.2e6·n)² — per-dim
+#   terms stay in BIGINT to n ≈ 7e12 and A accumulates in
+#   decimal(38,0)/HUGEINT; the quotient A div n² ≤ 64·(1.2e6)² ≈ 9.2e13
+#   always fits a BIGINT regardless of corpus size.
+#
+# Scale shape: per round, assignment is MAP-ONLY (the k-row centroid
+# state rides as a broadcast 1-row array; argmin is array_min over k
+# structs — no corpus×k shuffle), and the update is ONE map-side-
+# partial aggregate shuffling k rows × 64 sums. Each round's k-row
+# centroid frame is localCheckpointed (truncates the iterative
+# lineage — the q74 convention); the quantized corpus frame is
+# checkpointed once by the caller so Lloyd's canonical R passes are R
+# columnar re-reads, not R parquet re-scans.
+# ---------------------------------------------------------------------------
+
+KM_ROUNDS = 4
+KM_DIM = 64
+
+
+def _exact_intdiv(a: F.Column, b: F.Column) -> F.Column:
+    """Truncating integral division for NON-NEGATIVE decimals, spelled
+    so the decimal divide is exact: (a − a mod b) is divisible by b, so
+    the division introduces no rounding and the long cast is lossless.
+    Mirrors DuckDB's HUGEINT // on non-negative operands."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def km_dist(qv: F.Column, s: F.Column, n: F.Column) -> F.Column:
+    """Exact truncated squared-L2 distance from quantized vector qv to
+    the rational centroid (s, n): (Σ_i (n·x_i − s_i)²) div n² —
+    integers end to end (the KM_DIST_SQL mirror)."""
+    diff = F.zip_with(qv, s, lambda x, si: n * x - si)
+    a = F.aggregate(
+        diff,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: acc + t.cast("decimal(19,0)") * t.cast("decimal(19,0)"),
+    )
+    return _exact_intdiv(a, (n * n).cast("decimal(19,0)"))
+
+
+def _km_dist_struct(c) -> F.Column:
+    """(d, cell_id) struct for one centroid struct c = (cell_id, s, n)."""
+    return F.struct(
+        km_dist(F.col("qv"), c["s"], c["n"]).alias("d"),
+        c["cell_id"].alias("cell_id"),
+    )
+
+
+def _km_cents_row(cents: DataFrame) -> DataFrame:
+    """k-row centroid frame → 1-row broadcastable array (sorted by
+    cell_id: struct compare is field-ordered and cell_id leads)."""
+    return cents.agg(
+        F.sort_array(F.collect_list(F.struct("cell_id", "s", "n"))).alias("cents")
+    )
+
+
+def km_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, qv, nv) × centroids → + (cell_id, d): map-only argmin
+    over the broadcast centroid array."""
+    m = F.array_min(F.transform(F.col("cents"), _km_dist_struct))
+    return (
+        e.crossJoin(F.broadcast(_km_cents_row(cents)))
+        .withColumn("__m", m)
+        .select(
+            "*",
+            F.col("__m.cell_id").alias("cell_id"),
+            F.col("__m.d").alias("d"),
+        )
+        .drop("__m", "cents")
+    )
+
+
+def km_multi_assign(e: DataFrame, cents: DataFrame, probe: int) -> DataFrame:
+    """Multi-probe assignment: each vector lands in its `probe` nearest
+    cells (one output row per (vec, cell)). Map-only: ONE array_sort of
+    k (d, cell_id) structs per vector — struct order matches the
+    oracle's ORDER BY d, cell_id — then a bounded slice+explode; no
+    corpus×k shuffle."""
+    top = F.slice(
+        F.array_sort(F.transform(F.col("cents"), _km_dist_struct)), 1, probe
+    )
+    return (
+        e.crossJoin(F.broadcast(_km_cents_row(cents)))
+        .withColumn("__t", top)
+        .drop("cents")
+        .select(
+            "*",
+            F.explode(F.transform(F.col("__t"), lambda s: s["cell_id"])).alias(
+                "cell_id"
+            ),
+        )
+        .drop("__t")
+    )
+
+
+def fixed_point_kmeans(e: DataFrame, k: int, rounds: int = KM_ROUNDS) -> DataFrame:
+    """Seeded deterministic Lloyd's over the quantized frame e
+    (vec_id, qv, ...): init from the first k vectors (the q53 seeding),
+    `rounds` exact update rounds, empty cells keep their previous
+    centroid. Returns the final k-row (cell_id, s, n) frame."""
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cell_id"),
+        F.col("qv").alias("s"),
+        F.lit(1).cast("bigint").alias("n"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        assigned = km_assign(e.select("vec_id", "qv"), cents)
+        stats = assigned.groupBy("cell_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_new"),
+            *[
+                F.sum(F.col("qv")[i]).cast("bigint").alias(f"s{i}")
+                for i in range(KM_DIM)
+            ],
+        )
+        cents = (
+            cents.select(
+                "cell_id", F.col("s").alias("s_prev"), F.col("n").alias("n_prev")
+            )
+            .join(stats, "cell_id", "left")
+            .select(
+                "cell_id",
+                F.when(F.col("n_new").isNull(), F.col("s_prev"))
+                .otherwise(F.array(*[F.col(f"s{i}") for i in range(KM_DIM)]))
+                .alias("s"),
+                F.coalesce("n_new", "n_prev").cast("bigint").alias("n"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+# exact truncated distance d = A // n² between row `e` and centroid
+# row `c` over `dims d` — shared by the training unroll and callers'
+# probe CTEs (requires e/c/d table aliases and GROUP BY ... c.n)
+KM_DIST_SQL = (
+    "CAST(sum(CAST(CAST(c.n AS HUGEINT) * e.qv[d.i] - c.s[d.i] AS HUGEINT)"
+    " * (CAST(c.n AS HUGEINT) * e.qv[d.i] - c.s[d.i]))"
+    " // (CAST(c.n AS HUGEINT) * c.n) AS BIGINT)"
+)
+
+
+def _km_cte_sql(k: int, rounds: int = KM_ROUNDS) -> str:
+    """DuckDB CTE chain mirroring fixed_point_kmeans bit-for-bit:
+    defines e (IVF_Q-quantized vectors), dims, qn (squared norms),
+    c0..c{rounds} (rational centroids), and afin (final assignment of
+    every vector to its nearest c{rounds} centroid, with the truncated
+    integer distance d). Callers append search/report CTEs."""
+    dist = KM_DIST_SQL
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, cell_id, d FROM (
+    SELECT vec_id, cell_id, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+    FROM (
+      SELECT e.vec_id, c.cell_id, {dist} AS d
+      FROM e, {cents} c, dims d
+      GROUP BY e.vec_id, c.cell_id, c.n
+    )
+  ) WHERE rn = 1
+)"""
+
+    def update(name: str, prev: str, a: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT p.cell_id, COALESCE(u.s, p.s) AS s, COALESCE(u.n, p.n) AS n
+  FROM {prev} p LEFT JOIN (
+    SELECT cell_id, list(sx ORDER BY i) AS s, CAST(max(cnt) AS BIGINT) AS n
+    FROM (
+      SELECT a.cell_id, d.i, CAST(sum(e.qv[d.i]) AS BIGINT) AS sx,
+             count(*) AS cnt
+      FROM {a} a JOIN e USING (vec_id), dims d
+      GROUP BY a.cell_id, d.i
+    ) GROUP BY cell_id
+  ) u USING (cell_id)
+)"""
+
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * {IVF_Q}.0) AS BIGINT)) AS qv
+  FROM embeddings
+)""",
+        f"dims AS (SELECT unnest(range(1, {KM_DIM} + 1)) AS i)",
+        """qn AS MATERIALIZED (
+  SELECT vec_id, CAST(sum(qv[i] * qv[i]) AS BIGINT) AS nv
+  FROM e, dims GROUP BY vec_id
+)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT CAST(vec_id AS INT) AS cell_id, qv AS s, CAST(1 AS BIGINT) AS n
+  FROM e WHERE vec_id < {k}
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(assign(f"a{r}", f"c{r - 1}"))
+        parts.append(update(f"c{r}", f"c{r - 1}", f"a{r}"))
+    parts.append(assign("afin", f"c{rounds}"))
+    return ",\n".join(parts)
+
+
 def _q53_oracle() -> str:
     return f"""
 WITH e AS (
@@ -378,28 +593,88 @@ def q53_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEARDUP_IVF_CELLS = 16
-NEARDUP_IVF_PROBE = 3
+# One more probe than the MLlib-cell era (3): fixed-point Lloyd's
+# first-k seeding yields slightly worse cell geometry than k-means||
+# (measured at sf0.01, probe 3: 0.867 recall vs 0.956 with MLlib cells;
+# more rounds don't close it — 8 rounds: 0.856 — and md5-spread seeding
+# only reaches 0.882). Probe 4 measures 0.970 against the 0.9 gate.
+# The (4/3)² ≈ 1.8× candidate growth is the price of the full
+# value-hash oracle; at scale k ∝ √N amortizes it identically.
+NEARDUP_IVF_PROBE = 4
 # Clustering probes one extra cell: a missed pair costs pairwise dedup
 # one duplicate, but costs clustering a whole SPLIT COMPONENT (every
-# co-member pair across the split counts as disagreement). Measured at
-# sf0.01: probe 3 → pair recall 0.956 but co-cluster agreement 0.864;
-# probe 4 → 0.989 / 0.949. Candidate volume grows ~(4/3)² at fixed k,
-# amortized by k ∝ √N at scale.
-NEARDUP_CLUSTER_PROBE = 4
+# co-member pair across the split counts as disagreement).
+NEARDUP_CLUSTER_PROBE = 5
 NEARDUP_THRESHOLD = 0.35
 NEARDUP_SALT = 4  # sub-cell buckets for the within-cell self-join
 
 
-@register("q69_embedding_neardup_ivf", oracle=None, tags=("similarity", "dedup", "ivf"))
+def _q69_oracle(probe: int = NEARDUP_IVF_PROBE) -> str:
+    """Full CTE-unrolled oracle for the trained-cell near-dup chain:
+    fixed-point Lloyd's (k=NEARDUP_IVF_CELLS), top-`probe`
+    multi-assignment, cell-sharing candidate pairs, IVF_Q-exact
+    cosines against the threshold. Parameterized on probe so qx191's
+    cluster chain (probe+1) reuses it verbatim."""
+    return f"""
+WITH {_km_cte_sql(NEARDUP_IVF_CELLS)},
+md AS (
+  SELECT e.vec_id, c.cell_id, {KM_DIST_SQL} AS d
+  FROM e, c{KM_ROUNDS} c, dims d
+  GROUP BY e.vec_id, c.cell_id, c.n
+),
+ma AS MATERIALIZED (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+    FROM md
+  ) WHERE rn <= {probe}
+),
+cp AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM ma a JOIN ma b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+),
+pdot AS (
+  SELECT c.vec_a, c.vec_b, CAST(sum(ea.qv[i] * eb.qv[i]) AS BIGINT) AS dot
+  FROM cp c
+  JOIN e ea ON ea.vec_id = c.vec_a
+  JOIN e eb ON eb.vec_id = c.vec_b, dims
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.vec_a, p.vec_b,
+         round(CAST(p.dot AS DOUBLE)
+               / (sqrt(CAST(na.nv AS DOUBLE)) * sqrt(CAST(nb.nv AS DOUBLE))), 6)
+           + 0.0 AS cosine
+  FROM pdot p
+  JOIN qn na ON na.vec_id = p.vec_a
+  JOIN qn nb ON nb.vec_id = p.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored
+WHERE cosine >= {NEARDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "q69_embedding_neardup_ivf",
+    oracle=_q69_oracle(),
+    doc="IVF-bucketed embedding near-dup over trained cells (full CTE-unrolled oracle)",
+    tags=("similarity", "dedup", "ivf", "iterative"),
+)
 def q69_embedding_neardup_ivf(
     spark: SparkSession, sf_dir: str, probe: int | None = None
 ) -> DataFrame:
     """Embedding near-dup at scale: the bucketed replacement for q51's
-    all-pairs spelling. KMeans (seeded) learns NEARDUP_IVF_CELLS
+    all-pairs spelling. Seeded fixed-point Lloyd's (fixed_point_kmeans,
+    the qx221 unroll recipe — FULL value-hash oracle since round 11,
+    rows-only through r10 as an MLlib fit) learns NEARDUP_IVF_CELLS
     centroids; every vector is MULTI-ASSIGNED to its NEARDUP_IVF_PROBE
-    nearest cells; candidate pairs share at least one cell (equi-join
-    on cell_id — never an unbounded cross join); exact rounded cosine
-    re-checks candidates against the same 0.35 threshold as q51.
+    nearest cells by the same truncated integer distance (map-only:
+    one array_sort of k structs per vector); candidate pairs share at
+    least one cell (equi-join on cell_id — never an unbounded cross
+    join); the exact IVF_Q-quantized cosine (bit-identical to the
+    DuckDB spelling) re-checks candidates against the same 0.35
+    threshold as q51.
 
     Cost/plan shape:
     - Candidate fraction ≈ probe²/k of all pairs (recall 0.96 vs
@@ -424,72 +699,20 @@ def q69_embedding_neardup_ivf(
       so the threshold filter cannot be pushed below the projection
       and evaluate the fold a second time (same pathology q51
       documents; measured 7.7 s → 4.5 s at sf0.1).
-    - The fit runs 8 iterations: centroid quality for bucketing
-      saturates in a few iterations, and at 100 TB the fit runs on a
-      ~0.1% sample anyway.
-    Rows-only: approximate candidate generation has no SQL oracle.
+    - Training runs KM_ROUNDS exact integer Lloyd rounds: centroid
+      quality for bucketing saturates in a few iterations, and at
+      100 TB the fit runs on a ~0.1% sample anyway.
     Hyperplane SimHash banding was rejected for this operator: at
     cosine 0.35 (≈70°) hyperplane bits are near-coin-flips, so band
     recall collapses or candidates explode."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    emb = load_catalog(spark, sf_dir).table("embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    feats = emb.withColumn("features", array_to_vector("v"))
-    km = KMeans(
-        k=NEARDUP_IVF_CELLS, seed=42, maxIter=8,
-        featuresCol="features", predictionCol="__cell",
-    )
-    # fit on few partitions: each Lloyd/init round is a job over the
-    # whole tiny centroid state, so per-task overhead dominates at 32
-    # slots (measured 2.6 s → 1.2 s, centroids bit-identical); at
-    # 100 TB the fit input is a small sample anyway
-    model = km.fit(feats.coalesce(8))
-    # top-PROBE cells as a NARROW JVM expression over literal
-    # centroids (array_sort + array_position — the same
-    # no-shuffle argmin spelling as operators/pq.ivfpq_residuals,
-    # generalized to top-k): the earlier broadcast crossJoin +
-    # per-vec_id row_number shuffled k×N rows to keep PROBE of k.
-    # Equal-distance ties collapse via array_distinct (measure-zero
-    # on doubles; recall-gated regardless).
-    d2s = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    "v",
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            for c in model.clusterCenters()
-        ]
-    )
-    # top-k via one sort of (distance, cell) structs: d2s is referenced
-    # exactly ONCE (Catalyst does no cross-subexpression CSE — an
-    # array_position spelling re-ran all k folds per probe slot,
-    # measured 2.9 s → 3.8 s), struct order breaks distance ties on the
-    # lowest cell_id like the window spelling did
-    pairs = F.zip_with(
-        d2s,
-        F.sequence(F.lit(0), F.lit(NEARDUP_IVF_CELLS - 1)),
-        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-    )
-    probed = F.transform(
-        F.slice(
-            F.array_sort(pairs),
-            1,
-            NEARDUP_IVF_PROBE if probe is None else probe,
-        ),
-        lambda s: s["i"],
-    )
+    e = _ivf_quantized(spark, sf_dir).localCheckpoint(eager=True)
+    cents = fixed_point_kmeans(e, NEARDUP_IVF_CELLS)
     n_parts = shuffle_partitions(spark)
-    assigned = emb.select("vec_id", F.explode(probed).alias("cell_id")).select(
-        "vec_id", F.col("cell_id").cast("int").alias("cell_id")
-    )
+    assigned = km_multi_assign(
+        e.select("vec_id", "qv"),
+        cents,
+        NEARDUP_IVF_PROBE if probe is None else probe,
+    ).select("vec_id", F.col("cell_id").cast("int").alias("cell_id"))
     a = assigned.withColumn(
         "salt", F.pmod(F.xxhash64("vec_id"), F.lit(NEARDUP_SALT)).cast("int")
     ).repartition(n_parts, "cell_id", "salt")
@@ -509,9 +732,14 @@ def q69_embedding_neardup_ivf(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])  # pair shared in >1 cell
     )
-    nv = emb.select("vec_id", "v", norm2(F.col("v")).alias("nn"))
+    nv = e.select("vec_id", "qv", "nv")
     va, vb = nv.alias("va"), nv.alias("vb")
-    cos = r6(dot(F.col("va.v"), F.col("vb.v"), dim=None) / (F.col("va.nn") * F.col("vb.nn")))
+    pair_dot = F.aggregate(
+        F.zip_with(F.col("va.qv"), F.col("vb.qv"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cos = r6(_ivf_sim(pair_dot, F.col("va.nv"), F.col("vb.nv"))) + F.lit(0.0)
     cos_once = F.when(F.rand(42) >= -1, cos)
     return (
         cand.join(va, F.col("va.vec_id") == F.col("vec_a"))
@@ -521,72 +749,133 @@ def q69_embedding_neardup_ivf(
     )
 
 
-@register("q55_ann_ivf_kmeans", oracle=None, tags=("similarity", "ann", "ivf", "mllib"))
+def _q55_oracle() -> str:
+    return f"""
+WITH {_km_cte_sql(IVF_CELLS)},
+pd AS (
+  SELECT e.vec_id, c.cell_id, {KM_DIST_SQL} AS d
+  FROM e, c{KM_ROUNDS} c, dims d
+  WHERE e.vec_id < {IVF_N_QUERIES}
+  GROUP BY e.vec_id, c.cell_id, c.n
+),
+probes AS (
+  SELECT vec_id AS query_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+    FROM pd
+  ) WHERE rn <= {IVF_PROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN afin a ON a.cell_id = p.cell_id
+  WHERE a.vec_id <> p.query_id
+),
+cdot AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(sum(eq.qv[i] * en.qv[i]) AS BIGINT) AS dot
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e en ON en.vec_id = c.neighbor_id, dims
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nv AS DOUBLE)) * sqrt(CAST(nn.nv AS DOUBLE))), 6)
+           + 0.0 AS cosine
+  FROM cdot d
+  JOIN qn nq ON nq.vec_id = d.query_id
+  JOIN qn nn ON nn.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {IVF_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "q55_ann_ivf_kmeans",
+    oracle=_q55_oracle(),
+    doc="IVF ANN over fixed-point-Lloyd's-trained cells (full CTE-unrolled oracle)",
+    tags=("similarity", "ann", "ivf", "iterative"),
+)
 def q55_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN with TRAINED centroids: MLlib KMeans (seeded) learns
-    IVF_CELLS centroids, every vector is assigned to its nearest one by
-    model.transform (Euclidean, matching the training objective), and a
-    query probes the IVF_PROBE nearest cells. Trained cells balance
-    cell SIZES (q53's arbitrary-seed cells skew, so its probes can
-    sweep half the corpus — cheap recall, expensive scan): at equal
-    probe count the kmeans index scans a predictable ~probe/k fraction,
-    which is the property that matters when a cell is 10 TB. Measured
-    at sf0.001: recall@10 0.74 scanning ~25% vs q53's 0.90 scanning an
-    unbounded skewed fraction. At 100 TB: fit on a ~0.1% sample (KMeans cost
-    is per-point; centroid quality saturates fast), persist the model,
-    and the assignment is a broadcast of k×dim floats — the corpus
-    itself is touched exactly once. Rows-only (approximation has no
-    exact SQL oracle); recall vs q50 brute force is pytest-asserted."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """IVF-flat ANN with TRAINED centroids: seeded fixed-point Lloyd's
+    (fixed_point_kmeans above — KM_ROUNDS exact integer rounds on the
+    IVF_Q grid) learns IVF_CELLS centroids, every vector is assigned to
+    its nearest one by the same truncated integer distance, and a query
+    probes the IVF_PROBE nearest cells. Trained cells balance cell
+    SIZES (q53's arbitrary-seed cells skew, so its probes can sweep
+    half the corpus — cheap recall, expensive scan): at equal probe
+    count the kmeans index scans a predictable ~probe/k fraction, which
+    is the property that matters when a cell is 10 TB. At 100 TB: train
+    on a ~0.1% sample (Lloyd's cost is per-point; centroid quality
+    saturates fast), persist the k-row (s, n) state, and assignment is
+    a broadcast of k×64 longs — map-only, the corpus is touched exactly
+    once.
 
-    emb = load_catalog(spark, sf_dir).table("embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+    FULL VALUE-HASH ORACLE since round 11 (VERDICT r10 #2, rows-only
+    through r10 as an MLlib fit): training is the qx221 fixed-point
+    unroll — every Lloyd round is integer-exact (rational (s, n)
+    centroids, truncated integer distances, cell_id tie-breaks), so
+    the DuckDB MATERIALIZED-CTE chain reproduces centroids,
+    assignments, probes, and the IVF_Q-exact cosines bit-for-bit.
+    Recall@10 vs q50 brute force stays pytest-asserted (the gate is
+    unchanged — determinism is about the oracle, not the quality
+    bar). MLlib KMeans coverage remains on q49/q54/q57's index
+    family; this operator's contract is the ORACLE-BEARING trained
+    index."""
+    e = _ivf_quantized(spark, sf_dir).localCheckpoint(eager=True)
+    cents = fixed_point_kmeans(e, IVF_CELLS)
+    assigned = km_assign(e.select("vec_id", "qv"), cents)
+    queries = e.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nv").alias("q_nv"),
     )
-    feats = emb.withColumn("features", array_to_vector(F.col("v")))
-    km = KMeans(
-        k=IVF_CELLS, seed=42, maxIter=8,
-        featuresCol="features", predictionCol="cell_id",
-    )  # bucketing quality saturates in a few Lloyd rounds (see q69);
-    # 20 iters spent 2.3 s of q55's 4.6 s refining centroids whose
-    # recall/balance was already at its plateau (gates unchanged)
-    # few-partition fit: per-round task overhead dominates on the
-    # fixture (see q69); centroids are bit-identical
-    model = km.fit(feats.coalesce(8))
-    assigned = model.transform(feats).select("vec_id", "v", "cell_id")
-
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell_id int, cv array<double>",
-    )
-    # probe by the SAME metric the assignment used (squared Euclidean)
-    l2sq = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy("d2", "cell_id")
+    probe_w = Window.partitionBy("query_id").orderBy("d", "pcell")
     probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select("query_id", "qv", "cell_id", l2sq.alias("d2"))
+        queries.crossJoin(
+            F.broadcast(cents.select(F.col("cell_id").alias("pcell"), "s", "n"))
+        )
+        .select(
+            "query_id",
+            "q_qv",
+            "q_nv",
+            "pcell",
+            km_dist(F.col("q_qv"), F.col("s"), F.col("n")).alias("d"),
+        )
         .withColumn("prn", F.row_number().over(probe_w))
         .filter(F.col("prn") <= IVF_PROBE)
-        .select("query_id", "qv", "cell_id")
+        .select("query_id", "q_qv", "q_nv", F.col("pcell").alias("cell_id"))
     )
-    rank_w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    nvs = e.select(F.col("vec_id").alias("nb_id"), F.col("nv").alias("nb_nv"))
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    pair_dot = F.aggregate(
+        F.zip_with("q_qv", "qv", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
     return (
         probes.join(assigned, "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
+        .join(nvs, F.col("nb_id") == F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            r6(cosine(F.col("qv"), F.col("v"))).alias("cosine"),
+            (r6(_ivf_sim(pair_dot, F.col("q_nv"), F.col("nb_nv"))) + F.lit(0.0)).alias(
+                "cosine"
+            ),
         )
         .withColumn("rank", F.row_number().over(rank_w).cast("bigint"))
-        .filter(F.col("rank") <= 10)
+        .filter(F.col("rank") <= IVF_TOPK)
     )
 
 # ---------------------------------------------------------------------------
@@ -846,21 +1135,53 @@ def qx139_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "qx191_embedding_clusters_scale",
-    oracle=None,
+    oracle=f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT vec_a, vec_b FROM ({_q69_oracle(NEARDUP_CLUSTER_PROBE)}) q
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+cc AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+lab AS (
+  SELECT a.vec_id, COALESCE(c.cluster_id, a.vec_id) AS cluster_id
+  FROM (SELECT vec_id FROM embeddings) a LEFT JOIN cc c USING (vec_id)
+)
+SELECT vec_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM lab ORDER BY vec_id
+""",
     doc="qx139's clustering over q69's IVF-bucketed pairs (the >100k path, forced)",
-    tags=("similarity", "clustering", "graph", "ann"),
+    tags=("similarity", "clustering", "graph", "ann", "iterative"),
 )
 def qx191_embedding_clusters_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """qx139's above-threshold path, FORCED at any scale so the
     bucketed composition is driver-visible and benchable at fixture
     size: q69's IVF-bucketed candidate pairs (recall-gated ≥0.9, exact
     cosine re-check, salted cell equi-join — never all-pairs) through
-    the identical clustering tail. Rows-only by design (approximate
-    candidate generation has no SQL oracle); pairwise co-clustering
-    agreement vs the exact qx139 labels is pytest-gated ≥0.9 with
-    zero invented merges. Probes NEARDUP_CLUSTER_PROBE (one extra)
-    cells: clustering pays a split component per missed bridge edge,
-    so it buys connectivity pairwise dedup doesn't need."""
+    the identical clustering tail.
+
+    FULL VALUE-HASH ORACLE since round 11 (rows-only through r10):
+    q69's trained cells are now the fixed-point Lloyd's unroll, so the
+    entire chain — training, multi-probe assignment, candidate pairs,
+    exact cosines, hash-min connected components, singleton fill,
+    cluster sizes — is reproduced by one recursive-CTE oracle (the
+    qx270 closure over the _q69_oracle pair set at probe
+    NEARDUP_CLUSTER_PROBE). Pairwise co-clustering agreement vs the
+    exact qx139 labels stays pytest-gated ≥0.9 with zero invented
+    merges. Probes NEARDUP_CLUSTER_PROBE (one extra) cells: clustering
+    pays a split component per missed bridge edge, so it buys
+    connectivity pairwise dedup doesn't need."""
     return _clusters_from_pairs(
         spark, sf_dir, q69_embedding_neardup_ivf(spark, sf_dir, probe=NEARDUP_CLUSTER_PROBE)
     )

@@ -70,12 +70,12 @@ BUILD_ACTIONS: dict[str, tuple[int, str]] = {
     "q51_embedding_neardup": (4, "[train] MLlib BRP-LSH fit before the similarity join"),
     "q53_ann_ivf": (3, "[decide] collects the O(cells) seeded coarse quantizer"),
     "q54_brp_lsh_neighbors": (3, "[train] MLlib BRP-LSH fit"),
-    "q55_ann_ivf_kmeans": (25, "[train][iter] MLlib KMeans Lloyd's iterations"),
+    "q55_ann_ivf_kmeans": (34, "[train][iter] fixed-point Lloyd's: per-round k-row centroid checkpoints (+AQE broadcast jobs)"),
     "q56_ann_ivfpq": (4, "[train] PQ codebook fit (O(codebook) collect)"),
     "q59_schema_evolution": (6, "[store] writes two schema versions then merges"),
     "q60_fetch_chunk": (6, "[planner] value-domain chunk bounds from column stats"),
     "q67_fetch_chunks_by_size": (13, "[planner] size stats + RAM math per reference formula"),
-    "q69_embedding_neardup_ivf": (25, "[train][iter] KMeans cells for the salted IVF join"),
+    "q69_embedding_neardup_ivf": (34, "[train][iter] fixed-point Lloyd's cells for the salted IVF join"),
     "q74_dedup_clusters": (47, "[iter] hash-min CC rounds, localCheckpoint per round"),
     "q85_multi_grain_rollup": (5, "[decide] grain-domain collect parameterizes the rollup"),
     "q86_canonical_corpus": (47, "[iter] q74's CC chain feeding the canonical pick"),
@@ -109,6 +109,7 @@ BUILD_ACTIONS: dict[str, tuple[int, str]] = {
     "qx272_ann_recall_report": (3, "[decide] collects the O(cells) coarse quantizer"),
     "qx275_neardup_ivf_exact": (3, "[decide] collects the O(cells) seeded quantizer"),
     "qx277_dedup_threshold_sweep": (22, "[decide] eager checkpoint of the pairs frame (scored once, swept 5x)"),
+    "qx278_char_bigram_familiarity": (4, "[decide] eager checkpoint of the gram frame (one corpus scan, two consumers)"),
     "qx284_cluster_best_canonical": (57, "[iter] qx270's CC chain feeding the keeper pick"),
 }
 
