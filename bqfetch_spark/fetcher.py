@@ -205,6 +205,7 @@ class Fetcher:
         nb_cores: int = 1,
         by_values: bool = False,
         max_values: int = 100_000,
+        available_bytes: int | None = None,
     ) -> list[FetchingChunk]:
         """Split the column's distinct-value domain into contiguous
         buckets (ntile semantics: earlier buckets take the remainder).
@@ -214,9 +215,15 @@ class Fetcher:
         bqfetch/bqfetch.py:232-265 — exactly one must be given):
         - ``by_nb_chunks``: explicit chunk count.
         - ``by_chunk_size_in_GB``: memory-aware estimation — chunk
-          count from table bytes, the per-chunk GB target, ``nb_cores``
-          parallel consumers, and currently-available RAM
-          (plans/advisor.suggest_chunks_by_size; reference
+          count from ESTIMATED MATERIALIZED table bytes (the
+          num_bytes analog: fixed widths + string byte lengths,
+          plans/advisor.materialized_row_bytes — the reference
+          budgeted against BigQuery's LOGICAL num_bytes,
+          bqfetch/bqfetch.py:430, not compressed storage), the
+          per-chunk GB target, ``nb_cores`` parallel consumers, and
+          available RAM (``available_bytes`` when given — the
+          hermetic/injected path — else /proc/meminfo;
+          plans/advisor.suggest_chunks_by_size; reference
           get_nb_chunks_approximation, bqfetch/bqfetch.py:374-454).
           This mode also runs the reference's plan-time skew check
           (check_skew: warns when >25% of values are >25% off the
@@ -246,7 +253,10 @@ class Fetcher:
             )
         if by_nb_chunks is not None and by_nb_chunks <= 0:
             raise ValueError("by_nb_chunks must be positive")
-        from bqfetch_spark.plans.advisor import suggest_chunks_by_size, table_bytes
+        from bqfetch_spark.plans.advisor import (
+            estimated_materialized_bytes,
+            suggest_chunks_by_size,
+        )
         from bqfetch_spark.plans.ranks import with_ntile_auto
         from bqfetch_spark.session import shuffle_partitions
 
@@ -263,11 +273,9 @@ class Fetcher:
                 counts = counts.persist()
                 persisted = True
             if by_chunk_size_in_GB is not None:
-                nbytes = table_bytes(
-                    load_catalog(self.spark, ref.sf_dir).path(ref.name)
-                )
+                nbytes = estimated_materialized_bytes(self.table(ref))
                 by_nb_chunks = suggest_chunks_by_size(
-                    nbytes, by_chunk_size_in_GB, nb_cores
+                    nbytes, by_chunk_size_in_GB, nb_cores, available_bytes
                 )
                 self._log(
                     f"estimated {by_nb_chunks} chunks for {ref.name} "
@@ -464,20 +472,78 @@ def q96_fetch_chunk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetcher.fetch(ref, chunk).select("c_custkey", "c_name", "c_mktsegment")
 
 
-@register("q67_fetch_chunks_by_size", oracle=None, tags=("fetcher", "advisor"))
+def _q67_oracle() -> str:
+    from bqfetch_spark.plans.advisor import GB, MEMORY_RESERVE_GB
+
+    # The SAME budget arithmetic as suggest_chunks_by_size, evaluated
+    # at import time on the HERMETIC memory fixture (2 GiB available,
+    # 1 core) — pure constants, so embedding the result keeps the
+    # oracle static while the table-size term stays SQL-computed.
+    budget_gb = min(
+        Q67_CHUNK_GB * 1,
+        max(Q67_AVAILABLE_BYTES / GB - MEMORY_RESERVE_GB, 0.25),
+    )
+    # 28 = fixed widths (c_custkey 8 + c_nationkey 4 + c_acctbal 8)
+    # + two 4-byte string length headers — plans/advisor._FIXED_WIDTHS
+    return f"""
+WITH est AS (
+  SELECT greatest(1, CAST(ceil(
+           sum(28 + COALESCE(strlen(c_name), 0)
+                  + COALESCE(strlen(c_mktsegment), 0)) / 1073741824.0
+           / {budget_gb!r}) AS BIGINT)) AS n
+  FROM customer
+),
+sel AS (
+  SELECT k, ntile((SELECT n FROM est)) OVER (ORDER BY k) AS b
+  FROM (SELECT DISTINCT c_custkey AS k FROM customer)
+)
+SELECT CAST(b - 1 AS BIGINT) AS chunk_index,
+       (SELECT n FROM est) AS n_chunks,
+       CAST(min(k) AS BIGINT) AS lo,
+       CAST(max(k) AS BIGINT) AS hi,
+       CAST(count(*) AS BIGINT) AS n_values
+FROM sel GROUP BY b ORDER BY b
+"""
+
+
+GB = 1024**3
+Q67_AVAILABLE_BYTES = 2 * GB  # hermetic memory fixture (VERDICT r10 #8)
+Q67_CHUNK_GB = 1e-5
+
+
+@register(
+    "q67_fetch_chunks_by_size",
+    oracle=_q67_oracle(),
+    doc="size-driven chunk plan from estimated materialized bytes (hermetic memory fixture)",
+    tags=("fetcher", "advisor"),
+)
 def q67_fetch_chunks_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-driven chunk planning (the reference's headline mode:
     by_chunk_size_in_GB, bqfetch/bqfetch.py:374-454 + README.md:77-85):
-    chunk count estimated from table bytes at a 10 KB/chunk target
-    (small enough that the chunk-size term, not free RAM, always binds
-    — deterministic per scale factor), then the value-domain bucketed
-    into contiguous ranges. Returns the plan itself. Rows-only check
-    (chunk count derives from parquet file bytes, not SQL); boundary
-    parity vs an ntile oracle and the skew-warning behavior are
-    pytest-verified (tests/test_fetcher.py)."""
+    chunk count = ceil(estimated materialized bytes / budget) at a
+    10 KB/chunk target, then the value-domain bucketed into contiguous
+    ranges. Returns the plan itself.
+
+    FULL VALUE-HASH ORACLE since round 11 (VERDICT r10 #8, rows-only
+    through r10): two changes made the arithmetic SQL-derivable —
+    (1) the table-size term is the ESTIMATED MATERIALIZED bytes
+    (fixed widths + string byte lengths, the analog of the reference's
+    LOGICAL num_bytes, bqfetch/bqfetch.py:430) instead of compressed
+    parquet file bytes, which both under-estimated the pandas wave the
+    budget exists to bound AND were storage detail no oracle could
+    see; (2) free RAM is INJECTED as a fixed 2 GiB fixture through the
+    new Fetcher.chunks(available_bytes=...) parameter, so the formula
+    stops depending on the machine running it (the /proc/meminfo path
+    remains the facade default). The oracle recomputes the byte sum,
+    the ceil, and the ntile bucketing end to end."""
     fetcher = Fetcher(spark)
     ref = TableRef(sf_dir, "customer")
-    plan = fetcher.chunks(ref, "c_custkey", by_chunk_size_in_GB=1e-5)
+    plan = fetcher.chunks(
+        ref,
+        "c_custkey",
+        by_chunk_size_in_GB=Q67_CHUNK_GB,
+        available_bytes=Q67_AVAILABLE_BYTES,
+    )
     return spark.createDataFrame(
         [(c.index, c.n_chunks, int(c.lower), int(c.upper), c.n_values) for c in plan],
         "chunk_index bigint, n_chunks bigint, lo bigint, hi bigint, n_values bigint",

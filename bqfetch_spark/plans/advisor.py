@@ -50,6 +50,58 @@ def suggest_partitions(
 GB = 1024**3
 MEMORY_RESERVE_GB = 1.0  # headroom kept off the free-RAM budget
 
+# Fixed materialized widths per Spark type (bytes). The reference
+# budgeted fetch waves against BigQuery's num_bytes — the LOGICAL
+# (uncompressed) table size (bqfetch/bqfetch.py:430) — NOT compressed
+# storage bytes, which under-estimate the pandas materialization a
+# wave must hold by the parquet compression ratio. This fixed-width +
+# string-byte-length model is the num_bytes analog, and (unlike file
+# sizes) it is derivable in ANSI SQL, which is what lets q67 carry a
+# full value-hash oracle.
+_FIXED_WIDTHS = {
+    "long": 8,
+    "integer": 4,
+    "short": 2,
+    "byte": 1,
+    "double": 8,
+    "float": 4,
+    "boolean": 1,
+    "date": 4,
+    "timestamp": 8,
+    "timestamp_ntz": 8,
+}
+
+
+def materialized_row_bytes(df: DataFrame) -> F.Column:
+    """Per-row estimated materialized bytes from the schema: fixed
+    widths for scalar types, 4-byte length header + actual byte length
+    for strings/binary (NULL lengths count 0 — mirrored verbatim in
+    the SQL oracles). Raises on types the model doesn't cover so a new
+    column can't silently skew a budget."""
+    total = F.lit(0).cast("bigint")
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        if t in _FIXED_WIDTHS:
+            total = total + F.lit(_FIXED_WIDTHS[t]).cast("bigint")
+        elif t in ("string", "binary"):
+            total = total + (
+                F.lit(4) + F.coalesce(F.octet_length(F.col(f.name)), F.lit(0))
+            ).cast("bigint")
+        else:
+            raise ValueError(
+                f"materialized_row_bytes: no width model for column "
+                f"{f.name!r} of type {t!r}"
+            )
+    return total
+
+
+def estimated_materialized_bytes(df: DataFrame) -> int:
+    """Σ materialized_row_bytes over the frame — the num_bytes analog
+    used by the by_chunk_size planner (one column-pruned scan; only
+    string columns are read)."""
+    row = df.select(materialized_row_bytes(df).alias("b")).agg(F.sum("b")).first()
+    return int(row[0] or 0)
+
 
 def available_memory_bytes() -> int:
     """Free RAM for result materialization (reference parity:

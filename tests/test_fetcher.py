@@ -129,18 +129,21 @@ def test_invalid_args(spark, fetcher):
 
 def test_chunks_by_size_mode(spark, fetcher, duck):
     """by_chunk_size_in_GB parity (reference get_nb_chunks_approximation,
-    bqfetch/bqfetch.py:374-454): chunk count = ceil(table_GB / budget)
-    with the 10KB target binding, and the planned boundaries equal the
-    exact ntile bucketing of the distinct domain (dynamic oracle)."""
-    import os
-
-    from bqfetch_spark.plans.advisor import suggest_chunks_by_size
+    bqfetch/bqfetch.py:374-454): chunk count = ceil(estimated
+    materialized GB / budget) with the 10KB target binding, and the
+    planned boundaries equal the exact ntile bucketing of the distinct
+    domain (dynamic oracle). Size source is the num_bytes analog
+    (fixed widths + string byte lengths) since round 11."""
+    from bqfetch_spark.plans.advisor import (
+        estimated_materialized_bytes,
+        suggest_chunks_by_size,
+    )
     from tests.conftest import SF_CORRECT
 
     ref = TableRef(SF_CORRECT, "customer")
     chunks = fetcher.chunks(ref, "c_custkey", by_chunk_size_in_GB=1e-5)
     expected_n = suggest_chunks_by_size(
-        os.path.getsize(os.path.join(SF_CORRECT, "customer.parquet")), 1e-5, 1
+        estimated_materialized_bytes(fetcher.table(ref)), 1e-5, 1
     )
     assert len(chunks) == expected_n
     oracle = duck.sql(
