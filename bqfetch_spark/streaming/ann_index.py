@@ -62,16 +62,22 @@ def build_index(
     parquet files written driver-side with pyarrow. Artifacts are
     driver/broadcast data by construction — routing a 16 KB write
     through a Spark job is scheduler overhead, not distribution."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from bqfetch_spark.operators.pq import fit_sample
 
     sample = fit_sample(emb_n)
     cents = train_coarse_centroids(spark, emb_n, sample=sample)
     assign = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
     books = train_codebooks(sample - cents[assign], dim)
-    m, k, sub_d = books.shape
+    _write_artifacts(cents, books, index_dir)
+    return cents, books
+
+
+def _write_artifacts(cents: np.ndarray, books: np.ndarray, index_dir: str) -> None:
+    """Persist the KB-sized frozen artifacts driver-side (pyarrow)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m, k, _sub_d = books.shape
     os.makedirs(index_dir, exist_ok=True)
     pq.write_table(
         pa.table(
@@ -89,7 +95,51 @@ def build_index(
         ),
         os.path.join(index_dir, "codebooks.parquet"),
     )
-    return cents, books
+
+
+def save_baseline_occupancy(index_dir: str, counts: np.ndarray) -> None:
+    """The trained cell-occupancy histogram IS an index artifact
+    (FAISS keeps the same per-list sizes for imbalance monitoring):
+    persisting it means the drift monitor never re-reads the code
+    store just to rebuild a KB-sized baseline each wave."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "cell_id": list(range(len(counts))),
+                "n": [int(x) for x in counts],
+            }
+        ),
+        os.path.join(index_dir, "occupancy.parquet"),
+    )
+
+
+def invalidate_baseline_occupancy(index_dir: str) -> None:
+    """Drop the occupancy artifact after a retrain: the store just
+    changed shape, and rebuilding the histogram eagerly would cost a
+    store scan the retrain itself doesn't need — the NEXT monitored
+    wave rebuilds it on demand (load returns None → one scan)."""
+    path = os.path.join(index_dir, "occupancy.parquet")
+    if os.path.exists(path):
+        os.remove(path)
+
+
+def load_baseline_occupancy(index_dir: str, n_cells: int) -> np.ndarray | None:
+    """Baseline occupancy COUNTS from the artifact, or None if absent
+    (pre-round-11 index dirs fall back to a store scan)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(index_dir, "occupancy.parquet")
+    if not os.path.exists(path):
+        return None
+    t = pq.read_table(path).to_pydict()
+    counts = np.zeros(n_cells, dtype=np.float64)
+    for c, n in zip(t["cell_id"], t["n"]):
+        if int(c) < n_cells:
+            counts[int(c)] = float(n)
+    return counts
 
 
 def load_index(spark: SparkSession, index_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -243,17 +293,28 @@ def run_incremental_ann_index(
 ANN_DRIFT_JSD = 0.15
 
 
-def cell_occupancy(codes: DataFrame, n_cells: int) -> np.ndarray:
-    """Normalized cell-occupancy histogram of a code frame — the
-    n_cells-bucket fingerprint of WHERE vectors land in the coarse
-    quantizer. O(rows) partial-aggregated groupBy; the collected frame
-    is n_cells rows (the artifacts are KB — so is this)."""
+def cell_counts(codes: DataFrame, n_cells: int) -> np.ndarray:
+    """Raw cell-occupancy COUNTS of a code frame — n_cells-bucket
+    fingerprint of WHERE vectors land in the coarse quantizer.
+    O(rows) partial-aggregated groupBy; the collected frame is n_cells
+    rows (the artifacts are KB — so is this). Counts, not shares: the
+    sum doubles as the frame's row count, so callers never pay a
+    separate .count() job for wave sizes."""
     rows = codes.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n")).collect()
     occ = np.zeros(n_cells, dtype=np.float64)
     for r in rows:
         occ[int(r["cell_id"])] = float(r["n"])
-    total = occ.sum()
-    return occ / total if total else occ
+    return occ
+
+
+def _normalized(counts: np.ndarray) -> np.ndarray:
+    total = counts.sum()
+    return counts / total if total else counts
+
+
+def cell_occupancy(codes: DataFrame, n_cells: int) -> np.ndarray:
+    """Normalized cell-occupancy histogram (cell_counts / total)."""
+    return _normalized(cell_counts(codes, n_cells))
 
 
 def occupancy_jsd(p: np.ndarray, q: np.ndarray) -> float:
@@ -287,7 +348,104 @@ def retrain_index(
         .partitionBy("ingest_batch", "cell_id")
         .parquet(os.path.join(index_dir, "codes"))
     )
+    invalidate_baseline_occupancy(index_dir)
     return cents, books
+
+
+# A cell is HOT when the wave lands more than DRIFT_HOT_FACTOR times
+# its uniform share there; drift counts as LOCALIZED (→ partial
+# retrain) when the hot cells hold at least DRIFT_LOCALIZED_SHARE of
+# the wave. A diffuse shift (every cell a little off) fails the share
+# test and falls back to the full rebuild.
+DRIFT_HOT_FACTOR = 2.0
+DRIFT_LOCALIZED_SHARE = 0.5
+DRIFT_SUBCELLS = 4  # new centroids carved out of the hot region
+
+
+def partial_retrain(
+    spark: SparkSession,
+    emb_n_corpus: DataFrame,
+    wave_emb_n: DataFrame,
+    wave_codes: DataFrame,
+    index_dir: str,
+    hot_cells: list[int],
+    cents: np.ndarray,
+    books: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """LOCALIZED rebuild (VERDICT r10 #6 — the production shape when
+    drift concentrates in a cell subset, FAISS's 'retrain the lists
+    that changed'): instead of retraining every centroid and
+    re-encoding the whole corpus,
+
+    1. DRIFT_SUBCELLS new centroids are trained (driver-side seeded
+       Lloyd's over a bounded sample) on ONLY the wave vectors that
+       landed in hot cells — the region the frozen quantizer
+       under-resolves — and APPENDED to the frozen centroid set (cold
+       cells keep their ids, so their codes stay bit-valid);
+    2. the ENCODE pass — the part that touches raw vectors, i.e. the
+       expensive pass at 100 TB — runs only over the affected slice:
+       corpus vectors whose stored cell is hot (partition-pruned read
+       of those cell directories, then an id-join back to the
+       vectors) plus the hot-cell wave rows. Residual codebooks stay
+       frozen: residuals against the new, tighter centroids are
+       smaller than the ones the books were trained on, so they
+       quantize at least as well (recall gate in
+       tests/test_ann_recall.py pins this).
+    3. the store swap writes cold codes (pass-through, 8-byte rows —
+       32× smaller than vectors) plus the re-encoded slice to a fresh
+       directory and renames it over the old one (the
+       run-beside-then-swap rebuild; rewriting only the hot cell
+       directories in place is the next refinement, blocked today by
+       the (ingest_batch, cell_id) layout making stale-partition
+       cleanup non-atomic).
+
+    Cold-cell wave rows are appended with the frozen artifacts (their
+    nearest OLD cell is unchanged; a cold vector whose true nearest
+    becomes a NEW cell is mis-binned by at most the old assignment —
+    the standard partial-retrain approximation, bounded by the probe
+    redundancy)."""
+    from bqfetch_spark.operators.pq import PQ_ITERS, PQ_SEED, _lloyd, fit_sample
+
+    store = os.path.join(index_dir, "codes")
+    hot = [int(c) for c in hot_cells]
+    hot_wave_ids = wave_codes.filter(F.col("cell_id").isin(hot)).select("vec_id")
+    hot_wave = wave_emb_n.join(hot_wave_ids, "vec_id")
+    sample = fit_sample(hot_wave)
+    cents_new = np.vstack(
+        [cents, _lloyd(sample, DRIFT_SUBCELLS, PQ_ITERS, PQ_SEED)]
+    )
+
+    old = spark.read.parquet(store)
+    affected_ids = old.filter(F.col("cell_id").isin(hot)).select("vec_id")
+    affected = emb_n_corpus.join(affected_ids, "vec_id").unionByName(hot_wave)
+    recoded = (
+        _clustered_for_store(ivfpq_encode(spark, affected, cents_new, books))
+        .withColumn("ingest_batch", F.lit(-1).cast("bigint"))
+    )
+    cold_old = old.filter(~F.col("cell_id").isin(hot)).select(recoded.columns)
+    # cold wave rows reuse the codes ALREADY computed for the drift
+    # histogram — their frozen-artifact encoding is exactly what the
+    # store needs (old cells keep their ids), so no second Arrow
+    # encode pass over the wave
+    cold_wave = (
+        _clustered_for_store(wave_codes.filter(~F.col("cell_id").isin(hot)))
+        .withColumn("ingest_batch", F.lit(-1).cast("bigint"))
+    )
+    tmp = store + ".retrain"
+    (
+        cold_old.unionByName(cold_wave)
+        .unionByName(recoded)
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch", "cell_id")
+        .parquet(tmp)
+    )
+    import shutil
+
+    shutil.rmtree(store)
+    os.rename(tmp, store)
+    _write_artifacts(cents_new, books, index_dir)
+    invalidate_baseline_occupancy(index_dir)
+    return cents_new, books
 
 
 def ingest_with_drift_monitor(
@@ -300,27 +458,49 @@ def ingest_with_drift_monitor(
 ) -> dict:
     """Append one wave with the drift check in the loop: encode the
     wave against the frozen artifacts (O(wave)), compare its cell
-    occupancy to the trained baseline's, and when the JSD crosses
-    ``threshold`` rebuild the artifacts on corpus+wave and re-encode
-    (retrain_index). Returns the decision record the monitoring table
-    stores per wave: {'jsd', 'retrained', 'n_wave'}.
+    occupancy to the trained baseline's (read from the occupancy
+    ARTIFACT — no store re-scan per wave), and when the JSD crosses
+    ``threshold`` rebuild: a LOCALIZED partial_retrain when the drift
+    concentrates in hot cells, the full retrain_index otherwise.
+    Returns the decision record the monitoring table stores per wave:
+    {'jsd', 'retrained', 'mode', 'n_wave'} with mode in
+    (None, 'partial', 'full').
 
     ``emb_n_corpus`` is the already-indexed vector corpus — only read
-    when a retrain actually fires (the wave path itself never touches
-    history, preserving q57's O(wave) append contract)."""
+    (and for the partial path, only its hot-cell slice) when a retrain
+    actually fires; the wave path itself never touches history,
+    preserving q57's O(wave) append contract. The wave size rides the
+    occupancy counts — no separate count job."""
     cents, books = load_index(spark, index_dir)
     n_cells = len(cents)
     store = os.path.join(index_dir, "codes")
-    baseline = cell_occupancy(spark.read.parquet(store), n_cells)
+    base_counts = load_baseline_occupancy(index_dir, n_cells)
+    if base_counts is None:
+        base_counts = cell_counts(spark.read.parquet(store), n_cells)
+        save_baseline_occupancy(index_dir, base_counts)
     wave_codes = ivfpq_encode(spark, wave_emb_n, cents, books)
-    wave_occ = cell_occupancy(wave_codes, n_cells)
-    jsd = occupancy_jsd(baseline, wave_occ)
-    n_wave = wave_emb_n.count()
+    wave_counts = cell_counts(wave_codes, n_cells)
+    n_wave = int(wave_counts.sum())
+    wave_occ = _normalized(wave_counts)
+    jsd = occupancy_jsd(_normalized(base_counts), wave_occ)
     if jsd > threshold:
+        # the retrain paths consume wave_codes several times (hot-id
+        # splits, cold pass-through) — materialize the wave-sized code
+        # frame once instead of re-running the Arrow encode per consumer
+        wave_codes = wave_codes.localCheckpoint(eager=True)
+        hot = [int(c) for c in np.nonzero(wave_occ > DRIFT_HOT_FACTOR / n_cells)[0]]
+        if hot and float(wave_occ[hot].sum()) >= DRIFT_LOCALIZED_SHARE:
+            partial_retrain(
+                spark, emb_n_corpus, wave_emb_n, wave_codes, index_dir,
+                hot, cents, books,
+            )
+            return {"jsd": jsd, "retrained": True, "mode": "partial", "n_wave": n_wave}
         retrain_index(spark, emb_n_corpus.unionByName(wave_emb_n), dim, index_dir)
-        return {"jsd": jsd, "retrained": True, "n_wave": n_wave}
+        return {"jsd": jsd, "retrained": True, "mode": "full", "n_wave": n_wave}
     append_wave(spark, wave_emb_n, index_dir)
-    return {"jsd": jsd, "retrained": False, "n_wave": n_wave}
+    new_counts = base_counts + wave_counts
+    save_baseline_occupancy(index_dir, new_counts)
+    return {"jsd": jsd, "retrained": False, "mode": None, "n_wave": n_wave}
 
 
 # planted drift workload (shared by qx242 and its recall pytest): a
