@@ -1,0 +1,227 @@
+"""Crash-consistency of the external stores (VERDICT r10 #5).
+
+The streaming stores claim restart safety via batch_id-keyed dynamic
+partition overwrite. The retry-idempotence tests simulate a replay by
+calling the batch function twice; these tests prove the claim through
+the ACTUAL recovery machinery: a foreachBatch wave is KILLED between
+its store append and its checkpoint commit (the ingest completes the
+side effect, then raises — so the offsets WAL holds the planned batch
+but no commit is recorded), the query dies mid-run, and a RESTARTED
+query on the same checkpoint replays the torn batch. The final store
+must equal a clean never-crashed run exactly: no double-apply of the
+torn wave, no lost wave.
+
+One injected-failure harness drives all three store families the
+verdict names: the fingerprint store (q66/q71 incremental dedup), the
+rollup store (q98 hourly partials), and the ANN code store (q57
+IVF-PQ index).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bqfetch_spark.catalog import load_catalog
+from tests.conftest import SF_SMOKE
+
+
+class InjectedCrash(RuntimeError):
+    pass
+
+
+def _run_stream(spark, incoming_dir, schema, ckpt_dir, ingest):
+    """One availableNow pass over the wave files; returns normally or
+    propagates the stream's failure cause."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(incoming_dir, "wave_*"))
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    except StreamingQueryException as exc:
+        raise InjectedCrash(str(exc)) from exc
+
+
+def _crash_then_recover(spark, tmp_path, waves, ingest, crash_batch=1):
+    """Drive `waves` (list of DataFrames) through foreachBatch twice:
+    first with a crash injected AFTER the store side effect of batch
+    `crash_batch` completes (the query must die), then a plain restart
+    on the same checkpoint (the torn batch must replay). `ingest` is
+    the family's real batch fn (batch, batch_id) -> None."""
+    incoming = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(incoming, exist_ok=True)
+    for i, w in enumerate(waves):
+        w.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(incoming, f"wave_{i}")
+        )
+    schema = spark.read.parquet(os.path.join(incoming, "wave_0")).schema
+
+    crashed = {"done": False}
+
+    def sabotaged(batch, batch_id):
+        ingest(batch, batch_id)  # store append COMPLETES...
+        if int(batch_id) == crash_batch and not crashed["done"]:
+            crashed["done"] = True
+            # ...then the process dies before the checkpoint commit
+            raise InjectedCrash(
+                f"injected kill after store append of batch {batch_id}"
+            )
+
+    with pytest.raises(InjectedCrash):
+        _run_stream(spark, incoming, schema, ckpt, sabotaged)
+    assert crashed["done"], "crash batch never ran — harness misconfigured"
+
+    # recovery: same checkpoint, clean ingest — the torn batch replays
+    _run_stream(spark, incoming, schema, ckpt, ingest)
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# family 1: fingerprint store (q66/q71 incremental dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_fingerprint_store_survives_kill_mid_batch(spark, tmp_path):
+    from bqfetch_spark.streaming.incremental import (
+        build_fingerprint_store,
+        incremental_dedup_batch,
+    )
+
+    docs = load_catalog(spark, SF_SMOKE).table("documents")
+    history = docs.filter(F.col("doc_id") % 10 < 8)
+    stream_docs = docs.filter(F.col("doc_id") % 10 >= 8)
+    waves = [stream_docs.filter(F.col("doc_id") % 2 == i) for i in (0, 1)]
+
+    def family(root):
+        store = os.path.join(root, "fp_store")
+        sink = os.path.join(root, "sink")
+        build_fingerprint_store(history, store)
+
+        def ingest(batch, batch_id):
+            out = incremental_dedup_batch(spark, batch, store, batch_id=batch_id)
+            (
+                out.select("doc_id")
+                .withColumn("ingest_batch", F.lit(int(batch_id)).cast("bigint"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(sink)
+            )
+
+        return store, sink, ingest
+
+    # clean run (no crash) — the exactly-once reference
+    c_store, c_sink, c_ingest = family(str(tmp_path / "clean"))
+    for i, w in enumerate(waves):
+        c_ingest(w, i)
+
+    t_store, t_sink, t_ingest = family(str(tmp_path / "torn"))
+    _crash_then_recover(spark, tmp_path / "stream", waves, t_ingest)
+
+    # survivors identical (the correctness contract: the replay must
+    # not lose the wave — the pre-round-6 bug — nor emit it twice)
+    assert _canon(spark.read.parquet(t_sink).select("doc_id")) == _canon(
+        spark.read.parquet(c_sink).select("doc_id")
+    )
+    # fp store is a MEMBERSHIP SET by contract: a replay may append a
+    # wave's fps twice (dups cost bytes, not correctness — compaction
+    # folds them), but the SET must match the clean run exactly
+    t_fp = spark.read.parquet(t_store).select("fp").distinct()
+    c_fp = spark.read.parquet(c_store).select("fp").distinct()
+    assert _canon(t_fp) == _canon(c_fp)
+
+
+# ---------------------------------------------------------------------------
+# family 2: rollup store (q98 hourly additive partials)
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_store_survives_kill_mid_batch(spark, tmp_path):
+    from bqfetch_spark.streaming.rollup import read_rollup, upsert_rollup
+
+    events = load_catalog(spark, SF_SMOKE).table("events").select(
+        "ts", "event_type", "value"
+    )
+    waves = [events.filter(F.pmod(F.xxhash64("ts"), F.lit(2)) == i) for i in (0, 1)]
+
+    clean = str(tmp_path / "clean_store")
+    for i, w in enumerate(waves):
+        upsert_rollup(spark, w, clean, batch_id=i)
+
+    torn = str(tmp_path / "torn_store")
+
+    def ingest(batch, batch_id):
+        upsert_rollup(spark, batch, torn, batch_id=batch_id)
+
+    _crash_then_recover(spark, tmp_path / "stream", waves, ingest)
+
+    assert _canon(read_rollup(spark, torn)) == _canon(read_rollup(spark, clean))
+
+
+# ---------------------------------------------------------------------------
+# family 3: ANN code store (q57 IVF-PQ index)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_code_store_survives_kill_mid_batch(spark, tmp_path):
+    from bqfetch_spark.functions.vectors import as_double
+    from bqfetch_spark.operators.pq import ivfpq_encode
+    from bqfetch_spark.streaming.ann_index import (
+        _clustered_for_store,
+        append_wave,
+        build_index,
+        unit_normalized,
+    )
+
+    emb = load_catalog(spark, SF_SMOKE).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    emb_n = unit_normalized(emb)
+    initial = emb_n.filter(F.pmod("vec_id", F.lit(5)) <= 2)
+    waves = [emb_n.filter(F.pmod("vec_id", F.lit(5)) == k) for k in (3, 4)]
+    dim = emb_n.select(F.size("v").alias("d")).first()["d"]
+
+    def family(root):
+        idx = os.path.join(root, "index")
+        cents, books = build_index(spark, initial, dim, idx)
+        (
+            _clustered_for_store(ivfpq_encode(spark, initial, cents, books))
+            .withColumn("ingest_batch", F.lit(-1).cast("bigint"))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch", "cell_id")
+            .parquet(os.path.join(idx, "codes"))
+        )
+
+        def ingest(batch, batch_id):
+            append_wave(spark, batch, idx, batch_id=batch_id)
+
+        return idx, ingest
+
+    c_idx, c_ingest = family(str(tmp_path / "clean"))
+    for i, w in enumerate(waves):
+        c_ingest(w, i)
+
+    t_idx, t_ingest = family(str(tmp_path / "torn"))
+    _crash_then_recover(spark, tmp_path / "stream", waves, t_ingest)
+
+    cols = ["vec_id", "cell_id", "code"]
+    t_codes = spark.read.parquet(os.path.join(t_idx, "codes")).select(cols)
+    c_codes = spark.read.parquet(os.path.join(c_idx, "codes")).select(cols)
+    assert _canon(t_codes) == _canon(c_codes)
+    # no vector indexed twice by the replay
+    assert t_codes.count() == t_codes.select("vec_id").distinct().count()
