@@ -1394,10 +1394,18 @@ def qx278_char_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame
             F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
         ).alias("g"),
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # DISK_ONLY checkpoint: the gram frame is corpus-scale (≈ docs ×
+    # distinct-bigrams-per-doc rows), and the default MEMORY_AND_DISK
+    # level OOMs the 100× census while UNROLLING deserialized blocks
+    # (measured at 6M docs in scale_check_100x). Serialized-to-disk
+    # writes through with no unroll buffer; both consumers then stream
+    # the materialized blocks.
     dg = (
         pos.groupBy("doc_id", "source", "g")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     glob = dg.groupBy("g").agg(F.sum("c").cast("bigint").alias("cg"))
     docfam = (

@@ -166,7 +166,16 @@ def advise(sf_dir: str, target_bytes: int = DEFAULT_TARGET_PARTITION_BYTES) -> l
 @register("q61_partition_advisor", oracle=None, tags=("advisor",))
 def q61_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Advisory partition counts per fixture table (rows-only check:
-    parquet byte sizes are storage detail, not SQL-derivable)."""
+    parquet byte sizes are storage detail, not SQL-derivable).
+
+    Deliberately NOT migrated to q67's estimated-materialized-bytes
+    oracle recipe: this advisor sizes SCAN partitions against
+    spark.sql.files.maxPartitionBytes, and Spark splits scan tasks by
+    ON-DISK (compressed) bytes — so file bytes are the semantically
+    correct size source here, and the operator stays rows-only with
+    its dynamic-oracle pytest. q67 budgets DRIVER materialization
+    waves, where the logical num_bytes analog is the right source
+    (and SQL-derivable)."""
     rows = [
         (a.table, a.bytes, a.target_bytes, a.suggested_partitions) for a in advise(sf_dir)
     ]

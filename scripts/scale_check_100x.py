@@ -687,6 +687,126 @@ def check_round10_census_100x(spark) -> None:
     timing_gate(wall <= 200, f"qx279 wall super-linear at 100x: {wall:.1f}")
 
 
+def check_cluster_chain_100x(spark) -> None:
+    """Round-11 (VERDICT r10 #4): the qx270→qx271/qx284 cluster chain
+    at 100× docs. Candidate-pair mass is already certified linear by
+    check_exact_lsh_100x (qx264's verify-join input IS the chain's
+    edge list); what remains is the RESOLUTION tail: hash-min
+    connected components (rounds bounded by component diameter, NOT
+    corpus size — near-dup clusters are shallow) plus the qx271
+    savings rollup (groupBy cluster) and qx284 keeper pick (window
+    per cluster). Planted graph: components of FIXED diameter 2
+    (chains of 3 nodes) so at 100× components only the per-round
+    edge volume grows — wall must scale ≈linearly; a rounds-grow-
+    with-N design would blow past it."""
+    from bqfetch_spark.operators.corpus import connected_components
+    from pyspark.sql.window import Window
+
+    def chain_graph(n_components: int):
+        base = spark.range(n_components).select(
+            (F.col("id") * 3).alias("a")
+        )
+        return base.select(F.col("a").alias("doc_a"), (F.col("a") + 1).alias("doc_b")).unionAll(
+            base.select((F.col("a") + 1).alias("doc_a"), (F.col("a") + 2).alias("doc_b"))
+        )
+
+    def resolve(n_components: int) -> int:
+        cc = connected_components(chain_graph(n_components), "doc_a", "doc_b")
+        # qx271-style savings rollup + qx284-style keeper in one pass:
+        # per-cluster sizes via groupBy, keeper via a window over the
+        # cluster partition (md5-quality stand-in keeps it deterministic)
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.md5(F.col("node").cast("string")), "node"
+        )
+        keep = (
+            cc.withColumn("rn", F.row_number().over(w))
+            .groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("sz"),
+                F.sum(F.when(F.col("rn") == 1, 0).otherwise(1)).alias("dropped"),
+            )
+        )
+        agg = keep.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("dropped").cast("bigint").alias("n_dropped"),
+            F.max("sz").alias("max_sz"),
+        ).first()
+        assert agg["max_sz"] == 3 and agg["n_clusters"] == n_components
+        assert agg["n_dropped"] == 2 * n_components
+        return int(agg["n_clusters"])
+
+    print("qx270→qx271/qx284 resolution tail, 1x vs 100x components:")
+    ts, _ = timed("1x  (20k components / 40k edges)", lambda: resolve(20_000))
+    tb, _ = timed("100x (2M components / 4M edges)", lambda: resolve(2_000_000))
+    ratio = tb / ts
+    print(
+        f"  ratio={ratio:.1f} (linear ~100 upper bound; rounds pinned by the"
+        " fixed diameter, so only per-round edge volume grows)"
+    )
+    timing_gate(ratio <= 200, f"cluster chain super-linear at 100x: {ratio:.1f}")
+
+
+def check_waterfill_store_100x(spark) -> None:
+    """Round-11 (VERDICT r10 #4): qx281's store-merge path at 100×
+    docs. Two claims: (1) a wave's partial is SOURCES-sized however
+    large the wave (the corpus scan is the linear part; the exchange
+    and the store append are O(sources)); (2) the water-filling
+    planner reads the store ROLLUP, so its cost is independent of the
+    corpus that fed the store — ratio ~1 between a store accumulated
+    from 1× and from 100× docs."""
+    from bqfetch_spark.operators.corpus import waterfill_from_caps
+    from bqfetch_spark.streaming.drift import mix_counts
+
+    big_dir = os.path.join(TMP, "docs100")
+    assert os.path.exists(big_dir), "run check_q47_band_join first (builds docs100)"
+
+    def build_store(sf: str, path: str) -> None:
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+            "doc_id", "source", "text"
+        )
+        # three waves, like qx281's backfill + two streamed slices
+        for wave in range(3):
+            (
+                mix_counts(docs.filter(F.pmod("doc_id", F.lit(3)) == wave))
+                .withColumn("ingest_batch", F.lit(wave).cast("bigint"))
+                .coalesce(1)
+                .write.mode("append")
+                .partitionBy("ingest_batch")
+                .parquet(path)
+            )
+
+    s1, s100 = os.path.join(TMP, "mix1"), os.path.join(TMP, "mix100")
+    t_build1, _ = timed("1x   store build (3 waves over 5k docs)", lambda: build_store(BASE, s1))
+    t_build100, _ = timed("100x store build (3 waves over 500k docs)", lambda: build_store(big_dir, s100))
+    for path in (s1, s100):
+        rows = spark.read.parquet(path)
+        n = rows.count()
+        n_src = rows.select("source").distinct().count()
+        # the store is sources × waves rows REGARDLESS of corpus size
+        assert n == 3 * n_src, (path, n, n_src)
+
+    def plan(path: str) -> int:
+        caps = (
+            spark.read.parquet(path)
+            .groupBy("source")
+            .agg(F.sum("n_tokens").cast("bigint").alias("cap_tokens"))
+        )
+        return waterfill_from_caps(caps).count()
+
+    print("qx281 waterfill planner over 1x-fed vs 100x-fed store:")
+    t1, n1 = timed("planner on 1x-fed store", lambda: plan(s1))
+    t100, n100 = timed("planner on 100x-fed store", lambda: plan(s100))
+    assert n1 == n100  # sources-sized output both ways
+    ratio = t100 / t1
+    print(
+        f"  build wall {t_build1:.1f}s -> {t_build100:.1f}s (corpus scan, linear); "
+        f"planner ratio={ratio:.2f} (store-sized, target ~1)"
+    )
+    timing_gate(
+        ratio <= 3.0, f"waterfill planner cost grew with corpus size: {ratio:.2f}"
+    )
+
+
 def main() -> None:
     spark = get_session("scale-check-100x")
     spark.sparkContext.setLogLevel("ERROR")
@@ -702,6 +822,8 @@ def main() -> None:
     check_exact_lsh_100x(spark)
     check_packing_manifest_100x(spark)
     check_round10_census_100x(spark)
+    check_cluster_chain_100x(spark)
+    check_waterfill_store_100x(spark)
     print(f"ALL 100x CHECKS PASSED in {time.time() - t0:.0f}s")
     shutil.rmtree(TMP, ignore_errors=True)
 
