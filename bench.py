@@ -363,6 +363,23 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 # Adjudications of previously-flagged regressions (recorded into
 # BENCH_DETAIL.json so the flag and its resolution travel together).
 ADJUDICATIONS = {
+    "q57_streaming_ann_index": (
+        "r11 builder flag 6.41->12.75s adjudicated as in-suite "
+        "contention, not a code change: q57's module path changed only "
+        "in retrain-branch helpers it never calls (partial_retrain, "
+        "occupancy artifacts — q57 uses build_index/append_wave, both "
+        "byte-identical behavior), its flagged best-of-3 was "
+        "[23.5, 21.3, 12.7] (a warming staircase typical of a loaded "
+        "group), and the isolated min-of-5 in the same session shape "
+        "is 6.91s (runs 18.38/6.91/7.70/8.00/7.84, load1 1.8) — "
+        "within spread of the r10 record 6.78s."
+    ),
+    "q39_compact_small_files": (
+        "r11 builder flag 1.73->3.77s adjudicated as in-suite noise: "
+        "q39's module was untouched in r11, and the isolated min-of-5 "
+        "is 1.28s (runs 2.64/1.50/1.33/1.28/1.33, load1 3.0) — BELOW "
+        "the previous record."
+    ),
     "q53_ann_ivf": (
         "r10 builder flag 1.05->2.91s adjudicated as a REAL, explained "
         "workload change: q53 gained a full cross-engine oracle this "
