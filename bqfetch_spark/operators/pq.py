@@ -154,52 +154,368 @@ def unit_normalized(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", F.transform("v", lambda x: x / norm).alias("v"))
 
 
-@register("qx240_ann_pq", oracle=None, tags=("similarity", "ann", "pq"))
+# ---------------------------------------------------------------------------
+# Integer fixed-point PQ — the qx221/q55 unroll recipe applied to the
+# codebooks (round 11): every training/encode/ADC quantity is an exact
+# integer, so qx240 carries a full CTE-unrolled DuckDB oracle.
+#
+# - Vectors quantize TWICE: qv0 = round(v·1e6) (the q53 grid — also
+#   feeds the exact re-rank cosine), then the UNIT-NORMALIZED grid
+#   qn_i = round(qv0_i·1e6 / sqrt(Σqv0²)) — the sqrt argument is an
+#   exact integer, the multiply and divide are single correctly-
+#   rounded IEEE ops, and round() is half-away-from-zero in BOTH
+#   engines, so the integer grids agree bit-for-bit (PQ must index
+#   the unit sphere: un-normalized training measured recall 0.32).
+# - Training is seeded Lloyd's per 8-dim subspace over int64 numpy
+#   (exact integer arithmetic — no float means, no pairwise-summation
+#   order): seeds are the subvectors of vec_id 0..K-1 (the q53
+#   seeding), centroids re-quantize to the grid each round via
+#   floor((2s+n)/(2n)) (round-half-up of the mean; numpy // floors
+#   like Python and like the oracle's pmod floordiv), empty cells
+#   keep their previous centroid, argmin ties break on the lowest
+#   centroid id (np.argmin first-occurrence == ORDER BY d, cent).
+# - Magnitudes: |qn| ≲ 1.1e6 → per-subspace d ≤ 8·(2.2e6)² ≈ 3.9e13,
+#   ADC sums ≤ 3.2e14 — BIGINT everywhere at any corpus size.
+# - Scale contract: the trainer consumes fit_sample (hash-capped at
+#   PQ_FIT_SAMPLE); at oracle scales N ≤ cap so the sample is the
+#   whole table and the oracle's "train on e" matches exactly. Seeds
+#   come from the K smallest vec_ids IN the sample, which at oracle
+#   scales is vec_id 0..K-1.
+# ---------------------------------------------------------------------------
+
+PQI_ITERS = 6  # int-Lloyd rounds (recall plateaus; bounds the CTE unroll)
+PQI_SUB_D = 8  # 64 // PQ_M
+
+
+def pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv0, nv, qn, nqn): the raw IVF_Q grid (+ exact squared
+    norm, for the re-rank cosine) and the unit-normalized grid the
+    codebooks index."""
+    emb = load_catalog(spark, sf_dir).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    qv0 = F.transform("v", lambda x: F.round(x * F.lit(1e6)).cast("bigint"))
+    t = emb.select("vec_id", qv0.alias("qv0"))
+    nv = F.aggregate(
+        F.zip_with("qv0", "qv0", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    t = t.select("vec_id", "qv0", nv.alias("nv"))
+    qn = F.transform(
+        "qv0",
+        lambda x: F.round(
+            x.cast("double") * F.lit(1e6) / F.sqrt(F.col("nv").cast("double"))
+        ).cast("bigint"),
+    )
+    t = t.select("vec_id", "qv0", "nv", qn.alias("qn"))
+    nqn = F.aggregate(
+        F.zip_with("qn", "qn", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return t.select("vec_id", "qv0", "nv", "qn", nqn.alias("nqn"))
+
+
+def int_train_codebooks(qsample: list) -> list:
+    """Exact integer Lloyd's per subspace over [(vec_id, qn), ...]:
+    returns books[s][c] = quantized centroid (list of PQI_SUB_D ints).
+    int64 numpy throughout — bit-reproducible, mirrored row-for-row by
+    the _pqi_cte_sql unroll."""
+    qsample = sorted(qsample, key=lambda r: r[0])
+    mat = np.array([qn for _, qn in qsample], dtype=np.int64)
+    books = []
+    for s in range(PQ_M):
+        sub = mat[:, s * PQI_SUB_D : (s + 1) * PQI_SUB_D]
+        seeds = sub[:PQ_K].copy()  # K smallest vec_ids in the sample
+        state_s = seeds.astype(np.int64)  # component sums
+        state_n = np.ones(PQ_K, dtype=np.int64)
+        for _ in range(PQI_ITERS):
+            cq = (2 * state_s + state_n[:, None]) // (2 * state_n[:, None])
+            d2 = ((sub[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # first occurrence = lowest cent
+            for c in range(PQ_K):
+                members = sub[assign == c]
+                if len(members):
+                    state_s[c] = members.sum(axis=0)
+                    state_n[c] = len(members)
+                # else: empty cell keeps its previous (s, n)
+        cq = (2 * state_s + state_n[:, None]) // (2 * state_n[:, None])
+        books.append([[int(x) for x in row] for row in cq])
+    return books
+
+
+# per-session memos (train-once-serve-many, the q55 artifact stance):
+# the quantized frame + its bounded training sample are shared by
+# qx240 (qn-grid books) and q56 (coarse cells + residual books).
+_PQ_FRAME_MEMO: dict = {}
+_PQI_BOOKS_MEMO: dict = {}
+
+
+def pq_frame_and_sample(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
+    """(localCheckpointed quantized frame, [(vec_id, qn), ...] sample)
+    memoized per session — ONE checkpoint + ONE bounded collect feeds
+    every integer-PQ trainer."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_FRAME_MEMO:
+        q = pq_quantized(spark, sf_dir).localCheckpoint(eager=True)
+        sample = [
+            (int(r["vec_id"]), [int(x) for x in r["qn"]])
+            for r in q.select("vec_id", "qn")
+            .orderBy(F.xxhash64("vec_id"), "vec_id")
+            .limit(PQ_FIT_SAMPLE)
+            .collect()
+        ]
+        _PQ_FRAME_MEMO[key] = (q, sample)
+    return _PQ_FRAME_MEMO[key]
+
+
+def pqi_artifacts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
+    """(quantized frame, qn-grid integer codebooks), memoized."""
+    q, sample = pq_frame_and_sample(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQI_BOOKS_MEMO:
+        _PQI_BOOKS_MEMO[key] = int_train_codebooks(sample)
+    return q, _PQI_BOOKS_MEMO[key]
+
+
+def pqi_code_expr(books: list, col: str = "qn") -> F.Column:
+    """code array<int> over the `col` vector column (qn grid for
+    qx240, residuals for q56): per subspace, argmin cell over the
+    literal codebook (ONE nested 3-level literal — the q55 py4j
+    lesson), ties to the lowest centroid id."""
+    mat = F.lit(books).cast("array<array<array<bigint>>>")
+    cids = F.lit(list(range(PQ_K))).cast("array<int>")
+
+    def code_for(s: int) -> F.Column:
+        sub = F.slice(F.col(col), s * PQI_SUB_D + 1, PQI_SUB_D)
+        cents = F.element_at(mat, s + 1)
+
+        def entry(cv, cid):
+            d = F.aggregate(
+                F.zip_with(sub, cv, lambda x, c: (x - c) * (x - c)),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + t,
+            )
+            return F.struct(d.alias("d"), cid.alias("cent"))
+
+        return F.array_min(F.zip_with(cents, cids, entry))["cent"]
+
+    return F.array(*[code_for(s) for s in range(PQ_M)])
+
+
+def _pqi_base_sql() -> list:
+    """Shared CTE prefix: e0/dims/dj/subs/nv0/e — the double-quantized
+    grids every integer-PQ oracle starts from."""
+    return [
+        """e0 AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv0
+  FROM embeddings
+)""",
+        "dims AS (SELECT unnest(range(1, 65)) AS i)",
+        f"dj AS (SELECT unnest(range(1, {PQI_SUB_D} + 1)) AS j)",
+        f"subs AS (SELECT unnest(range(0, {PQ_M})) AS s_id)",
+        """nv0 AS MATERIALIZED (
+  SELECT vec_id, CAST(sum(qv0[i] * qv0[i]) AS BIGINT) AS nv
+  FROM e0, dims GROUP BY vec_id
+)""",
+        """e AS MATERIALIZED (
+  SELECT e0.vec_id, e0.qv0, nv0.nv,
+         list_transform(e0.qv0, x ->
+           CAST(round(CAST(x AS DOUBLE) * 1000000.0
+                      / sqrt(CAST(nv0.nv AS DOUBLE))) AS BIGINT)) AS qn
+  FROM e0 JOIN nv0 USING (vec_id)
+)""",
+    ]
+
+
+def _pqi_books_sql(src: str, col: str, iters: int = PQI_ITERS) -> list:
+    """Per-subspace integer Lloyd chain over {src}(vec_id, {col}):
+    defines sv (subvectors), b0..b{iters}, books (final quantized
+    codebooks, keyed (s_id, cent)) and codes (vec_id, s_id, cent) —
+    the SQL mirror of int_train_codebooks + pqi_code_expr."""
+    cq_expr = (
+        f"list_transform(range(1, {PQI_SUB_D} + 1), j -> "
+        "(2*s[j] + n - (((2*s[j] + n) % (2*n)) + 2*n) % (2*n)) // (2*n))"
+    )
+    dist = (
+        "CAST(sum((sv.sub[dj.j] - c.cq[dj.j]) * (sv.sub[dj.j] - c.cq[dj.j]))"
+        " AS BIGINT)"
+    )
+
+    def quantize(name: str, cents: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT s_id, cent, {cq_expr} AS cq FROM {cents}
+)"""
+
+    def assign(name: str, cq: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, s_id, cent FROM (
+    SELECT sv.vec_id, sv.s_id, c.cent, {dist} AS d,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.s_id
+                              ORDER BY {dist}, c.cent) AS rn
+    FROM sv, {cq} c, dj
+    WHERE c.s_id = sv.s_id
+    GROUP BY sv.vec_id, sv.s_id, c.cent
+  ) WHERE rn = 1
+)"""
+
+    def update(name: str, prev: str, a: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT p.s_id, p.cent, COALESCE(u.s, p.s) AS s, COALESCE(u.n, p.n) AS n
+  FROM {prev} p LEFT JOIN (
+    SELECT s_id, cent, list(sx ORDER BY j) AS s, CAST(max(cnt) AS BIGINT) AS n
+    FROM (
+      SELECT a.s_id, a.cent, dj.j, CAST(sum(sv.sub[dj.j]) AS BIGINT) AS sx,
+             count(*) AS cnt
+      FROM {a} a
+      JOIN sv ON sv.vec_id = a.vec_id AND sv.s_id = a.s_id, dj
+      GROUP BY a.s_id, a.cent, dj.j
+    ) GROUP BY s_id, cent
+  ) u ON u.s_id = p.s_id AND u.cent = p.cent
+)"""
+
+    parts = [
+        f"""sv AS MATERIALIZED (
+  SELECT vec_id, s_id,
+         list_transform(range(1, {PQI_SUB_D} + 1),
+                        j -> {col}[s_id * {PQI_SUB_D} + j]) AS sub
+  FROM {src}, subs
+)""",
+        f"""b0 AS MATERIALIZED (
+  SELECT s_id, CAST(vec_id AS INT) AS cent, sub AS s, CAST(1 AS BIGINT) AS n
+  FROM sv WHERE vec_id < {PQ_K}
+)""",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(quantize(f"bq{r - 1}", f"b{r - 1}"))
+        parts.append(assign(f"ba{r}", f"bq{r - 1}"))
+        parts.append(update(f"b{r}", f"b{r - 1}", f"ba{r}"))
+    parts.append(quantize("books", f"b{iters}"))
+    parts.append(assign("codes", "books"))
+    return parts
+
+
+def _pqi_cte_sql(iters: int = PQI_ITERS) -> str:
+    """DuckDB mirror of pq_quantized + int_train_codebooks +
+    pqi_code_expr over the qn grid (the qx240 chain)."""
+    return ",\n".join(_pqi_base_sql() + _pqi_books_sql("e", "qn", iters))
+
+
+def _qx240_oracle() -> str:
+    return f"""
+WITH {_pqi_cte_sql()},
+lut AS (
+  SELECT sq.vec_id AS query_id, c.s_id, c.cent,
+         CAST(sum((sq.sub[dj.j] - c.cq[dj.j]) * (sq.sub[dj.j] - c.cq[dj.j]))
+              AS BIGINT) AS d
+  FROM sv sq, books c, dj
+  WHERE sq.vec_id < 5 AND c.s_id = sq.s_id
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id, CAST(sum(l.d) AS BIGINT) AS adc_d2
+  FROM codes k JOIN lut l ON l.s_id = k.s_id AND l.cent = k.cent
+  WHERE k.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_d2, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {PQ_RERANK}
+),
+cdot AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(sum(eq.qv0[i] * en.qv0[i]) AS BIGINT) AS dot
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e en ON en.vec_id = c.neighbor_id, dims
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nv AS DOUBLE)) * sqrt(CAST(nn.nv AS DOUBLE))), 6)
+           + 0.0 AS cosine
+  FROM cdot d
+  JOIN e nq ON nq.vec_id = d.query_id
+  JOIN e nn ON nn.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "qx240_ann_pq",
+    oracle=_qx240_oracle(),
+    doc="PQ-compressed ANN over integer fixed-point codebooks (full CTE-unrolled oracle)",
+    tags=("similarity", "ann", "pq", "iterative"),
+)
 def qx240_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN top-10 for the 5 standard query vectors (same
     contract as q50/q53/q55): train → encode → ADC scan over 8-byte
     codes with a JVM-side lookup-table expression → exact cosine
-    re-rank of the top PQ_RERANK. Rows-only; recall@10 ≥ threshold vs
-    q50 is pytest-gated (tests/test_ann_recall.py)."""
-    emb = load_catalog(spark, sf_dir).table("embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    # PQ indexes the UNIT-normalized vectors (un-normalized training
-    # measured recall 0.32; normalized ≥0.9) — see unit_normalized
-    emb_n = unit_normalized(emb)
-    # queries double as the dim probe — one collect, one fewer job
+    re-rank of the top PQ_RERANK.
+
+    FULL VALUE-HASH ORACLE since round 11 (rows-only through r10 as a
+    float-numpy fit): the integer fixed-point PQ section above makes
+    training, encoding, the ADC sums, and the candidate cut exact
+    integers, and the re-rank cosine is the IVF_Q-exact q53 spelling —
+    the DuckDB CTE chain reproduces every stage bit-for-bit. Recall@10
+    vs the exact q50 baseline stays pytest-gated (the 0.8 bar is
+    unchanged). Plan shape unchanged: codebooks broadcast as one
+    nested literal, the ADC scan is one JVM pass over codes × queries,
+    the top-RERANK cut is the two-phase salted window (exact global
+    top-k without a single-task sort), and only RERANK×queries rows
+    re-touch vectors."""
+    q, books = pqi_artifacts(spark, sf_dir)
+    # the CODE STORE is an artifact too (q57's premise): checkpoint it
+    # once per session so repeat invocations serve from codes instead
+    # of re-running the literal-fold encode
+    ck = (spark.sparkContext.applicationId, sf_dir, "qx240-codes")
+    if ck not in _PQI_BOOKS_MEMO:
+        _PQI_BOOKS_MEMO[ck] = q.select(
+            "vec_id", pqi_code_expr(books).alias("code")
+        ).localCheckpoint(eager=True)
+    codes = _PQI_BOOKS_MEMO[ck]
     queries = sorted(
-        (int(r["vec_id"]), np.array(r["v"]) / np.linalg.norm(r["v"]))
-        for r in emb.filter(F.col("vec_id") < 5).collect()
+        (int(r["vec_id"]), [int(x) for x in r["qn"]])
+        for r in q.filter(F.col("vec_id") < 5).select("vec_id", "qn").collect()
     )
-    dim = len(queries[0][1])
-    books = train_codebooks(fit_sample(emb_n), dim)
-    codes = encode(emb_n, books)
-    m, k, sub_d = books.shape
-    # One broadcast LUT row per query (M×K distance table); the ADC
-    # scan is ONE pass over codes × queries with M nested array
-    # lookups per pair, entirely JVM-side — no Python, no full
-    # vectors, and the codes are scanned once however many queries.
     lut_rows = []
-    for qid, qv in queries:
+    for qid, qn in queries:
         tables = [
-            ((qv[s * sub_d : (s + 1) * sub_d][None, :] - books[s]) ** 2)
-            .sum(axis=1)
-            .tolist()
-            for s in range(m)
+            [
+                sum(
+                    (qn[s * PQI_SUB_D + j] - books[s][c][j]) ** 2
+                    for j in range(PQI_SUB_D)
+                )
+                for c in range(PQ_K)
+            ]
+            for s in range(PQ_M)
         ]
         lut_rows.append((qid, tables))
-    luts = spark.createDataFrame(
-        lut_rows, "query_id bigint, lut array<array<double>>"
-    )
+    luts = spark.createDataFrame(lut_rows, "query_id bigint, lut array<array<bigint>>")
     adc = None
-    for s in range(m):
+    for s in range(PQ_M):
         term = F.element_at(F.element_at("lut", s + 1), F.col("code")[s] + 1)
         adc = term if adc is None else adc + term
     scored = (
         codes.crossJoin(F.broadcast(luts))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", adc.alias("adc_d2"))
+        .select("query_id", "vec_id", adc.cast("bigint").alias("adc_d2"))
     )
 
     # Two-phase top-PQ_RERANK per query: a plain per-query window would
@@ -225,20 +541,35 @@ def qx240_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("adc_rank", F.row_number().over(final_w))
         .filter(F.col("adc_rank") <= PQ_RERANK)
     )
-    # exact re-rank: only RERANK×n_queries rows re-touch full vectors
-    qdf = spark.createDataFrame(
-        [(qid, qv.tolist()) for qid, qv in queries], "query_id bigint, qv array<double>"
+    # exact re-rank: only RERANK×n_queries rows re-touch the raw grid
+    nbr = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv0").alias("n_qv0"),
+        F.col("nv").alias("n_nv"),
+    )
+    qdf = q.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv0").alias("q_qv0"),
+        F.col("nv").alias("q_nv"),
+    )
+    pair_dot = F.aggregate(
+        F.zip_with("q_qv0", "n_qv0", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sim = pair_dot.cast("double") / (
+        F.sqrt(F.col("q_nv").cast("double")) * F.sqrt(F.col("n_nv").cast("double"))
     )
     rerank_w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        cand.join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        cand.join(nbr, "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            r6(cosine(F.col("qv"), F.col("v"))).alias("cosine"),
+            (r6(sim) + F.lit(0.0)).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(rerank_w).cast("bigint"))
         .filter(F.col("rank") <= 10)
@@ -390,42 +721,329 @@ def ivfpq_search(
     )
 
 
-@register("q56_ann_ivfpq", oracle=None, tags=("similarity", "ann", "ivf", "pq"))
+def _q56_oracle() -> str:
+    """Integer IVF-PQ chain: the coarse fixed-point Lloyd (k=IVFPQ_CELLS
+    over the 64-dim qn grid), residuals against the quantized cells,
+    the residual codebook chain (_pqi_books_sql over res), probed ADC,
+    and the IVF_Q-exact re-rank."""
+    kq_expr = (
+        "list_transform(range(1, 65), i -> "
+        "(2*s[i] + n - (((2*s[i] + n) % (2*n)) + 2*n) % (2*n)) // (2*n))"
+    )
+    kdist = "CAST(sum((e.qn[d.i] - c.cq[d.i]) * (e.qn[d.i] - c.cq[d.i])) AS BIGINT)"
+
+    def kquantize(name, cents):
+        return f"""{name} AS MATERIALIZED (
+  SELECT cell_id, {kq_expr} AS cq FROM {cents}
+)"""
+
+    def kassign(name, cq, where="", rank=1):
+        w = f"WHERE {where}" if where else ""
+        keep = "= 1" if rank == 1 else f"<= {rank}"
+        return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, cell_id, d FROM (
+    SELECT vec_id, cell_id, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+    FROM (
+      SELECT e.vec_id, c.cell_id, {kdist} AS d
+      FROM e, {cq} c, dims d {w}
+      GROUP BY e.vec_id, c.cell_id
+    )
+  ) WHERE rn {keep}
+)"""
+
+    def kupdate(name, prev, a):
+        return f"""{name} AS MATERIALIZED (
+  SELECT p.cell_id, COALESCE(u.s, p.s) AS s, COALESCE(u.n, p.n) AS n
+  FROM {prev} p LEFT JOIN (
+    SELECT cell_id, list(sx ORDER BY i) AS s, CAST(max(cnt) AS BIGINT) AS n
+    FROM (
+      SELECT a.cell_id, d.i, CAST(sum(e.qn[d.i]) AS BIGINT) AS sx,
+             count(*) AS cnt
+      FROM {a} a JOIN e USING (vec_id), dims d
+      GROUP BY a.cell_id, d.i
+    ) GROUP BY cell_id
+  ) u USING (cell_id)
+)"""
+
+    parts = _pqi_base_sql()
+    parts.append(
+        f"""k0 AS MATERIALIZED (
+  SELECT CAST(vec_id AS INT) AS cell_id, qn AS s, CAST(1 AS BIGINT) AS n
+  FROM e WHERE vec_id < {IVFPQ_CELLS}
+)"""
+    )
+    from bqfetch_spark.operators.similarity import KM_ROUNDS
+
+    for r in range(1, KM_ROUNDS + 1):
+        parts.append(kquantize(f"kq{r - 1}", f"k{r - 1}"))
+        parts.append(kassign(f"ka{r}", f"kq{r - 1}"))
+        parts.append(kupdate(f"k{r}", f"k{r - 1}", f"ka{r}"))
+    parts.append(kquantize("kqF", f"k{KM_ROUNDS}"))
+    parts.append(kassign("kfin", "kqF"))
+    parts.append(
+        """res AS MATERIALIZED (
+  SELECT e.vec_id, a.cell_id,
+         list_transform(range(1, 65), i -> e.qn[i] - c.cq[i]) AS r
+  FROM e JOIN kfin a USING (vec_id) JOIN kqF c ON c.cell_id = a.cell_id
+)"""
+    )
+    parts += _pqi_books_sql("res", "r")
+    parts.append(
+        f"""probes AS (
+  SELECT vec_id AS query_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+    FROM (
+      SELECT e.vec_id, c.cell_id, {kdist} AS d
+      FROM e, kqF c, dims d
+      WHERE e.vec_id < 5
+      GROUP BY e.vec_id, c.cell_id
+    )
+  ) WHERE rn <= {IVFPQ_PROBE}
+)"""
+    )
+    parts.append(
+        """rq AS MATERIALIZED (
+  SELECT p.query_id, p.cell_id,
+         list_transform(range(1, 65), i -> e.qn[i] - c.cq[i]) AS r
+  FROM probes p JOIN e ON e.vec_id = p.query_id
+  JOIN kqF c ON c.cell_id = p.cell_id
+)"""
+    )
+    parts.append(
+        f"""lut AS MATERIALIZED (
+  SELECT rq.query_id, rq.cell_id, b.s_id, b.cent,
+         CAST(sum((rq.r[b.s_id * {PQI_SUB_D} + dj.j] - b.cq[dj.j])
+                  * (rq.r[b.s_id * {PQI_SUB_D} + dj.j] - b.cq[dj.j]))
+              AS BIGINT) AS d
+  FROM rq, books b, dj
+  GROUP BY 1, 2, 3, 4
+)"""
+    )
+    return f"""
+WITH {",".join(parts)},
+adc AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id, CAST(sum(l.d) AS BIGINT) AS adc_d2
+  FROM res k
+  JOIN codes cd ON cd.vec_id = k.vec_id
+  JOIN lut l ON l.cell_id = k.cell_id AND l.s_id = cd.s_id AND l.cent = cd.cent
+  WHERE k.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_d2, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {PQ_RERANK}
+),
+cdot AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(sum(eq.qv0[i] * en.qv0[i]) AS BIGINT) AS dot
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e en ON en.vec_id = c.neighbor_id, dims
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         round(CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nv AS DOUBLE)) * sqrt(CAST(nn.nv AS DOUBLE))), 6)
+           + 0.0 AS cosine
+  FROM cdot d
+  JOIN e nq ON nq.vec_id = d.query_id
+  JOIN e nn ON nn.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+_Q56_MEMO: dict = {}
+
+
+def _q56_artifacts(spark: SparkSession, sf_dir: str):
+    """(frame, coarse cq list, residual books, residual-sample
+    assignment fn inputs) memoized per session."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _Q56_MEMO:
+        return _Q56_MEMO[key]
+    from bqfetch_spark.operators.similarity import (
+        fixed_point_kmeans,
+        km_quantized,
+    )
+
+    q, sample = pq_frame_and_sample(spark, sf_dir)
+    coarse = km_quantized(
+        fixed_point_kmeans(
+            q.select("vec_id", F.col("qn").alias("qv")), IVFPQ_CELLS
+        )
+    )
+    cq_sorted = sorted(coarse)
+    cq_mat = np.array([cq for _, cq in cq_sorted], dtype=np.int64)
+    ids = np.array([r[0] for r in sorted(sample)], dtype=np.int64)
+    mat = np.array([qn for _, qn in sorted(sample)], dtype=np.int64)
+    d2 = ((mat[:, None, :] - cq_mat[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # first occurrence = lowest cell_id
+    resid = mat - cq_mat[assign]
+    books = int_train_codebooks(
+        [(int(i), [int(x) for x in row]) for i, row in zip(ids, resid)]
+    )
+    _Q56_MEMO[key] = (q, cq_sorted, books)
+    return _Q56_MEMO[key]
+
+
+@register(
+    "q56_ann_ivfpq",
+    oracle=_q56_oracle(),
+    doc="IVF-PQ ANN: fixed-point coarse cells + integer residual codebooks (full oracle)",
+    tags=("similarity", "ann", "ivf", "pq", "iterative"),
+)
 def q56_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ combined ANN — the full FAISS-IVFPQ serving shape, built
-    from the engine's two halves: the coarse quantizer (trained KMeans
-    cells, q55/q69) prunes WHICH vectors are scored (only IVFPQ_PROBE
-    of IVFPQ_CELLS cells per query), and PQ (qx240) shrinks WHAT is
-    scored (8-byte RESIDUAL codes — v minus its cell centroid, the
-    encoding FAISS uses because residuals have ~cells× less variance
-    than raw vectors, so the same 8 bytes quantize finer).
+    from the engine's two halves: the coarse quantizer (the q55
+    fixed-point Lloyd over the normalized grid) prunes WHICH vectors
+    are scored (only IVFPQ_PROBE of IVFPQ_CELLS cells per query), and
+    PQ shrinks WHAT is scored (8-byte RESIDUAL codes — qn minus its
+    quantized cell centroid, exact integers; residuals have ~cells×
+    less variance than raw vectors, so the same 8 bytes quantize
+    finer).
 
-    Plan shape, all stages scale-safe:
-    - coarse centroids + residual codebooks trained on ONE bounded
-      hash-ordered sample (fit_sample), driver-side seeded Lloyd's —
-      the FAISS train-on-sample contract, O(PQ_FIT_SAMPLE) at any N;
-    - assignment + residuals are narrow JVM expressions in the scan
-      stage (ivfpq_residuals — no shuffle, no row explode);
-    - the ADC scan is a broadcast equi-JOIN of codes to per-(query,
-      probed-cell) LUT rows on cell_id (ivfpq_search);
-    - salted two-phase top-K, exact cosine re-rank of PQ_RERANK only.
-    Rows-only (approximate); recall@10 vs exact q50 is pytest-gated
-    (tests/test_ann_recall.py)."""
-    emb = load_catalog(spark, sf_dir).table("embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+    FULL VALUE-HASH ORACLE since round 11 (rows-only through r10 as a
+    float-numpy fit): coarse training, residuals, residual codebooks,
+    the per-(query, probed-cell) integer LUTs, the ADC sums, the
+    candidate cut and the IVF_Q-exact re-rank are all exact integers —
+    the DuckDB chain (_q56_oracle) reproduces every stage bit-for-bit.
+    Recall@10 vs exact q50 stays pytest-gated.
+
+    Plan shape, all stages scale-safe: train-on-sample driver-side
+    (exact int64 numpy); assignment/residuals/codes are narrow JVM
+    literal-fold expressions in the scan stage (no shuffle, no row
+    explode); the ADC scan is a broadcast equi-join of codes to
+    per-(query, probed-cell) LUT rows on cell_id; salted two-phase
+    top-K; only RERANK×queries rows re-touch the raw grid."""
+    q, cq_sorted, books = _q56_artifacts(spark, sf_dir)
+    from bqfetch_spark.operators.similarity import km_assign
+
+    # code store as a per-session artifact (see qx240): assignment +
+    # residual + encode run once, repeats serve from the checkpoint
+    ck = (spark.sparkContext.applicationId, sf_dir, "q56-codes")
+    if ck not in _Q56_MEMO:
+        cmat = F.lit([cq for _, cq in cq_sorted]).cast("array<array<bigint>>")
+        assigned = km_assign(
+            q.select("vec_id", F.col("qn").alias("qv")), cq_sorted
+        ).select("vec_id", F.col("qv").alias("qn"), "cell_id")
+        res = assigned.select(
+            "vec_id",
+            "cell_id",
+            F.zip_with(
+                "qn", F.element_at(cmat, F.col("cell_id") + 1), lambda a, b: a - b
+            ).alias("r"),
+        )
+        _Q56_MEMO[ck] = res.select(
+            "vec_id", "cell_id", pqi_code_expr(books, col="r").alias("code")
+        ).localCheckpoint(eager=True)
+    codes = _Q56_MEMO[ck]
+
+    # queries: probes + integer LUTs computed driver-side from the
+    # SAME exact ints the engine uses (5 rows — the kmeans-centroid
+    # collect pattern)
+    qrows = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["qn"]])
+        for r in q.filter(F.col("vec_id") < 5).select("vec_id", "qn").collect()
     )
-    emb_n = unit_normalized(emb)
-    queries = sorted(
-        (int(r["vec_id"]), np.array(r["v"]))
-        for r in emb_n.filter(F.col("vec_id") < 5).collect()
+    lut_rows = []
+    for qid, qn in qrows:
+        dists = sorted(
+            (
+                sum((qn[i] - cq[i]) ** 2 for i in range(64)),
+                cell_id,
+            )
+            for cell_id, cq in cq_sorted
+        )
+        for d, cell_id in dists[:IVFPQ_PROBE]:
+            cq = dict(cq_sorted)[cell_id]
+            rq = [qn[i] - cq[i] for i in range(64)]
+            tables = [
+                [
+                    sum(
+                        (rq[s * PQI_SUB_D + j] - books[s][c][j]) ** 2
+                        for j in range(PQI_SUB_D)
+                    )
+                    for c in range(PQ_K)
+                ]
+                for s in range(PQ_M)
+            ]
+            lut_rows.append((qid, cell_id, tables))
+    luts = spark.createDataFrame(
+        lut_rows, "query_id bigint, cell_id int, lut array<array<bigint>>"
     )
-    dim = len(queries[0][1])
-    # ONE bounded sample collect feeds both trainers; the sample's
-    # residuals are computed in numpy (same argmin the distributed
-    # encode path applies), so training adds no distributed pass
-    sample = fit_sample(emb_n)
-    cents = train_coarse_centroids(spark, emb_n, sample=sample)
-    assign = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-    books = train_codebooks(sample - cents[assign], dim)
-    codes = encode(ivfpq_residuals(spark, emb_n, cents), books, extra=("cell_id",))
-    return ivfpq_search(spark, codes, emb, queries, cents, books)
+    adc = None
+    for s in range(PQ_M):
+        term = F.element_at(F.element_at("lut", s + 1), F.col("code")[s] + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        codes.join(F.broadcast(luts), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.cast("bigint").alias("adc_d2"),
+        )
+    )
+    SALT_BUCKETS = 32
+    local_w = Window.partitionBy("query_id", "salt").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id")
+    )
+    final_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn(
+            "salt", F.pmod(F.xxhash64("neighbor_id"), F.lit(SALT_BUCKETS)).cast("int")
+        )
+        .withColumn("local_rank", F.row_number().over(local_w))
+        .filter(F.col("local_rank") <= PQ_RERANK)
+        .withColumn("adc_rank", F.row_number().over(final_w))
+        .filter(F.col("adc_rank") <= PQ_RERANK)
+    )
+    nbr = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv0").alias("n_qv0"),
+        F.col("nv").alias("n_nv"),
+    )
+    qdf = q.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv0").alias("q_qv0"),
+        F.col("nv").alias("q_nv"),
+    )
+    pair_dot = F.aggregate(
+        F.zip_with("q_qv0", "n_qv0", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sim = pair_dot.cast("double") / (
+        F.sqrt(F.col("q_nv").cast("double")) * F.sqrt(F.col("n_nv").cast("double"))
+    )
+    rerank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(nbr, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (r6(sim) + F.lit(0.0)).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(rerank_w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )

@@ -71,7 +71,7 @@ BUILD_ACTIONS: dict[str, tuple[int, str]] = {
     "q53_ann_ivf": (3, "[decide] collects the O(cells) seeded coarse quantizer"),
     "q54_brp_lsh_neighbors": (3, "[train] MLlib BRP-LSH fit"),
     "q55_ann_ivf_kmeans": (34, "[train][iter] fixed-point Lloyd's: per-round k-row centroid checkpoints (+AQE broadcast jobs)"),
-    "q56_ann_ivfpq": (4, "[train] PQ codebook fit (O(codebook) collect)"),
+    "q56_ann_ivfpq": (16, "[train][iter] coarse fixed-point Lloyd + residual int-codebook fit (frame ckpt + sample/query collects)"),
     "q59_schema_evolution": (6, "[store] writes two schema versions then merges"),
     "q60_fetch_chunk": (6, "[planner] value-domain chunk bounds from column stats"),
     "q67_fetch_chunks_by_size": (13, "[planner] size stats + RAM math per reference formula"),
@@ -96,7 +96,7 @@ BUILD_ACTIONS: dict[str, tuple[int, str]] = {
     "qx221_bpe_merges": (34, "[iter] 8 bounded BPE merge rounds (vocab-sized collects)"),
     "qx222_bpe_encode": (34, "[iter] qx221's merge chain feeding the encoder"),
     "qx239_context_stitching": (5, "[decide] O(k) top-terms collect parameterizes stitching"),
-    "qx240_ann_pq": (4, "[train] PQ codebook fit"),
+    "qx240_ann_pq": (8, "[train] integer codebook fit (shared frame ckpt + sample collect + query collect)"),
     "qx241_time_travel": (6, "[store] writes two table versions"),
     "qx244_packed_shard_writer": (7, "[store] writes the packed shards it audits"),
     "qx247_versioned_merge": (8, "[store] writes base + CDC versions then merges"),
