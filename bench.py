@@ -363,6 +363,20 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 # Adjudications of previously-flagged regressions (recorded into
 # BENCH_DETAIL.json so the flag and its resolution travel together).
 ADJUDICATIONS = {
+    "qx242_ann_drift_retrain": (
+        "r10 VERDICT #6 asked for <=7s or an adjudication. The retrain "
+        "branch is now LOCALIZED (ann_index.partial_retrain: only new "
+        "sub-centroids train, only the affected vector slice re-encodes "
+        "- the corpus-proportional cost is out of the retrain path), "
+        "the baseline occupancy rides an artifact instead of per-wave "
+        "store scans, and wave sizes ride the occupancy counts. The "
+        "remaining ~10s at sf0.1 (r11 best-of-3 min 9.96, == the r10 "
+        "record 9.89) is the fixture's own store machinery - initial "
+        "index build + clustered partitioned writes + two monitored "
+        "waves - which IS the operator's subject and is now "
+        "corpus-size-independent where it matters; recall recovery is "
+        "gated for BOTH rebuild modes in tests/test_ann_recall.py."
+    ),
     "q57_streaming_ann_index": (
         "r11 builder flag 6.41->12.75s adjudicated as in-suite "
         "contention, not a code change: q57's module path changed only "
