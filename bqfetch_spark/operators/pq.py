@@ -331,11 +331,23 @@ def _pqi_base_sql() -> list:
     ]
 
 
-def _pqi_books_sql(src: str, col: str, iters: int = PQI_ITERS) -> list:
+def _pqi_books_sql(
+    src: str, col: str, iters: int = PQI_ITERS, train_where: str | None = None
+) -> list:
     """Per-subspace integer Lloyd chain over {src}(vec_id, {col}):
     defines sv (subvectors), b0..b{iters}, books (final quantized
     codebooks, keyed (s_id, cent)) and codes (vec_id, s_id, cent) —
-    the SQL mirror of int_train_codebooks + pqi_code_expr."""
+    the SQL mirror of int_train_codebooks + pqi_code_expr.
+
+    ``train_where`` (a vec_id predicate) restricts TRAINING to a
+    subset ``svt`` of the subvectors while ``codes`` still encodes ALL
+    of sv with the frozen final books — the q57 streaming contract
+    (artifacts trained on the initial ingest slice, every later wave
+    encoded against them). Seeds are then the PQ_K smallest vec_ids IN
+    THE SUBSET with POSITIONAL cent ids, mirroring
+    int_train_codebooks' ``sub[:PQ_K]`` row order (for the full-table
+    case the old ``cent = vec_id WHERE vec_id < PQ_K`` text is kept:
+    ids are dense from 0, so the two spellings are identical)."""
     cq_expr = (
         f"list_transform(range(1, {PQI_SUB_D} + 1), j -> "
         "(2*s[j] + n - (((2*s[j] + n) % (2*n)) + 2*n) % (2*n)) // (2*n))"
@@ -350,19 +362,21 @@ def _pqi_books_sql(src: str, col: str, iters: int = PQI_ITERS) -> list:
   SELECT s_id, cent, {cq_expr} AS cq FROM {cents}
 )"""
 
-    def assign(name: str, cq: str) -> str:
+    def assign(name: str, cq: str, sv_src: str = "sv") -> str:
+        sv_clause = "sv" if sv_src == "sv" else f"{sv_src} sv"
         return f"""{name} AS MATERIALIZED (
   SELECT vec_id, s_id, cent FROM (
     SELECT sv.vec_id, sv.s_id, c.cent, {dist} AS d,
            row_number() OVER (PARTITION BY sv.vec_id, sv.s_id
                               ORDER BY {dist}, c.cent) AS rn
-    FROM sv, {cq} c, dj
+    FROM {sv_clause}, {cq} c, dj
     WHERE c.s_id = sv.s_id
     GROUP BY sv.vec_id, sv.s_id, c.cent
   ) WHERE rn = 1
 )"""
 
-    def update(name: str, prev: str, a: str) -> str:
+    def update(name: str, prev: str, a: str, sv_src: str = "sv") -> str:
+        sv_clause = "sv" if sv_src == "sv" else f"{sv_src} sv"
         return f"""{name} AS MATERIALIZED (
   SELECT p.s_id, p.cent, COALESCE(u.s, p.s) AS s, COALESCE(u.n, p.n) AS n
   FROM {prev} p LEFT JOIN (
@@ -371,7 +385,7 @@ def _pqi_books_sql(src: str, col: str, iters: int = PQI_ITERS) -> list:
       SELECT a.s_id, a.cent, dj.j, CAST(sum(sv.sub[dj.j]) AS BIGINT) AS sx,
              count(*) AS cnt
       FROM {a} a
-      JOIN sv ON sv.vec_id = a.vec_id AND sv.s_id = a.s_id, dj
+      JOIN {sv_clause} ON sv.vec_id = a.vec_id AND sv.s_id = a.s_id, dj
       GROUP BY a.s_id, a.cent, dj.j
     ) GROUP BY s_id, cent
   ) u ON u.s_id = p.s_id AND u.cent = p.cent
@@ -384,15 +398,36 @@ def _pqi_books_sql(src: str, col: str, iters: int = PQI_ITERS) -> list:
                         j -> {col}[s_id * {PQI_SUB_D} + j]) AS sub
   FROM {src}, subs
 )""",
-        f"""b0 AS MATERIALIZED (
+    ]
+    if train_where is None:
+        tsv = "sv"
+        parts.append(
+            f"""b0 AS MATERIALIZED (
   SELECT s_id, CAST(vec_id AS INT) AS cent, sub AS s, CAST(1 AS BIGINT) AS n
   FROM sv WHERE vec_id < {PQ_K}
-)""",
-    ]
+)"""
+        )
+    else:
+        tsv = "svt"
+        parts.append(
+            f"""svt AS MATERIALIZED (
+  SELECT * FROM sv WHERE {train_where}
+)"""
+        )
+        parts.append(
+            f"""b0 AS MATERIALIZED (
+  SELECT s_id, CAST(rn - 1 AS INT) AS cent, sub AS s, CAST(1 AS BIGINT) AS n
+  FROM (
+    SELECT s_id, sub,
+           row_number() OVER (PARTITION BY s_id ORDER BY vec_id) AS rn
+    FROM svt
+  ) WHERE rn <= {PQ_K}
+)"""
+        )
     for r in range(1, iters + 1):
         parts.append(quantize(f"bq{r - 1}", f"b{r - 1}"))
-        parts.append(assign(f"ba{r}", f"bq{r - 1}"))
-        parts.append(update(f"b{r}", f"b{r - 1}", f"ba{r}"))
+        parts.append(assign(f"ba{r}", f"bq{r - 1}", tsv))
+        parts.append(update(f"b{r}", f"b{r - 1}", f"ba{r}", tsv))
     parts.append(quantize("books", f"b{iters}"))
     parts.append(assign("codes", "books"))
     return parts
@@ -595,7 +630,10 @@ def train_coarse_centroids(
 
 
 def ivfpq_residuals(
-    spark: SparkSession, emb_n: DataFrame, cents: np.ndarray
+    spark: SparkSession,
+    emb_n: DataFrame,
+    cents: np.ndarray,
+    cell_ids: list | None = None,
 ) -> DataFrame:
     """(vec_id, v) → (vec_id, cell_id, v=residual): top-1 cell and
     residual as PURE narrow JVM expressions over literal centroid
@@ -605,7 +643,13 @@ def ivfpq_residuals(
     explode; the earlier spelling (8× broadcast crossJoin + per-vec_id
     row_number window) shuffled 8N rows to pick 1-of-8 — this one
     never leaves the scan stage, so assignment cost at 100 TB is the
-    scan itself."""
+    scan itself.
+
+    ``cell_ids`` maps each POSITION in ``cents`` to a global cell id
+    (default: position itself). A localized retrain passes the hot ∪
+    new subset here, constraining the re-encode to redistribute hot
+    vectors among exactly those lists (the FAISS list-split shape) so
+    the store rewrite touches only their directories."""
     cent_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
     )
@@ -623,24 +667,41 @@ def ivfpq_residuals(
             for c in cents
         ]
     )
-    cell = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
-    return emb_n.withColumn("cell_id", cell).select(
+    pos = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+    t = emb_n.withColumn("_pos", pos)
+    if cell_ids is None:
+        cid = F.col("_pos")
+    else:
+        cid = F.element_at(
+            F.lit([int(i) for i in cell_ids]).cast("array<int>"),
+            F.col("_pos") + 1,
+        )
+    return t.select(
         "vec_id",
-        "cell_id",
+        cid.alias("cell_id"),
         F.zip_with(
-            "v", F.element_at(cent_lit, F.col("cell_id") + 1), lambda x, y: x - y
+            "v", F.element_at(cent_lit, F.col("_pos") + 1), lambda x, y: x - y
         ).alias("v"),
     )
 
 
 def ivfpq_encode(
-    spark: SparkSession, emb_n: DataFrame, cents: np.ndarray, books: np.ndarray
+    spark: SparkSession,
+    emb_n: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    cell_ids: list | None = None,
 ) -> DataFrame:
     """Assign + residual-encode a (vec_id, v) frame against FROZEN
     index artifacts → (vec_id, cell_id, code). One broadcast join plus
     one Arrow-batched numpy pass; O(wave) however large the existing
-    index is — the insert path of an IVF-PQ index."""
-    return encode(ivfpq_residuals(spark, emb_n, cents), books, extra=("cell_id",))
+    index is — the insert path of an IVF-PQ index. ``cell_ids``: see
+    ivfpq_residuals (constrained localized-retrain re-encode)."""
+    return encode(
+        ivfpq_residuals(spark, emb_n, cents, cell_ids=cell_ids),
+        books,
+        extra=("cell_id",),
+    )
 
 
 def ivfpq_search(
@@ -721,11 +782,19 @@ def ivfpq_search(
     )
 
 
-def _q56_oracle() -> str:
+def _ivfpq_oracle(train_where: str | None = None) -> str:
     """Integer IVF-PQ chain: the coarse fixed-point Lloyd (k=IVFPQ_CELLS
     over the 64-dim qn grid), residuals against the quantized cells,
     the residual codebook chain (_pqi_books_sql over res), probed ADC,
-    and the IVF_Q-exact re-rank."""
+    and the IVF_Q-exact re-rank.
+
+    ``train_where`` (a vec_id predicate) restricts TRAINING — coarse
+    Lloyd seeds/assign rounds and the residual codebooks — to that
+    slice of e, while the final assignment (kfin), residuals, codes,
+    probes and search still run over ALL of e: the frozen-artifact
+    streaming contract of q57 (train on the initial 60% ingest, encode
+    every later wave against the frozen artifacts). With None this is
+    exactly the q56 one-shot oracle (train on everything)."""
     kq_expr = (
         "list_transform(range(1, 65), i -> "
         "(2*s[i] + n - (((2*s[i] + n) % (2*n)) + 2*n) % (2*n)) // (2*n))"
@@ -737,16 +806,17 @@ def _q56_oracle() -> str:
   SELECT cell_id, {kq_expr} AS cq FROM {cents}
 )"""
 
-    def kassign(name, cq, where="", rank=1):
+    def kassign(name, cq, where="", rank=1, src="e"):
         w = f"WHERE {where}" if where else ""
         keep = "= 1" if rank == 1 else f"<= {rank}"
+        src_clause = "e" if src == "e" else f"{src} e"
         return f"""{name} AS MATERIALIZED (
   SELECT vec_id, cell_id, d FROM (
     SELECT vec_id, cell_id, d,
            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
     FROM (
       SELECT e.vec_id, c.cell_id, {kdist} AS d
-      FROM e, {cq} c, dims d {w}
+      FROM {src_clause}, {cq} c, dims d {w}
       GROUP BY e.vec_id, c.cell_id
     )
   ) WHERE rn {keep}
@@ -767,17 +837,37 @@ def _q56_oracle() -> str:
 )"""
 
     parts = _pqi_base_sql()
-    parts.append(
-        f"""k0 AS MATERIALIZED (
+    if train_where is None:
+        tsrc = "e"
+        parts.append(
+            f"""k0 AS MATERIALIZED (
   SELECT CAST(vec_id AS INT) AS cell_id, qn AS s, CAST(1 AS BIGINT) AS n
   FROM e WHERE vec_id < {IVFPQ_CELLS}
 )"""
-    )
+        )
+    else:
+        tsrc = "et"
+        parts.append(
+            f"""et AS MATERIALIZED (
+  SELECT * FROM e WHERE {train_where}
+)"""
+        )
+        # seeds = the IVFPQ_CELLS smallest vec_ids IN THE SLICE, cell
+        # ids = those vec_ids (fixed_point_kmeans' k-smallest seeding)
+        parts.append(
+            f"""k0 AS MATERIALIZED (
+  SELECT CAST(vec_id AS INT) AS cell_id, qn AS s, CAST(1 AS BIGINT) AS n
+  FROM (
+    SELECT vec_id, qn, row_number() OVER (ORDER BY vec_id) AS rn
+    FROM et
+  ) WHERE rn <= {IVFPQ_CELLS}
+)"""
+        )
     from bqfetch_spark.operators.similarity import KM_ROUNDS
 
     for r in range(1, KM_ROUNDS + 1):
         parts.append(kquantize(f"kq{r - 1}", f"k{r - 1}"))
-        parts.append(kassign(f"ka{r}", f"kq{r - 1}"))
+        parts.append(kassign(f"ka{r}", f"kq{r - 1}", src=tsrc))
         parts.append(kupdate(f"k{r}", f"k{r - 1}", f"ka{r}"))
     parts.append(kquantize("kqF", f"k{KM_ROUNDS}"))
     parts.append(kassign("kfin", "kqF"))
@@ -788,7 +878,7 @@ def _q56_oracle() -> str:
   FROM e JOIN kfin a USING (vec_id) JOIN kqF c ON c.cell_id = a.cell_id
 )"""
     )
-    parts += _pqi_books_sql("res", "r")
+    parts += _pqi_books_sql("res", "r", train_where=train_where)
     parts.append(
         f"""probes AS (
   SELECT vec_id AS query_id, cell_id FROM (
@@ -867,7 +957,61 @@ ORDER BY query_id, rank
 """
 
 
+def _q56_oracle() -> str:
+    """q56 one-shot IVF-PQ oracle: train on the whole corpus."""
+    return _ivfpq_oracle()
+
+
+# the streaming index trains on the 60% initial ingest (_wave_of() <= 2
+# in streaming/ann_index.py) and freezes; the oracle mirrors exactly
+# that slice as its training predicate
+Q57_TRAIN_WHERE = "vec_id % 5 <= 2"
+
+
+def _q57_oracle() -> str:
+    """q57 streaming IVF-PQ oracle: the SAME chain as q56 with
+    training restricted to the initial ingest slice — frozen artifacts
+    then encode/search the full corpus. Valid because wave-appended
+    codes are bit-identical to one-shot frozen-artifact codes
+    (pytest-pinned, tests/test_ann_recall.py)."""
+    return _ivfpq_oracle(train_where=Q57_TRAIN_WHERE)
+
+
 _Q56_MEMO: dict = {}
+
+
+def _q56_memo_put(key, value) -> None:
+    """Bounded-memo insert (VERDICT r11 'what's wrong' #2): same
+    ``len > 32`` runaway guard as similarity's _STATS_MEMO, plus
+    ``unpersist`` of evicted localCheckpoint frames so synthetic-corpus
+    test loops can't pin checkpoint disk for the session lifetime."""
+    if len(_Q56_MEMO) > 32:
+        for v in _Q56_MEMO.values():
+            if isinstance(v, DataFrame):
+                try:
+                    v.unpersist()
+                except Exception:
+                    pass
+        _Q56_MEMO.clear()
+    _Q56_MEMO[key] = value
+
+
+def int_residual_books(sample: list, cq_sorted: list) -> list:
+    """Residual codebooks from a [(vec_id, qn)] training sample
+    against quantized coarse cells [(cell_id, cq)] (cell_id-sorted):
+    exact-int driver-side assignment (argmin first occurrence over the
+    sorted centroid matrix = the ORDER BY d, cell_id tie-break),
+    residuals, then int_train_codebooks — shared by q56's one-shot
+    build and q57's frozen streaming artifacts."""
+    cq_mat = np.array([cq for _, cq in cq_sorted], dtype=np.int64)
+    ids = np.array([r[0] for r in sorted(sample)], dtype=np.int64)
+    mat = np.array([qn for _, qn in sorted(sample)], dtype=np.int64)
+    d2 = ((mat[:, None, :] - cq_mat[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # first occurrence = lowest cell_id
+    resid = mat - cq_mat[assign]
+    return int_train_codebooks(
+        [(int(i), [int(x) for x in row]) for i, row in zip(ids, resid)]
+    )
 
 
 def _q56_artifacts(spark: SparkSession, sf_dir: str):
@@ -888,78 +1032,68 @@ def _q56_artifacts(spark: SparkSession, sf_dir: str):
         )
     )
     cq_sorted = sorted(coarse)
-    cq_mat = np.array([cq for _, cq in cq_sorted], dtype=np.int64)
-    ids = np.array([r[0] for r in sorted(sample)], dtype=np.int64)
-    mat = np.array([qn for _, qn in sorted(sample)], dtype=np.int64)
-    d2 = ((mat[:, None, :] - cq_mat[None, :, :]) ** 2).sum(axis=2)
-    assign = d2.argmin(axis=1)  # first occurrence = lowest cell_id
-    resid = mat - cq_mat[assign]
-    books = int_train_codebooks(
-        [(int(i), [int(x) for x in row]) for i, row in zip(ids, resid)]
-    )
-    _Q56_MEMO[key] = (q, cq_sorted, books)
+    books = int_residual_books(sample, cq_sorted)
+    _q56_memo_put(key, (q, cq_sorted, books))
     return _Q56_MEMO[key]
 
 
-@register(
-    "q56_ann_ivfpq",
-    oracle=_q56_oracle(),
-    doc="IVF-PQ ANN: fixed-point coarse cells + integer residual codebooks (full oracle)",
-    tags=("similarity", "ann", "ivf", "pq", "iterative"),
-)
-def q56_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ combined ANN — the full FAISS-IVFPQ serving shape, built
-    from the engine's two halves: the coarse quantizer (the q55
-    fixed-point Lloyd over the normalized grid) prunes WHICH vectors
-    are scored (only IVFPQ_PROBE of IVFPQ_CELLS cells per query), and
-    PQ shrinks WHAT is scored (8-byte RESIDUAL codes — qn minus its
-    quantized cell centroid, exact integers; residuals have ~cells×
-    less variance than raw vectors, so the same 8 bytes quantize
-    finer).
-
-    FULL VALUE-HASH ORACLE since round 11 (rows-only through r10 as a
-    float-numpy fit): coarse training, residuals, residual codebooks,
-    the per-(query, probed-cell) integer LUTs, the ADC sums, the
-    candidate cut and the IVF_Q-exact re-rank are all exact integers —
-    the DuckDB chain (_q56_oracle) reproduces every stage bit-for-bit.
-    Recall@10 vs exact q50 stays pytest-gated.
-
-    Plan shape, all stages scale-safe: train-on-sample driver-side
-    (exact int64 numpy); assignment/residuals/codes are narrow JVM
-    literal-fold expressions in the scan stage (no shuffle, no row
-    explode); the ADC scan is a broadcast equi-join of codes to
-    per-(query, probed-cell) LUT rows on cell_id; salted two-phase
-    top-K; only RERANK×queries rows re-touch the raw grid."""
-    q, cq_sorted, books = _q56_artifacts(spark, sf_dir)
+def ivfpq_int_encode(frame: DataFrame, cq_sorted: list, books: list) -> DataFrame:
+    """Frozen-artifact integer encode: (vec_id, qn) -> (vec_id,
+    cell_id, code). km_assign's literal-argmin cell pick, residual via
+    zip_with against the cell_id-sorted centroid matrix (indexed by
+    array_position so SPARSE cell ids — q57's slice-seeded cells, or
+    post-retrain appended subcells — work; for dense 0..k-1 ids this
+    is exactly the old ``element_at(cmat, cell_id + 1)``), then
+    pqi_code_expr. Map-only narrow expressions: encode cost at 100 TB
+    is the scan itself, shared by q56's one-shot build and every q57
+    ingest wave."""
     from bqfetch_spark.operators.similarity import km_assign
 
-    # code store as a per-session artifact (see qx240): assignment +
-    # residual + encode run once, repeats serve from the checkpoint
-    ck = (spark.sparkContext.applicationId, sf_dir, "q56-codes")
-    if ck not in _Q56_MEMO:
-        cmat = F.lit([cq for _, cq in cq_sorted]).cast("array<array<bigint>>")
-        assigned = km_assign(
-            q.select("vec_id", F.col("qn").alias("qv")), cq_sorted
-        ).select("vec_id", F.col("qv").alias("qn"), "cell_id")
-        res = assigned.select(
-            "vec_id",
-            "cell_id",
-            F.zip_with(
-                "qn", F.element_at(cmat, F.col("cell_id") + 1), lambda a, b: a - b
-            ).alias("r"),
-        )
-        _Q56_MEMO[ck] = res.select(
-            "vec_id", "cell_id", pqi_code_expr(books, col="r").alias("code")
-        ).localCheckpoint(eager=True)
-    codes = _Q56_MEMO[ck]
+    cmat = F.lit([cq for _, cq in cq_sorted]).cast("array<array<bigint>>")
+    cids = F.lit([int(cid) for cid, _ in cq_sorted]).cast("array<int>")
+    assigned = km_assign(
+        frame.select("vec_id", F.col("qn").alias("qv")), cq_sorted
+    ).select("vec_id", F.col("qv").alias("qn"), "cell_id")
+    pos = F.array_position(cids, F.col("cell_id")).cast("int")
+    res = assigned.select(
+        "vec_id",
+        "cell_id",
+        F.zip_with(
+            "qn", F.element_at(cmat, pos), lambda a, b: a - b
+        ).alias("r"),
+    )
+    return res.select(
+        "vec_id", "cell_id", pqi_code_expr(books, col="r").alias("code")
+    )
 
+
+def pqi_ivf_search(
+    spark: SparkSession,
+    codes: DataFrame,
+    q: DataFrame,
+    cq_sorted: list,
+    books: list,
+) -> DataFrame:
+    """Probed integer ADC scan + exact re-rank over an integer IVF-PQ
+    code frame (vec_id, cell_id, code) — the serving half shared by
+    q56's one-shot store and q57's incrementally-maintained store.
+
+    Queries are the 5 standard vectors (vec_id < 5 of the quantized
+    frame ``q``); per query the IVFPQ_PROBE nearest cells are probed
+    and an exact-integer M x K LUT per probed cell is broadcast onto a
+    cell_id equi-join with the codes (a query never touches codes
+    outside its probed cells), then salted two-phase top-PQ_RERANK and
+    the IVF_Q-exact rounded-cosine re-rank. Every quantity is an exact
+    integer, so the whole path is mirrored bit-for-bit by
+    _ivfpq_oracle()'s probe/lut/adc/cand/cdot chain."""
     # queries: probes + integer LUTs computed driver-side from the
-    # SAME exact ints the engine uses (5 rows — the kmeans-centroid
+    # SAME exact ints the engine uses (5 rows - the kmeans-centroid
     # collect pattern)
     qrows = sorted(
         (int(r["vec_id"]), [int(x) for x in r["qn"]])
         for r in q.filter(F.col("vec_id") < 5).select("vec_id", "qn").collect()
     )
+    by_cell = dict(cq_sorted)
     lut_rows = []
     for qid, qn in qrows:
         dists = sorted(
@@ -970,7 +1104,7 @@ def q56_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             for cell_id, cq in cq_sorted
         )
         for d, cell_id in dists[:IVFPQ_PROBE]:
-            cq = dict(cq_sorted)[cell_id]
+            cq = by_cell[cell_id]
             rq = [qn[i] - cq[i] for i in range(64)]
             tables = [
                 [
@@ -1047,3 +1181,48 @@ def q56_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rerank_w).cast("bigint"))
         .filter(F.col("rank") <= 10)
     )
+
+
+@register(
+    "q56_ann_ivfpq",
+    oracle=_q56_oracle(),
+    doc="IVF-PQ ANN: fixed-point coarse cells + integer residual codebooks (full oracle)",
+    tags=("similarity", "ann", "ivf", "pq", "iterative"),
+)
+def q56_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ combined ANN — the full FAISS-IVFPQ serving shape, built
+    from the engine's two halves: the coarse quantizer (the q55
+    fixed-point Lloyd over the normalized grid) prunes WHICH vectors
+    are scored (only IVFPQ_PROBE of IVFPQ_CELLS cells per query), and
+    PQ shrinks WHAT is scored (8-byte RESIDUAL codes — qn minus its
+    quantized cell centroid, exact integers; residuals have ~cells×
+    less variance than raw vectors, so the same 8 bytes quantize
+    finer).
+
+    FULL VALUE-HASH ORACLE since round 11 (rows-only through r10 as a
+    float-numpy fit): coarse training, residuals, residual codebooks,
+    the per-(query, probed-cell) integer LUTs, the ADC sums, the
+    candidate cut and the IVF_Q-exact re-rank are all exact integers —
+    the DuckDB chain (_q56_oracle) reproduces every stage bit-for-bit.
+    Recall@10 vs exact q50 stays pytest-gated.
+
+    Plan shape, all stages scale-safe: train-on-sample driver-side
+    (exact int64 numpy); assignment/residuals/codes are narrow JVM
+    literal-fold expressions in the scan stage (no shuffle, no row
+    explode); the ADC scan is a broadcast equi-join of codes to
+    per-(query, probed-cell) LUT rows on cell_id; salted two-phase
+    top-K; only RERANK×queries rows re-touch the raw grid."""
+    q, cq_sorted, books = _q56_artifacts(spark, sf_dir)
+
+    # code store as a per-session artifact (see qx240): assignment +
+    # residual + encode run once, repeats serve from the checkpoint
+    ck = (spark.sparkContext.applicationId, sf_dir, "q56-codes")
+    if ck not in _Q56_MEMO:
+        _q56_memo_put(
+            ck,
+            ivfpq_int_encode(
+                q.select("vec_id", "qn"), cq_sorted, books
+            ).localCheckpoint(eager=True),
+        )
+    codes = _Q56_MEMO[ck]
+    return pqi_ivf_search(spark, codes, q, cq_sorted, books)

@@ -321,12 +321,16 @@ def fixed_point_kmeans_cached(
 
 def fixed_point_kmeans(e: DataFrame, k: int, rounds: int = KM_ROUNDS) -> list:
     """Seeded deterministic Lloyd's over the quantized frame e
-    (vec_id, qv, ...): init from the first k vectors (the q53
-    seeding), `rounds` exact update rounds, empty cells keep their
-    previous centroid. Returns the exact driver-side state
-    [(cell_id, s, n)] — pass through km_quantized for assignment."""
+    (vec_id, qv, ...): init from the k SMALLEST vec_ids in the frame
+    (the q53 seeding — identical to ``vec_id < k`` when ids are dense
+    from 0, and well-defined on id-sliced training frames like q57's
+    60% build slice, where ``vec_id < k`` would under-seed), `rounds`
+    exact update rounds, empty cells keep their previous centroid.
+    Cell ids ARE the seed vec_ids. Returns the exact driver-side
+    state [(cell_id, s, n)] — pass through km_quantized for
+    assignment."""
     seeds = sorted(
-        e.filter(F.col("vec_id") < k).select("vec_id", "qv").collect(),
+        e.select("vec_id", "qv").orderBy("vec_id").limit(k).collect(),
         key=lambda r: int(r["vec_id"]),
     )
     state = [(int(r["vec_id"]), [int(x) for x in r["qv"]], 1) for r in seeds]

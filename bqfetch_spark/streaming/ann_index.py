@@ -10,9 +10,10 @@ its 8-byte codes APPENDED to the code store — FAISS's ``add``
 after ``train``, as an external-state streaming topology:
 
 - The ARTIFACTS (centroids + codebooks, a few KB) and the CODE STORE
-  (vec_id, cell_id, 8-byte code — partitioned by (ingest_batch,
-  cell_id): probed searches prune on the cell_id level, and the
-  batch level makes wave appends retry-idempotent) are the only state
+  (vec_id, cell_id, 8-byte code — partitioned by (cell_id,
+  ingest_batch), cell OUTERMOST since r12: probed searches prune and
+  localized retrains swap whole cell_id directories, while the batch
+  sublevel makes wave appends retry-idempotent) are the only state
   that persists between waves; the streaming query itself holds none.
 - Per-wave cost is O(wave): one broadcast-centroid argmin + one
   Arrow-batched encode pass + an append. History is never read.
@@ -72,8 +73,13 @@ def build_index(
     return cents, books
 
 
-def _write_artifacts(cents: np.ndarray, books: np.ndarray, index_dir: str) -> None:
-    """Persist the KB-sized frozen artifacts driver-side (pyarrow)."""
+def _write_artifacts(
+    cents: np.ndarray, books: np.ndarray, index_dir: str, suffix: str = ""
+) -> None:
+    """Persist the KB-sized frozen artifacts driver-side (pyarrow).
+    ``suffix`` (e.g. ``".staged"``) writes side files for the
+    journaled partial-retrain commit — recover_retrain renames them
+    over the live artifacts as its first roll-forward step."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -83,7 +89,7 @@ def _write_artifacts(cents: np.ndarray, books: np.ndarray, index_dir: str) -> No
         pa.table(
             {"cell_id": list(range(len(cents))), "cv": [c.tolist() for c in cents]}
         ),
-        os.path.join(index_dir, "centroids.parquet"),
+        os.path.join(index_dir, "centroids.parquet" + suffix),
     )
     pq.write_table(
         pa.table(
@@ -93,7 +99,7 @@ def _write_artifacts(cents: np.ndarray, books: np.ndarray, index_dir: str) -> No
                 "vec": [books[s, c].tolist() for s in range(m) for c in range(k)],
             }
         ),
-        os.path.join(index_dir, "codebooks.parquet"),
+        os.path.join(index_dir, "codebooks.parquet" + suffix),
     )
 
 
@@ -172,6 +178,149 @@ def _clustered_for_store(codes: DataFrame) -> DataFrame:
     )
 
 
+def _write_codes_wave(
+    codes: DataFrame, store: str, batch_id: int | None, overwrite_all: bool = False
+) -> None:
+    """Shared store writer for BOTH legs (float drift machinery and
+    the integer q57 leg): cluster, stamp ingest_batch, write
+    partitioned by (cell_id, ingest_batch) — cell_id OUTERMOST since
+    round 12 so a localized retrain can rewrite ONLY the hot cell
+    DIRECTORIES in place (VERDICT r11 #3); probed searches still prune
+    on the cell_id level, and the ingest_batch sublevel keeps wave
+    appends retry-idempotent: with a foreachBatch ``batch_id`` the
+    wave lands as a dynamic overwrite of its own (cell, batch)
+    partitions, so a re-run replaces its half-written codes instead of
+    appending duplicates. Without a batch_id (manual bulk adds) the
+    write is a plain append under ingest_batch=-1."""
+    out = _clustered_for_store(codes).withColumn(
+        "ingest_batch",
+        F.lit(-1 if batch_id is None else int(batch_id)).cast("bigint"),
+    )
+    writer = out.write.partitionBy("cell_id", "ingest_batch")
+    if overwrite_all:
+        writer.mode("overwrite").parquet(store)
+    elif batch_id is None:
+        writer.mode("append").parquet(store)
+    else:
+        (
+            writer.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store)
+        )
+
+
+# ---------------------------------------------------------------------------
+# Integer leg (q57): frozen EXACT-INTEGER artifacts over the qn grid —
+# the same fixed-point chain as the one-shot q56 build
+# (operators/pq.py), trained on the initial ingest slice only, so the
+# streamed run carries q56's full value-hash DuckDB oracle with the
+# training CTEs restricted to that slice (_q57_oracle).
+# ---------------------------------------------------------------------------
+
+
+def build_int_index(
+    spark: SparkSession, initial_qn: DataFrame, index_dir: str
+) -> tuple[list, list]:
+    """Train the frozen INTEGER artifacts on the initial ingest slice:
+    coarse cells via the distributed fixed-point Lloyd (seeds = the
+    IVFPQ_CELLS smallest vec_ids IN THE SLICE, cell ids = those
+    vec_ids) and residual codebooks via int_residual_books over the
+    hash-capped sample (at oracle scales the slice fits the cap, so
+    the sample IS the slice — the same contract q56 documents).
+    Persists both as KB-sized parquet artifacts; returns
+    (cq_sorted [(cell_id, cq)], books [s][c][j])."""
+    from bqfetch_spark.operators.pq import (
+        IVFPQ_CELLS,
+        PQ_FIT_SAMPLE,
+        int_residual_books,
+    )
+    from bqfetch_spark.operators.similarity import fixed_point_kmeans, km_quantized
+
+    state = fixed_point_kmeans(
+        initial_qn.select("vec_id", F.col("qn").alias("qv")), IVFPQ_CELLS
+    )
+    cq_sorted = sorted(km_quantized(state))
+    sample = [
+        (int(r["vec_id"]), [int(x) for x in r["qn"]])
+        for r in initial_qn.select("vec_id", "qn")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(PQ_FIT_SAMPLE)
+        .collect()
+    ]
+    books = int_residual_books(sample, cq_sorted)
+    _write_int_artifacts(cq_sorted, books, index_dir)
+    return cq_sorted, books
+
+
+def _write_int_artifacts(cq_sorted: list, books: list, index_dir: str) -> None:
+    """Persist the integer artifacts driver-side (pyarrow), same shape
+    as the float leg's _write_artifacts but exact int64 payloads."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(index_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "cell_id": [int(cid) for cid, _ in cq_sorted],
+                "cq": [[int(x) for x in cq] for _, cq in cq_sorted],
+            }
+        ),
+        os.path.join(index_dir, "centroids_int.parquet"),
+    )
+    m = len(books)
+    k = len(books[0])
+    pq.write_table(
+        pa.table(
+            {
+                "subspace": [s for s in range(m) for _ in range(k)],
+                "centroid": [c for _ in range(m) for c in range(k)],
+                "cq": [
+                    [int(x) for x in books[s][c]]
+                    for s in range(m)
+                    for c in range(k)
+                ],
+            }
+        ),
+        os.path.join(index_dir, "codebooks_int.parquet"),
+    )
+
+
+def load_int_index(index_dir: str) -> tuple[list, list]:
+    """Frozen integer artifacts back as (cq_sorted, books) — KB-sized
+    driver/broadcast data, read driver-side like any sidecar."""
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(os.path.join(index_dir, "centroids_int.parquet")).to_pydict()
+    cq_sorted = sorted(
+        (int(cid), [int(x) for x in cq]) for cid, cq in zip(ct["cell_id"], ct["cq"])
+    )
+    bt = pq.read_table(os.path.join(index_dir, "codebooks_int.parquet")).to_pydict()
+    m = max(bt["subspace"]) + 1
+    k = max(bt["centroid"]) + 1
+    books: list = [[None] * k for _ in range(m)]
+    for s, c, cq in zip(bt["subspace"], bt["centroid"], bt["cq"]):
+        books[int(s)][int(c)] = [int(x) for x in cq]
+    return cq_sorted, books
+
+
+def append_int_wave(
+    spark: SparkSession,
+    wave_qn: DataFrame,
+    index_dir: str,
+    batch_id: int | None = None,
+) -> None:
+    """One integer-leg ingest wave: encode (vec_id, qn) against the
+    FROZEN integer artifacts (map-only literal expressions — O(wave),
+    never reads the store) and append via the shared idempotent
+    writer."""
+    from bqfetch_spark.operators.pq import ivfpq_int_encode
+
+    cq_sorted, books = load_int_index(index_dir)
+    codes = ivfpq_int_encode(wave_qn.select("vec_id", "qn"), cq_sorted, books)
+    _write_codes_wave(codes, os.path.join(index_dir, "codes"), batch_id)
+
+
 def append_wave(
     spark: SparkSession,
     wave_emb_n: DataFrame,
@@ -186,73 +335,63 @@ def append_wave(
     Pass the foreachBatch ``batch_id`` to make the append IDEMPOTENT
     under micro-batch retry (round-6 fix, same class as
     streaming/incremental.py): the wave then lands as a dynamic
-    overwrite of its own ingest_batch partitions, so a re-run replaces
-    its half-written codes instead of appending duplicates that a
-    top-k search would surface twice. Without a batch_id (manual bulk
-    adds) the write is a plain append under ingest_batch=-1."""
-    import pyspark.sql.functions as F
-
+    overwrite of its own (cell, batch) partitions, so a re-run
+    replaces its half-written codes instead of appending duplicates
+    that a top-k search would surface twice. Without a batch_id
+    (manual bulk adds) the write is a plain append under
+    ingest_batch=-1."""
     cents, books = load_index(spark, index_dir)
-    codes = _clustered_for_store(
-        ivfpq_encode(spark, wave_emb_n, cents, books)
-    ).withColumn(
-        "ingest_batch",
-        F.lit(-1 if batch_id is None else int(batch_id)).cast("bigint"),
-    )
-    writer = codes.write.partitionBy("ingest_batch", "cell_id")
-    if batch_id is None:
-        writer.mode("append").parquet(os.path.join(index_dir, "codes"))
-    else:
-        (
-            writer.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(os.path.join(index_dir, "codes"))
-        )
+    codes = ivfpq_encode(spark, wave_emb_n, cents, books)
+    _write_codes_wave(codes, os.path.join(index_dir, "codes"), batch_id)
 
 
 def run_incremental_ann_index(
     spark: SparkSession, sf_dir: str, work_dir: str
 ) -> DataFrame:
-    """Bounded streaming run: 60% of the embeddings build the index;
-    the rest arrives as two wave files through a foreachBatch stream
-    that appends codes against the frozen artifacts. Returns the
-    IVF-PQ top-10 search over the maintained store (ivfpq_search)."""
-    from bqfetch_spark.catalog import load_catalog
-    from bqfetch_spark.functions.vectors import as_double
-    from bqfetch_spark.operators.pq import ivfpq_search
-
+    """Bounded streaming run on the INTEGER chain (full value-hash
+    oracle since round 12 — _q57_oracle in operators/pq.py): 60% of
+    the embeddings (vec_id % 5 <= 2, the _wave_of slices) train the
+    frozen exact-integer artifacts and build the initial code store;
+    the remaining 40% arrives as two wave files through a foreachBatch
+    stream that appends frozen-artifact codes (O(wave), bit-identical
+    to one-shot encoding — pytest-pinned). Returns the probed integer
+    ADC top-10 search over the maintained store (pqi_ivf_search, the
+    exact search q56 serves from its one-shot store)."""
+    from bqfetch_spark.operators.pq import (
+        ivfpq_int_encode,
+        pq_frame_and_sample,
+        pqi_ivf_search,
+    )
     from bqfetch_spark.streaming.ownership import claim_store, owner_key_for_checkpoint
 
     index_dir = os.path.join(work_dir, "index")
     incoming_dir = os.path.join(work_dir, "incoming")
     ckpt_dir = os.path.join(work_dir, "ckpt")
+    store = os.path.join(index_dir, "codes")
 
-    emb = load_catalog(spark, sf_dir).table("embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    emb_n = unit_normalized(emb)
-    initial = emb_n.filter(_wave_of() <= 2)
-    dim = emb_n.select(F.size("v").alias("d")).first()["d"]
-    cents, books = build_index(spark, initial, dim, index_dir)
-    (
-        _clustered_for_store(ivfpq_encode(spark, initial, cents, books))
-        .withColumn("ingest_batch", F.lit(-1).cast("bigint"))
-        .write.mode("overwrite")
-        .partitionBy("ingest_batch", "cell_id")
-        .parquet(os.path.join(index_dir, "codes"))
+    # the session-memoized quantized frame (one checkpoint feeds q56,
+    # qx240 and this run — the shared-artifact stance)
+    q, _ = pq_frame_and_sample(spark, sf_dir)
+    initial = q.filter(_wave_of() <= 2)
+    cq_sorted, books = build_int_index(spark, initial, index_dir)
+    _write_codes_wave(
+        ivfpq_int_encode(initial.select("vec_id", "qn"), cq_sorted, books),
+        store,
+        None,
+        overwrite_all=True,
     )
     # after the backfill overwrite: the codes store keys appends on the
     # foreachBatch id — claim it for this checkpoint lineage so a fresh
     # checkpoint can't restart at batch 0 over it (streaming/ownership.py)
-    claim_store(os.path.join(index_dir, "codes"), owner_key_for_checkpoint(ckpt_dir))
+    claim_store(store, owner_key_for_checkpoint(ckpt_dir))
 
     # the two remaining slices arrive as separate files → separate
     # micro-batches (maxFilesPerTrigger=1)
     os.makedirs(incoming_dir, exist_ok=True)
     for wave in (3, 4):
-        emb_n.filter(_wave_of() == wave).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(incoming_dir, f"wave_{wave}")
-        )
+        q.filter(_wave_of() == wave).select("vec_id", "qn").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(incoming_dir, f"wave_{wave}"))
     schema = spark.read.parquet(os.path.join(incoming_dir, "wave_3")).schema
     incoming = (
         spark.readStream.schema(schema)
@@ -261,23 +400,18 @@ def run_incremental_ann_index(
     )
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
-        append_wave(spark, batch, index_dir, batch_id=batch_id)
+        append_int_wave(spark, batch, index_dir, batch_id=batch_id)
 
-    q = (
+    sq = (
         incoming.writeStream.foreachBatch(_ingest)
         .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    sq.awaitTermination()
 
-    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
-    queries = sorted(
-        (int(r["vec_id"]), np.array(r["v"]))
-        for r in emb_n.filter(F.col("vec_id") < 5).collect()
-    )
-    cents, books = load_index(spark, index_dir)
-    return ivfpq_search(spark, codes, emb, queries, cents, books)
+    codes = spark.read.parquet(store)
+    return pqi_ivf_search(spark, codes, q, cq_sorted, books)
 
 
 # ---------------------------------------------------------------------------
@@ -341,12 +475,11 @@ def retrain_index(
     swap is an in-place overwrite (the parquet store's dynamic
     partition overwrite)."""
     cents, books = build_index(spark, emb_n_all, dim, index_dir)
-    (
-        _clustered_for_store(ivfpq_encode(spark, emb_n_all, cents, books))
-        .withColumn("ingest_batch", F.lit(-1).cast("bigint"))
-        .write.mode("overwrite")
-        .partitionBy("ingest_batch", "cell_id")
-        .parquet(os.path.join(index_dir, "codes"))
+    _write_codes_wave(
+        ivfpq_encode(spark, emb_n_all, cents, books),
+        os.path.join(index_dir, "codes"),
+        None,
+        overwrite_all=True,
     )
     invalidate_baseline_occupancy(index_dir)
     return cents, books
@@ -362,6 +495,68 @@ DRIFT_LOCALIZED_SHARE = 0.5
 DRIFT_SUBCELLS = 4  # new centroids carved out of the hot region
 
 
+_RETRAIN_JOURNAL = "retrain_journal.json"
+
+
+def _staged_artifact_paths(index_dir: str) -> list[tuple[str, str]]:
+    """(staged, final) artifact file pairs for the journaled commit."""
+    return [
+        (
+            os.path.join(index_dir, name + ".staged"),
+            os.path.join(index_dir, name),
+        )
+        for name in ("centroids.parquet", "codebooks.parquet")
+    ]
+
+
+def recover_retrain(index_dir: str) -> bool:
+    """Roll FORWARD an interrupted localized retrain (crash-consistency
+    twin of the store-append recovery in streaming/incremental.py).
+
+    The journal is the commit record: it is written only after the
+    staging store and staged artifacts are fully materialized, so if
+    it exists every remaining step is replayable — commit staged
+    artifact files (rename; skip if already renamed), swap each listed
+    cell directory (remove stale dir, move staged dir; skip cells
+    already moved), drop the stale occupancy baseline, then remove the
+    journal and staging leftovers. Idempotent: safe to call at every
+    store open; returns True if a retrain was completed."""
+    import json
+    import shutil
+
+    journal = os.path.join(index_dir, _RETRAIN_JOURNAL)
+    if not os.path.exists(journal):
+        # no commit record: any stale staging dir is a retrain that
+        # never committed — discard it (the pre-journal crash case)
+        stale = os.path.join(index_dir, "codes.retrain")
+        if os.path.exists(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+        return False
+    with open(journal) as fh:
+        plan = json.load(fh)
+    staging = plan["staging"]
+    store = os.path.join(index_dir, "codes")
+    for staged, final in _staged_artifact_paths(index_dir):
+        if os.path.exists(staged):
+            os.replace(staged, final)
+    for cell in plan["cells"]:
+        src = os.path.join(staging, f"cell_id={cell}")
+        dst = os.path.join(store, f"cell_id={cell}")
+        if os.path.exists(src):
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(src, dst)
+    # swapped cells that ended up with NO staged rows (a hot cell fully
+    # drained into new subcells) are recorded separately: their stale
+    # directory is removed unconditionally — rmtree of a missing dir is
+    # a no-op, so replays stay idempotent
+    for cell in plan.get("clear", []):
+        shutil.rmtree(os.path.join(store, f"cell_id={cell}"), ignore_errors=True)
+    invalidate_baseline_occupancy(index_dir)
+    os.remove(journal)
+    shutil.rmtree(staging, ignore_errors=True)
+    return True
+
+
 def partial_retrain(
     spark: SparkSession,
     emb_n_corpus: DataFrame,
@@ -372,10 +567,10 @@ def partial_retrain(
     cents: np.ndarray,
     books: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """LOCALIZED rebuild (VERDICT r10 #6 — the production shape when
-    drift concentrates in a cell subset, FAISS's 'retrain the lists
-    that changed'): instead of retraining every centroid and
-    re-encoding the whole corpus,
+    """LOCALIZED rebuild (VERDICT r10 #6, in-place since r12 — the
+    production shape when drift concentrates in a cell subset, FAISS's
+    'retrain the lists that changed'): instead of retraining every
+    centroid and re-encoding the whole corpus,
 
     1. DRIFT_SUBCELLS new centroids are trained (driver-side seeded
        Lloyd's over a bounded sample) on ONLY the wave vectors that
@@ -385,25 +580,35 @@ def partial_retrain(
     2. the ENCODE pass — the part that touches raw vectors, i.e. the
        expensive pass at 100 TB — runs only over the affected slice:
        corpus vectors whose stored cell is hot (partition-pruned read
-       of those cell directories, then an id-join back to the
-       vectors) plus the hot-cell wave rows. Residual codebooks stay
-       frozen: residuals against the new, tighter centroids are
-       smaller than the ones the books were trained on, so they
-       quantize at least as well (recall gate in
-       tests/test_ann_recall.py pins this).
-    3. the store swap writes cold codes (pass-through, 8-byte rows —
-       32× smaller than vectors) plus the re-encoded slice to a fresh
-       directory and renames it over the old one (the
-       run-beside-then-swap rebuild; rewriting only the hot cell
-       directories in place is the next refinement, blocked today by
-       the (ingest_batch, cell_id) layout making stale-partition
-       cleanup non-atomic).
+       of those cell_id=… directories — outermost since r12) plus the
+       hot-cell wave rows, and the re-encode is CONSTRAINED to
+       redistribute them among hot ∪ new cells only (the FAISS
+       list-split semantics; ``cell_ids`` in ivfpq_residuals), so
+       every rewritten row lands inside the directories being swapped.
+       Residual codebooks stay frozen: residuals against the new,
+       tighter centroids are smaller than the ones the books were
+       trained on, so they quantize at least as well (recall gate in
+       tests/test_ann_recall.py pins this);
+    3. the store rewrite is IN PLACE and journaled (VERDICT r11 #3):
+       the re-encoded slice is written to a staging dir with the same
+       (cell_id, ingest_batch) layout, the swap plan (hot ∪ new cell
+       ids) plus staged artifact files become a commit journal, and
+       ONLY those cell directories are swapped — retrain I/O is
+       proportional to the hot slice, not the store. A crash at any
+       point is recovered by recover_retrain: before the journal
+       exists nothing changed (staging is discarded); after, the swap
+       is rolled forward idempotently (kill-mid-swap pinned in
+       tests/test_crash_consistency.py).
 
-    Cold-cell wave rows are appended with the frozen artifacts (their
+    Cold-cell wave rows reuse the codes ALREADY computed for the drift
+    histogram and are appended through the ordinary wave writer (their
     nearest OLD cell is unchanged; a cold vector whose true nearest
     becomes a NEW cell is mis-binned by at most the old assignment —
     the standard partial-retrain approximation, bounded by the probe
     redundancy)."""
+    import json
+    import shutil
+
     from bqfetch_spark.operators.pq import PQ_ITERS, PQ_SEED, _lloyd, fit_sample
 
     store = os.path.join(index_dir, "codes")
@@ -411,40 +616,49 @@ def partial_retrain(
     hot_wave_ids = wave_codes.filter(F.col("cell_id").isin(hot)).select("vec_id")
     hot_wave = wave_emb_n.join(hot_wave_ids, "vec_id")
     sample = fit_sample(hot_wave)
+    new_ids = list(range(len(cents), len(cents) + DRIFT_SUBCELLS))
     cents_new = np.vstack(
         [cents, _lloyd(sample, DRIFT_SUBCELLS, PQ_ITERS, PQ_SEED)]
     )
+    subset = hot + new_ids
 
     old = spark.read.parquet(store)
     affected_ids = old.filter(F.col("cell_id").isin(hot)).select("vec_id")
     affected = emb_n_corpus.join(affected_ids, "vec_id").unionByName(hot_wave)
-    recoded = (
-        _clustered_for_store(ivfpq_encode(spark, affected, cents_new, books))
-        .withColumn("ingest_batch", F.lit(-1).cast("bigint"))
+    recoded = ivfpq_encode(
+        spark, affected, cents_new[subset], books, cell_ids=subset
     )
-    cold_old = old.filter(~F.col("cell_id").isin(hot)).select(recoded.columns)
-    # cold wave rows reuse the codes ALREADY computed for the drift
-    # histogram — their frozen-artifact encoding is exactly what the
-    # store needs (old cells keep their ids), so no second Arrow
-    # encode pass over the wave
-    cold_wave = (
-        _clustered_for_store(wave_codes.filter(~F.col("cell_id").isin(hot)))
-        .withColumn("ingest_batch", F.lit(-1).cast("bigint"))
-    )
-    tmp = store + ".retrain"
-    (
-        cold_old.unionByName(cold_wave)
-        .unionByName(recoded)
-        .write.mode("overwrite")
-        .partitionBy("ingest_batch", "cell_id")
-        .parquet(tmp)
-    )
-    import shutil
 
-    shutil.rmtree(store)
-    os.rename(tmp, store)
-    _write_artifacts(cents_new, books, index_dir)
-    invalidate_baseline_occupancy(index_dir)
+    # cold wave rows: ordinary idempotent append, untouched directories
+    cold_wave = wave_codes.filter(~F.col("cell_id").isin(hot)).select(
+        "vec_id", "cell_id", "code"
+    )
+    _write_codes_wave(cold_wave, store, None)
+
+    staging = store + ".retrain"
+    shutil.rmtree(staging, ignore_errors=True)
+    _write_codes_wave(recoded, staging, None, overwrite_all=True)
+    # stage the new artifacts, then COMMIT via the journal: everything
+    # after this point is idempotent roll-forward (recover_retrain).
+    # cells: swap-plan entries WITH staged data; clear: plan entries
+    # whose staged dir is empty (hot cell fully drained into subcells)
+    # — their stale store dir must still be removed
+    staged_cells = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(staging)
+        if d.startswith("cell_id=")
+    }
+    _write_artifacts(cents_new, books, index_dir, suffix=".staged")
+    with open(os.path.join(index_dir, _RETRAIN_JOURNAL), "w") as fh:
+        json.dump(
+            {
+                "staging": staging,
+                "cells": sorted(c for c in subset if c in staged_cells),
+                "clear": sorted(c for c in subset if c not in staged_cells),
+            },
+            fh,
+        )
+    recover_retrain(index_dir)
     return cents_new, books
 
 
@@ -471,6 +685,7 @@ def ingest_with_drift_monitor(
     actually fires; the wave path itself never touches history,
     preserving q57's O(wave) append contract. The wave size rides the
     occupancy counts — no separate count job."""
+    recover_retrain(index_dir)  # roll forward any interrupted swap
     cents, books = load_index(spark, index_dir)
     n_cells = len(cents)
     store = os.path.join(index_dir, "codes")

@@ -210,50 +210,154 @@ def check_q69_candidate_join(spark) -> None:
 
 
 def check_q57_wave_append(spark) -> None:
-    """append_wave cost must be flat in store history: same wave into a
-    1×-history store vs a 100×-history store."""
-    from bqfetch_spark.functions.vectors import as_double
-    from bqfetch_spark.operators.pq import unit_normalized
-    from bqfetch_spark.streaming.ann_index import append_wave, build_index
+    """append_int_wave cost (q57's REAL registry path since r12: the
+    integer frozen-artifact encode) must be flat in store history:
+    same wave into a 1×-history store vs a 100×-history store."""
+    from bqfetch_spark.operators.pq import pq_quantized
+    from bqfetch_spark.streaming.ann_index import append_int_wave, build_int_index
 
-    emb = (
-        spark.read.parquet(f"{BASE}/embeddings.parquet")
-        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+    emb_q = (
+        pq_quantized(spark, BASE)
+        .select("vec_id", "qn")
+        .localCheckpoint(eager=True)
     )
-    emb_n = unit_normalized(emb).localCheckpoint(eager=True)
-    n1 = emb_n.count()
+    n1 = emb_q.count()
 
     idx1 = os.path.join(TMP, "idx_1x")
     idx100 = os.path.join(TMP, "idx_100x")
-    build_index(spark, emb_n, DIM, idx1)
+    build_int_index(spark, emb_q, idx1)
     # same frozen artifacts for both stores (that's the contract)
     shutil.copytree(idx1, idx100)
 
     # 1x history
-    append_wave(spark, emb_n, idx1)
+    append_int_wave(spark, emb_q, idx1)
     # 100x history: one bulk append of 100 replicas (also times the
     # linear bulk-encode path)
     reps = spark.range(REPS).select(F.col("id").alias("rep"))
     emb100 = (
-        emb_n.crossJoin(reps)
-        .select((F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"), "v")
+        emb_q.crossJoin(reps)
+        .select((F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"), "qn")
     )
     t0 = time.time()
-    append_wave(spark, emb100, idx100)
+    append_int_wave(spark, emb100, idx100)
     print(
-        f"q57 bulk encode+append of {n1 * REPS} vectors: {time.time() - t0:.1f}s "
+        f"q57 bulk int-encode+append of {n1 * REPS} vectors: {time.time() - t0:.1f}s "
         "(one linear pass)"
     )
 
-    wave = emb_n.select((F.col("vec_id") + F.lit(990_000_000)).alias("vec_id"), "v")
-    print("q57 wave append, 1x-history vs 100x-history store:")
+    wave = emb_q.select((F.col("vec_id") + F.lit(990_000_000)).alias("vec_id"), "qn")
+    print("q57 wave append (integer leg), 1x-history vs 100x-history store:")
     worst = 0.0
     for i in range(2):
-        t1, _ = timed(f"round{i} 1x-history", lambda: append_wave(spark, wave, idx1))
-        t100, _ = timed(f"round{i} 100x-history", lambda: append_wave(spark, wave, idx100))
+        t1, _ = timed(f"round{i} 1x-history", lambda: append_int_wave(spark, wave, idx1))
+        t100, _ = timed(f"round{i} 100x-history", lambda: append_int_wave(spark, wave, idx100))
         worst = max(worst, t100 / t1)
     print(f"  worst ratio={worst:.2f} (flat target ~1; history-rescanning ~100)")
     timing_gate(worst <= 3, f"q57 wave cost scales with history: {worst:.2f}")
+
+
+def check_partial_retrain_100x(spark) -> None:
+    """Localized retrain at 200k vectors with drift planted in 2 of 8
+    cells (VERDICT r11 #4): the encode/rewrite pass must scale with
+    the HOT SLICE, not the corpus. Structural (hard): every
+    pre-existing file of every cold cell directory survives the
+    retrain byte-identically (the in-place claim — cold dirs are
+    append-only, never rewritten), and the swap journal is gone.
+    Timing: the partial retrain beats the full rebuild of the same
+    store (which re-encodes all 200k vectors) by a clear margin."""
+    import numpy as np
+
+    from bqfetch_spark.operators.pq import ivfpq_encode
+    from bqfetch_spark.streaming.ann_index import (
+        DRIFT_HOT_FACTOR,
+        _write_codes_wave,
+        build_index,
+        cell_counts,
+        partial_retrain,
+        retrain_index,
+    )
+
+    N, N_WAVE = 200_000, 4_000
+
+    def synth(n: int, seed: int):
+        cols = [(F.rand(seed + i) - F.lit(0.5)).cast("double") for i in range(DIM)]
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"), F.array(*cols).alias("v")
+        )
+
+    corpus = synth(N, seed=11).localCheckpoint(eager=True)
+    idx = os.path.join(TMP, "pr_idx")
+    cents, books = build_index(spark, corpus, DIM, idx)
+    store = os.path.join(idx, "codes")
+    _write_codes_wave(
+        ivfpq_encode(spark, corpus, cents, books), store, None, overwrite_all=True
+    )
+
+    # drifted wave packed around TWO of the trained centroids: the
+    # monitor's hot detector must flag exactly those cells
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(N_WAVE):
+        v = cents[i % 2] + 0.02 * rng.randn(DIM)
+        rows.append((int(10_000_000 + i), [float(x) for x in v]))
+    wave = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+    wave_codes = ivfpq_encode(spark, wave, cents, books).localCheckpoint(eager=True)
+    occ = cell_counts(wave_codes, len(cents))
+    share = occ / occ.sum()
+    hot = [int(c) for c in np.nonzero(share > DRIFT_HOT_FACTOR / len(cents))[0]]
+    assert sorted(hot) == [0, 1], f"planted drift not detected as hot 2-of-8: {hot}"
+
+    def dir_files(d):
+        out = {}
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, d)] = os.path.getsize(p)
+        return out
+
+    cold_dirs = [
+        c for c in range(len(cents)) if c not in hot
+    ]
+    before = {c: dir_files(os.path.join(store, f"cell_id={c}")) for c in cold_dirs}
+
+    # full-rebuild reference on a copy of the same store
+    idx_full = os.path.join(TMP, "pr_idx_full")
+    shutil.copytree(idx, idx_full)
+    t_full, _ = timed(
+        f"full rebuild ({N + N_WAVE} vectors re-encoded)",
+        lambda: retrain_index(
+            spark, corpus.unionByName(wave), DIM, idx_full
+        )[0].shape,
+    )
+    t_part, _ = timed(
+        f"partial retrain (hot slice ~{int(share[hot].sum() * 100)}% of wave, "
+        f"2/{len(cents)} corpus cells)",
+        lambda: partial_retrain(
+            spark, corpus, wave, wave_codes, idx, hot, cents, books
+        )[0].shape,
+    )
+
+    # structural: cold-cell directories are append-only — every
+    # pre-retrain file still present and byte-identical in size
+    for c in cold_dirs:
+        after = dir_files(os.path.join(store, f"cell_id={c}"))
+        for f, size in before[c].items():
+            assert f in after and after[f] == size, (
+                f"cold cell {c} rewritten by partial retrain: {f}"
+            )
+    assert not os.path.exists(os.path.join(idx, "retrain_journal.json"))
+    assert not os.path.exists(store + ".retrain")
+    # new subcell directories exist (the swap landed)
+    new_cells = [c for c in range(len(cents), len(cents) + 4)]
+    assert any(
+        os.path.exists(os.path.join(store, f"cell_id={c}")) for c in new_cells
+    )
+    print(f"  partial/full ratio={t_part / t_full:.2f} (hot-slice target << 1)")
+    timing_gate(
+        t_part <= 0.8 * t_full,
+        f"partial retrain not proportional to hot slice: {t_part:.1f}s vs "
+        f"full {t_full:.1f}s",
+    )
 
 
 def check_global_rank_100x(spark) -> None:
@@ -824,6 +928,7 @@ def main() -> None:
     check_round10_census_100x(spark)
     check_cluster_chain_100x(spark)
     check_waterfill_store_100x(spark)
+    check_partial_retrain_100x(spark)
     print(f"ALL 100x CHECKS PASSED in {time.time() - t0:.0f}s")
     shutil.rmtree(TMP, ignore_errors=True)
 

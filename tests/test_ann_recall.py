@@ -41,16 +41,15 @@ def test_incremental_ann_index_waves_equal_one_shot(spark, tmp_path):
     """Frozen artifacts make the index insert-order-invariant: codes
     appended wave-by-wave must be BIT-IDENTICAL to encoding the same
     corpus in one shot against the same artifacts — the additivity
-    stance of the rollup store, for vectors. Also pins that the store
-    covers every vector exactly once after the streamed run."""
+    stance of the rollup store, for vectors. This equality is what
+    lets q57 carry the one-shot DuckDB oracle (_q57_oracle). Also pins
+    that the store covers every vector exactly once after the streamed
+    run."""
     from pyspark.sql import functions as F
 
-    from bqfetch_spark.catalog import load_catalog
-    from bqfetch_spark.functions.vectors import as_double
-    from bqfetch_spark.operators.pq import ivfpq_encode, unit_normalized
+    from bqfetch_spark.operators.pq import ivfpq_int_encode, pq_frame_and_sample
     from bqfetch_spark.streaming.ann_index import (
-        build_index,
-        load_index,
+        load_int_index,
         run_incremental_ann_index,
     )
 
@@ -58,18 +57,14 @@ def test_incremental_ann_index_waves_equal_one_shot(spark, tmp_path):
     res = run_incremental_ann_index(spark, SF_SMOKE, work)
     assert res.count() == 50  # 5 queries × top-10
 
-    emb_n = unit_normalized(
-        load_catalog(spark, SF_SMOKE)
-        .table("embeddings")
-        .select("vec_id", as_double(F.col("embedding")).alias("v"))
-    )
+    q, _ = pq_frame_and_sample(spark, SF_SMOKE)
     store = spark.read.parquet(f"{work}/index/codes")
-    n_vecs = emb_n.count()
+    n_vecs = q.count()
     assert store.count() == n_vecs
     assert store.select("vec_id").distinct().count() == n_vecs
 
-    cents, books = load_index(spark, f"{work}/index")
-    one_shot = ivfpq_encode(spark, emb_n, cents, books)
+    cq_sorted, books = load_int_index(f"{work}/index")
+    one_shot = ivfpq_int_encode(q.select("vec_id", "qn"), cq_sorted, books)
     joined = store.alias("s").join(one_shot.alias("o"), "vec_id")
     mism = joined.filter(
         (F.col("s.cell_id") != F.col("o.cell_id"))
@@ -528,7 +523,7 @@ def test_drift_retrain_recovers_recall(spark, tmp_path):
     from bqfetch_spark.streaming.ann_index import (
         ANN_DRIFT_JSD,
         DRIFT_ID_BASE,
-        _clustered_for_store,
+        _write_codes_wave,
         append_wave,
         build_index,
         cell_occupancy,
@@ -549,12 +544,11 @@ def test_drift_retrain_recovers_recall(spark, tmp_path):
     dim = emb_n.select(F.size("v").alias("d")).first()["d"]
     idx = str(tmp_path / "index")
     cents, books = build_index(spark, initial, dim, idx)
-    (
-        _clustered_for_store(ivfpq_encode(spark, initial, cents, books))
-        .withColumn("ingest_batch", F.lit(-1).cast("bigint"))
-        .write.mode("overwrite")
-        .partitionBy("ingest_batch", "cell_id")
-        .parquet(os.path.join(idx, "codes"))
+    _write_codes_wave(
+        ivfpq_encode(spark, initial, cents, books),
+        os.path.join(idx, "codes"),
+        None,
+        overwrite_all=True,
     )
     baseline = cell_occupancy(spark.read.parquet(os.path.join(idx, "codes")), len(cents))
 
@@ -612,7 +606,7 @@ def test_partial_retrain_recovers_recall(spark, tmp_path):
     from bqfetch_spark.operators.pq import ivfpq_search
     from bqfetch_spark.streaming.ann_index import (
         DRIFT_ID_BASE,
-        _clustered_for_store,
+        _write_codes_wave,
         build_index,
         drifted_wave,
         ingest_with_drift_monitor,
@@ -630,12 +624,11 @@ def test_partial_retrain_recovers_recall(spark, tmp_path):
     dim = emb_n.select(F.size("v").alias("d")).first()["d"]
     idx = str(tmp_path / "index")
     cents, books = build_index(spark, initial, dim, idx)
-    (
-        _clustered_for_store(ivfpq_encode(spark, initial, cents, books))
-        .withColumn("ingest_batch", F.lit(-1).cast("bigint"))
-        .write.mode("overwrite")
-        .partitionBy("ingest_batch", "cell_id")
-        .parquet(os.path.join(idx, "codes"))
+    _write_codes_wave(
+        ivfpq_encode(spark, initial, cents, books),
+        os.path.join(idx, "codes"),
+        None,
+        overwrite_all=True,
     )
     drift = drifted_wave(spark, dim)
     full = initial.unionByName(drift)

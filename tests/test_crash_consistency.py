@@ -182,7 +182,7 @@ def test_ann_code_store_survives_kill_mid_batch(spark, tmp_path):
     from bqfetch_spark.functions.vectors import as_double
     from bqfetch_spark.operators.pq import ivfpq_encode
     from bqfetch_spark.streaming.ann_index import (
-        _clustered_for_store,
+        _write_codes_wave,
         append_wave,
         build_index,
         unit_normalized,
@@ -199,12 +199,11 @@ def test_ann_code_store_survives_kill_mid_batch(spark, tmp_path):
     def family(root):
         idx = os.path.join(root, "index")
         cents, books = build_index(spark, initial, dim, idx)
-        (
-            _clustered_for_store(ivfpq_encode(spark, initial, cents, books))
-            .withColumn("ingest_batch", F.lit(-1).cast("bigint"))
-            .write.mode("overwrite")
-            .partitionBy("ingest_batch", "cell_id")
-            .parquet(os.path.join(idx, "codes"))
+        _write_codes_wave(
+            ivfpq_encode(spark, initial, cents, books),
+            os.path.join(idx, "codes"),
+            None,
+            overwrite_all=True,
         )
 
         def ingest(batch, batch_id):
@@ -225,3 +224,96 @@ def test_ann_code_store_survives_kill_mid_batch(spark, tmp_path):
     assert _canon(t_codes) == _canon(c_codes)
     # no vector indexed twice by the replay
     assert t_codes.count() == t_codes.select("vec_id").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# family 4: localized-retrain journaled swap (partial_retrain, round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_partial_retrain_kill_mid_swap_rolls_forward(spark, tmp_path, monkeypatch):
+    """Kill the journaled IN-PLACE partial retrain (round 12: only hot
+    cell directories are rewritten) at its two crash points — (a) right
+    after the commit journal is written, before any directory swap, and
+    (b) midway through the per-cell swap loop — then recover. The
+    rolled-forward store and artifacts must equal a crash-free retrain
+    exactly, recovery must be idempotent, and a PRE-journal crash must
+    leave the store untouched (stale staging discarded)."""
+    import json
+    import shutil
+
+    import numpy as np
+
+    import bqfetch_spark.streaming.ann_index as ai
+    from bqfetch_spark.functions.vectors import as_double
+    from bqfetch_spark.operators.pq import ivfpq_encode
+
+    emb = load_catalog(spark, SF_SMOKE).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    emb_n = ai.unit_normalized(emb)
+    dim = emb_n.select(F.size("v").alias("d")).first()["d"]
+
+    idx0 = str(tmp_path / "base" / "index")
+    cents, books = ai.build_index(spark, emb_n, dim, idx0)
+    ai._write_codes_wave(
+        ivfpq_encode(spark, emb_n, cents, books),
+        os.path.join(idx0, "codes"),
+        None,
+        overwrite_all=True,
+    )
+    wave = ai.drifted_wave(spark, dim)
+    wave_codes = ivfpq_encode(spark, wave, cents, books).localCheckpoint(eager=True)
+    occ = ai.cell_counts(wave_codes, len(cents))
+    hot = [int(np.argmax(occ))]
+
+    def canon(idx):
+        df = spark.read.parquet(os.path.join(idx, "codes")).select(
+            "vec_id", "cell_id", "code"
+        )
+        return sorted(tuple(r) for r in df.collect())
+
+    # crash-free reference run on a copy
+    clean = str(tmp_path / "clean_index")
+    shutil.copytree(idx0, clean)
+    ai.partial_retrain(spark, emb_n, wave, wave_codes, clean, hot, cents, books)
+    want = canon(clean)
+    want_cents = ai.load_index(spark, clean)[0]
+
+    # pre-journal crash: a stale staging dir with NO journal is a
+    # retrain that never committed — recovery discards it, store intact
+    pre = str(tmp_path / "pre_index")
+    shutil.copytree(idx0, pre)
+    os.makedirs(os.path.join(pre, "codes.retrain", "cell_id=0"))
+    before = canon(pre)
+    assert ai.recover_retrain(pre) is False
+    assert not os.path.exists(os.path.join(pre, "codes.retrain"))
+    assert canon(pre) == before
+
+    # (a) crash right after the journal write: no swap step ran
+    torn = str(tmp_path / "torn_index")
+    shutil.copytree(idx0, torn)
+    monkeypatch.setattr(ai, "recover_retrain", lambda d: False)
+    ai.partial_retrain(spark, emb_n, wave, wave_codes, torn, hot, cents, books)
+    monkeypatch.undo()
+    journal = os.path.join(torn, ai._RETRAIN_JOURNAL)
+    assert os.path.exists(journal)
+
+    # (b) ... and died midway through the swap loop: one journaled
+    # cell's directory swap already completed before the kill
+    plan = json.load(open(journal))
+    if plan["cells"]:
+        c = plan["cells"][0]
+        src = os.path.join(plan["staging"], f"cell_id={c}")
+        dst = os.path.join(torn, "codes", f"cell_id={c}")
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(src, dst)
+
+    assert ai.recover_retrain(torn) is True
+    assert canon(torn) == want
+    assert np.allclose(ai.load_index(spark, torn)[0], want_cents)
+    assert not os.path.exists(journal)
+    assert not os.path.exists(plan["staging"])
+    # recovery is a no-op afterwards
+    assert ai.recover_retrain(torn) is False
+    assert canon(torn) == want
