@@ -1896,6 +1896,221 @@ def qx222_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# qx286: BATCHED BPE merge learning (the production-K spelling)
+# ---------------------------------------------------------------------------
+
+BPE_BATCH_ROUNDS = 8  # re-count rounds (each = one Spark argtop + fold)
+BPE_BATCH_W = 8  # ranked-pair window examined per round
+
+
+def _bpe_batch_accept(top_rows) -> list:
+    """The batching rule qx221's docstring promised (VERDICT r11 #7),
+    made exact and non-recursive so DuckDB can mirror it without a
+    recursive CTE: scan the top-W ranked pairs (cnt DESC, l, r) in
+    rank order and ACCEPT a pair iff its symbol triple {l, r, l||r}
+    is disjoint from the triples of ALL higher-ranked window pairs —
+    accepted or not. Disjointness of {l, r} makes the batch
+    order-independent inside one fold pass; including the MERGED
+    token closes the remaining coupling (a pair whose input is
+    another's output, or vice versa, would make the single-pass fold
+    diverge from sequential application). A pair blocked this round
+    simply competes again next round, after the re-count.
+
+    Returns [(rank, l, r, cnt), ...] in rank order."""
+    seen: set = set()
+    batch = []
+    for rank, row in enumerate(top_rows, start=1):
+        tri = {row.l, row.r, row.l + row.r}
+        if not (tri & seen):
+            batch.append((rank, row.l, row.r, int(row.cnt)))
+        seen |= tri
+    return batch
+
+
+def _bpe_merge_batch(rules: list):
+    """_bpe_merge_word generalized to a symbol-disjoint rule BATCH:
+    one JVM fold applies every rule in a single leftmost-first pass
+    (a position can match at most one rule because the batch's symbol
+    sets are disjoint by _bpe_batch_accept's construction)."""
+
+    def step(acc, s):
+        expr = F.when(
+            acc["p"].isNull(), F.struct(acc["out"].alias("out"), s.alias("p"))
+        )
+        for a, b in rules:
+            expr = expr.when(
+                (acc["p"] == F.lit(a)) & (s == F.lit(b)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+                    F.lit(None).cast("string").alias("p"),
+                ),
+            )
+        return expr.otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["p"])).alias("out"), s.alias("p")
+            )
+        )
+
+    return F.aggregate(
+        "syms",
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("p"),
+        ),
+        step,
+        lambda acc: F.when(acc["p"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["p"]))
+        ),
+    )
+
+
+def _bpe_batched_sql_ctes() -> str:
+    """The batched learning chain as DuckDB CTEs — qx221's unroll with
+    the argmax replaced by the windowed disjoint-batch acceptance
+    (t{k} ranked window -> a{k} accepted batch via the 3x3 NOT-EXISTS
+    triple check -> bl{k} rule arrays) and the single-rule fold
+    replaced by a list_position lookup over the batch arrays. The
+    fold's pending symbol is the segment after the last chr(31); after
+    a merge it is the merged token, which the acceptance rule
+    guarantees matches no rule's left side — exactly the engine fold's
+    cleared-pending behavior."""
+    pend = "string_split(acc, chr(31))[-1]"
+    ctes = ["""w0 AS MATERIALIZED (
+  SELECT word, string_split(word, '') AS syms, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+)"""]
+    for k in range(1, BPE_BATCH_ROUNDS + 1):
+        ctes.append(f"""t{k} AS MATERIALIZED (
+  SELECT l, r, cnt, rn FROM (
+    SELECT l, r, cnt, row_number() OVER (ORDER BY cnt DESC, l, r) AS rn
+    FROM (
+      SELECT v.syms[i] AS l, v.syms[i + 1] AS r, CAST(sum(v.freq) AS BIGINT) AS cnt
+      FROM w{k - 1} v, LATERAL (SELECT unnest(range(1, len(v.syms))) AS i) ii
+      GROUP BY 1, 2
+    )
+  ) WHERE rn <= {BPE_BATCH_W}
+),
+a{k} AS MATERIALIZED (
+  SELECT i.l, i.r, i.cnt, i.rn FROM t{k} i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM t{k} j WHERE j.rn < i.rn AND (
+      j.l IN (i.l, i.r, i.l || i.r) OR
+      j.r IN (i.l, i.r, i.l || i.r) OR
+      (j.l || j.r) IN (i.l, i.r, i.l || i.r)))
+),
+bl{k} AS MATERIALIZED (
+  SELECT list(l ORDER BY rn) AS ls, list(r ORDER BY rn) AS rs FROM a{k}
+),
+w{k} AS MATERIALIZED (
+  SELECT v.word,
+         string_split(
+           list_reduce(v.syms,
+             (acc, sym) -> CASE
+               WHEN len(b.ls) > 0
+                AND list_position(b.ls, {pend}) > 0
+                AND b.rs[list_position(b.ls, {pend})] = sym
+               THEN acc || sym
+               ELSE acc || chr(31) || sym END),
+           chr(31)) AS syms,
+         v.freq
+  FROM w{k - 1} v, bl{k} b
+)""")
+    return ",\n".join(ctes)
+
+
+def _bpe_batched_oracle() -> str:
+    steps = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, rn, l, r, cnt FROM a{k}"
+        for k in range(1, BPE_BATCH_ROUNDS + 1)
+    )
+    return f"""
+WITH {_bpe_batched_sql_ctes()}
+SELECT CAST(row_number() OVER (ORDER BY round, rn) AS BIGINT) AS step,
+       round, l AS "left", r AS "right", l || r AS merged,
+       cnt AS pair_count
+FROM ({steps})
+ORDER BY step
+"""
+
+
+@register(
+    "qx286_bpe_merges_batched",
+    oracle=_bpe_batched_oracle(),
+    doc="batched BPE merge learning: disjoint top-W batches per re-count round (production-K shape)",
+    tags=("llm-pipeline", "tokenization", "iterative"),
+)
+def qx286_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training in the PRODUCTION batch shape qx221's
+    docstring documents (VERDICT r11 #7): instead of one Spark argmax
+    round-trip per rule (right at K=8, scheduler-bound at K~30k), each
+    of BPE_BATCH_ROUNDS rounds ranks the pair counts once, accepts the
+    symbol-disjoint subset of the top-BPE_BATCH_W window
+    (_bpe_batch_accept — deterministic and non-recursive, so the
+    DuckDB oracle mirrors it exactly), applies the whole batch in ONE
+    JVM fold, and re-counts — O(K/B) jobs against the vocabulary-sized
+    frequency frame. Blocked pairs compete again next round.
+
+    FULL VALUE-HASH ORACLE: ranking, the windowed triple-disjointness
+    acceptance, the batched fold (list_position over the batch arrays)
+    and the global step numbering are all mirrored CTE-for-stage in
+    _bpe_batched_oracle. qx221/qx222 keep their exact sequential
+    spelling and oracles unchanged."""
+    toks = (
+        load_catalog(spark, sf_dir)
+        .table("documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select("word", F.split(F.col("word"), "").alias("syms"), "freq")
+        .localCheckpoint(eager=True)
+    )
+
+    out_rows: list = []
+    step = 0
+    for rnd in range(1, BPE_BATCH_ROUNDS + 1):
+        pair_idx = F.sequence(F.lit(0), F.size("syms") - 2)
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        pair_idx,
+                        lambda i: F.struct(
+                            F.element_at("syms", i + 1).alias("l"),
+                            F.element_at("syms", i + 2).alias("r"),
+                        ),
+                    )
+                ).alias("pr"),
+                "freq",
+            )
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(BPE_BATCH_W).collect()
+        batch = _bpe_batch_accept(top)
+        if not batch:
+            break
+        for _rank, a, b, cnt in batch:
+            step += 1
+            out_rows.append((step, rnd, a, b, a + b, cnt))
+        vocab = vocab.select(
+            "word",
+            _bpe_merge_batch([(a, b) for _rank, a, b, _cnt in batch]).alias("syms"),
+            "freq",
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        out_rows,
+        "step bigint, round bigint, left string, right string, merged string, "
+        "pair_count bigint",
+    ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
 # qx234: prefix-duplicate detection (truncated-crawl artifact)
 # ---------------------------------------------------------------------------
 

@@ -95,6 +95,7 @@ BUILD_ACTIONS: dict[str, tuple[int, str]] = {
     "qx219_embedding_frechet": (4, "[decide] eager localCheckpoint shares the moments frame"),
     "qx221_bpe_merges": (34, "[iter] 8 bounded BPE merge rounds (vocab-sized collects)"),
     "qx222_bpe_encode": (34, "[iter] qx221's merge chain feeding the encoder"),
+    "qx286_bpe_merges_batched": (33, "[iter] 8 batched-merge rounds: one top-W collect + one vocab checkpoint each (26 observed sf0.001)"),
     "qx239_context_stitching": (5, "[decide] O(k) top-terms collect parameterizes stitching"),
     "qx240_ann_pq": (8, "[train] integer codebook fit (shared frame ckpt + sample collect + query collect)"),
     "qx241_time_travel": (6, "[store] writes two table versions"),
