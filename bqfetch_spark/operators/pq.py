@@ -1039,31 +1039,53 @@ def _q56_artifacts(spark: SparkSession, sf_dir: str):
 
 def ivfpq_int_encode(frame: DataFrame, cq_sorted: list, books: list) -> DataFrame:
     """Frozen-artifact integer encode: (vec_id, qn) -> (vec_id,
-    cell_id, code). km_assign's literal-argmin cell pick, residual via
-    zip_with against the cell_id-sorted centroid matrix (indexed by
-    array_position so SPARSE cell ids — q57's slice-seeded cells, or
-    post-retrain appended subcells — work; for dense 0..k-1 ids this
-    is exactly the old ``element_at(cmat, cell_id + 1)``), then
-    pqi_code_expr. Map-only narrow expressions: encode cost at 100 TB
-    is the scan itself, shared by q56's one-shot build and every q57
-    ingest wave."""
-    from bqfetch_spark.operators.similarity import km_assign
+    cell_id, code), EXACT to the oracle chain — one vectorized int64
+    numpy pass over Arrow batches (mapInPandas). int64 numpy IS exact
+    integer arithmetic at these magnitudes (per-subspace sums
+    ≲ 3.9e13, coarse distances ≲ 3.1e14 — far under 2^63), and numpy's
+    argmin first-occurrence over the cell_id-sorted centroid matrix /
+    centroid-ordered codebooks reproduces the engine-and-oracle
+    ``ORDER BY d, cell_id`` / ``ORDER BY d, cent`` tie-breaks, so the
+    output is bit-identical to the previous JVM literal-expression
+    spelling (pytest-pinned wave-vs-one-shot equality and the
+    q56/q57/qx240 value-hash oracles all gate this).
 
-    cmat = F.lit([cq for _, cq in cq_sorted]).cast("array<array<bigint>>")
-    cids = F.lit([int(cid) for cid, _ in cq_sorted]).cast("array<int>")
-    assigned = km_assign(
-        frame.select("vec_id", F.col("qn").alias("qv")), cq_sorted
-    ).select("vec_id", F.col("qv").alias("qn"), "cell_id")
-    pos = F.array_position(cids, F.col("cell_id")).cast("int")
-    res = assigned.select(
-        "vec_id",
-        "cell_id",
-        F.zip_with(
-            "qn", F.element_at(cmat, pos), lambda a, b: a - b
-        ).alias("r"),
-    )
-    return res.select(
-        "vec_id", "cell_id", pqi_code_expr(books, col="r").alias("code")
+    Why a Pandas UDF and not built-in expressions (the usual slow
+    path): the literal spelling nested (cells × 64 + M × K × sub_d)
+    constants into one expression tree — Catalyst fell off
+    whole-stage codegen into interpreted per-row evaluation, measured
+    ~1.7k rows/s/32 cores on the 200k-vector 100× cert (119 s) vs
+    ~100× that for the Arrow batch. Sparse cell ids (q57's
+    slice-seeded cells, post-retrain appended subcells) ride the
+    cell_ids vector. Map-only: encode cost at 100 TB is the scan
+    itself, shared by q56's one-shot build and every q57 ingest
+    wave."""
+    cell_ids = np.array([int(cid) for cid, _ in cq_sorted], dtype=np.int64)
+    cq_mat = np.array([cq for _, cq in cq_sorted], dtype=np.int64)
+    books_arr = np.array(books, dtype=np.int64)  # (M, K, sub_d)
+    m, k, sub_d = books_arr.shape
+
+    def _enc(batches):
+        for pdf in batches:
+            mat = np.array(pdf["qn"].tolist(), dtype=np.int64)
+            d2 = ((mat[:, None, :] - cq_mat[None, :, :]) ** 2).sum(axis=2)
+            pos = d2.argmin(axis=1)  # first occurrence = lowest cell_id
+            res = mat - cq_mat[pos]
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for s in range(m):
+                sub = res[:, s * sub_d : (s + 1) * sub_d]
+                dd = ((sub[:, None, :] - books_arr[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = dd.argmin(axis=1)  # first occurrence = lowest cent
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell_id": cell_ids[pos].astype("int32"),
+                    "code": [c.tolist() for c in codes],
+                }
+            )
+
+    return frame.select("vec_id", "qn").mapInPandas(
+        _enc, "vec_id bigint, cell_id int, code array<int>"
     )
 
 
