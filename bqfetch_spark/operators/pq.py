@@ -279,29 +279,41 @@ def pqi_artifacts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
     return q, _PQI_BOOKS_MEMO[key]
 
 
-def pqi_code_expr(books: list, col: str = "qn") -> F.Column:
-    """code array<int> over the `col` vector column (qn grid for
-    qx240, residuals for q56): per subspace, argmin cell over the
-    literal codebook (ONE nested 3-level literal — the q55 py4j
-    lesson), ties to the lowest centroid id."""
-    mat = F.lit(books).cast("array<array<array<bigint>>>")
-    cids = F.lit(list(range(PQ_K))).cast("array<int>")
+def _pqi_codes_np(mat: "np.ndarray", books_arr: "np.ndarray") -> "np.ndarray":
+    """PQ codes for an int64 row matrix against int64 codebooks —
+    exact integer arithmetic (magnitudes ≲ 3.9e13 per subspace, far
+    under 2^63) with numpy argmin first-occurrence reproducing the
+    oracle's ``ORDER BY d, cent`` tie-break. Shared by the raw-grid
+    encode (qx240) and the residual encode (q56/q57)."""
+    m, _k, sub_d = books_arr.shape
+    codes = np.empty((len(mat), m), dtype=np.int32)
+    for s in range(m):
+        sub = mat[:, s * sub_d : (s + 1) * sub_d]
+        dd = ((sub[:, None, :] - books_arr[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = dd.argmin(axis=1)
+    return codes
 
-    def code_for(s: int) -> F.Column:
-        sub = F.slice(F.col(col), s * PQI_SUB_D + 1, PQI_SUB_D)
-        cents = F.element_at(mat, s + 1)
 
-        def entry(cv, cid):
-            d = F.aggregate(
-                F.zip_with(sub, cv, lambda x, c: (x - c) * (x - c)),
-                F.lit(0).cast("bigint"),
-                lambda acc, t: acc + t,
+def pqi_int_codes(frame: DataFrame, books: list) -> DataFrame:
+    """(vec_id, qn) -> (vec_id, code): qn-grid PQ codes with frozen
+    integer codebooks, one vectorized Arrow pass (mapInPandas). The
+    earlier JVM spelling nested the whole codebook as one literal
+    expression tree — Catalyst dropped it from whole-stage codegen
+    into interpreted per-row evaluation (see ivfpq_int_encode's
+    measurement); the numpy pass is bit-identical (_pqi_codes_np)."""
+    books_arr = np.array(books, dtype=np.int64)
+
+    def _enc(batches):
+        for pdf in batches:
+            mat = np.array(pdf["qn"].tolist(), dtype=np.int64)
+            codes = _pqi_codes_np(mat, books_arr)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "code": [c.tolist() for c in codes]}
             )
-            return F.struct(d.alias("d"), cid.alias("cent"))
 
-        return F.array_min(F.zip_with(cents, cids, entry))["cent"]
-
-    return F.array(*[code_for(s) for s in range(PQ_M)])
+    return frame.select("vec_id", "qn").mapInPandas(
+        _enc, "vec_id bigint, code array<int>"
+    )
 
 
 def _pqi_base_sql() -> list:
@@ -337,7 +349,7 @@ def _pqi_books_sql(
     """Per-subspace integer Lloyd chain over {src}(vec_id, {col}):
     defines sv (subvectors), b0..b{iters}, books (final quantized
     codebooks, keyed (s_id, cent)) and codes (vec_id, s_id, cent) —
-    the SQL mirror of int_train_codebooks + pqi_code_expr.
+    the SQL mirror of int_train_codebooks + _pqi_codes_np.
 
     ``train_where`` (a vec_id predicate) restricts TRAINING to a
     subset ``svt`` of the subvectors while ``codes`` still encodes ALL
@@ -435,7 +447,7 @@ def _pqi_books_sql(
 
 def _pqi_cte_sql(iters: int = PQI_ITERS) -> str:
     """DuckDB mirror of pq_quantized + int_train_codebooks +
-    pqi_code_expr over the qn grid (the qx240 chain)."""
+    pqi_int_codes over the qn grid (the qx240 chain)."""
     return ",\n".join(_pqi_base_sql() + _pqi_books_sql("e", "qn", iters))
 
 
@@ -518,12 +530,10 @@ def qx240_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, books = pqi_artifacts(spark, sf_dir)
     # the CODE STORE is an artifact too (q57's premise): checkpoint it
     # once per session so repeat invocations serve from codes instead
-    # of re-running the literal-fold encode
+    # of re-running the encode pass
     ck = (spark.sparkContext.applicationId, sf_dir, "qx240-codes")
     if ck not in _PQI_BOOKS_MEMO:
-        _PQI_BOOKS_MEMO[ck] = q.select(
-            "vec_id", pqi_code_expr(books).alias("code")
-        ).localCheckpoint(eager=True)
+        _PQI_BOOKS_MEMO[ck] = pqi_int_codes(q, books).localCheckpoint(eager=True)
     codes = _PQI_BOOKS_MEMO[ck]
     queries = sorted(
         (int(r["vec_id"]), [int(x) for x in r["qn"]])
@@ -1063,19 +1073,13 @@ def ivfpq_int_encode(frame: DataFrame, cq_sorted: list, books: list) -> DataFram
     cell_ids = np.array([int(cid) for cid, _ in cq_sorted], dtype=np.int64)
     cq_mat = np.array([cq for _, cq in cq_sorted], dtype=np.int64)
     books_arr = np.array(books, dtype=np.int64)  # (M, K, sub_d)
-    m, k, sub_d = books_arr.shape
 
     def _enc(batches):
         for pdf in batches:
             mat = np.array(pdf["qn"].tolist(), dtype=np.int64)
             d2 = ((mat[:, None, :] - cq_mat[None, :, :]) ** 2).sum(axis=2)
             pos = d2.argmin(axis=1)  # first occurrence = lowest cell_id
-            res = mat - cq_mat[pos]
-            codes = np.empty((len(mat), m), dtype=np.int32)
-            for s in range(m):
-                sub = res[:, s * sub_d : (s + 1) * sub_d]
-                dd = ((sub[:, None, :] - books_arr[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = dd.argmin(axis=1)  # first occurrence = lowest cent
+            codes = _pqi_codes_np(mat - cq_mat[pos], books_arr)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
