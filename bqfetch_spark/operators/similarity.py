@@ -2051,31 +2051,44 @@ def qx208_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_catalog(spark, sf_dir).table("embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    centered = F.zip_with(
-        "v", F.array(*[F.lit(float(m)) for m in mu]), lambda x, y: x - y
-    )
-    projected = emb.select("vec_id", centered.alias("vc"))
-    comps = [
-        r6(
-            F.aggregate(
-                F.zip_with(
-                    "vc",
-                    F.array(
-                        *[
-                            F.lit(float(w))
-                            for w in wmat_flat[k * PCA_DIM : (k + 1) * PCA_DIM]
-                        ]
-                    ),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    # The 64x64 whitener application is one vectorized Arrow pass
+    # (mapInPandas) replicating the fold's EXACT left-to-right IEEE
+    # accumulation: acc starts at 0.0 and adds one (vc_k * w_k) product
+    # per step, each a single correctly-rounded double op in numpy
+    # exactly as in the JVM fold — so the output is bit-identical to
+    # the previous zip_with/aggregate spelling (the oracle hash gates
+    # this). The literal-fold spelling evaluated the 4096
+    # higher-order-lambda terms per row INTERPRETED (hof exprs skip
+    # whole-stage codegen — the ivfpq_int_encode lesson), measured
+    # 5.3 s at sf0.1 vs ~1 s for the Arrow pass. Rounding stays
+    # JVM-side (F.round is HALF_UP; numpy rounds half-even).
+    import numpy as _np
+    import pandas as _pd
+
+    mu_arr = _np.array([float(m) for m in mu], dtype=_np.float64)
+    w_mat = _np.array(
+        [float(w) for w in wmat_flat], dtype=_np.float64
+    ).reshape(PCA_DIM, PCA_DIM)
+
+    def _whiten(batches):
+        for pdf in batches:
+            v = _np.array(pdf["v"].tolist(), dtype=_np.float64)
+            vc = v - mu_arr
+            out = _np.empty((len(vc), PCA_DIM), dtype=_np.float64)
+            for r_i in range(PCA_DIM):
+                acc = _np.zeros(len(vc), dtype=_np.float64)
+                for k in range(PCA_DIM):
+                    acc = acc + vc[:, k] * w_mat[r_i, k]
+                out[:, r_i] = acc
+            yield _pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "w": [row.tolist() for row in out]}
             )
-        )
-        + F.lit(0.0)
-        for k in range(PCA_DIM)
-    ]
-    return projected.select("vec_id", F.array(*comps).alias("whitened"))
+
+    raw = emb.mapInPandas(_whiten, "vec_id bigint, w array<double>")
+    return raw.select(
+        "vec_id",
+        F.transform("w", lambda x: r6(x) + F.lit(0.0)).alias("whitened"),
+    )
 
 
 # ---------------------------------------------------------------------------
