@@ -1619,28 +1619,39 @@ def qx193_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_catalog(spark, sf_dir).table("embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    centered = F.zip_with(
-        "v", F.array(*[F.lit(float(m)) for m in mu]), lambda x, y: x - y
+    # Projection as one vectorized Arrow pass with the fold's exact
+    # left-to-right IEEE accumulation (see qx208 — bit-identical to the
+    # zip_with/aggregate spelling, which evaluated interpreted); the
+    # 6dp HALF_UP rounding stays JVM-side.
+    import numpy as _np
+    import pandas as _pd
+
+    mu_arr = _np.array([float(m) for m in mu], dtype=_np.float64)
+    comp_mat = _np.array(
+        [[float(w) for w in comps[k]] for k in range(PCA_K)], dtype=_np.float64
     )
-    projected = emb.select("vec_id", centered.alias("vc"))
-    cols = [
-        (
-            r6(
-                F.aggregate(
-                    F.zip_with(
-                        "vc",
-                        F.array(*[F.lit(float(w)) for w in comps[k]]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-            + F.lit(0.0)
-        ).alias(f"pc{k + 1}")
-        for k in range(PCA_K)
-    ]
-    return projected.select("vec_id", *cols)
+
+    def _project(batches):
+        for pdf in batches:
+            v = _np.array(pdf["v"].tolist(), dtype=_np.float64)
+            vc = v - mu_arr
+            out = {"vec_id": pdf["vec_id"]}
+            for k in range(PCA_K):
+                acc = _np.zeros(len(vc), dtype=_np.float64)
+                for j in range(PCA_DIM):
+                    acc = acc + vc[:, j] * comp_mat[k, j]
+                out[f"p{k}"] = acc
+            yield _pd.DataFrame(out)
+
+    schema = "vec_id bigint, " + ", ".join(f"p{k} double" for k in range(PCA_K))
+    raw = emb.mapInPandas(_project, schema)
+    return raw.select(
+        "vec_id",
+        *[
+            (r6(F.col(f"p{k}")) + F.lit(0.0)).alias(f"pc{k + 1}")
+            for k in range(PCA_K)
+        ],
+    )
 
 
 # ---------------------------------------------------------------------------
