@@ -1931,23 +1931,34 @@ def _bpe_merge_batch(rules: list):
     """_bpe_merge_word generalized to a symbol-disjoint rule BATCH:
     one JVM fold applies every rule in a single leftmost-first pass
     (a position can match at most one rule because the batch's symbol
-    sets are disjoint by _bpe_batch_accept's construction)."""
+    sets are disjoint by _bpe_batch_accept's construction). The batch
+    rides as ONE literal map l -> r (lefts are distinct — disjointness
+    again), so each fold step is a single map lookup instead of a
+    B-branch CASE chain (higher-order folds evaluate interpreted, so
+    per-step work is what matters). A missing key yields NULL,
+    NULL == s is NULL, and when() treats NULL as false — exactly the
+    no-match branch."""
+    mp = F.create_map(*[x for a, b in rules for x in (F.lit(a), F.lit(b))])
 
     def step(acc, s):
-        expr = F.when(
-            acc["p"].isNull(), F.struct(acc["out"].alias("out"), s.alias("p"))
-        )
-        for a, b in rules:
-            expr = expr.when(
-                (acc["p"] == F.lit(a)) & (s == F.lit(b)),
+        return (
+            F.when(
+                acc["p"].isNull(), F.struct(acc["out"].alias("out"), s.alias("p"))
+            )
+            .when(
+                F.element_at(mp, acc["p"]) == s,
                 F.struct(
-                    F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+                    F.concat(
+                        acc["out"], F.array(F.concat(acc["p"], s))
+                    ).alias("out"),
                     F.lit(None).cast("string").alias("p"),
                 ),
             )
-        return expr.otherwise(
-            F.struct(
-                F.concat(acc["out"], F.array(acc["p"])).alias("out"), s.alias("p")
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["p"])).alias("out"),
+                    s.alias("p"),
+                )
             )
         )
 
