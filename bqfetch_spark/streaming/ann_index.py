@@ -240,13 +240,25 @@ def build_int_index(
         initial_qn.select("vec_id", F.col("qn").alias("qv")), IVFPQ_CELLS
     )
     cq_sorted = sorted(km_quantized(state))
-    sample = [
-        (int(r["vec_id"]), [int(x) for x in r["qn"]])
-        for r in initial_qn.select("vec_id", "qn")
+    rows = (
+        initial_qn.select("vec_id", "qn")
         .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(PQ_FIT_SAMPLE)
+        .limit(PQ_FIT_SAMPLE + 1)
         .collect()
-    ]
+    )
+    if len(rows) > PQ_FIT_SAMPLE:
+        # q57's registered DuckDB oracle (_q57_oracle) trains on the
+        # WHOLE initial slice; the engine's codebook fit is hash-capped
+        # at PQ_FIT_SAMPLE rows. At every fixture scale the slice fits
+        # the cap (the q56 contract), so an oversized fixture must fail
+        # loudly here instead of silently diverging from the oracle
+        # (ADVICE r12).
+        raise ValueError(
+            f"initial ingest slice exceeds PQ_FIT_SAMPLE={PQ_FIT_SAMPLE}: "
+            "the frozen q57 artifacts would no longer match the "
+            "registered full-slice oracle"
+        )
+    sample = [(int(r["vec_id"]), [int(x) for x in r["qn"]]) for r in rows]
     books = int_residual_books(sample, cq_sorted)
     _write_int_artifacts(cq_sorted, books, index_dir)
     return cq_sorted, books
@@ -527,10 +539,16 @@ def recover_retrain(index_dir: str) -> bool:
     journal = os.path.join(index_dir, _RETRAIN_JOURNAL)
     if not os.path.exists(journal):
         # no commit record: any stale staging dir is a retrain that
-        # never committed — discard it (the pre-journal crash case)
+        # never committed — discard it (the pre-journal crash case),
+        # including orphaned .staged artifact files left by a crash
+        # between _write_artifacts(suffix=".staged") and the journal
+        # write (ADVICE r12)
         stale = os.path.join(index_dir, "codes.retrain")
         if os.path.exists(stale):
             shutil.rmtree(stale, ignore_errors=True)
+        for staged, _final in _staged_artifact_paths(index_dir):
+            if os.path.exists(staged):
+                os.remove(staged)
         return False
     with open(journal) as fh:
         plan = json.load(fh)
@@ -551,6 +569,25 @@ def recover_retrain(index_dir: str) -> bool:
     # a no-op, so replays stay idempotent
     for cell in plan.get("clear", []):
         shutil.rmtree(os.path.join(store, f"cell_id={cell}"), ignore_errors=True)
+    # cold-wave batches staged under UNTOUCHED cell ids are appended by
+    # per-file move — the cell directories themselves are never swapped
+    # (history stays), part-file names are job-unique so nothing
+    # collides with pre-existing batch files, and a moved file
+    # disappears from staging, so replays skip it (idempotent)
+    for cell in plan.get("append", []):
+        src_cell = os.path.join(staging, f"cell_id={cell}")
+        if not os.path.isdir(src_cell):
+            continue
+        for batch_dir in os.listdir(src_cell):
+            src_b = os.path.join(src_cell, batch_dir)
+            if not os.path.isdir(src_b):
+                continue
+            dst_b = os.path.join(store, f"cell_id={cell}", batch_dir)
+            os.makedirs(dst_b, exist_ok=True)
+            for fname in os.listdir(src_b):
+                os.replace(
+                    os.path.join(src_b, fname), os.path.join(dst_b, fname)
+                )
     invalidate_baseline_occupancy(index_dir)
     os.remove(journal)
     shutil.rmtree(staging, ignore_errors=True)
@@ -601,11 +638,12 @@ def partial_retrain(
        tests/test_crash_consistency.py).
 
     Cold-cell wave rows reuse the codes ALREADY computed for the drift
-    histogram and are appended through the ordinary wave writer (their
-    nearest OLD cell is unchanged; a cold vector whose true nearest
-    becomes a NEW cell is mis-binned by at most the old assignment —
-    the standard partial-retrain approximation, bounded by the probe
-    redundancy)."""
+    histogram; they are staged next to the hot rewrite and moved into
+    the untouched cold directories by the same journaled roll-forward
+    (their nearest OLD cell is unchanged; a cold vector whose true
+    nearest becomes a NEW cell is mis-binned by at most the old
+    assignment — the standard partial-retrain approximation, bounded
+    by the probe redundancy)."""
     import json
     import shutil
 
@@ -629,20 +667,27 @@ def partial_retrain(
         spark, affected, cents_new[subset], books, cell_ids=subset
     )
 
-    # cold wave rows: ordinary idempotent append, untouched directories
+    # cold wave rows keep the codes already computed for the drift
+    # histogram, but are STAGED like everything else and only moved
+    # into the store during the journaled roll-forward (ADVICE r12:
+    # appending them before the journal broke the "before the journal
+    # nothing changed" invariant and made a pre-journal wave retry
+    # duplicate them)
     cold_wave = wave_codes.filter(~F.col("cell_id").isin(hot)).select(
         "vec_id", "cell_id", "code"
     )
-    _write_codes_wave(cold_wave, store, None)
 
     staging = store + ".retrain"
     shutil.rmtree(staging, ignore_errors=True)
     _write_codes_wave(recoded, staging, None, overwrite_all=True)
+    _write_codes_wave(cold_wave, staging, None)
     # stage the new artifacts, then COMMIT via the journal: everything
     # after this point is idempotent roll-forward (recover_retrain).
     # cells: swap-plan entries WITH staged data; clear: plan entries
     # whose staged dir is empty (hot cell fully drained into subcells)
-    # — their stale store dir must still be removed
+    # — their stale store dir must still be removed; append: cold-wave
+    # cells outside the swap plan whose staged batches are moved into
+    # the live directories without replacing them
     staged_cells = {
         int(d.split("=", 1)[1])
         for d in os.listdir(staging)
@@ -655,6 +700,7 @@ def partial_retrain(
                 "staging": staging,
                 "cells": sorted(c for c in subset if c in staged_cells),
                 "clear": sorted(c for c in subset if c not in staged_cells),
+                "append": sorted(staged_cells.difference(subset)),
             },
             fh,
         )

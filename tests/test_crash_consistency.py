@@ -285,9 +285,14 @@ def test_partial_retrain_kill_mid_swap_rolls_forward(spark, tmp_path, monkeypatc
     pre = str(tmp_path / "pre_index")
     shutil.copytree(idx0, pre)
     os.makedirs(os.path.join(pre, "codes.retrain", "cell_id=0"))
+    # orphaned staged artifacts from a crash between the staged
+    # _write_artifacts and the journal write are discarded too (r13)
+    staged_art = os.path.join(pre, "centroids.parquet.staged")
+    shutil.copyfile(os.path.join(pre, "centroids.parquet"), staged_art)
     before = canon(pre)
     assert ai.recover_retrain(pre) is False
     assert not os.path.exists(os.path.join(pre, "codes.retrain"))
+    assert not os.path.exists(staged_art)
     assert canon(pre) == before
 
     # (a) crash right after the journal write: no swap step ran
@@ -298,6 +303,12 @@ def test_partial_retrain_kill_mid_swap_rolls_forward(spark, tmp_path, monkeypatc
     monkeypatch.undo()
     journal = os.path.join(torn, ai._RETRAIN_JOURNAL)
     assert os.path.exists(journal)
+    # round 13: the cold-wave append is staged too, so up to the
+    # journal write the LIVE store is byte-identical to the original —
+    # a crash here plus a wave retry can no longer duplicate cold rows
+    assert canon(torn) == canon(idx0)
+    plan_a = json.load(open(journal))
+    assert plan_a.get("append"), "drifted wave should have cold cells staged"
 
     # (b) ... and died midway through the swap loop: one journaled
     # cell's directory swap already completed before the kill
