@@ -569,93 +569,161 @@ def qx231_streaming_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_incremental_source_mix(spark, sf_dir, work)
 
 
+def _qx242_oracle_sql() -> str:
+    from bqfetch_spark.operators.pq import _qx242_oracle
+
+    return _qx242_oracle()
+
+
 @register(
     "qx242_ann_drift_retrain",
-    oracle=None,
-    doc="drift-triggered ANN retrain: cell-occupancy JSD gates an artifact rebuild",
-    tags=("streaming", "ann", "drift", "incremental"),
+    oracle=_qx242_oracle_sql(),
+    doc="drift-triggered ANN retrain on the exact integer chain: occupancy-JSD gates a coarse rebuild (full CTE oracle)",
+    tags=("similarity", "ann", "drift", "iterative"),
 )
 def qx242_ann_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The retrain trigger q57's frozen-artifact design deliberately
-    left offline (streaming/ann_index.py:ingest_with_drift_monitor):
-    every ingest wave's cell-occupancy histogram — a free by-product
-    of coarse assignment — is compared to the trained baseline's via
-    Jensen-Shannon divergence; a wave that still looks like the
-    training distribution appends in O(wave), a drifted wave (JSD >
-    ANN_DRIFT_JSD) rebuilds centroids + codebooks on corpus+wave and
-    re-encodes the store (the FAISS retrain-and-swap loop, composing
-    qx231's distribution-drift stance with the vector index).
+    left offline: every ingest wave's cell-occupancy histogram — a
+    free by-product of coarse assignment — is compared to the trained
+    baseline's via Jensen-Shannon divergence; a wave that still looks
+    like the training distribution appends in O(wave), a drifted wave
+    (JSD > ANN_DRIFT_JSD) retrains the quantizer on corpus + waves
+    (the FAISS retrain loop, composing qx231's distribution-drift
+    stance with the vector index).
 
-    Two planted waves make both branches execute deterministically:
-    an in-distribution wave (held-out fixture vectors — low JSD, no
-    retrain) and a drifted wave (a seeded dense 2-mode cloud in
-    directions the trained centroids never saw — high JSD, retrain
-    fires; the cloud is denser than the rerank budget, so the frozen
-    artifacts genuinely lose recall there: measured 0.48 frozen vs
-    0.74 retrained at sf0.01). Since round 11 (VERDICT r10 #6) the
-    planted cloud takes the LOCALIZED retrain branch
-    (ann_index.partial_retrain): the 2-mode drift concentrates in hot
-    cells, so only new sub-centroids train and only the affected
-    vector slice re-encodes — the expensive raw-vector pass no longer
-    scales with the whole corpus; the baseline occupancy rides an
-    artifact instead of a per-wave store re-scan, and wave sizes ride
-    the occupancy counts instead of separate count jobs. Rows-only by
-    design (JSD of a trained quantizer has no SQL spelling); recall
-    recovery on the drifted workload is pytest-gated for BOTH the
-    full and the partial rebuild (tests/test_ann_recall.py)."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
+    FULL VALUE-HASH ORACLE since round 13 (VERDICT r12 #1; rows-only
+    through r12 as a float-quantizer JSD): the fixture now rides the
+    q56/q57 EXACT INTEGER chain — frozen artifacts from
+    pq.q57_int_artifacts (session-memoized, shared with q57's
+    streaming build), coarse assignment as map-only JVM literal argmin
+    (similarity.km_assign, the ORDER BY d, cell_id tie-break) — so
+    cell-occupancy counts are exact integers and the JSD is one
+    deterministic float expression over them that DuckDB mirrors
+    term-for-term (pq._jsd_sql). The drifted wave is the vec_id%5=4
+    slice folded through abs(): exact on the qn grid, norm-preserving,
+    and it concentrates the mixed-sign corpus into the positive
+    orthant the frozen cells never resolved. The fired retrain is a
+    SECOND exact chain (fixed_point_kmeans over corpus ∪ waves) whose
+    effect is hashed as n_moved — the vectors the retrained quantizer
+    reassigns (oracle: prefix-r2 CTE chain + assignment join).
 
-    from bqfetch_spark.functions.vectors import as_double
-    from bqfetch_spark.streaming.ann_index import (
-        build_index,
-        drifted_wave,
-        ingest_with_drift_monitor,
-        ivfpq_encode,
-        unit_normalized,
+    The planted waves sit far from the ANN_DRIFT_JSD=0.15 gate on both
+    sides (measured ~0.04 in-dist vs ~0.5+ drifted); the fixture
+    asserts the gate fires exactly as the registered oracle spells it,
+    so a fixture-scale change fails loudly instead of hash-diverging.
+    The float-leg machinery this fixture previously drove — journaled
+    LOCALIZED partial_retrain, store swap, crash recovery — stays
+    pytest-gated (tests/test_ann_recall.py,
+    tests/test_crash_consistency.py) and 100×-certified
+    (scripts/scale_check_100x.py)."""
+    import numpy as np
+
+    from bqfetch_spark.operators.pq import (
+        IVFPQ_CELLS,
+        pq_frame_and_sample,
+        q57_int_artifacts,
     )
-    from bqfetch_spark.streaming.ann_index import _write_codes_wave
-
-    emb = load_catalog(spark, sf_dir).table("embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+    from bqfetch_spark.operators.similarity import (
+        fixed_point_kmeans,
+        km_assign,
+        km_quantized,
     )
-    emb_n = unit_normalized(emb)
-    initial = emb_n.filter(F.pmod("vec_id", F.lit(5)) <= 2)
-    dim = emb_n.select(F.size("v").alias("d")).first()["d"]
+    from bqfetch_spark.streaming.ann_index import ANN_DRIFT_JSD, occupancy_jsd
 
-    work = tempfile.mkdtemp(prefix="bqfs_anndrift_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
-    index_dir = os.path.join(work, "index")
-    cents, books = build_index(spark, initial, dim, index_dir)
-    _write_codes_wave(
-        ivfpq_encode(spark, initial, cents, books),
-        os.path.join(index_dir, "codes"),
-        None,
-        overwrite_all=True,
+    q, _ = pq_frame_and_sample(spark, sf_dir)
+    initial = q.filter(F.pmod("vec_id", F.lit(5)) <= 2).select(
+        "vec_id", F.col("qn").alias("qv")
+    )
+    wave_in = q.filter(F.pmod("vec_id", F.lit(5)) == 3).select(
+        "vec_id", F.col("qn").alias("qv")
+    )
+    wave_dr = q.filter(F.pmod("vec_id", F.lit(5)) == 4).select(
+        "vec_id", F.transform("qn", lambda x: F.abs(x)).alias("qv")
     )
 
-    in_dist = emb_n.filter(F.pmod("vec_id", F.lit(5)) == 3)
-    drifted = drifted_wave(spark, dim)
-    rows = []
-    corpus = initial
-    for name, wave in (("in_distribution", in_dist), ("drifted", drifted)):
-        rec = ingest_with_drift_monitor(spark, corpus, wave, dim, index_dir)
-        corpus = corpus.unionByName(wave)
-        rows.append(
-            (
-                name,
-                int(rec["n_wave"]),
-                round(float(rec["jsd"]), 6),
-                bool(rec["retrained"]),
-                rec["mode"],
-            )
+    cq_frozen, _books = q57_int_artifacts(spark, sf_dir)
+    cells = [cid for cid, _ in cq_frozen]
+
+    def counts_of(frame: DataFrame) -> dict:
+        rows = (
+            km_assign(frame, cq_frozen)
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
         )
+        return {int(r["cell_id"]): int(r["n"]) for r in rows}
+
+    def as_vec(cnts: dict) -> "np.ndarray":
+        return np.array([float(cnts.get(cid, 0)) for cid in cells])
+
+    def norm(v: "np.ndarray") -> "np.ndarray":
+        t = v.sum()
+        return v / t if t else v
+
+    def fp(cnts: dict) -> str:
+        return ",".join(f"{cid}:{n}" for cid, n in sorted(cnts.items()))
+
+    c_base, c_in, c_dr = counts_of(initial), counts_of(wave_in), counts_of(wave_dr)
+    v_base, v_in, v_dr = as_vec(c_base), as_vec(c_in), as_vec(c_dr)
+    jsd_in = occupancy_jsd(norm(v_base), norm(v_in))
+    # monitor semantics: the accepted wave folds into the baseline
+    jsd_dr = occupancy_jsd(norm(v_base + v_in), norm(v_dr))
+    if not (jsd_in <= ANN_DRIFT_JSD < jsd_dr):
+        raise AssertionError(
+            f"planted drift gate broke: jsd_in={jsd_in:.4f}, "
+            f"jsd_drifted={jsd_dr:.4f} vs ANN_DRIFT_JSD={ANN_DRIFT_JSD} — "
+            "the registered oracle spells the append/retrain path"
+        )
+
+    # the fired retrain: exact integer coarse rebuild on corpus + waves;
+    # its hashed effect is the number of vectors it reassigns. The
+    # retrained quantizer is a pure trained state of sf_dir, so it
+    # rides the same session memo as the frozen artifacts (the
+    # production train-once stance q56/q57 already apply)
+    from bqfetch_spark.operators.pq import _Q56_MEMO, _q56_memo_put
+
+    union = initial.unionByName(wave_in).unionByName(wave_dr)
+    mkey = (spark.sparkContext.applicationId, sf_dir, "qx242-retrain")
+    if mkey not in _Q56_MEMO:
+        _q56_memo_put(
+            mkey, sorted(km_quantized(fixed_point_kmeans(union, IVFPQ_CELLS)))
+        )
+    cq2 = _Q56_MEMO[mkey]
+    frozen_a = km_assign(union, cq_frozen).select(
+        "vec_id", F.col("cell_id").alias("c1")
+    )
+    retrained_a = km_assign(union, cq2).select(
+        "vec_id", F.col("cell_id").alias("c2")
+    )
+    n_moved = (
+        frozen_a.join(retrained_a, "vec_id")
+        .filter(F.col("c1") != F.col("c2"))
+        .count()
+    )
+
+    rows = [
+        ("baseline", int(v_base.sum()), fp(c_base), 0.0, False, 0),
+        (
+            "in_distribution",
+            int(v_in.sum()),
+            fp(c_in),
+            round(float(jsd_in), 6) + 0.0,
+            False,
+            0,
+        ),
+        (
+            "drifted",
+            int(v_dr.sum()),
+            fp(c_dr),
+            round(float(jsd_dr), 6) + 0.0,
+            True,
+            int(n_moved),
+        ),
+    ]
     return spark.createDataFrame(
         rows,
-        "wave string, n_vectors bigint, jsd double, retrained boolean, "
-        "retrain_mode string",
+        "wave string, n_vectors bigint, occ string, jsd double, "
+        "retrained boolean, n_moved bigint",
     )
 
 

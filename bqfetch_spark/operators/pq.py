@@ -792,6 +792,85 @@ def ivfpq_search(
     )
 
 
+_KQ_EXPR = (
+    "list_transform(range(1, 65), i -> "
+    "(2*s[i] + n - (((2*s[i] + n) % (2*n)) + 2*n) % (2*n)) // (2*n))"
+)
+_KDIST = "CAST(sum((e.qn[d.i] - c.cq[d.i]) * (e.qn[d.i] - c.cq[d.i])) AS BIGINT)"
+
+
+def _kquantize(name: str, cents: str) -> str:
+    """Quantize a coarse-kmeans state CTE into integer centroids."""
+    return f"""{name} AS MATERIALIZED (
+  SELECT cell_id, {_KQ_EXPR} AS cq FROM {cents}
+)"""
+
+
+def _kassign(name: str, cq: str, where: str = "", rank: int = 1, src: str = "e") -> str:
+    """Nearest-cell assignment of ``src``(vec_id, qn) against quantized
+    centroids ``cq`` — the ORDER BY d, cell_id tie-break of the exact
+    integer chain."""
+    w = f"WHERE {where}" if where else ""
+    keep = "= 1" if rank == 1 else f"<= {rank}"
+    src_clause = "e" if src == "e" else f"{src} e"
+    return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, cell_id, d FROM (
+    SELECT vec_id, cell_id, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
+    FROM (
+      SELECT e.vec_id, c.cell_id, {_KDIST} AS d
+      FROM {src_clause}, {cq} c, dims d {w}
+      GROUP BY e.vec_id, c.cell_id
+    )
+  ) WHERE rn {keep}
+)"""
+
+
+def _kupdate(name: str, prev: str, a: str, src: str = "e") -> str:
+    """One Lloyd mean-update round: per-cell coordinate sums + counts
+    from assignment ``a`` joined back to the training vectors."""
+    src_clause = "e" if src == "e" else f"{src} e"
+    return f"""{name} AS MATERIALIZED (
+  SELECT p.cell_id, COALESCE(u.s, p.s) AS s, COALESCE(u.n, p.n) AS n
+  FROM {prev} p LEFT JOIN (
+    SELECT cell_id, list(sx ORDER BY i) AS s, CAST(max(cnt) AS BIGINT) AS n
+    FROM (
+      SELECT a.cell_id, d.i, CAST(sum(e.qn[d.i]) AS BIGINT) AS sx,
+             count(*) AS cnt
+      FROM {a} a JOIN {src_clause} USING (vec_id), dims d
+      GROUP BY a.cell_id, d.i
+    ) GROUP BY cell_id
+  ) u USING (cell_id)
+)"""
+
+
+def _coarse_chain_sql(train: str, prefix: str = "") -> list:
+    """The full fixed-point coarse-kmeans CTE chain over training CTE
+    ``train``(vec_id, qn): seeds = the IVFPQ_CELLS smallest vec_ids in
+    the frame with cell ids = those vec_ids (fixed_point_kmeans'
+    k-smallest seeding), KM_ROUNDS exact update rounds, final quantized
+    centroids in ``{prefix}kqF``. ``prefix`` namespaces the CTEs so one
+    oracle can carry several independently-trained quantizers (the
+    qx242 frozen-vs-retrained pair)."""
+    from bqfetch_spark.operators.similarity import KM_ROUNDS
+
+    parts = [
+        f"""{prefix}k0 AS MATERIALIZED (
+  SELECT CAST(vec_id AS INT) AS cell_id, qn AS s, CAST(1 AS BIGINT) AS n
+  FROM (
+    SELECT vec_id, qn, row_number() OVER (ORDER BY vec_id) AS rn
+    FROM {train}
+  ) WHERE rn <= {IVFPQ_CELLS}
+)"""
+    ]
+    for r in range(1, KM_ROUNDS + 1):
+        parts.append(_kquantize(f"{prefix}kq{r - 1}", f"{prefix}k{r - 1}"))
+        parts.append(_kassign(f"{prefix}ka{r}", f"{prefix}kq{r - 1}", src=train))
+        parts.append(_kupdate(f"{prefix}k{r}", f"{prefix}k{r - 1}", f"{prefix}ka{r}", src=train))
+    parts.append(_kquantize(f"{prefix}kqF", f"{prefix}k{KM_ROUNDS}"))
+    return parts
+
+
 def _ivfpq_oracle(train_where: str | None = None) -> str:
     """Integer IVF-PQ chain: the coarse fixed-point Lloyd (k=IVFPQ_CELLS
     over the 64-dim qn grid), residuals against the quantized cells,
@@ -804,57 +883,14 @@ def _ivfpq_oracle(train_where: str | None = None) -> str:
     probes and search still run over ALL of e: the frozen-artifact
     streaming contract of q57 (train on the initial 60% ingest, encode
     every later wave against the frozen artifacts). With None this is
-    exactly the q56 one-shot oracle (train on everything)."""
-    kq_expr = (
-        "list_transform(range(1, 65), i -> "
-        "(2*s[i] + n - (((2*s[i] + n) % (2*n)) + 2*n) % (2*n)) // (2*n))"
-    )
-    kdist = "CAST(sum((e.qn[d.i] - c.cq[d.i]) * (e.qn[d.i] - c.cq[d.i])) AS BIGINT)"
-
-    def kquantize(name, cents):
-        return f"""{name} AS MATERIALIZED (
-  SELECT cell_id, {kq_expr} AS cq FROM {cents}
-)"""
-
-    def kassign(name, cq, where="", rank=1, src="e"):
-        w = f"WHERE {where}" if where else ""
-        keep = "= 1" if rank == 1 else f"<= {rank}"
-        src_clause = "e" if src == "e" else f"{src} e"
-        return f"""{name} AS MATERIALIZED (
-  SELECT vec_id, cell_id, d FROM (
-    SELECT vec_id, cell_id, d,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell_id) AS rn
-    FROM (
-      SELECT e.vec_id, c.cell_id, {kdist} AS d
-      FROM {src_clause}, {cq} c, dims d {w}
-      GROUP BY e.vec_id, c.cell_id
-    )
-  ) WHERE rn {keep}
-)"""
-
-    def kupdate(name, prev, a):
-        return f"""{name} AS MATERIALIZED (
-  SELECT p.cell_id, COALESCE(u.s, p.s) AS s, COALESCE(u.n, p.n) AS n
-  FROM {prev} p LEFT JOIN (
-    SELECT cell_id, list(sx ORDER BY i) AS s, CAST(max(cnt) AS BIGINT) AS n
-    FROM (
-      SELECT a.cell_id, d.i, CAST(sum(e.qn[d.i]) AS BIGINT) AS sx,
-             count(*) AS cnt
-      FROM {a} a JOIN e USING (vec_id), dims d
-      GROUP BY a.cell_id, d.i
-    ) GROUP BY cell_id
-  ) u USING (cell_id)
-)"""
+    exactly the q56 one-shot oracle (train on everything — the
+    k-smallest seeding equals the old ``vec_id < IVFPQ_CELLS`` text
+    because fixture ids are dense from 0)."""
+    kdist = _KDIST
 
     parts = _pqi_base_sql()
     if train_where is None:
         tsrc = "e"
-        parts.append(
-            f"""k0 AS MATERIALIZED (
-  SELECT CAST(vec_id AS INT) AS cell_id, qn AS s, CAST(1 AS BIGINT) AS n
-  FROM e WHERE vec_id < {IVFPQ_CELLS}
-)"""
-        )
     else:
         tsrc = "et"
         parts.append(
@@ -862,25 +898,8 @@ def _ivfpq_oracle(train_where: str | None = None) -> str:
   SELECT * FROM e WHERE {train_where}
 )"""
         )
-        # seeds = the IVFPQ_CELLS smallest vec_ids IN THE SLICE, cell
-        # ids = those vec_ids (fixed_point_kmeans' k-smallest seeding)
-        parts.append(
-            f"""k0 AS MATERIALIZED (
-  SELECT CAST(vec_id AS INT) AS cell_id, qn AS s, CAST(1 AS BIGINT) AS n
-  FROM (
-    SELECT vec_id, qn, row_number() OVER (ORDER BY vec_id) AS rn
-    FROM et
-  ) WHERE rn <= {IVFPQ_CELLS}
-)"""
-        )
-    from bqfetch_spark.operators.similarity import KM_ROUNDS
-
-    for r in range(1, KM_ROUNDS + 1):
-        parts.append(kquantize(f"kq{r - 1}", f"k{r - 1}"))
-        parts.append(kassign(f"ka{r}", f"kq{r - 1}", src=tsrc))
-        parts.append(kupdate(f"k{r}", f"k{r - 1}", f"ka{r}"))
-    parts.append(kquantize("kqF", f"k{KM_ROUNDS}"))
-    parts.append(kassign("kfin", "kqF"))
+    parts += _coarse_chain_sql(tsrc)
+    parts.append(_kassign("kfin", "kqF"))
     parts.append(
         """res AS MATERIALIZED (
   SELECT e.vec_id, a.cell_id,
@@ -987,6 +1006,126 @@ def _q57_oracle() -> str:
     return _ivfpq_oracle(train_where=Q57_TRAIN_WHERE)
 
 
+def _jsd_sql(base_cnt: str, wave_cnt: str) -> str:
+    """Jensen-Shannon divergence (base 2) between the normalized
+    cell-count CTEs ``base_cnt``/``wave_cnt`` (cell_id, n) — the exact
+    expression tree of ann_index.occupancy_jsd: shares p = n/total as
+    double divisions of exact integers, m = (p+q)/2, masked p*log2(p/m)
+    terms, halved sums, rounded to 6dp. Only the log2 implementation
+    and the 8-term sum order can differ from numpy — both far below
+    the 6dp round."""
+    return f"""(
+  SELECT round(0.5 * sum(CASE WHEN p > 0 THEN p * log2(p / m) ELSE 0 END)
+             + 0.5 * sum(CASE WHEN q > 0 THEN q * log2(q / m) ELSE 0 END),
+               6) + 0.0
+  FROM (
+    SELECT p, q, (p + q) / 2.0 AS m FROM (
+      SELECT CAST(COALESCE(b.n, 0) AS DOUBLE)
+               / (SELECT CAST(sum(n) AS DOUBLE) FROM {base_cnt}) AS p,
+             CAST(COALESCE(w.n, 0) AS DOUBLE)
+               / (SELECT CAST(sum(n) AS DOUBLE) FROM {wave_cnt}) AS q
+      FROM {base_cnt} b FULL JOIN {wave_cnt} w USING (cell_id)
+    )
+  )
+)"""
+
+
+def _occ_fp_sql(cnt: str) -> str:
+    """Canonical 'cell:count,...' fingerprint of a count CTE."""
+    return (
+        f"(SELECT string_agg(CAST(cell_id AS VARCHAR) || ':' || "
+        f"CAST(n AS VARCHAR), ',' ORDER BY cell_id) FROM {cnt})"
+    )
+
+
+def _qx242_oracle() -> str:
+    """qx242 drift-monitor oracle on the EXACT integer chain: frozen
+    coarse quantizer trained on the q57 initial slice (_coarse_chain_sql
+    over et — the same CTE chain as _ivfpq_oracle's), per-wave
+    cell-occupancy counts as exact integers, JSD per _jsd_sql, and the
+    retrain executed as a second full chain (prefix r2) over
+    corpus ∪ waves with n_moved = vectors the retrained quantizer
+    reassigns. The drifted wave is the vec_id%5=4 slice with qn folded
+    through abs() — norm-preserving on the qn grid, concentrates the
+    mixed-sign fixture into the positive orthant, so the frozen cells
+    measurably under-resolve it (the planted-drift contract)."""
+    parts = _pqi_base_sql()
+    parts.append(
+        f"""et AS MATERIALIZED (
+  SELECT vec_id, qn FROM e WHERE {Q57_TRAIN_WHERE}
+)"""
+    )
+    parts += _coarse_chain_sql("et")
+    parts.append(
+        "wa AS MATERIALIZED (SELECT vec_id, qn FROM e WHERE vec_id % 5 = 3)"
+    )
+    parts.append(
+        """wd AS MATERIALIZED (
+  SELECT vec_id, list_transform(qn, x -> abs(x)) AS qn
+  FROM e WHERE vec_id % 5 = 4
+)"""
+    )
+    parts.append(_kassign("ab", "kqF", src="et"))
+    parts.append(_kassign("aa", "kqF", src="wa"))
+    parts.append(_kassign("ad", "kqF", src="wd"))
+    for cnt, src in (("cb", "ab"), ("ca", "aa"), ("cd", "ad")):
+        parts.append(
+            f"""{cnt} AS (
+  SELECT cell_id, CAST(count(*) AS BIGINT) AS n FROM {src} GROUP BY cell_id
+)"""
+        )
+    # monitor semantics: the accepted in-distribution wave's counts
+    # fold into the baseline before the drifted wave is judged
+    parts.append(
+        """b2 AS (
+  SELECT cell_id, CAST(COALESCE(cb.n, 0) + COALESCE(ca.n, 0) AS BIGINT) AS n
+  FROM cb FULL JOIN ca USING (cell_id)
+)"""
+    )
+    # the retrain: a SECOND exact chain trained on corpus + both waves
+    parts.append(
+        """eu AS MATERIALIZED (
+  SELECT vec_id, qn FROM e WHERE vec_id % 5 <= 3
+  UNION ALL SELECT vec_id, qn FROM wd
+)"""
+    )
+    parts += _coarse_chain_sql("eu", prefix="r2")
+    parts.append(_kassign("ur", "r2kqF", src="eu"))
+    parts.append(
+        """uf AS (
+  SELECT vec_id, cell_id FROM ab
+  UNION ALL SELECT vec_id, cell_id FROM aa
+  UNION ALL SELECT vec_id, cell_id FROM ad
+)"""
+    )
+    parts.append(
+        """nmv AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM uf JOIN ur ON ur.vec_id = uf.vec_id
+  WHERE uf.cell_id <> ur.cell_id
+)"""
+    )
+    return f"""
+WITH {",".join(parts)}
+SELECT wave, n_vectors, occ, jsd, retrained, n_moved FROM (
+  SELECT 'baseline' AS wave,
+         (SELECT CAST(sum(n) AS BIGINT) FROM cb) AS n_vectors,
+         {_occ_fp_sql("cb")} AS occ,
+         0.0 AS jsd, FALSE AS retrained, CAST(0 AS BIGINT) AS n_moved
+  UNION ALL
+  SELECT 'in_distribution',
+         (SELECT CAST(sum(n) AS BIGINT) FROM ca),
+         {_occ_fp_sql("ca")},
+         {_jsd_sql("cb", "ca")}, FALSE, CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'drifted',
+         (SELECT CAST(sum(n) AS BIGINT) FROM cd),
+         {_occ_fp_sql("cd")},
+         {_jsd_sql("b2", "cd")}, TRUE, (SELECT n FROM nmv)
+) ORDER BY wave
+"""
+
+
 _Q56_MEMO: dict = {}
 
 
@@ -1058,6 +1197,51 @@ def _q56_artifacts(spark: SparkSession, sf_dir: str):
     cq_sorted = sorted(coarse)
     books = int_residual_books(sample, cq_sorted)
     _q56_memo_put(key, (q, cq_sorted, books))
+    return _Q56_MEMO[key]
+
+
+def train_int_artifacts(initial_qn: DataFrame) -> tuple[list, list]:
+    """Train the frozen INTEGER artifacts on a training frame
+    (vec_id, qn): coarse cells via the distributed fixed-point Lloyd
+    (seeds = the IVFPQ_CELLS smallest vec_ids IN THE FRAME, cell ids =
+    those vec_ids) and residual codebooks via int_residual_books over
+    the hash-capped sample. The q56 contract requires the frame to fit
+    PQ_FIT_SAMPLE — the registered oracles train on the WHOLE slice,
+    so an oversized fixture fails loudly instead of silently diverging
+    (ADVICE r12). Returns (cq_sorted [(cell_id, cq)], books)."""
+    from bqfetch_spark.operators.similarity import fixed_point_kmeans, km_quantized
+
+    state = fixed_point_kmeans(
+        initial_qn.select("vec_id", F.col("qn").alias("qv")), IVFPQ_CELLS
+    )
+    cq_sorted = sorted(km_quantized(state))
+    rows = (
+        initial_qn.select("vec_id", "qn")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(PQ_FIT_SAMPLE + 1)
+        .collect()
+    )
+    if len(rows) > PQ_FIT_SAMPLE:
+        raise ValueError(
+            f"training slice exceeds PQ_FIT_SAMPLE={PQ_FIT_SAMPLE}: "
+            "the frozen integer artifacts would no longer match the "
+            "registered full-slice oracle"
+        )
+    sample = [(int(r["vec_id"]), [int(x) for x in r["qn"]]) for r in rows]
+    books = int_residual_books(sample, cq_sorted)
+    return cq_sorted, books
+
+
+def q57_int_artifacts(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    """Frozen integer artifacts trained on the initial ingest slice
+    (Q57_TRAIN_WHERE), memoized per session — ONE training chain feeds
+    q57's streaming fixture AND qx242's drift monitor (the
+    shared-artifact stance: production trains once, serves many)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "q57-train")
+    if key not in _Q56_MEMO:
+        q, _ = pq_frame_and_sample(spark, sf_dir)
+        initial = q.filter(F.pmod("vec_id", F.lit(5)) <= 2)
+        _q56_memo_put(key, train_int_artifacts(initial))
     return _Q56_MEMO[key]
 
 

@@ -221,45 +221,15 @@ def _write_codes_wave(
 def build_int_index(
     spark: SparkSession, initial_qn: DataFrame, index_dir: str
 ) -> tuple[list, list]:
-    """Train the frozen INTEGER artifacts on the initial ingest slice:
-    coarse cells via the distributed fixed-point Lloyd (seeds = the
-    IVFPQ_CELLS smallest vec_ids IN THE SLICE, cell ids = those
-    vec_ids) and residual codebooks via int_residual_books over the
-    hash-capped sample (at oracle scales the slice fits the cap, so
-    the sample IS the slice — the same contract q56 documents).
-    Persists both as KB-sized parquet artifacts; returns
+    """Train the frozen INTEGER artifacts on the initial ingest slice
+    (pq.train_int_artifacts: distributed fixed-point Lloyd coarse
+    cells + int_residual_books over the hash-capped sample, with the
+    loud PQ_FIT_SAMPLE oversize guard — ADVICE r12) and persist both
+    as KB-sized parquet artifacts; returns
     (cq_sorted [(cell_id, cq)], books [s][c][j])."""
-    from bqfetch_spark.operators.pq import (
-        IVFPQ_CELLS,
-        PQ_FIT_SAMPLE,
-        int_residual_books,
-    )
-    from bqfetch_spark.operators.similarity import fixed_point_kmeans, km_quantized
+    from bqfetch_spark.operators.pq import train_int_artifacts
 
-    state = fixed_point_kmeans(
-        initial_qn.select("vec_id", F.col("qn").alias("qv")), IVFPQ_CELLS
-    )
-    cq_sorted = sorted(km_quantized(state))
-    rows = (
-        initial_qn.select("vec_id", "qn")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(PQ_FIT_SAMPLE + 1)
-        .collect()
-    )
-    if len(rows) > PQ_FIT_SAMPLE:
-        # q57's registered DuckDB oracle (_q57_oracle) trains on the
-        # WHOLE initial slice; the engine's codebook fit is hash-capped
-        # at PQ_FIT_SAMPLE rows. At every fixture scale the slice fits
-        # the cap (the q56 contract), so an oversized fixture must fail
-        # loudly here instead of silently diverging from the oracle
-        # (ADVICE r12).
-        raise ValueError(
-            f"initial ingest slice exceeds PQ_FIT_SAMPLE={PQ_FIT_SAMPLE}: "
-            "the frozen q57 artifacts would no longer match the "
-            "registered full-slice oracle"
-        )
-    sample = [(int(r["vec_id"]), [int(x) for x in r["qn"]]) for r in rows]
-    books = int_residual_books(sample, cq_sorted)
+    cq_sorted, books = train_int_artifacts(initial_qn)
     _write_int_artifacts(cq_sorted, books, index_dir)
     return cq_sorted, books
 
@@ -373,6 +343,7 @@ def run_incremental_ann_index(
         ivfpq_int_encode,
         pq_frame_and_sample,
         pqi_ivf_search,
+        q57_int_artifacts,
     )
     from bqfetch_spark.streaming.ownership import claim_store, owner_key_for_checkpoint
 
@@ -382,10 +353,13 @@ def run_incremental_ann_index(
     store = os.path.join(index_dir, "codes")
 
     # the session-memoized quantized frame (one checkpoint feeds q56,
-    # qx240 and this run — the shared-artifact stance)
+    # qx240 and this run — the shared-artifact stance); the frozen
+    # integer artifacts ride the same memo (shared with qx242's drift
+    # monitor), so repeat runs skip the training chain entirely
     q, _ = pq_frame_and_sample(spark, sf_dir)
     initial = q.filter(_wave_of() <= 2)
-    cq_sorted, books = build_int_index(spark, initial, index_dir)
+    cq_sorted, books = q57_int_artifacts(spark, sf_dir)
+    _write_int_artifacts(cq_sorted, books, index_dir)
     _write_codes_wave(
         ivfpq_int_encode(initial.select("vec_id", "qn"), cq_sorted, books),
         store,
