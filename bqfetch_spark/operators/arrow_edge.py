@@ -272,14 +272,11 @@ def q98_streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     one-shot batch rollup however ingest was sliced, so this carries a
     FULL DuckDB oracle; the multi-wave slicing itself is pinned by a
     three-file test (tests/test_sources_streaming.py)."""
-    import atexit
-    import shutil
-    import tempfile
+    from bqfetch_spark.workcache import overwrite_workdir
 
     from bqfetch_spark.streaming.rollup import run_rollup_maintenance
 
-    work = tempfile.mkdtemp(prefix="bqfs_rollup_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    work = overwrite_workdir("rollup", sf_dir)
     return run_rollup_maintenance(spark, sf_dir, work)
 
 
@@ -355,9 +352,7 @@ def q71_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     state). Carries q66's full oracle (single-file fixture → single
     micro-batch, see _q71_oracle); multi-batch equality with q66's
     one-shot batch anti-join is pytest-asserted."""
-    import atexit
-    import shutil
-    import tempfile
+    from bqfetch_spark.workcache import overwrite_workdir
 
     from bqfetch_spark.streaming.incremental import run_incremental_dedup
 
@@ -366,8 +361,7 @@ def q71_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     # so nothing is ever materialized on the driver — round 2's
     # TemporaryDirectory forced a collect() here, which at 100 TB-night
     # ingest would pull the whole deduped wave driver-side.
-    work = tempfile.mkdtemp(prefix="bqfs_incr_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    work = overwrite_workdir("incr", sf_dir)
     return run_incremental_dedup(spark, sf_dir, work)
 
 
@@ -403,14 +397,11 @@ def qx159_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     universal-hash recipe both ride through the SHARED helpers), so
     this streaming query carries q47's oracle VERBATIM: a FULL
     value-hash check, not rows-only (the qx265/qx273 stance)."""
-    import atexit
-    import shutil
-    import tempfile
+    from bqfetch_spark.workcache import overwrite_workdir
 
     from bqfetch_spark.streaming.neardup import run_incremental_neardup
 
-    work = tempfile.mkdtemp(prefix="bqfs_neardup_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    work = overwrite_workdir("neardup", sf_dir)
     return run_incremental_neardup(spark, sf_dir, work)
 
 
@@ -508,14 +499,11 @@ def qx200_streaming_pca_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     to qx192's one-shot output however ingest is sliced, so this
     streaming query carries qx192's FULL value-hash oracle (unique in
     the streaming family; float-maintained moments could never)."""
-    import atexit
-    import shutil
-    import tempfile
+    from bqfetch_spark.workcache import overwrite_workdir
 
     from bqfetch_spark.streaming.pca_stats import run_incremental_pca_stats
 
-    work = tempfile.mkdtemp(prefix="bqfs_pcastats_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    work = overwrite_workdir("pcastats", sf_dir)
     return run_incremental_pca_stats(spark, sf_dir, work)
 
 
@@ -558,14 +546,11 @@ def qx231_streaming_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the store-merged totals bit-equal a one-shot groupBy, so this
     streaming query carries a FULL value-hash oracle (the qx200
     property, applied to the mix monitor)."""
-    import atexit
-    import shutil
-    import tempfile
+    from bqfetch_spark.workcache import overwrite_workdir
 
     from bqfetch_spark.streaming.drift import run_incremental_source_mix
 
-    work = tempfile.mkdtemp(prefix="bqfs_srcdrift_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    work = overwrite_workdir("srcdrift", sf_dir)
     return run_incremental_source_mix(spark, sf_dir, work)
 
 
@@ -771,15 +756,12 @@ def qx246_streaming_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFr
     append); the audit scans each snapshot's manifest files. The
     commit runs driver-side in foreachBatch — the same external-state
     topology as q57/q71/q98."""
-    import atexit
     import os
-    import shutil
-    import tempfile
+    from bqfetch_spark.workcache import overwrite_workdir
 
     from bqfetch_spark.operators.lakehouse import commit_snapshot, read_snapshot, table_version
 
-    work = tempfile.mkdtemp(prefix="bqfs_vingest_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    work = overwrite_workdir("vingest", sf_dir)
     table_dir = os.path.join(work, "table")
     incoming = os.path.join(work, "incoming")
     os.makedirs(incoming)
@@ -860,14 +842,11 @@ def qx265_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
     one-shot scan, so this streaming query carries qx259's FULL
     value-hash oracle verbatim (the qx200/qx231 streaming-oracle
     stance, without even needing additivity)."""
-    import atexit
-    import shutil
-    import tempfile
+    from bqfetch_spark.workcache import overwrite_workdir
 
     from bqfetch_spark.streaming.decontam import run_incremental_decontamination
 
-    work = tempfile.mkdtemp(prefix="bqfs_decontam_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    work = overwrite_workdir("decontam", sf_dir)
     return run_incremental_decontamination(spark, sf_dir, work)
 
 
@@ -902,14 +881,11 @@ def qx273_streaming_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     even under blind wave replays (stronger than qx231's integer
     additivity, which needs overwrite discipline to avoid double
     counts); the doc-stat partials are plain additive integers."""
-    import atexit
-    import shutil
-    import tempfile
+    from bqfetch_spark.workcache import overwrite_workdir
 
     from bqfetch_spark.streaming.vocab import run_incremental_vocab
 
-    work = tempfile.mkdtemp(prefix="bqfs_vocab_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    work = overwrite_workdir("vocab", sf_dir)
     return run_incremental_vocab(spark, sf_dir, work)
 
 
@@ -972,14 +948,11 @@ def qx276_streaming_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram carries a FULL value-hash oracle: the one-shot spelling
     of the SAME arrival order. History is never repacked; per-wave
     cost is the wave's own cumsum + a windows-sized partial frame."""
-    import atexit
-    import shutil
-    import tempfile
+    from bqfetch_spark.workcache import overwrite_workdir
 
     from bqfetch_spark.streaming.packing import run_incremental_packing
 
-    work = tempfile.mkdtemp(prefix="bqfs_pack_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    work = overwrite_workdir("pack", sf_dir)
     return run_incremental_packing(spark, sf_dir, work)
 
 

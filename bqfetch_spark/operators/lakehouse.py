@@ -209,9 +209,9 @@ def q39_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     same aggregate from the original table, so the driver's value
     hash certifies the compactor preserved every row and value; the
     64 -> ceil(bytes/target) file-count drop is pinned in pytest."""
-    import tempfile
+    from bqfetch_spark.workcache import overwrite_workdir
 
-    work = tempfile.mkdtemp(prefix="bqfs_compact_")
+    work = overwrite_workdir("compact", sf_dir)
     staging = os.path.join(work, "staging")
     compacted = os.path.join(work, "compacted")
     ev = load_catalog(spark, sf_dir).table("events")
@@ -251,12 +251,12 @@ def q59_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — hash-checks that no old row was dropped, duplicated, or
     backfilled. Schema merging costs one footer read per FILE GROUP
     (not per row); the data scan is unchanged."""
-    import tempfile
+    from bqfetch_spark.workcache import overwrite_workdir
 
     ev = load_catalog(spark, sf_dir).table("events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    work = tempfile.mkdtemp(prefix="bqfs_evolve_")
+    work = overwrite_workdir("evolve", sf_dir)
     cut = F.to_date(F.col("ts")) >= F.lit(EVOLVE_CUTOVER).cast("date")
     ev.filter(~cut).write.mode("overwrite").parquet(os.path.join(work, "gen=1"))
     (
@@ -1061,9 +1061,7 @@ def qx247_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the merge is q35's anti-join + union (change set
     broadcast); each commit writes once; the audits are per-snapshot
     scans with one-row partial-aggregated finals."""
-    import atexit
-    import shutil
-    import tempfile
+    from bqfetch_spark.workcache import overwrite_workdir
 
     base = load_catalog(spark, sf_dir).table("customer")
     mod = F.col("c_custkey") % 10
@@ -1092,8 +1090,7 @@ def qx247_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(inserts)
     )
 
-    work = tempfile.mkdtemp(prefix="bqfs_vmerge_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    work = overwrite_workdir("vmerge", sf_dir)
     store = os.path.join(work, "table")
     commit_snapshot(spark, store, base.select(*cols), mode="overwrite")  # v1
     commit_snapshot(spark, store, merged, mode="overwrite")  # v2 (copy-on-write MERGE)
@@ -1177,12 +1174,9 @@ def qx255_optimize_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     both from the source table and they must be IDENTICAL content —
     the q39 content-identity contract, now version-aware. The
     file-count drop is pytest-pinned (layout, not content)."""
-    import atexit
-    import shutil
-    import tempfile
+    from bqfetch_spark.workcache import overwrite_workdir
 
-    work = tempfile.mkdtemp(prefix="bqfs_optimize_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    work = overwrite_workdir("optimize", sf_dir)
     store = build_timetravel_store(spark, sf_dir, os.path.join(work, "table"))
     v3 = read_snapshot(spark, store, 3)
     # bin-pack: one task per ~32 MB of input (fixture → 1 file)

@@ -20,11 +20,42 @@ so a transient error does not poison the session.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 from typing import Callable
 
 _BUILT: dict[tuple[str, str], str] = {}
+_OWNED: dict[tuple[str, str], str] = {}
+
+
+def overwrite_workdir(tag: str, key: str) -> str:
+    """A STABLE scratch dir per (tag, key), CLEARED on every call — for
+    operators whose store build IS the measured subject (lakehouse
+    writes, streaming ingest replays): unlike ``session_workdir``,
+    repeats redo the build at full cost — the benchmark keeps measuring
+    the write path — but into the same directory, so a long session's
+    scratch count stays bounded at one dir per (tag, key) instead of
+    one per invocation (VERDICT r12 #3: atexit was the only cleanup
+    that ever ran). Clearing also resets streaming checkpoints and
+    store-ownership claims, so each invocation is a fresh pipeline.
+    Contract (same as ``release``): frames returned by a PREVIOUS
+    invocation must be materialized before the next call — their
+    backing store is cleared."""
+    memo = (tag, key)
+    work = _OWNED.get(memo)
+    if work is None:
+        work = tempfile.mkdtemp(prefix=f"bqfs_{tag}_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        _OWNED[memo] = work
+    else:
+        for entry in os.listdir(work):
+            path = os.path.join(work, entry)
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                os.remove(path)
+    return work
 
 
 def session_workdir(tag: str, key: str, build: Callable[[str], None]) -> str:

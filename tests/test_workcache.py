@@ -89,3 +89,49 @@ def test_q56_memo_is_bounded_and_unpersists(spark):
     finally:
         pq._Q56_MEMO.clear()
         pq._Q56_MEMO.update(saved)
+
+
+def test_overwrite_workdir_stable_and_cleared():
+    """overwrite_workdir (VERDICT r12 #3): same dir every call, prior
+    contents cleared — repeats redo the build into bounded scratch."""
+    from bqfetch_spark import workcache
+
+    w1 = workcache.overwrite_workdir("testow", "k")
+    with open(os.path.join(w1, "old.txt"), "w") as fh:
+        fh.write("x")
+    os.makedirs(os.path.join(w1, "subdir"))
+    w2 = workcache.overwrite_workdir("testow", "k")
+    assert w2 == w1
+    assert os.listdir(w2) == []  # cleared, not accumulated
+    # distinct keys get distinct dirs
+    w3 = workcache.overwrite_workdir("testow", "k2")
+    assert w3 != w1
+
+
+def test_scratch_dir_count_bounded_across_repeat_queries(spark):
+    """Multi-query-session bound (VERDICT r12 #3): repeated invocations
+    of store-building registry queries must not create NEW scratch
+    dirs — the first run owns one dir per (tag, sf); later runs rebuild
+    in place (overwrite_workdir) or serve the memo (session_workdir)."""
+    import glob
+    import tempfile
+
+    from tests.conftest import SF_SMOKE
+
+    from bqfetch_spark.registry import all_queries
+
+    qs = all_queries()
+    # one overwrite_workdir op (lakehouse write subject) + one
+    # session_workdir op (memoized streaming store)
+    names = ["q39_compact_small_files", "qx281_streaming_waterfill"]
+
+    def bqfs_dirs() -> set:
+        return set(glob.glob(os.path.join(tempfile.gettempdir(), "bqfs_*")))
+
+    for n in names:
+        qs[n].fn(spark, SF_SMOKE).collect()
+    baseline = bqfs_dirs()
+    for _ in range(2):
+        for n in names:
+            qs[n].fn(spark, SF_SMOKE).collect()
+        assert bqfs_dirs() == baseline  # no growth, nothing deleted early
