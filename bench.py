@@ -687,12 +687,18 @@ def child_scan() -> None:
     )
 
 
-def _run_child(args: list[str], names: list[str] | None = None) -> dict:
+def _run_child(
+    args: list[str], names: list[str] | None = None, env_extra: dict | None = None
+) -> dict:
     """Run a bench child; on any failure attribute it to each query NAME
     (round-2 bug: failures were keyed by the comma-joined argv string,
     collapsing a whole group into one bogus key; a hung group's
     TimeoutExpired escaped and killed the entire bench run)."""
     names = names or []
+    env = None
+    if env_extra:
+        env = dict(os.environ)
+        env.update(env_extra)
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), *args],
@@ -700,12 +706,78 @@ def _run_child(args: list[str], names: list[str] | None = None) -> dict:
             stderr=None,  # stream child progress lines through
             text=True,
             timeout=1800,
+            env=env,
         )
     except subprocess.TimeoutExpired:
         return {"timings": {}, "failures": {n: "child timeout 1800s" for n in names}}
     if proc.returncode != 0:
         return {"timings": {}, "failures": {n: f"child exit {proc.returncode}" for n in names}}
     return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def _isolated_remeasure(name: str) -> list[float]:
+    """The isolated fresh-child min-of-5 protocol every prose
+    adjudication ended up trusting, as a callable: one query, its own
+    JVM, 5 repeats. Returns the run list (empty on child failure)."""
+    out = _run_child(
+        ["--child", name],
+        names=[name],
+        env_extra={"SPARK_GRAFT_BENCH_REPEATS": "5"},
+    )
+    return out.get("runs", {}).get(name, [])
+
+
+# cap on isolated re-measures per bench run, so a fully loaded box
+# (every query flagging) can't double the suite wall
+ISOLATED_CAP = 8
+
+
+def _machine_adjudicate(
+    regressions: dict, remeasure=None
+) -> dict:
+    """MACHINE adjudication of bench flags (VERDICT r12 #4): every flag
+    is re-measured ISOLATED in a fresh child; a flag whose isolated min
+    no longer meets the regression predicate vs the record AUTO-CLOSES.
+    Both numbers are recorded so the flag and its resolution travel
+    together in BENCH_DETAIL; only flags the isolated protocol
+    REPRODUCES stay open for investigation or a prose adjudication."""
+    remeasure = remeasure or _isolated_remeasure
+    out: dict[str, dict] = {}
+    worst_first = sorted(
+        regressions,
+        key=lambda n: regressions[n]["now"] / regressions[n]["prev"],
+        reverse=True,
+    )
+    for name in worst_first[:ISOLATED_CAP]:
+        rec = regressions[name]["prev"]
+        iso_runs = [round(r, 3) for r in remeasure(name)]
+        iso_min = min(iso_runs) if iso_runs else None
+        closed = iso_min is not None and not (
+            iso_min > 1.5 * rec and iso_min - rec > 1.0
+        )
+        out[name] = {
+            "prev": rec,
+            "suite_min": regressions[name]["now"],
+            "isolated_runs": iso_runs,
+            "isolated_min": iso_min,
+            "load1_before_isolated": round(os.getloadavg()[0], 2),
+            "auto_closed": closed,
+            "verdict": (
+                "auto-closed: isolated fresh-child min is within the "
+                "regression bounds of the record (suite number was load/"
+                "ordering noise)" if closed else
+                "OPEN: the isolated re-measure reproduces the slowdown — "
+                "a real change; investigate or record a prose adjudication"
+            ),
+        }
+    for name in worst_first[ISOLATED_CAP:]:
+        out[name] = {
+            "prev": regressions[name]["prev"],
+            "suite_min": regressions[name]["now"],
+            "auto_closed": False,
+            "verdict": f"not re-measured: isolated-re-run cap ({ISOLATED_CAP}) hit",
+        }
+    return out
 
 
 def _load_previous_bench() -> tuple[str, dict[str, float]]:
@@ -798,6 +870,11 @@ def main() -> None:
         for name, now in timings.items()
         if name in prev and now > 1.5 * prev[name] and now - prev[name] > 1.0
     }
+    machine_adjudications = _machine_adjudicate(regressions)
+    open_regressions = {
+        n: r for n, r in regressions.items()
+        if not machine_adjudications.get(n, {}).get("auto_closed")
+    }
     # Full-name per-query record + failures + regressions → side file
     # (committed per round). The stdout line must stay small: the
     # driver's tail capture is ~2.2 KB and round 2's 3.5 KB line came
@@ -825,6 +902,8 @@ def main() -> None:
                 "failures": failures,
                 "regressions_vs": prev_name,
                 "regressions": regressions,
+                "machine_adjudications": machine_adjudications,
+                "open_regressions": sorted(open_regressions),
                 "adjudications": ADJUDICATIONS,
                 "exclusions": EXCLUSIONS,
                 "suite_wall_incl_startup_sec": suite_wall,
@@ -855,6 +934,7 @@ def main() -> None:
                 "load_flagged": load_flagged,
                 "n_failures": len(failures),
                 "n_regressions": len(regressions),
+                "n_regressions_open": len(open_regressions),
                 "detail": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),
