@@ -377,6 +377,18 @@ ADJUDICATIONS = {
         "reversed; future flags re-measure against THAT record, not "
         "the 9.89s store-machinery one."
     ),
+    "similarity-family-r12-drift": (
+        "r12 VERDICT what's-wrong #3 flagged eight dedup/similarity "
+        "queries drifting +0.5-1.0s the same direction with untouched "
+        "modules (qx264/qx266/qx270/qx272/qx273/qx275/qx278/q69). "
+        "r13 isolated re-bench (min-of-4 each, one fresh session, "
+        "load1 1.4): every one at or BELOW its r11 record - 2.23/2.30, "
+        "2.67/2.64, 3.17/3.67, 2.59/2.84, 3.96/4.60, 6.14/7.89, "
+        "3.11/3.50, 2.64/3.23. The r12 suite numbers were "
+        "ordering/contention noise from the new store-warm runs, as "
+        "hypothesized; future same-direction family moves inside the "
+        "flag threshold re-measure isolated before being chased."
+    ),
     "q57_streaming_ann_index": (
         "r11 builder flag 6.41->12.75s adjudicated as in-suite "
         "contention, not a code change: q57's module path changed only "
