@@ -88,7 +88,7 @@ def release(tag: str, key: str) -> bool:
     synthetic corpora, long-lived drivers rotating fixtures).  The
     atexit backstop stays registered; rmtree of the already-removed
     dir at exit is a no-op.  Returns True if a store was released."""
-    work = _BUILT.pop((tag, key), None)
+    work = _BUILT.pop((tag, key), _OWNED.pop((tag, key), None))
     if work is None:
         return False
     shutil.rmtree(work, ignore_errors=True)
@@ -96,7 +96,10 @@ def release(tag: str, key: str) -> bool:
 
 
 def release_all(tag: str | None = None) -> int:
-    """Release every cached store (or every store under one ``tag``);
-    returns the count removed.  Same caller contract as ``release``."""
-    picked = [k for k in _BUILT if tag is None or k[0] == tag]
+    """Release every cached store — memoized (_BUILT) and stable
+    overwrite (_OWNED) — or every store under one ``tag``; returns the
+    count removed.  Same caller contract as ``release``."""
+    picked = [
+        k for d in (_BUILT, _OWNED) for k in d if tag is None or k[0] == tag
+    ]
     return sum(release(*k) for k in picked)

@@ -135,3 +135,16 @@ def test_scratch_dir_count_bounded_across_repeat_queries(spark):
         for n in names:
             qs[n].fn(spark, SF_SMOKE).collect()
         assert bqfs_dirs() == baseline  # no growth, nothing deleted early
+
+
+def test_release_covers_overwrite_workdirs():
+    from bqfetch_spark import workcache
+
+    w = workcache.overwrite_workdir("testowrel", "k")
+    assert workcache.release("testowrel", "k") is True
+    assert not os.path.exists(w)
+    # next call builds a fresh dir (the memo was forgotten)
+    w2 = workcache.overwrite_workdir("testowrel", "k")
+    assert os.path.exists(w2)
+    assert workcache.release_all("testowrel") == 1
+    assert not os.path.exists(w2)
