@@ -637,17 +637,21 @@ def qx124_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "user_id": pdf["user_id"],
                 "event_id": pdf["event_id"],
-                # _sql_round6, not Series.round: pandas rounds
-                # half-even, SQL half-away — a decimal-grid EMA value
-                # landing on an exact 6dp half would flip the hash
-                # (the qx196 failure class, preempted here)
-                "ema": [_sql_round6(v) for v in ema],
+                "ema": ema,
             }
         )
 
+    # rounding stays JVM-side (round 13): F.round IS the HALF_UP-on-
+    # shortest-repr semantics _sql_round6 mirrors (BigDecimal.valueOf →
+    # setScale over Double.toString), and the raw doubles cross the
+    # Arrow edge bit-exact — the old per-element Python Decimal loop
+    # was the only row-at-a-time cost left in this UDF (pandas rounds
+    # half-even, so Series.round would flip decimal-grid halves — the
+    # qx196 failure class — but the JVM round agrees with the oracle
+    # by construction)
     return ev.groupBy("user_id").applyInPandas(
         ema_group, "user_id bigint, event_id bigint, ema double"
-    )
+    ).withColumn("ema", F.round("ema", 6))
 
 
 # ---------------------------------------------------------------------------
@@ -2675,8 +2679,8 @@ def qx196_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 l_new = HOLT_ALPHA * x + HOLT_ALPHA_C * (l + b)
                 b = HOLT_BETA * (l_new - l) + HOLT_BETA_C * b
                 l = l_new
-            levels.append(_sql_round6(l))
-            trends.append(_sql_round6(b))
+            levels.append(l)
+            trends.append(b)
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"],
@@ -2686,8 +2690,15 @@ def qx196_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # 6dp rounding JVM-side (round 13, same as qx124): the recursion
+    # itself must replay per row, but the per-element Python Decimal
+    # rounding that used to dominate the loop is F.round's job — the
+    # identical HALF_UP-on-shortest-repr semantics, vectorized in
+    # whole-stage codegen after the Arrow edge
     return ev.groupBy("user_id").applyInPandas(
         holt_group, "user_id bigint, event_id bigint, level double, trend double"
+    ).withColumn("level", F.round("level", 6)).withColumn(
+        "trend", F.round("trend", 6)
     )
 
 
