@@ -241,6 +241,7 @@ HEADLINE = [
     "qx221_bpe_merges",
     "qx222_bpe_encode",
     "qx286_bpe_merges_batched",
+    "qx287_ann_shard_merge",
     "qx223_decontaminated_split",
     "qx224_dup_span_fraction",
     "qx225_conditional_entropy",

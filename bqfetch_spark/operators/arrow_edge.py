@@ -338,6 +338,71 @@ def q57_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "qx287_ann_shard_merge",
+    oracle=_q57_oracle(),
+    doc="shard-parallel ANN index build + metadata-only store merge (FAISS merge_from)",
+    tags=("ann", "lakehouse", "similarity", "iterative"),
+)
+def qx287_ann_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining step of the index lifecycle (build → stream-append
+    → drift-retrain → compaction → MERGE): two code-store SHARDS are
+    built independently — each slice of the corpus encoded against the
+    SAME frozen integer artifacts, the FAISS merge_from contract — and
+    combined by ``merge_int_stores``, a pure file-METADATA merge
+    (hardlink per part file, build-then-mark commit, no data rewrite).
+    That is the 100-TB build topology: encode each shard where its
+    vectors live, merge last at O(files) cost, serve one store.
+
+    Carries q57's FULL value-hash oracle VERBATIM: the artifacts are
+    the q57 trainer's (session-memoized q57_int_artifacts, trained on
+    the vec_id%5<=2 slice), shard encoding is the same frozen-artifact
+    map pass, and a merged store holds exactly the union of shard
+    codes — so the probed ADC search over it equals the one-shot
+    spelling bit-for-bit (the qx285 one-shot-oracle-for-the-store-op
+    recipe; merged-vs-one-shot equality is also pinned in
+    tests/test_ann_recall.py)."""
+    import os
+
+    from bqfetch_spark.operators.pq import (
+        ivfpq_int_encode,
+        pq_frame_and_sample,
+        pqi_ivf_search,
+        q57_int_artifacts,
+    )
+    from bqfetch_spark.streaming.ann_index import (
+        _write_codes_wave,
+        merge_int_stores,
+        merged_store_ready,
+    )
+    from bqfetch_spark.workcache import overwrite_workdir
+
+    q, _ = pq_frame_and_sample(spark, sf_dir)
+    cq_sorted, books = q57_int_artifacts(spark, sf_dir)
+
+    work = overwrite_workdir("annmerge", sf_dir)
+    shards = []
+    for i, pred in enumerate(
+        (F.pmod("vec_id", F.lit(5)) <= 2, F.pmod("vec_id", F.lit(5)) >= 3)
+    ):
+        store = os.path.join(work, f"shard{i}", "codes")
+        _write_codes_wave(
+            ivfpq_int_encode(
+                q.filter(pred).select("vec_id", "qn"), cq_sorted, books
+            ),
+            store,
+            None,
+            overwrite_all=True,
+        )
+        shards.append(store)
+
+    merged = os.path.join(work, "merged", "codes")
+    merge_int_stores(merged, shards)
+    assert merged_store_ready(merged)
+    codes = spark.read.parquet(merged)
+    return pqi_ivf_search(spark, codes, q, cq_sorted, books)
+
+
+@register(
     "q71_streaming_incremental_dedup",
     oracle=_q71_oracle(),
     tags=("streaming", "dedup", "incremental"),

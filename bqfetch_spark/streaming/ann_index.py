@@ -303,6 +303,66 @@ def append_int_wave(
     _write_codes_wave(codes, os.path.join(index_dir, "codes"), batch_id)
 
 
+_MERGE_MARKER = "_MERGED"
+
+
+def merge_int_stores(dst_store: str, src_stores: list[str]) -> int:
+    """FAISS ``merge_from`` for the partitioned code store: combine
+    shard stores built against the SAME frozen artifacts into one.
+    Because every shard shares the quantizer, a vector's (cell_id,
+    code) is shard-independent — the merge is pure file METADATA: move
+    each shard's batch-partition files under the destination's
+    matching cell/batch directories. No data is read or rewritten, so
+    merging N 100-TB shards costs O(files), which is what makes
+    shard-parallel index builds (encode each corpus slice wherever it
+    lives, merge last) the right 100-TB build topology.
+
+    Durability: the destination is built fresh and stamped with a
+    ``_MERGED`` marker as the LAST step; ``merged_store_ready`` gates
+    readers, so a crash mid-merge leaves an unstamped directory the
+    caller discards and rebuilds — the build-then-mark pattern (the
+    in-place sibling of partial_retrain's journaled swap; shard
+    sources are read-only throughout, so a retry never loses data).
+    Returns the number of part files merged."""
+    import shutil
+
+    shutil.rmtree(dst_store, ignore_errors=True)
+    os.makedirs(dst_store)
+    n_files = 0
+    for src in src_stores:
+        for cell_dir in sorted(os.listdir(src)):
+            src_cell = os.path.join(src, cell_dir)
+            if not (cell_dir.startswith("cell_id=") and os.path.isdir(src_cell)):
+                continue
+            for batch_dir in sorted(os.listdir(src_cell)):
+                src_b = os.path.join(src_cell, batch_dir)
+                if not os.path.isdir(src_b):
+                    continue
+                dst_b = os.path.join(dst_store, cell_dir, batch_dir)
+                os.makedirs(dst_b, exist_ok=True)
+                for fname in os.listdir(src_b):
+                    if fname.startswith(("_", ".")):
+                        continue  # _SUCCESS / CRC sidecars
+                    # part-file names carry the writing task's UUID —
+                    # unique across shards, so links never collide;
+                    # hardlink where possible (same filesystem), copy
+                    # otherwise — sources stay readable either way
+                    s, d = os.path.join(src_b, fname), os.path.join(dst_b, fname)
+                    try:
+                        os.link(s, d)
+                    except OSError:
+                        shutil.copyfile(s, d)
+                    n_files += 1
+    with open(os.path.join(dst_store, _MERGE_MARKER), "w") as fh:
+        fh.write("\n".join(src_stores) + "\n")
+    return n_files
+
+
+def merged_store_ready(dst_store: str) -> bool:
+    """True iff a merge completed (the marker is the commit record)."""
+    return os.path.exists(os.path.join(dst_store, _MERGE_MARKER))
+
+
 def append_wave(
     spark: SparkSession,
     wave_emb_n: DataFrame,

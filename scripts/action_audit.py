@@ -99,6 +99,7 @@ BUILD_ACTIONS: dict[str, tuple[int, str]] = {
     "qx239_context_stitching": (5, "[decide] O(k) top-terms collect parameterizes stitching"),
     "qx240_ann_pq": (8, "[train] integer codebook fit (shared frame ckpt + sample collect + query collect)"),
     "qx242_ann_drift_retrain": (30, "[train][iter][decide] two fixed-point Lloyd chains (frozen q57 artifacts + the fired retrain) + 3 O(cells) occupancy collects + n_moved count (28 observed sf0.001)"),
+    "qx287_ann_shard_merge": (20, "[store][train] two shard code-store writes + the metadata merge, over the memoized q57 trainer chain (18 observed cold sf0.001)"),
     "qx241_time_travel": (6, "[store] writes two table versions"),
     "qx244_packed_shard_writer": (7, "[store] writes the packed shards it audits"),
     "qx247_versioned_merge": (8, "[store] writes base + CDC versions then merges"),

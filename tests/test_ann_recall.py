@@ -696,3 +696,54 @@ def test_qx275_seeded_neardup_recall_vs_exact(spark):
     assert got <= exact or not exact  # candidates are verified: no false positives
     if exact:
         assert len(got & exact) / len(exact) >= 0.5, (len(got & exact), len(exact))
+
+
+def test_shard_merge_equals_one_shot_store(spark, tmp_path):
+    """qx287's contract pinned directly: two shards encoded against the
+    same frozen integer artifacts and merged by metadata (hardlinks)
+    hold EXACTLY the one-shot store's code set, and an unstamped
+    (crashed) merge is detectable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import bqfetch_spark.streaming.ann_index as ai
+    from bqfetch_spark.operators.pq import ivfpq_int_encode, pq_frame_and_sample, q57_int_artifacts
+
+    q, _ = pq_frame_and_sample(spark, SF_SMOKE)
+    cq_sorted, books = q57_int_artifacts(spark, SF_SMOKE)
+
+    stores = []
+    for name, pred in (
+        ("a", F.pmod("vec_id", F.lit(5)) <= 2),
+        ("b", F.pmod("vec_id", F.lit(5)) >= 3),
+        ("one_shot", F.lit(True)),
+    ):
+        store = str(tmp_path / name / "codes")
+        ai._write_codes_wave(
+            ivfpq_int_encode(q.filter(pred).select("vec_id", "qn"), cq_sorted, books),
+            store, None, overwrite_all=True,
+        )
+        stores.append(store)
+    sa, sb, one_shot = stores
+
+    merged = str(tmp_path / "merged" / "codes")
+    n_files = ai.merge_int_stores(merged, [sa, sb])
+    assert n_files > 0
+    assert ai.merged_store_ready(merged)
+
+    def canon(path):
+        df = spark.read.parquet(path).select("vec_id", "cell_id", "code")
+        return sorted(tuple(r) for r in df.collect())
+
+    assert canon(merged) == canon(one_shot)
+    # shard sources stayed intact (read-only contract)
+    assert canon(sa) + canon(sb) and os.path.exists(sa) and os.path.exists(sb)
+
+    # crash semantics: a merge that died before the marker is NOT ready
+    torn = str(tmp_path / "torn" / "codes")
+    os.makedirs(torn)
+    assert ai.merged_store_ready(torn) is False
+    # and a rebuild over the partial dir converges (rmtree + fresh build)
+    ai.merge_int_stores(torn, [sa, sb])
+    assert ai.merged_store_ready(torn) and canon(torn) == canon(one_shot)
