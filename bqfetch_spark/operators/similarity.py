@@ -2754,19 +2754,43 @@ def qx275_neardup_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     va = q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qv_a"), F.col("nv").alias("nv_a"))
     vb = q.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qv_b"), F.col("nv").alias("nv_b"))
-    pair_dot = F.aggregate(
-        F.zip_with("qv_a", "qv_b", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+
+    # Verify dot VECTORIZED over Arrow batches (round 13; the
+    # interpreted-HOF-fold trap again): the zip_with+aggregate spelling
+    # evaluated interpreted per candidate pair — ~1M pairs × 128
+    # interpreted ops at sf0.1, the query's dominant cost (6.1 s
+    # isolated). A flat 64-term GetArrayItem spelling was tried first
+    # and measured 24 s: Catalyst drops that expression tree out of
+    # whole-stage codegen into interpreted eval (the same cliff
+    # pq.ivfpq_int_encode documents). int64 numpy IS exact integer
+    # arithmetic at these magnitudes (|Σ qa·qb| ≤ 64e12 < 2^53), the
+    # cast to double is lossless, and np.sqrt/mult/div are the same
+    # single correctly-rounded IEEE ops in _ivf_sim's order —
+    # bit-identical, hash-gated. The 6dp rounding stays JVM-side
+    # (F.round semantics). Measured 5.2 s; the residual cost is the
+    # per-pair array transfer, which is the join shape's price for
+    # never holding a cell in memory (q69's salted variant remains the
+    # skew-hardened scale path).
+    import numpy as np
+    import pandas as pd
+
+    def _verify(batches):
+        for pdf in batches:
+            a = np.array(pdf["qv_a"].tolist(), dtype=np.int64)
+            b = np.array(pdf["qv_b"].tolist(), dtype=np.int64)
+            dot = (a * b).sum(axis=1).astype(np.float64)
+            den = np.sqrt(pdf["nv_a"].to_numpy().astype(np.float64)) * np.sqrt(
+                pdf["nv_b"].to_numpy().astype(np.float64)
+            )
+            yield pd.DataFrame(
+                {"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "cosine": dot / den}
+            )
+
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            r6(_ivf_sim(pair_dot, F.col("nv_a"), F.col("nv_b"))).alias("cosine"),
-        )
+        .mapInPandas(_verify, "vec_a bigint, vec_b bigint, cosine double")
+        .withColumn("cosine", r6(F.col("cosine")))
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
