@@ -764,17 +764,41 @@ def q69_embedding_neardup_ivf(
     )
     nv = e.select("vec_id", "qv", "nv")
     va, vb = nv.alias("va"), nv.alias("vb")
-    pair_dot = F.aggregate(
-        F.zip_with(F.col("va.qv"), F.col("vb.qv"), lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    cos = r6(_ivf_sim(pair_dot, F.col("va.nv"), F.col("vb.nv"))) + F.lit(0.0)
-    cos_once = F.when(F.rand(42) >= -1, cos)
+
+    # Verify dot vectorized over Arrow batches (round 13, the qx275
+    # fix): the per-pair zip_with+aggregate fold evaluated interpreted;
+    # exact int64 numpy + the identical IEEE sim chain is bit-identical
+    # (hash-gated). The Python eval boundary also makes the old
+    # nondeterministic-guard trick moot: Catalyst cannot push the
+    # threshold filter below a mapInPandas.
+    import numpy as np
+    import pandas as pd
+
+    def _verify(batches):
+        for pdf in batches:
+            a_m = np.array(pdf["qv_a"].tolist(), dtype=np.int64)
+            b_m = np.array(pdf["qv_b"].tolist(), dtype=np.int64)
+            dot = (a_m * b_m).sum(axis=1).astype(np.float64)
+            den = np.sqrt(pdf["nv_a"].to_numpy().astype(np.float64)) * np.sqrt(
+                pdf["nv_b"].to_numpy().astype(np.float64)
+            )
+            yield pd.DataFrame(
+                {"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "cosine": dot / den}
+            )
+
     return (
         cand.join(va, F.col("va.vec_id") == F.col("vec_a"))
         .join(vb, F.col("vb.vec_id") == F.col("vec_b"))
-        .select("vec_a", "vec_b", cos_once.alias("cosine"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("va.qv").alias("qv_a"),
+            F.col("va.nv").alias("nv_a"),
+            F.col("vb.qv").alias("qv_b"),
+            F.col("vb.nv").alias("nv_b"),
+        )
+        .mapInPandas(_verify, "vec_a bigint, vec_b bigint, cosine double")
+        .select("vec_a", "vec_b", (r6(F.col("cosine")) + F.lit(0.0)).alias("cosine"))
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
     )
 
