@@ -96,6 +96,7 @@ BUILD_ACTIONS: dict[str, tuple[int, str]] = {
     "qx221_bpe_merges": (34, "[iter] 8 bounded BPE merge rounds (vocab-sized collects)"),
     "qx222_bpe_encode": (34, "[iter] qx221's merge chain feeding the encoder"),
     "qx286_bpe_merges_batched": (33, "[iter] 8 batched-merge rounds: one top-W collect + one vocab checkpoint each (26 observed sf0.001)"),
+    "qx211_binaryfile_ingest": (4, "[store] cold-boot staging of the file-per-doc corpus (3 jobs on a fresh box; 0 warm — the content-keyed marker makes re-stages no-ops, which is why r06-r12 audits on a staged box recorded build_jobs: 0)"),
     "qx239_context_stitching": (5, "[decide] O(k) top-terms collect parameterizes stitching"),
     "qx240_ann_pq": (8, "[train] integer codebook fit (shared frame ckpt + sample collect + query collect)"),
     "qx242_ann_drift_retrain": (30, "[train][iter][decide] two fixed-point Lloyd chains (frozen q57 artifacts + the fired retrain) + 3 O(cells) occupancy collects + n_moved count (28 observed sf0.001)"),
