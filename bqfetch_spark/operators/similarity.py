@@ -743,63 +743,74 @@ def q69_embedding_neardup_ivf(
         cq,
         NEARDUP_IVF_PROBE if probe is None else probe,
     ).select("vec_id", F.col("cell_id").cast("int").alias("cell_id"))
-    a = assigned.withColumn(
-        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(NEARDUP_SALT)).cast("int")
-    ).repartition(n_parts, "cell_id", "salt")
-    # probe side replicated once per sub-bucket: each (x, y) pair meets
-    # exactly once, in x's sub-bucket
-    b = assigned.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(NEARDUP_SALT - 1))).alias("salt")
-    ).repartition(n_parts, "cell_id", "salt")
-    aa, bb = a.alias("a"), b.alias("b")
-    cand = (
-        aa.join(
-            bb.hint("shuffle_hash"),
-            (F.col("a.cell_id") == F.col("b.cell_id"))
-            & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])  # pair shared in >1 cell
-    )
+    # Verify PER (cell, sub-bucket) GROUP in one applyInPandas
+    # (round 13, second pass — the qx275 per-cell rewrite with the
+    # salt kept; guide §8 "move heavy bytes once"): the previous
+    # spelling joined skinny candidate ids, re-attached both 64-long
+    # vectors per pair, and shipped every pair's arrays through Arrow
+    # to a vectorized dot — the per-pair transfer was the dominant
+    # remaining cost. Scoring inside each (cell, salt) group moves the
+    # probe side once per its own sub-bucket and the build side once
+    # per sub-bucket (corpus × probe × (1 + NEARDUP_SALT) skinny rows
+    # ≈ MBs at sf0.1) instead of two arrays per PAIR; the salted task
+    # split that kept the join skew-hardened keeps the GROUPS balanced
+    # here — each (x, y) pair is scored in x's sub-bucket of every
+    # shared cell, byte-identical each time, and dropDuplicates keeps
+    # one copy. Exactness: qv components are integers ≤ 1e6, so all
+    # matmul partial sums are integers < 2^53 — float64 matmul is
+    # exact in any accumulation order, bit-equal to the int64 fold;
+    # the sim chain applies _ivf_sim's IEEE op order and the 0.349
+    # Python pre-cut only drops pairs that can never round to ≥ 0.35
+    # (the authoritative threshold stays JVM-side on F.round).
     nv = e.select("vec_id", "qv", "nv")
-    va, vb = nv.alias("va"), nv.alias("vb")
-
-    # Verify dot vectorized over Arrow batches (round 13, the qx275
-    # fix): the per-pair zip_with+aggregate fold evaluated interpreted;
-    # exact int64 numpy + the identical IEEE sim chain is bit-identical
-    # (hash-gated). The Python eval boundary also makes the old
-    # nondeterministic-guard trick moot: Catalyst cannot push the
-    # threshold filter below a mapInPandas.
+    aset = assigned.join(nv, "vec_id")
+    a_rows = aset.select(
+        "vec_id",
+        "qv",
+        "nv",
+        "cell_id",
+        F.pmod(F.xxhash64("vec_id"), F.lit(NEARDUP_SALT)).cast("int").alias("salt"),
+        F.lit(1).alias("probe_side"),
+    )
+    b_rows = aset.select(
+        "vec_id",
+        "qv",
+        "nv",
+        "cell_id",
+        F.explode(F.sequence(F.lit(0), F.lit(NEARDUP_SALT - 1))).alias("salt"),
+        F.lit(0).alias("probe_side"),
+    )
     import numpy as np
     import pandas as pd
 
-    def _verify(batches):
-        for pdf in batches:
-            a_m = np.array(pdf["qv_a"].tolist(), dtype=np.int64)
-            b_m = np.array(pdf["qv_b"].tolist(), dtype=np.int64)
-            dot = (a_m * b_m).sum(axis=1).astype(np.float64)
-            den = np.sqrt(pdf["nv_a"].to_numpy().astype(np.float64)) * np.sqrt(
-                pdf["nv_b"].to_numpy().astype(np.float64)
-            )
-            yield pd.DataFrame(
-                {"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "cosine": dot / den}
-            )
+    _empty = {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+
+    def _score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        am = pdf[pdf["probe_side"] == 1]
+        bm = pdf[pdf["probe_side"] == 0]
+        if am.empty or bm.empty:
+            return pd.DataFrame({c: [] for c in _empty}).astype(_empty)
+        ids_a = am["vec_id"].to_numpy()
+        ids_b = bm["vec_id"].to_numpy()
+        ma = np.array(am["qv"].tolist(), dtype=np.float64)
+        mb = np.array(bm["qv"].tolist(), dtype=np.float64)
+        rt_a = np.sqrt(am["nv"].to_numpy().astype(np.float64))
+        rt_b = np.sqrt(bm["nv"].to_numpy().astype(np.float64))
+        dots = ma @ mb.T
+        cos = dots / (rt_a[:, None] * rt_b[None, :])
+        ii, jj = np.nonzero((ids_a[:, None] < ids_b[None, :]) & (cos >= 0.349))
+        return pd.DataFrame(
+            {"vec_a": ids_a[ii], "vec_b": ids_b[jj], "cosine": cos[ii, jj]}
+        )
 
     return (
-        cand.join(va, F.col("va.vec_id") == F.col("vec_a"))
-        .join(vb, F.col("vb.vec_id") == F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.col("va.qv").alias("qv_a"),
-            F.col("va.nv").alias("nv_a"),
-            F.col("vb.qv").alias("qv_b"),
-            F.col("vb.nv").alias("nv_b"),
-        )
-        .mapInPandas(_verify, "vec_a bigint, vec_b bigint, cosine double")
+        a_rows.unionByName(b_rows)
+        .repartition(n_parts, "cell_id", "salt")
+        .groupBy("cell_id", "salt")
+        .applyInPandas(_score_group, "vec_a bigint, vec_b bigint, cosine double")
         .select("vec_a", "vec_b", (r6(F.col("cosine")) + F.lit(0.0)).alias("cosine"))
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 
@@ -2762,59 +2773,58 @@ def qx275_neardup_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-attaching vectors — the qx264 cand-then-verify shape.
     assigned = q.select(
         "vec_id",
+        "qv",
+        "nv",
         F.explode(F.transform(cells, lambda c: -c["negc"])).alias("cell_id"),
     )
-    # No salt here by measurement: the skinny join parallelizes fine at
-    # this cell occupancy (salting measured 9.2 s vs 8.2 s at sf0.1 —
-    # the 4x right-side explode costs more than the task split buys).
-    # q69's salted spelling remains the documented skew-hardened path
-    # for hot cells at real scale.
-    a = assigned.alias("a")
-    b = assigned.select(F.col("vec_id").alias("vec_b"), "cell_id").alias("b")
-    cand = (
-        a.join(b, (F.col("a.cell_id") == F.col("b.cell_id")) & (F.col("a.vec_id") < F.col("vec_b")))
-        .select(F.col("a.vec_id").alias("vec_a"), "vec_b")
-        .distinct()
-    )
-    va = q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qv_a"), F.col("nv").alias("nv_a"))
-    vb = q.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qv_b"), F.col("nv").alias("nv_b"))
 
-    # Verify dot VECTORIZED over Arrow batches (round 13; the
-    # interpreted-HOF-fold trap again): the zip_with+aggregate spelling
-    # evaluated interpreted per candidate pair — ~1M pairs × 128
-    # interpreted ops at sf0.1, the query's dominant cost (6.1 s
-    # isolated). A flat 64-term GetArrayItem spelling was tried first
-    # and measured 24 s: Catalyst drops that expression tree out of
-    # whole-stage codegen into interpreted eval (the same cliff
-    # pq.ivfpq_int_encode documents). int64 numpy IS exact integer
-    # arithmetic at these magnitudes (|Σ qa·qb| ≤ 64e12 < 2^53), the
-    # cast to double is lossless, and np.sqrt/mult/div are the same
-    # single correctly-rounded IEEE ops in _ivf_sim's order —
-    # bit-identical, hash-gated. The 6dp rounding stays JVM-side
-    # (F.round semantics). Measured 5.2 s; the residual cost is the
-    # per-pair array transfer, which is the join shape's price for
-    # never holding a cell in memory (q69's salted variant remains the
-    # skew-hardened scale path).
+    # Verify PER CELL inside one applyInPandas (round 13, second pass;
+    # guide §8 "move heavy bytes once"): the previous spelling built a
+    # skinny distinct (vec_a, vec_b) candidate frame, re-attached both
+    # 64-long vectors by id-joins, and shipped ~1M pairs × 2 arrays
+    # (≈1 GB) through Arrow to a vectorized dot — the transfer WAS the
+    # remaining cost (6.5 s isolated; the dot itself is milliseconds).
+    # Scoring inside each cell's group moves each vector ND_EXACT_PROBE
+    # times (corpus×3 rows ≈ 3 MB at sf0.1) instead of once per PAIR,
+    # and the up-to-PROBE× re-scored shared-cell pairs that made
+    # score-before-dedup 3.6× slower in the JVM-fold spelling cost ~0
+    # under a matmul. Exactness: every qv component is an integer
+    # ≤ 1e6, so all dot partial sums are integers < 2^53 — float64
+    # matmul is EXACT whatever its accumulation order, bit-equal to the
+    # int64 fold; the sim chain then applies _ivf_sim's IEEE op order.
+    # Duplicate pairs from shared cells carry identical bytes, so the
+    # post-filter dropDuplicates is a pure dedup. The Python-side 0.349
+    # pre-cut only discards pairs that can never round to ≥ 0.35 (r6 is
+    # half-up at 0.3499995); the authoritative threshold stays JVM-side
+    # on the F.round value. A hot cell concentrates one group in one
+    # task — q69's salted spelling remains the documented skew-hardened
+    # path at real scale.
     import numpy as np
     import pandas as pd
 
-    def _verify(batches):
-        for pdf in batches:
-            a = np.array(pdf["qv_a"].tolist(), dtype=np.int64)
-            b = np.array(pdf["qv_b"].tolist(), dtype=np.int64)
-            dot = (a * b).sum(axis=1).astype(np.float64)
-            den = np.sqrt(pdf["nv_a"].to_numpy().astype(np.float64)) * np.sqrt(
-                pdf["nv_b"].to_numpy().astype(np.float64)
+    def _score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
             )
-            yield pd.DataFrame(
-                {"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "cosine": dot / den}
-            )
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        m = np.array(pdf["qv"].tolist(), dtype=np.float64)[order]
+        rt = np.sqrt(pdf["nv"].to_numpy().astype(np.float64))[order]
+        dots = m @ m.T
+        iu, ju = np.triu_indices(n, k=1)
+        cos = dots[iu, ju] / (rt[iu] * rt[ju])
+        keep = cos >= 0.349
+        return pd.DataFrame(
+            {"vec_a": ids[iu][keep], "vec_b": ids[ju][keep], "cosine": cos[keep]}
+        )
 
     return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .mapInPandas(_verify, "vec_a bigint, vec_b bigint, cosine double")
+        assigned.groupBy("cell_id")
+        .applyInPandas(_score_cell, "vec_a bigint, vec_b bigint, cosine double")
         .withColumn("cosine", r6(F.col("cosine")))
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+        .dropDuplicates(["vec_a", "vec_b"])
         .orderBy("vec_a", "vec_b")
     )
