@@ -80,6 +80,13 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
 # a full count, so the guard itself is cheap at any table size.
 NEARDUP_MAX_VECTORS = 100_000
 
+# Block count for q51's blocked all-pairs scoring: each unordered pair
+# of blocks is one scoring group, so work per group is (n/B)²·dim and
+# every vector is replicated B times. 8 gives 36 groups — enough to
+# fill the 32 local slots; at the 100k cap a group holds 2×12.5k
+# vectors (≈12 MB of float64), far under task memory.
+NEARDUP_BLOCKS = 8
+
 
 @register("q51_embedding_neardup", oracle=NEARDUP_ORACLE, tags=("similarity", "dedup"))
 def q51_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,31 +108,95 @@ def q51_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q69_embedding_neardup_ivf — bucketed candidate generation, same "
             "cosine threshold, recall-gated ≥0.9"
         )
-    # precompute norms once per vector (not once per pair): the pair
-    # expression is then a single dot-product fold, and cosine =
+    # precompute norms once per vector (not once per pair): cosine =
     # dot/(na*nb) — same formula/order as list_cosine_similarity
     with_n = emb.select("vec_id", "v", norm2(F.col("v")).alias("n"))
-    a = with_n.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
-    ).repartition(shuffle_partitions(spark), "vec_a")
-    b = with_n.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+
+    # BLOCKED all-pairs, scored per block-pair group (round 13; guide
+    # §4.2/§8): the broadcast-nested-loop + zip_with/aggregate fold
+    # evaluated ~2M pairs × 64 interpreted lambda steps — the query's
+    # dominant cost (and qx139's, which rides these pairs). Vectors are
+    # hashed into NEARDUP_BLOCKS blocks; each unordered pair of blocks
+    # (i ≤ j) is one applyInPandas group holding block i ∪ block j, so
+    # every vector moves NEARDUP_BLOCKS times (≈8 skinny rows each, MBs)
+    # and every vector PAIR lands in exactly one group — no dedup
+    # needed. Inside the group the dot accumulates DIMENSION-BY-
+    # DIMENSION across the whole pair matrix (64 vectorized outer-
+    # product adds), which reproduces the JVM fold's left-to-right IEEE
+    # addition order per pair bit-for-bit — embeddings are arbitrary
+    # doubles here, so order DOES matter (unlike the integer-grid
+    # queries where any order is exact). Norms stay JVM-side (one fold
+    # per vector); multiply-commutativity makes pair orientation
+    # irrelevant. The 0.349 Python pre-cut only drops pairs that can
+    # never round to ≥ 0.35; the authoritative threshold stays JVM-side
+    # on the F.round value. Still O(n²) work — the documented ≤100k cap
+    # and q69's IVF spelling remain the scale path.
+    import numpy as np
+    import pandas as pd
+
+    blocks = F.pmod(F.xxhash64("vec_id"), F.lit(NEARDUP_BLOCKS)).cast("int")
+    others = F.sequence(F.lit(0), F.lit(NEARDUP_BLOCKS - 1))
+    rows = (
+        with_n.withColumn("blk", blocks)
+        .select(
+            "vec_id",
+            "v",
+            "n",
+            "blk",
+            F.explode(others).alias("oth"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            "n",
+            "blk",
+            F.least("blk", "oth").alias("g1"),
+            F.greatest("blk", "oth").alias("g2"),
+        )
+        # (vec_id, g1, g2) is already unique: oth == blk collapses to
+        # the diagonal group once, every other oth to a distinct pair
     )
-    # dim=None fold: on millions of pairs the zip_with/aggregate fold
-    # outperforms the 64-term unrolled chain (which exceeds JIT method
-    # limits and runs interpreted-by-HotSpot; measured 5.1 s vs 8.7 s
-    # per 2M pairs)
-    cos = r6(dot(F.col("va"), F.col("vb"), dim=None) / (F.col("na") * F.col("nb")))
-    # nondeterministic guard (always true): keeps Catalyst from pushing
-    # the cosine filter into the nested-loop join CONDITION, where it
-    # would be evaluated before the cheap vec_a < vec_b test — i.e. for
-    # every ordered pair, then AGAIN in the projection (observed 3×
-    # redundant work). With the barrier: cheap condition prunes to the
-    # n(n-1)/2 pairs, cosine evaluates exactly once per pair.
-    cos_once = F.when(F.rand(42) >= -1, cos)
+
+    def _score_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+        g1, g2 = int(pdf["g1"].iloc[0]), int(pdf["g2"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        m = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nn = pdf["n"].to_numpy().astype(np.float64)
+        blk = pdf["blk"].to_numpy()
+        if g1 == g2:
+            xi = np.arange(len(ids))
+            yi = xi
+        else:
+            xi = np.nonzero(blk == g1)[0]
+            yi = np.nonzero(blk == g2)[0]
+        if len(xi) == 0 or len(yi) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        x, y = m[xi], m[yi]
+        acc = np.zeros((len(xi), len(yi)))
+        for d in range(x.shape[1]):  # dim-by-dim: the fold's add order
+            acc += np.outer(x[:, d], y[:, d])
+        cos = acc / np.outer(nn[xi], nn[yi])
+        ida, idb = ids[xi], ids[yi]
+        keep = cos >= 0.349
+        if g1 == g2:
+            # one triangle of the self-pairs; cross-block pairs appear
+            # once in x×y whatever their id order, so orient by min/max
+            keep &= ida[:, None] < idb[None, :]
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ida[ii], idb[jj]),
+                "vec_b": np.maximum(ida[ii], idb[jj]),
+                "cosine": cos[ii, jj],
+            }
+        )
+
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cos_once)
+        rows.groupBy("g1", "g2")
+        .applyInPandas(_score_blocks, "vec_a bigint, vec_b bigint, cosine double")
+        .withColumn("cosine", r6(F.col("cosine")))
         .filter(F.col("cosine") >= 0.35)
         .select("vec_a", "vec_b", "cosine")
     )
