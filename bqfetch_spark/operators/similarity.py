@@ -1124,17 +1124,86 @@ def qx133_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
     is_query = F.col("vec_id") % 20 == 0
-    q = emb.where(is_query).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("true_label"),
-        F.col("v").alias("qv"),
+
+    # Queries × corpus scored per corpus BLOCK in one applyInPandas
+    # (round 13; guide §4.2 — the interpreted-HOF-fold trap): the
+    # crossJoin spelling evaluated cosine's three zip_with/aggregate
+    # folds interpreted per pair (~190k pairs × 192 lambda steps at
+    # sf0.1 — the query's dominant cost). The corpus is hashed into
+    # NEARDUP_BLOCKS groups and moves ONCE; the small query side is
+    # replicated to every group (the broadcast analog — a label-
+    # propagation audit samples its queries, so that side stays small
+    # by contract). Inside the group the dot accumulates dimension-by-
+    # dimension (vectorized outer-product adds), reproducing the JVM
+    # fold's left-to-right IEEE addition order bit-for-bit for both the
+    # numerator and each norm; den = nq·nc then one divide — cosine()'s
+    # exact op order. 6dp rounding and the top-k window stay JVM-side.
+    import numpy as np
+    import pandas as pd
+
+    qrows = emb.where(is_query).select(
+        F.col("vec_id").alias("rid"),
+        "label",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(NEARDUP_BLOCKS - 1))).alias("blk"),
+        F.lit(1).alias("is_q"),
     )
-    pairs = emb.where(~is_query).crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "true_label",
-        F.col("label").alias("neighbor_label"),
-        r6(cosine(F.col("qv"), F.col("v"))).alias("cosine"),
-        F.col("vec_id").alias("neighbor_id"),
+    crows = emb.where(~is_query).select(
+        F.col("vec_id").alias("rid"),
+        "label",
+        "v",
+        F.pmod(F.xxhash64("vec_id"), F.lit(NEARDUP_BLOCKS)).cast("int").alias("blk"),
+        F.lit(0).alias("is_q"),
+    )
+
+    _knn_schema = (
+        "query_id bigint, true_label int, neighbor_label int, "
+        "cosine double, neighbor_id bigint"
+    )
+
+    def _score_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["is_q"] == 1]
+        cs = pdf[pdf["is_q"] == 0]
+        if qs.empty or cs.empty:
+            return pd.DataFrame(
+                columns=["query_id", "true_label", "neighbor_label", "cosine", "neighbor_id"]
+            ).astype(
+                {
+                    "query_id": "int64",
+                    "true_label": "int32",
+                    "neighbor_label": "int32",
+                    "cosine": "float64",
+                    "neighbor_id": "int64",
+                }
+            )
+        mq = np.array(qs["v"].tolist(), dtype=np.float64)
+        mc = np.array(cs["v"].tolist(), dtype=np.float64)
+        dim = mq.shape[1]
+        num = np.zeros((len(qs), len(cs)))
+        nq = np.zeros(len(qs))
+        nc = np.zeros(len(cs))
+        for d in range(dim):  # dim-by-dim: the fold's add order
+            num += np.outer(mq[:, d], mc[:, d])
+            nq += mq[:, d] * mq[:, d]
+            nc += mc[:, d] * mc[:, d]
+        cos = num / np.outer(np.sqrt(nq), np.sqrt(nc))
+        qi, ci = np.indices(cos.shape)
+        qi, ci = qi.ravel(), ci.ravel()
+        return pd.DataFrame(
+            {
+                "query_id": qs["rid"].to_numpy()[qi],
+                "true_label": qs["label"].to_numpy()[qi],
+                "neighbor_label": cs["label"].to_numpy()[ci],
+                "cosine": cos.ravel(),
+                "neighbor_id": cs["rid"].to_numpy()[ci],
+            }
+        )
+
+    pairs = (
+        qrows.unionByName(crows)
+        .groupBy("blk")
+        .applyInPandas(_score_knn, _knn_schema)
+        .withColumn("cosine", r6(F.col("cosine")))
     )
     nn = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), "neighbor_id"
@@ -2677,6 +2746,12 @@ def qx272_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qv").alias("q_qv"),
         F.col("nv").alias("q_nv"),
     )
+    # brute leg left on the JVM fold DELIBERATELY (round 13): at
+    # IVF_N_QUERIES = 5 it is ~10k pairs — a blocked applyInPandas
+    # spelling (the qx133 rewrite) was measured SLOWER here (3.3 s vs
+    # 2.6 s isolated) because the added exchange + Python boundary
+    # outweigh 10k interpreted folds; the dominant cost of this query
+    # is the q53 approx leg it audits.
     pair_dot = F.aggregate(
         F.zip_with("q_qv", "qv", lambda a, b: a * b),
         F.lit(0).cast("bigint"),
