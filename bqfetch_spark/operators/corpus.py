@@ -2333,12 +2333,24 @@ def qx269_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     fr = docs.sparkSession.createDataFrame(
         [(p, t) for p, t in zip(VOCAB_FRACS, _VOCAB_THRS)], "frac double, thr bigint"
     )
+    # doc stats at DOC grain (round 13, guide §2.3): the old spelling
+    # consumed the token explode a second time and joined each TOKEN
+    # row against the thresholds (×|fracs| expansion + two-phase
+    # count_distinct). The prefix test depends only on the doc hash and
+    # the token count is size(split(text)) — same integers, one
+    # docs-sized projection, and the corpus explode now has a single
+    # consumer (wmin). isNotNull mirrors explode-of-null dropping.
     doc_stats = (
-        tok.join(F.broadcast(fr), F.col("hv") < F.col("thr"))
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            hv.alias("hv"),
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_toks"),
+        )
+        .join(F.broadcast(fr), F.col("hv") < F.col("thr"))
         .groupBy("frac")
         .agg(
-            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
         )
     )
     wmin = tok.groupBy("w").agg(F.min("hv").alias("hmin"))

@@ -69,16 +69,30 @@ def word_min_partials(docs: DataFrame) -> DataFrame:
 
 
 def doc_stat_partials(docs: DataFrame) -> DataFrame:
-    """(frac, n_docs, n_tokens): additive per-prefix integer partials."""
-    tok = docs.select(
-        "doc_id", _hv().alias("hv"), F.explode(F.split(F.col("text"), " ")).alias("w")
+    """(frac, n_docs, n_tokens): additive per-prefix integer partials.
+
+    Doc-level spelling (round 13, guide §2.3 "aggregate before you
+    shuffle"): the old form exploded every token, joined each TOKEN row
+    against the prefix thresholds (a ×|fracs| expansion of the token
+    stream) and ran a two-phase count_distinct — per wave, a second
+    corpus-scale explode on top of word_min_partials'. The per-doc
+    token count is just size(split(text)) and the prefix test depends
+    only on the doc-level hash, so the same integers fall out of a
+    docs-sized projection: n_docs = count of docs under the threshold
+    (each doc counted once — exactly what count_distinct computed),
+    n_tokens = sum of per-doc sizes (split never returns an empty
+    array, so explode counted the same elements). The isNotNull filter
+    mirrors explode-of-null dropping the doc."""
+    per_doc = docs.filter(F.col("text").isNotNull()).select(
+        _hv().alias("hv"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_toks"),
     )
     return (
-        tok.join(F.broadcast(_fr(docs.sparkSession)), F.col("hv") < F.col("thr"))
+        per_doc.join(F.broadcast(_fr(docs.sparkSession)), F.col("hv") < F.col("thr"))
         .groupBy("frac")
         .agg(
-            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
         )
     )
 
