@@ -630,15 +630,29 @@ def qx124_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "value"
     )
 
-    def ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        ema = pdf["value"].ewm(alpha=EMA_ALPHA, adjust=False).mean()
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"],
-                "event_id": pdf["event_id"],
-                "ema": ema,
-            }
+    # Partition-level mapInPandas over a (user_id)-clustered sort
+    # (round 13, guide §4.5): groupBy().applyInPandas invoked the
+    # kernel once per USER — ~1500 pandas DataFrame constructions of
+    # ~67 rows each at sf0.1, pure per-group overhead. One exchange on
+    # user_id + sortWithinPartitions gives every task its users as
+    # contiguous runs, and pandas' grouped ewm (cython, adjust=False)
+    # replays the IDENTICAL per-user C recursion over all groups in
+    # one call — bit-identical to the per-group spelling. Memory per
+    # task is the partition, the same order as one Arrow batch here.
+    def ema_part(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        ema = (
+            pdf.groupby("user_id", sort=False)["value"]
+            .ewm(alpha=EMA_ALPHA, adjust=False)
+            .mean()
+            .reset_index(level=0, drop=True)
+            .sort_index()
+        )
+        yield pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ema": ema}
         )
 
     # rounding stays JVM-side (round 13): F.round IS the HALF_UP-on-
@@ -649,9 +663,12 @@ def qx124_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     # half-even, so Series.round would flip decimal-grid halves — the
     # qx196 failure class — but the JVM round agrees with the oracle
     # by construction)
-    return ev.groupBy("user_id").applyInPandas(
-        ema_group, "user_id bigint, event_id bigint, ema double"
-    ).withColumn("ema", F.round("ema", 6))
+    return (
+        ev.repartition(shuffle_partitions(spark), "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(ema_part, "user_id bigint, event_id bigint, ema double")
+        .withColumn("ema", F.round("ema", 6))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2667,21 +2684,37 @@ def qx196_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", F.col("value").cast("double").alias("x")
     )
 
-    def holt_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # Partition-level mapInPandas over a (user_id)-clustered sort
+    # (round 13, the qx124 rewrite): groupBy().applyInPandas paid one
+    # pandas DataFrame construction per USER (~1500 × ~67 rows at
+    # sf0.1) around a recursion whose real work is microseconds. One
+    # exchange + sortWithinPartitions makes users contiguous runs, and
+    # ONE Python loop per task replays the coupled recurrences with a
+    # reset at each user boundary — the per-step float expressions are
+    # UNCHANGED (literal gains, same order), so trajectories stay
+    # bit-identical to the recursive-CTE oracle.
+    def holt_part(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        us = pdf["user_id"].tolist()
         xs = pdf["x"].tolist()
-        levels, trends = [], []
-        l = b = None
-        for t, x in enumerate(xs):
-            if t == 0:
+        levels = [0.0] * len(xs)
+        trends = [0.0] * len(xs)
+        prev_u = None
+        l = b = 0.0
+        for i, (u, x) in enumerate(zip(us, xs)):
+            if u != prev_u:
                 l, b = x, 0.0
+                prev_u = u
             else:
                 l_new = HOLT_ALPHA * x + HOLT_ALPHA_C * (l + b)
                 b = HOLT_BETA * (l_new - l) + HOLT_BETA_C * b
                 l = l_new
-            levels.append(l)
-            trends.append(b)
-        return pd.DataFrame(
+            levels[i] = l
+            trends[i] = b
+        yield pd.DataFrame(
             {
                 "user_id": pdf["user_id"],
                 "event_id": pdf["event_id"],
@@ -2695,10 +2728,14 @@ def qx196_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounding that used to dominate the loop is F.round's job — the
     # identical HALF_UP-on-shortest-repr semantics, vectorized in
     # whole-stage codegen after the Arrow edge
-    return ev.groupBy("user_id").applyInPandas(
-        holt_group, "user_id bigint, event_id bigint, level double, trend double"
-    ).withColumn("level", F.round("level", 6)).withColumn(
-        "trend", F.round("trend", 6)
+    return (
+        ev.repartition(shuffle_partitions(spark), "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            holt_part, "user_id bigint, event_id bigint, level double, trend double"
+        )
+        .withColumn("level", F.round("level", 6))
+        .withColumn("trend", F.round("trend", 6))
     )
 
 
