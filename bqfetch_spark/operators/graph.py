@@ -88,10 +88,10 @@ def qx125_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     that way. The expensive stage is the FACT REDUCTION — lineitem
     joins orders broadcast-dimension-style down to a <=|nations|² edge
     list in one partially-aggregated pass; the 100 TB posture is that
-    iteration never touches facts. The power iteration itself runs
-    10 (PR_ITERS) fixed rounds on the tiny rank frame (localCheckpoint per
-    round keeps the plan from growing superlinearly), with the
-    standard damping + uniform dangling-mass redistribution:
+    iteration never touches facts. The power iteration runs 10
+    (PR_ITERS) fixed rounds DRIVER-SIDE over the collected
+    dimension-bounded edge list (round 13 — see the inline comment),
+    with the standard damping + uniform dangling-mass redistribution:
     r'(v) = (1-d)/N + d * (sum_in r(u) w(u,v)/outw(u) + dangling/N).
     The oracle unrolls the identical recurrence as static SQL, so the
     fixed-point is value-checked, not just shape-checked. Determinism:
@@ -101,53 +101,45 @@ def qx125_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_catalog(spark, sf_dir)
     for t in ("lineitem", "orders", "customer", "supplier", "nation"):
         cat.table(t).createOrReplaceTempView(t)
-    edges = spark.sql(_EDGES_SQL).localCheckpoint(eager=True)
-    nodes = cat.table("nation").select(F.col("n_name").alias("node"))
-    outw = edges.groupBy(F.col("src").alias("osrc")).agg(F.sum("w").alias("ow"))
-    n_nodes = float(nodes.count())
+    # The ONLY fact-sized stage stays distributed: one partially-
+    # aggregated multi-join reduces the facts to the nation-level edge
+    # list. That list is DIMENSION-bounded — ≤ |nation|² = 625 rows at
+    # ANY corpus size — so the power iteration itself is a ≤625-term
+    # recurrence: round 13 moves it driver-side (the [decide]/[iter]
+    # bounded-collect class, same as centroid and BPE-argmax collects)
+    # instead of ~50 scheduler round-trips of 25-row Spark jobs, which
+    # were the query's entire wall (measured 4.9-7 s isolated at
+    # sf0.1; the reduction job is <1 s). Arithmetic is replicated
+    # expression-for-expression from the old per-round plan —
+    # (r·w)/ow terms summed per dst, damping applied as
+    # (1-d)/n + d·(contrib + m/n) — so the trajectory stays within the
+    # same ~ulp envelope of the oracle's unrolled recurrence that the
+    # distributed spelling had (Spark's F.sum order was already
+    # partition-nondeterministic; both engines agree at round-6).
+    edge_rows = spark.sql(_EDGES_SQL).collect()  # ≤ |nation|² rows
+    nodes = [r["n_name"] for r in cat.table("nation").select("n_name").collect()]
+    n_nodes = float(len(nodes))
 
-    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("r"))
-    for it in range(PR_ITERS):
-        # dangling mass: rank sitting on nodes with no out-edges,
-        # redistributed uniformly (1-row frame, broadcast back)
-        # explicit aliases: without a per-iteration checkpoint the rank
-        # frame's lineage contains edges/nodes, so the joins below are
-        # self-joins and need qualified column references
-        rk = ranks.alias("rk")
-        dangling = (
-            rk.join(outw.alias("ow_"), F.col("rk.node") == F.col("ow_.osrc"), "left_anti")
-            .agg(F.coalesce(F.sum("rk.r"), F.lit(0.0)).alias("m"))
-        )
-        contrib = (
-            rk.join(edges.alias("eg"), F.col("rk.node") == F.col("eg.src"))
-            .join(outw.alias("ow_"), F.col("eg.src") == F.col("ow_.osrc"))
-            .groupBy(F.col("eg.dst").alias("dst"))
-            .agg(
-                F.sum(F.col("rk.r") * F.col("eg.w") / F.col("ow_.ow")).alias("contrib")
+    outw: dict[str, int] = {}
+    for e in edge_rows:
+        outw[e["src"]] = outw.get(e["src"], 0) + e["w"]
+    rank = {nd: 1.0 / n_nodes for nd in nodes}
+    for _ in range(PR_ITERS):
+        m = sum(rank[nd] for nd in nodes if nd not in outw)
+        contrib: dict[str, float] = {}
+        for e in edge_rows:
+            contrib[e["dst"]] = contrib.get(e["dst"], 0.0) + (
+                rank[e["src"]] * e["w"] / outw[e["src"]]
             )
-        )
-        ranks = (
-            nodes.alias("nd").join(contrib, F.col("nd.node") == F.col("dst"), "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - PR_DAMPING) / n_nodes)
-                    + F.lit(PR_DAMPING)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("m") / F.lit(n_nodes)
-                    )
-                ).alias("r"),
-            )
-        )
-        # checkpoint every 2nd iteration: each level references ranks
-        # twice (contribution + dangling), so the un-truncated plan
-        # doubles per level — a cadence of 2 bounds that at 4 subtree
-        # copies while halving the eager-materialization jobs
-        if it % 2 == 1 or it == PR_ITERS - 1:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select(F.col("node").alias("nation"), r6(F.col("r")).alias("pagerank"))
+        rank = {
+            nd: (1.0 - PR_DAMPING) / n_nodes
+            + PR_DAMPING * (contrib.get(nd, 0.0) + m / n_nodes)
+            for nd in nodes
+        }
+    out = spark.createDataFrame(
+        [(nd, rank[nd]) for nd in nodes], "nation string, r double"
+    )
+    return out.select("nation", r6(F.col("r")).alias("pagerank"))
 
 
 # ---------------------------------------------------------------------------
@@ -285,24 +277,31 @@ def qx146_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spark.sql(_EDGES_SQL).filter(F.col("src") != F.col("dst"))
     rn = F.row_number().over(Window.partitionBy("src").orderBy(F.desc("w"), "dst"))
-    sparse = (
-        e.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
-        .localCheckpoint(eager=True)
+    # Fact reduction + rank-sparsify stay distributed; the sparsified
+    # edge list is DIMENSION-bounded (≤ 2·|nation| rows at any corpus
+    # size), so the frontier walk runs driver-side (round 13, the
+    # qx125 pattern): integer hop arithmetic over ≤50 edges replaces
+    # ~BFS_MAX_HOPS scheduler round-trips of ≤25-row joins, which were
+    # the query's wall. Semantics unchanged: first-visit hop = min
+    # hop, walk capped at BFS_MAX_HOPS, NULL for unreachable.
+    sparse_rows = (
+        e.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst").collect()
     )
-    dist = spark.createDataFrame([(BFS_SOURCE, 0)], "node string, hops bigint")
-    frontier = dist
+    adj: dict[str, list[str]] = {}
+    for r in sparse_rows:
+        adj.setdefault(r["src"], []).append(r["dst"])
+    dist = {BFS_SOURCE: 0}
+    frontier = [BFS_SOURCE]
     for hop in range(1, BFS_MAX_HOPS):
-        frontier = (
-            frontier.join(sparse, F.col("node") == F.col("src"))
-            .select(F.col("dst").alias("node"), F.lit(hop).cast("bigint").alias("hops"))
-            .distinct()
-            .join(dist.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
+        nxt = sorted(
+            {d for f in frontier for d in adj.get(f, ()) if d not in dist}
         )
-        if frontier.isEmpty():
+        if not nxt:
             break
-        dist = dist.unionByName(frontier)
-    nations = cat.table("nation").select(F.col("n_name").alias("nation"))
-    return nations.join(
-        dist.withColumnRenamed("node", "nation"), "nation", "left"
-    ).select("nation", "hops")
+        for d in nxt:
+            dist[d] = hop
+        frontier = nxt
+    nations = [r["n_name"] for r in cat.table("nation").select("n_name").collect()]
+    return spark.createDataFrame(
+        [(n, dist.get(n)) for n in nations], "nation string, hops bigint"
+    )
