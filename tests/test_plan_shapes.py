@@ -338,12 +338,16 @@ def test_qx130_journey_topk_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_qx133_knn_broadcasts_queries(spark):
-    # the corpus streams once with the query block broadcast — no
-    # corpus shuffle, no cartesian fallback
+def test_qx133_knn_scores_per_corpus_block(spark):
+    # round-13 shape: the corpus moves ONCE into hashed block groups
+    # scored in applyInPandas (query side replicated per block) — no
+    # pair join, no cartesian fallback, and exactly one exchange
+    # carries the vectors (the blk group-by; the top-k window rides
+    # the skinny scored rows)
     plan = _plan(spark, "qx133_knn_classify")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_qx134_no_single_partition_exchange(spark):
