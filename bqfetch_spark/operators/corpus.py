@@ -196,48 +196,63 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str, max_iters: in
     # the big-graph case at full width — n_parts grows with the data,
     # so 1e12 edges still fan out to ~20k tasks on a real cluster.
     n_edges = p.count()
-    iter_parts = max(2, min(shuffle_partitions(pairs.sparkSession), 1 + n_edges // 50_000))
-    p = p.repartition(iter_parts).localCheckpoint(eager=True)
-    edges = p.union(p.select(F.col("dst"), F.col("src"))).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iters):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        stepped = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-        )
-        # pointer jump (path compression): follow each label to ITS
-        # label — every label is itself a node, so the hop is a self
-        # equi-join. Plain hash-min needs O(diameter) rounds (a chain
-        # component converges one hop per round — measured 11 rounds on
-        # the sf0.1 cosine graph); the jump makes label depth halve per
-        # round, so convergence is O(log diameter) — the difference
-        # between ~40 and ~6 rounds on a 1e12-edge graph's long chains.
-        x, p = stepped.alias("x"), stepped.alias("p")
+    spark = pairs.sparkSession
+    iter_parts = max(2, min(shuffle_partitions(spark), 1 + n_edges // 50_000))
+    # pin the SESSION shuffle width to iter_parts for the loop (round
+    # 13, guide §2.2/§1.2): every per-round join/groupBy exchange
+    # otherwise plans at the session default (32 here, thousands on a
+    # cluster) and AQE coalesces at runtime — but the planning and
+    # stage-bookkeeping overhead of the wide exchanges is the dominant
+    # per-round cost on a small graph (measured: qx191's loop 4.0 →
+    # 3.0 s with no other change). iter_parts already scales with the
+    # edge count, so a 1e12-edge graph still fans out; restored in the
+    # finally (same pattern as streaming/windows.run_to_memory).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
+        p = p.repartition(iter_parts).localCheckpoint(eager=True)
+        edges = p.union(p.select(F.col("dst"), F.col("src"))).localCheckpoint(eager=True)
         labels = (
-            x.join(p, F.col("x.label") == F.col("p.node"), "left")
-            .select(
-                F.col("x.node").alias("node"),
-                F.least(
-                    F.col("x.label"), F.coalesce(F.col("p.label"), F.col("x.label"))
-                ).alias("label"),
-            )
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        prev_sum = labels.agg(F.sum("label")).first()[0]
+        for _ in range(max_iters):
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            stepped = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            # pointer jump (path compression): follow each label to ITS
+            # label — every label is itself a node, so the hop is a self
+            # equi-join. Plain hash-min needs O(diameter) rounds (a chain
+            # component converges one hop per round — measured 11 rounds on
+            # the sf0.1 cosine graph); the jump makes label depth halve per
+            # round, so convergence is O(log diameter) — the difference
+            # between ~40 and ~6 rounds on a 1e12-edge graph's long chains.
+            x, p = stepped.alias("x"), stepped.alias("p")
+            labels = (
+                x.join(p, F.col("x.label") == F.col("p.node"), "left")
+                .select(
+                    F.col("x.node").alias("node"),
+                    F.least(
+                        F.col("x.label"), F.coalesce(F.col("p.label"), F.col("x.label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = labels.agg(F.sum("label")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
