@@ -2674,15 +2674,34 @@ def qx264_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (a, b) in enumerate(_mh_coefs())
         ]
     )
-    bands = None
-    for b in range(MH_B):
-        key = F.md5(
-            F.concat_ws(
-                ",", *[F.col(f"s{b * MH_R + r}").cast("string") for r in range(MH_R)]
+    # One explode over the MH_B per-band keys instead of an MH_B-way
+    # union of projections of `sig`: the union spelling re-derived the
+    # whole signature subtree (scan -> gram explode -> distinct -> 16-min
+    # aggregate) once PER BAND and again per self-join side - 20 parquet
+    # scans of `documents` in the physical plan. Same rows (band keys are
+    # per-doc values; downstream is a join + groupBy, row order free).
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"s{b * MH_R + r}").cast("string")
+                                    for r in range(MH_R)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(MH_B)
+                ]
             )
-        )
-        part = sig.select("doc_id", F.lit(b).alias("band"), key.alias("key"))
-        bands = part if bands is None else bands.unionByName(part)
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     ba, bb = bands.alias("ba"), bands.alias("bb")
     cand = (
         ba.join(
