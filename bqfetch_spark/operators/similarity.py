@@ -2652,18 +2652,35 @@ def qx261_embedding_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame
             for b in range(SH_BANDS)
         ],
     )
-    per_band = None
-    for b in range(SH_BANDS):
-        buckets = keyed.groupBy(F.col(f"key{b}").alias("band_key")).agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        row = buckets.agg(
-            F.lit(b).cast("bigint").alias("band_id"),
+    # One explode over the SH_BANDS per-vector keys instead of a
+    # per-band union of aggregates: the union spelling re-derived the
+    # whole corpus-scale sign-fold (scan -> quantize -> SH_BITS
+    # zip_with/aggregate folds) once PER BAND. Same integer arithmetic:
+    # count per (band, key) bucket, then the per-band histogram row.
+    melted = keyed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("bigint").alias("band_id"),
+                        F.col(f"key{b}").alias("band_key"),
+                    )
+                    for b in range(SH_BANDS)
+                ]
+            )
+        ).alias("bk")
+    ).select("bk.band_id", "bk.band_key")
+    buckets = melted.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        buckets.groupBy("band_id")
+        .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
             F.sum(F.expr("c * (c - 1) div 2")).cast("bigint").alias("n_candidate_pairs"),
         )
-        per_band = row if per_band is None else per_band.unionByName(row)
-    return per_band.orderBy("band_id")
+        .orderBy("band_id")
+    )
 
 
 # ---------------------------------------------------------------------------
