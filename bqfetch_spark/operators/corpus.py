@@ -163,9 +163,54 @@ def q73_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CLUSTER_JACCARD = 0.2  # pair threshold feeding the cluster graph
 MAX_CC_ITERS = 20  # safety cap; real convergence is O(cluster diameter)
+# Driver-side union-find fast path bound (round 14, guide §1.2/§5):
+# below this many edges the whole graph fits the driver comfortably
+# (2 longs/edge ≈ 16 B → ≤ ~8 MB at the cap, far under
+# spark.driver.maxResultSize) and a single union-find pass replaces
+# O(log diameter) shuffle-join rounds whose fixed per-round scheduler
+# cost dominates at small edge counts (measured: qx191's CC tail
+# ~1.9 s of per-round joins for a ~3k-edge graph). The bound is on
+# EDGES — data, not a local[32] tunable — so a 100 TB corpus whose
+# dedup graph exceeds it takes the distributed hash-min loop below,
+# same as before.
+CC_DRIVER_MAX_EDGES = 500_000
 
 
-def connected_components(pairs: DataFrame, a_col: str, b_col: str, max_iters: int = MAX_CC_ITERS) -> DataFrame:
+def _driver_union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Min-label union-find over a bounded edge list: parent pointers
+    with path compression + attach-larger-root-under-smaller, so every
+    node's root IS the min node id of its component (the same label
+    hash-min propagation converges to)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes: set[int] = set()
+    for a, b in edges:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {n: find(n) for n in nodes}
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iters: int = MAX_CC_ITERS,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
+) -> DataFrame:
     """(node, cluster_id) for every node in ``pairs``, cluster_id =
     min node id in the connected component — iterative hash-min label
     propagation (the standard large-graph CC algorithm; GraphFrames
@@ -197,6 +242,21 @@ def connected_components(pairs: DataFrame, a_col: str, b_col: str, max_iters: in
     # so 1e12 edges still fan out to ~20k tasks on a real cluster.
     n_edges = p.count()
     spark = pairs.sparkSession
+    # Small-graph fast path (round 14): the edge list is already
+    # materialized and counted; when it is driver-bounded, one
+    # union-find pass on the driver replaces the whole iteration loop
+    # (each round = 2 shuffle joins + checkpoint + a collect — pure
+    # fixed cost at this size). Gated on max_iters >= MAX_CC_ITERS so
+    # callers exercising the iteration cap (tests) still reach the
+    # loop; result is identical — min node id per component, which is
+    # exactly the hash-min fixpoint and the recursive-CTE oracle.
+    if max_iters >= MAX_CC_ITERS and n_edges <= driver_max_edges:
+        labels_map = _driver_union_find(
+            [(int(r["src"]), int(r["dst"])) for r in p.collect()]
+        )
+        return spark.createDataFrame(
+            sorted(labels_map.items()), "node long, cluster_id long"
+        )
     iter_parts = max(2, min(shuffle_partitions(spark), 1 + n_edges // 50_000))
     # pin the SESSION shuffle width to iter_parts for the loop (round
     # 13, guide §2.2/§1.2): every per-round join/groupBy exchange

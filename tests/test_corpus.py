@@ -17,17 +17,27 @@ from bqfetch_spark.operators.corpus import (
 
 def test_connected_components_chain(spark):
     # 1-2-3-4-5 is a 4-hop chain: min label must propagate end to end,
-    # which takes ~ceil(log2(diameter)) + 1 rounds, not one.
+    # which takes ~ceil(log2(diameter)) + 1 rounds, not one. Checked on
+    # BOTH paths: the driver union-find fast path (default at this
+    # size) and the distributed hash-min loop (forced by zeroing the
+    # fast-path edge bound) must produce the identical label set.
     pairs = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
         "a long, b long",
     )
-    got = {
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)}
+    fast = {
         (r.node, r.cluster_id)
         for r in connected_components(pairs, "a", "b").collect()
     }
-    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)}
-    assert got == want
+    distributed = {
+        (r.node, r.cluster_id)
+        for r in connected_components(
+            pairs, "a", "b", driver_max_edges=0
+        ).collect()
+    }
+    assert fast == want
+    assert distributed == want
 
 
 def test_connected_components_respects_iteration_cap(spark):
