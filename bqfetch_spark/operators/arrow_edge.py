@@ -555,10 +555,13 @@ def _qx200_oracle() -> str:
 def qx200_streaming_pca_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained PCA sufficient statistics
     (streaming/pca_stats.py): 60% of the embeddings backfill a
-    fixed-point long-sum store; the remaining 40% arrives as two
-    streamed waves, each appending its own ~2144-row partial-sum frame
-    under its ingest_batch partition (O(wave), history never re-read,
-    retry-idempotent dynamic overwrite, checkpoint-lineage ownership).
+    fixed-point long-sum store; the remaining 40% arrives as two wave
+    files through a foreachBatch stream (coalesced into one
+    AvailableNow micro-batch since round 14 — fixed per-batch
+    scheduler cost, guide §1.2), the batch appending its ~2144-row
+    partial-sum frame under its ingest_batch partition (O(wave),
+    history never re-read, retry-idempotent dynamic overwrite,
+    checkpoint-lineage ownership).
     Returns the covariance computed FROM THE MAINTAINED STORE — and
     because integer sums are exactly additive, that is BIT-IDENTICAL
     to qx192's one-shot output however ingest is sliced, so this

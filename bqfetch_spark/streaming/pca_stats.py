@@ -92,10 +92,11 @@ def run_incremental_pca_stats(
     spark: SparkSession, sf_dir: str, work_dir: str
 ) -> DataFrame:
     """Bounded streaming run: 60% of the embeddings backfill the stats
-    store; the remaining two slices arrive as separate micro-batches
-    through a foreachBatch stream. Returns the covariance frame
-    computed FROM THE MAINTAINED STORE — bit-equal to qx192's one-shot
-    output by integer additivity, so it shares qx192's full oracle."""
+    store; the remaining two wave files arrive through a foreachBatch
+    stream (one AvailableNow micro-batch — see the trigger note below).
+    Returns the covariance frame computed FROM THE MAINTAINED STORE —
+    bit-equal to qx192's one-shot output by integer additivity, so it
+    shares qx192's full oracle."""
     from bqfetch_spark.catalog import load_catalog
     from bqfetch_spark.functions.vectors import as_double
     from bqfetch_spark.operators.similarity import covariance_rows
@@ -129,9 +130,20 @@ def run_incremental_pca_stats(
             os.path.join(incoming_dir, f"wave_{wave}")
         )
     schema = spark.read.parquet(os.path.join(incoming_dir, "wave_3")).schema
+    # No maxFilesPerTrigger cap (round 14, guide §1.2): with
+    # Trigger.AvailableNow the bounded replay then ingests every
+    # pending wave file in ONE micro-batch instead of one batch per
+    # file. Each micro-batch costs a fixed scheduler + checkpoint +
+    # state-commit fee (~1.2 s here) that dwarfs the per-wave O(wave)
+    # partial-agg at fixture scale — measured 2.5 s → 1.3 s for the
+    # stream leg. Semantics unchanged: the batch is still folded by
+    # the SAME append_stats_wave dynamic-overwrite path (idempotent
+    # under retry), integer additivity makes the merged store
+    # bit-equal however ingest is sliced (that is the tested design
+    # property), and a production deployment would tune the trigger to
+    # its latency target, not to one-file batches.
     incoming = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
         .parquet(os.path.join(incoming_dir, "wave_*"))
     )
 
