@@ -398,6 +398,74 @@ def test_debounce_admission_invariant_under_wave_slicing(gaps, cuts):
 
 
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=1),  # event_type idx
+            st.integers(min_value=0, max_value=4000),  # ts offset s
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=59), max_size=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_debounce_bucket_kernel_equals_per_key_kernel(rows, cuts):
+    """streaming/debounce.debounce_bucket_kernel: admitting a whole
+    bucket of interleaved keys in one vectorized pass must keep exactly
+    the rows (with the same gap_s) that running the single-key
+    reference kernel per (user, event_type) keeps — including across
+    micro-batch slices, where the bucket state must seed every key's
+    first gap exactly like the per-key last-seen state."""
+    import pandas as pd
+
+    from bqfetch_spark.streaming.debounce import (
+        debounce_bucket_kernel,
+        debounce_kernel,
+    )
+
+    etypes = ["click", "view"]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": [r[0] for r in rows],
+            "event_type": [etypes[r[1]] for r in rows],
+            "ts": pd.to_datetime(
+                [r[2] * 1_000_000 for r in rows], unit="us"
+            ),
+        }
+    )
+    points = sorted({c for c in cuts if 0 < c < len(rows)})
+    bounds = [0, *points, len(rows)]
+
+    # bucketed: one kernel over all keys, sliced into waves
+    bstate, bwaves = None, []
+    for a, b in zip(bounds, bounds[1:]):
+        bstate, kept = debounce_bucket_kernel(bstate, pdf.iloc[a:b])
+        bwaves.append(kept)
+    bucketed = pd.concat(bwaves, ignore_index=True)
+
+    # reference: per-key kernel, same waves
+    kstate: dict = {}
+    kwaves = []
+    for a, b in zip(bounds, bounds[1:]):
+        wave = pdf.iloc[a:b]
+        for key, grp in wave.groupby(["user_id", "event_type"], sort=False):
+            st_, kept = debounce_kernel(kstate.get(key), grp)
+            kstate[key] = st_
+            kwaves.append(kept)
+    reference = pd.concat(kwaves, ignore_index=True)
+
+    got = sorted(zip(bucketed["event_id"], bucketed["gap_s"]))
+    want = sorted(zip(reference["event_id"], reference["gap_s"]))
+    assert got == want
+    # carried state must match the per-key last-seen map exactly
+    assert {
+        (u, e): l for u, e, l in zip(*bstate)
+    } == {k: v for k, v in kstate.items()}
+
+
+@given(
     offsets=st.lists(st.integers(min_value=0, max_value=7200), min_size=1, max_size=50),
     cuts=st.lists(st.integers(min_value=0, max_value=49), max_size=3),
 )
