@@ -615,3 +615,86 @@ def test_sequence_anomaly_scores_are_proper_nll(spark):
     scores = [r.nll_per_step for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_pca_phase1_numpy_equals_explode_spelling(spark):
+    """The round-14 Arrow-vectorized pca_stats_phase1 must be
+    BIT-EQUAL, slot for slot, to the transform/posexplode spelling it
+    replaced (the one the COVARIANCE_ORACLE was originally verified
+    against) — same (pos, bkt) keys, same long q1 sums, same n_rows."""
+    from pyspark.sql import functions as F
+
+    from bqfetch_spark.catalog import load_catalog
+    from bqfetch_spark.functions.vectors import as_double
+    from bqfetch_spark.operators.similarity import (
+        PCA_DIM,
+        PCA_Q,
+        PCA_ROW_BUCKET,
+        pca_stats_phase1,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = load_catalog(spark, SF_SMOKE).table("embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    tri = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(PCA_DIM)),
+            lambda si: F.transform(
+                F.slice("v", si, F.lit(PCA_DIM + 1) - si),
+                lambda y: F.element_at("v", si) * y,
+            ),
+        )
+    )
+    reference = (
+        emb.select(
+            F.floor(F.col("vec_id") / F.lit(PCA_ROW_BUCKET)).alias("bkt"),
+            F.posexplode(F.concat(F.col("v"), tri)).alias("pos", "x"),
+        )
+        .groupBy("pos", "bkt")
+        .agg(
+            F.sum(F.round(F.col("x") * F.lit(PCA_Q)).cast("long")).alias("q1"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    want = {(r.pos, r.bkt): (r.q1, r.n_rows) for r in reference.collect()}
+    got = {(r.pos, r.bkt): (r.q1, r.n_rows) for r in pca_stats_phase1(emb).collect()}
+    assert got == want
+    assert len(got) == PCA_DIM + PCA_DIM * (PCA_DIM + 1) // 2
+
+
+def test_round_half_up_exact_matches_spark_round():
+    """_round_half_up_exact vs the HALF_UP decimal semantics F.round
+    implements: nearest integer for non-ties, exact binary .5 ties
+    away from zero — including negatives, the float-below-.5 classic
+    (2.4999999999999996), and large magnitudes near the 2.5e10 bound."""
+    import decimal
+
+    import numpy as np
+
+    from bqfetch_spark.operators.similarity import _round_half_up_exact
+
+    cases = np.array(
+        [
+            0.0, 0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 3.5, -3.5,
+            2.4999999999999996, -2.4999999999999996,
+            0.49999999999999994, -0.49999999999999994,
+            1234567890.5, -1234567890.5,
+            24999999999.5, -24999999999.5,
+            7.000000000000001, -7.999999999999999,
+        ]
+    )
+    rng = np.random.default_rng(7)
+    cases = np.concatenate([cases, rng.uniform(-2.6e10, 2.6e10, 5000)])
+    got = _round_half_up_exact(cases)
+    want = np.array(
+        [
+            float(
+                decimal.Decimal(repr(float(v))).quantize(
+                    decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            for v in cases
+        ]
+    )
+    assert (got == want).all()
