@@ -521,11 +521,14 @@ def _qx166_oracle() -> str:
 )
 def qx166_streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """qx163's stateful streaming spelling (streaming/rate_limit.py):
-    applyInPandasWithState keyed by user_id carrying TWO longs — the
-    hour being counted and its seen-count — so per-window admission
-    needs no per-window state keys and an hour rollover resets the
-    counter in place. State bounded by the live-user domain. Kernel
-    wave-slicing invariance is hypothesis-tested (200 random streams,
+    applyInPandasWithState keyed by a HASH BUCKET of user_id (round
+    14, the qx164 recipe — one vectorized kernel call admits every
+    user in the bucket instead of one call per live user), carrying
+    per user TWO longs — the hour being counted and its seen-count —
+    so per-window admission needs no per-window state keys and an
+    hour rollover resets the counter in place. State bounded by the
+    live-user domain. Bucket-vs-per-key equality and kernel
+    wave-slicing invariance are hypothesis-tested (200 random streams,
     rollovers included); cross-wave carry pinned with ts-split waves;
     the bounded replay shares qx163's full oracle."""
     from bqfetch_spark.streaming.rate_limit import rate_limit_stream

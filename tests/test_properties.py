@@ -466,6 +466,74 @@ def test_debounce_bucket_kernel_equals_per_key_kernel(rows, cuts):
 
 
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=7200),  # ts offset s
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=59), max_size=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_rate_limit_bucket_kernel_equals_per_key_kernel(rows, cuts):
+    """streaming/rate_limit.rate_limit_bucket_kernel: admitting a whole
+    bucket of interleaved users in one vectorized pass must keep
+    exactly the rows (with the same slot and window_start) that running
+    the single-key reference kernel per user keeps — including across
+    micro-batch slices, where the bucket state must seed every user's
+    (hour, seen) carry exactly like the per-key state, and hour
+    rollovers at wave boundaries."""
+    import pandas as pd
+
+    from bqfetch_spark.streaming.rate_limit import (
+        rate_limit_bucket_kernel,
+        rate_limit_kernel,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] * 1_000_000_000 for r in rows]),
+        }
+    )
+    points = sorted({c for c in cuts if 0 < c < len(rows)})
+    bounds = [0, *points, len(rows)]
+
+    # bucketed: one kernel over all users, sliced into waves
+    bstate, bwaves = None, []
+    for a, b in zip(bounds, bounds[1:]):
+        bstate, kept = rate_limit_bucket_kernel(bstate, pdf.iloc[a:b])
+        bwaves.append(kept)
+    bucketed = pd.concat(bwaves, ignore_index=True)
+
+    # reference: per-key kernel, same waves
+    kstate: dict = {}
+    kwaves = []
+    for a, b in zip(bounds, bounds[1:]):
+        wave = pdf.iloc[a:b]
+        for key, grp in wave.groupby("user_id", sort=False):
+            st_, kept = rate_limit_kernel(kstate.get(key), grp)
+            kstate[key] = st_
+            kwaves.append(kept)
+    reference = pd.concat(kwaves, ignore_index=True)
+
+    got = sorted(
+        zip(bucketed["event_id"], bucketed["slot"], bucketed["window_start"])
+    )
+    want = sorted(
+        zip(reference["event_id"], reference["slot"], reference["window_start"])
+    )
+    assert got == want
+    # carried state must match the per-key (hour, seen) map exactly
+    assert {u: (h, s) for u, h, s in zip(*bstate)} == {
+        k: v for k, v in kstate.items()
+    }
+
+
+@given(
     offsets=st.lists(st.integers(min_value=0, max_value=7200), min_size=1, max_size=50),
     cuts=st.lists(st.integers(min_value=0, max_value=49), max_size=3),
 )
