@@ -83,9 +83,15 @@ NEARDUP_MAX_VECTORS = 100_000
 # Block count for q51's blocked all-pairs scoring: each unordered pair
 # of blocks is one scoring group, so work per group is (n/B)²·dim and
 # every vector is replicated B times. 8 gives 36 groups — enough to
-# fill the 32 local slots; at the 100k cap a group holds 2×12.5k
-# vectors (≈12 MB of float64), far under task memory.
+# fill the 32 local slots. INPUT vectors per group are small (2×12.5k
+# × 64 doubles ≈ 12 MB at the 100k cap) but the pairwise SCORE matrix
+# is (n/B)² cells — 1.25 GB of float64 per 12.5k×12.5k group — so the
+# scoring kernels tile their y side to SCORE_TILE_CELLS live cells
+# (ADVICE r13): peak per task stays ~3 matrices × 32 MB whatever the
+# block population, and per-pair arithmetic is untouched (each pair's
+# fold is independent of the tiling).
 NEARDUP_BLOCKS = 8
+SCORE_TILE_CELLS = 4_000_000  # ≈32 MB float64 per live pair matrix
 
 
 @register("q51_embedding_neardup", oracle=NEARDUP_ORACLE, tags=("similarity", "dedup"))
@@ -173,23 +179,37 @@ def q51_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
                 {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
             )
-        x, y = m[xi], m[yi]
-        acc = np.zeros((len(xi), len(yi)))
-        for d in range(x.shape[1]):  # dim-by-dim: the fold's add order
-            acc += np.outer(x[:, d], y[:, d])
-        cos = acc / np.outer(nn[xi], nn[yi])
-        ida, idb = ids[xi], ids[yi]
-        keep = cos >= 0.349
-        if g1 == g2:
-            # one triangle of the self-pairs; cross-block pairs appear
-            # once in x×y whatever their id order, so orient by min/max
-            keep &= ida[:, None] < idb[None, :]
-        ii, jj = np.nonzero(keep)
+        x = m[xi]
+        nx = nn[xi]
+        ida = ids[xi]
+        # y-side tiled (ADVICE r13): bound the live (x × y-tile) score
+        # matrices to SCORE_TILE_CELLS cells; each pair's dim-by-dim
+        # fold is independent of the tiling, so results are bit-equal
+        out_a, out_b, out_c = [], [], []
+        ych = max(1, SCORE_TILE_CELLS // max(1, len(xi)))
+        for ys in range(0, len(yi), ych):
+            yt = yi[ys : ys + ych]
+            y = m[yt]
+            acc = np.zeros((len(xi), len(yt)))
+            for d in range(x.shape[1]):  # dim-by-dim: the fold's add order
+                acc += np.outer(x[:, d], y[:, d])
+            cos = acc / np.outer(nx, nn[yt])
+            idb = ids[yt]
+            keep = cos >= 0.349
+            if g1 == g2:
+                # one triangle of the self-pairs; cross-block pairs
+                # appear once in x×y whatever their id order, so
+                # orient by min/max
+                keep &= ida[:, None] < idb[None, :]
+            ii, jj = np.nonzero(keep)
+            out_a.append(np.minimum(ida[ii], idb[jj]))
+            out_b.append(np.maximum(ida[ii], idb[jj]))
+            out_c.append(cos[ii, jj])
         return pd.DataFrame(
             {
-                "vec_a": np.minimum(ida[ii], idb[jj]),
-                "vec_b": np.maximum(ida[ii], idb[jj]),
-                "cosine": cos[ii, jj],
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
             }
         )
 
@@ -343,21 +363,126 @@ def km_quantized(state: list) -> list:
     return [(cid, _km_quantize(s, n)) for cid, s, n in state]
 
 
+# Assignment kernels (round 14, guide §4.1/§4.2): the km_struct_array
+# fold spelling evaluated k×64 interpreted zip_with/aggregate lambda
+# steps PER ROW (~2k higher-order-function ops at k=16 — the same
+# expression-interpreter cost class the r14 PCA phase-1 rewrite
+# measured at 1.55 s/job at sf0.1). One numpy pass per Arrow batch now
+# computes the identical BIGINT distances via the exact expansion
+# d = Σx² + Σc² − 2·x·c (pure int64 arithmetic — no rounding anywhere,
+# so the algebraic regrouping is exact; magnitudes ≤ 64·(2.4e6)² ≈
+# 3.7e14, far inside int64) and the identical tie-breaks: centroid
+# columns are ordered by cell_id ascending, np.argmin takes the FIRST
+# minimum (= the struct array_min's (d, cell_id) order) and the stable
+# argsort keeps equal-d columns in cell order (= array_sort). The
+# JVM spelling (km_struct_array) is kept for the training loop's SQL
+# mirror documentation and plan history.
+
+
+def _km_centroid_arrays(cq_state: list):
+    import numpy as np
+
+    state = sorted((int(cid), [int(v) for v in cq]) for cid, cq in cq_state)
+    cells = np.array([cid for cid, _ in state], dtype=np.int64)
+    cmat = np.array([cq for _, cq in state], dtype=np.int64)
+    return cells, cmat
+
+
 def km_assign(e: DataFrame, cq_state: list) -> DataFrame:
-    """+ (cell_id, d): map-only argmin over literal centroids."""
-    m = F.array_min(km_struct_array(cq_state))
-    return e.select("*", m["cell_id"].alias("cell_id"), m["d"].alias("d"))
+    """+ (cell_id, d): argmin over centroids, one vectorized int64
+    pass per Arrow batch (ties → smaller cell_id, exactly the struct
+    array_min order of the previous map-only fold spelling)."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    cells, cmat = _km_centroid_arrays(cq_state)
+    cc = (cmat * cmat).sum(axis=1)
+    schema = StructType(
+        e.schema.fields
+        + [StructField("cell_id", IntegerType()), StructField("d", LongType())]
+    )
+
+    def _assign(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf["qv"]), dtype=np.int64)
+            dmat = (q * q).sum(axis=1)[:, None] + cc[None, :] - 2 * (q @ cmat.T)
+            j = dmat.argmin(axis=1)
+            out = pdf.copy()
+            out["cell_id"] = cells[j].astype("int32")
+            out["d"] = dmat[np.arange(len(j)), j]
+            yield out
+
+    return e.mapInPandas(_assign, schema)
 
 
 def km_multi_assign(e: DataFrame, cq_state: list, probe: int) -> DataFrame:
     """Multi-probe assignment: each vector lands in its `probe` nearest
-    cells (one output row per (vec, cell)). Map-only: ONE array_sort of
-    k (d, cell_id) structs per vector, bounded slice + explode."""
-    top = F.slice(F.array_sort(km_struct_array(cq_state)), 1, probe)
-    return e.select(
-        "*",
-        F.explode(F.transform(top, lambda s: s["cell_id"])).alias("cell_id"),
+    cells (one output row per (vec, cell)), ranked by (d, cell_id) —
+    the stable argsort reproduces the previous array_sort + slice +
+    explode spelling row-for-row."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cells, cmat = _km_centroid_arrays(cq_state)
+    cc = (cmat * cmat).sum(axis=1)
+    schema = StructType(e.schema.fields + [StructField("cell_id", IntegerType())])
+
+    def _assign(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf["qv"]), dtype=np.int64)
+            dmat = (q * q).sum(axis=1)[:, None] + cc[None, :] - 2 * (q @ cmat.T)
+            order = np.argsort(dmat, axis=1, kind="stable")[:, :probe]
+            out = pdf.iloc[np.repeat(np.arange(len(pdf)), order.shape[1])].copy()
+            out["cell_id"] = cells[order.reshape(-1)].astype("int32")
+            yield out
+
+    return e.mapInPandas(_assign, schema)
+
+
+def ivf_seeded_assign(frame: DataFrame, crows: list, probe: int) -> DataFrame:
+    """Assignment against SEEDED centroid rows [(cell_id, qc, nc)] by
+    _ivf_sim similarity: each vector lands in its `probe` best cells
+    ranked by (s desc, cell_id asc) — one row per (vec, cell), input
+    columns passed through. Vectorized per Arrow batch (round 14,
+    guide §4.1/§4.2), replacing the per-row interpreted spelling of
+    k zip_with/aggregate dot folds + a struct sort_array: integer
+    dots are exact in int64 and < 2^53 (lossless cast to double, like
+    the JVM's), s = dot/(sqrt(nv)·sqrt(nc)) is the same three
+    correctly-rounded IEEE ops in the same order, and the stable
+    argsort on -s keeps equal-s columns in cell_id order — exactly
+    the struct compare of sort_array(desc) on (s, -cell_id)."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cells = np.array([int(r["cell_id"]) for r in crows], dtype=np.int64)
+    cmat = np.array([[int(x) for x in r["qc"]] for r in crows], dtype=np.int64)
+    sq_nc = np.sqrt(np.array([int(r["nc"]) for r in crows], dtype=np.float64))
+    schema = StructType(
+        frame.schema.fields + [StructField("cell_id", IntegerType())]
     )
+
+    def _assign(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qm = np.array(list(pdf["qv"]), dtype=np.int64)
+            s = (qm @ cmat.T).astype(np.float64) / (
+                np.sqrt(pdf["nv"].to_numpy().astype(np.float64))[:, None]
+                * sq_nc[None, :]
+            )
+            order = np.argsort(-s, axis=1, kind="stable")[:, :probe]
+            out = pdf.iloc[np.repeat(np.arange(len(pdf)), order.shape[1])].copy()
+            out["cell_id"] = cells[order.reshape(-1)].astype("int32")
+            yield out
+
+    return frame.mapInPandas(_assign, schema)
 
 
 # Per-session artifact memos (the frozen-index stance applied to the
@@ -406,9 +531,13 @@ def fixed_point_kmeans(e: DataFrame, k: int, rounds: int = KM_ROUNDS) -> list:
     )
     state = [(int(r["vec_id"]), [int(x) for x in r["qv"]], 1) for r in seeds]
     for _ in range(rounds):
-        m = F.array_min(km_struct_array(km_quantized(state)))
+        # per-round assignment through the vectorized kernel (round 14)
+        # — identical int64 distances and tie-breaks as the
+        # km_struct_array fold, one Arrow pass instead of k×64
+        # interpreted lambda steps per row
         stats = (
-            e.select("qv", m["cell_id"].alias("cell_id"))
+            km_assign(e.select("qv"), km_quantized(state))
+            .select("qv", "cell_id")
             .groupBy("cell_id")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -608,42 +737,26 @@ def q53_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer trick), so dots and squared norms are exact integers under
     2^53 and the similarity is a fixed-order chain of correctly-rounded
     IEEE double ops — bit-identical to the DuckDB spelling. The argmax
-    assignment is now MAP-ONLY (array_max over an 8-struct array — the
-    struct's trailing -cell_id breaks exact-double ties toward the
-    smaller cell, matching the oracle's ORDER BY s DESC, cell_id), which
-    also deletes the corpus×8-row window shuffle the r9 spelling paid.
-    Recall-vs-brute-force stays pytest-asserted (quantization shifts
-    cosines by ~1e-6 — invisible at 6dp and to recall)."""
+    assignment is map-shaped (no corpus×8-row window shuffle since r10)
+    and since round 14 runs as ONE vectorized numpy pass per Arrow
+    batch instead of 8 interpreted zip_with folds per row — identical
+    doubles, identical ties-toward-smaller-cell (see the kernel comment
+    below). Recall-vs-brute-force stays pytest-asserted (quantization
+    shifts cosines by ~1e-6 — invisible at 6dp and to recall)."""
     q = _ivf_quantized(spark, sf_dir)
     centroids = q.filter(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("qv").alias("qc"), F.col("nv").alias("nc")
     )
     crows = sorted(centroids.collect(), key=lambda r: r["cell_id"])  # 8 rows
 
-    def dot_with(cvec) -> F.Column:
-        lits = F.array(*[F.lit(int(x)).cast("bigint") for x in cvec])
-        return F.aggregate(
-            F.zip_with("qv", lits, lambda a, b: a * b),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-
-    # map-only argmax: max of (sim, -cell_id) structs == oracle's
-    # ORDER BY s DESC, cell_id ASC (struct compare is field-ordered)
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    _ivf_sim(dot_with(r["qc"]), F.col("nv"), F.lit(int(r["nc"]))).alias("s"),
-                    F.lit(-r["cell_id"]).alias("negc"),
-                )
-                for r in crows
-            ]
-        )
-    )
-    assigned = q.select(
-        "vec_id", "qv", "nv", (-best["negc"]).cast("int").alias("cell_id")
-    )
+    # Assignment argmax vectorized per Arrow batch (round 14, guide
+    # §4.1/§4.2): the previous map-only spelling evaluated 8 centroid
+    # zip_with/aggregate folds (8×64 interpreted lambda steps) per row.
+    # ivf_seeded_assign with probe=1 computes the IDENTICAL
+    # similarities and the identical tie-break (ties → smaller
+    # cell_id), matching array_max over (s, -cell_id) structs; see the
+    # helper's exactness comment.
+    assigned = ivf_seeded_assign(q, crows, probe=1)
     queries = assigned.filter(F.col("vec_id") < IVF_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
@@ -867,11 +980,26 @@ def q69_embedding_neardup_ivf(
         mb = np.array(bm["qv"].tolist(), dtype=np.float64)
         rt_a = np.sqrt(am["nv"].to_numpy().astype(np.float64))
         rt_b = np.sqrt(bm["nv"].to_numpy().astype(np.float64))
-        dots = ma @ mb.T
-        cos = dots / (rt_a[:, None] * rt_b[None, :])
-        ii, jj = np.nonzero((ids_a[:, None] < ids_b[None, :]) & (cos >= 0.349))
+        # b-side tiled (ADVICE r13: bound the live score matrix in the
+        # hot cell); dots are exact integers in float64, so tiling
+        # cannot change a single value
+        out_a, out_b, out_c = [], [], []
+        bch = max(1, SCORE_TILE_CELLS // max(1, len(ids_a)))
+        for bs in range(0, len(ids_b), bch):
+            idb = ids_b[bs : bs + bch]
+            cos = (ma @ mb[bs : bs + bch].T) / (
+                rt_a[:, None] * rt_b[bs : bs + bch][None, :]
+            )
+            ii, jj = np.nonzero((ids_a[:, None] < idb[None, :]) & (cos >= 0.349))
+            out_a.append(ids_a[ii])
+            out_b.append(idb[jj])
+            out_c.append(cos[ii, jj])
         return pd.DataFrame(
-            {"vec_a": ids_a[ii], "vec_b": ids_b[jj], "cosine": cos[ii, jj]}
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
         )
 
     return (
@@ -1179,25 +1307,39 @@ def qx133_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         mq = np.array(qs["v"].tolist(), dtype=np.float64)
         mc = np.array(cs["v"].tolist(), dtype=np.float64)
         dim = mq.shape[1]
-        num = np.zeros((len(qs), len(cs)))
         nq = np.zeros(len(qs))
-        nc = np.zeros(len(cs))
         for d in range(dim):  # dim-by-dim: the fold's add order
-            num += np.outer(mq[:, d], mc[:, d])
             nq += mq[:, d] * mq[:, d]
-            nc += mc[:, d] * mc[:, d]
-        cos = num / np.outer(np.sqrt(nq), np.sqrt(nc))
-        qi, ci = np.indices(cos.shape)
-        qi, ci = qi.ravel(), ci.ravel()
-        return pd.DataFrame(
-            {
-                "query_id": qs["rid"].to_numpy()[qi],
-                "true_label": qs["label"].to_numpy()[qi],
-                "neighbor_label": cs["label"].to_numpy()[ci],
-                "cosine": cos.ravel(),
-                "neighbor_id": cs["rid"].to_numpy()[ci],
-            }
-        )
+        rtq = np.sqrt(nq)
+        # corpus side tiled (ADVICE r13: the untiled query×corpus score
+        # matrix grows without bound with the corpus); per-vector and
+        # per-pair folds keep their dim-by-dim order inside each tile,
+        # so results are bit-equal
+        frames = []
+        cch = max(1, SCORE_TILE_CELLS // max(1, len(qs)))
+        for css in range(0, len(cs), cch):
+            mct = mc[css : css + cch]
+            cst = cs.iloc[css : css + cch]
+            num = np.zeros((len(qs), len(mct)))
+            nc = np.zeros(len(mct))
+            for d in range(dim):  # dim-by-dim: the fold's add order
+                num += np.outer(mq[:, d], mct[:, d])
+                nc += mct[:, d] * mct[:, d]
+            cos = num / np.outer(rtq, np.sqrt(nc))
+            qi, ci = np.indices(cos.shape)
+            qi, ci = qi.ravel(), ci.ravel()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qs["rid"].to_numpy()[qi],
+                        "true_label": qs["label"].to_numpy()[qi],
+                        "neighbor_label": cst["label"].to_numpy()[ci],
+                        "cosine": cos.ravel(),
+                        "neighbor_id": cst["rid"].to_numpy()[ci],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
     pairs = (
         qrows.unionByName(crows)
@@ -2973,42 +3115,15 @@ def qx275_neardup_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     crows = sorted(centroids.collect(), key=lambda r: r["cell_id"])
 
-    def dot_with(cvec) -> F.Column:
-        lits = F.array(*[F.lit(int(x)).cast("bigint") for x in cvec])
-        return F.aggregate(
-            F.zip_with("qv", lits, lambda a, b: a * b),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-
-    cells = F.slice(
-        F.sort_array(
-            F.array(
-                *[
-                    F.struct(
-                        _ivf_sim(dot_with(r["qc"]), F.col("nv"), F.lit(int(r["nc"]))).alias("s"),
-                        F.lit(-r["cell_id"]).alias("negc"),
-                    )
-                    for r in crows
-                ]
-            ),
-            asc=False,
-        ),
-        1,
-        ND_EXACT_PROBE,
-    )
-    # SKINNY candidate join: only (vec_id, cell_id) flows through the
-    # bucketed self-join and the distinct — dragging the 64-element qv
-    # arrays through the join and scoring before dedup measured 3.6x
-    # slower at sf0.1 (18.6 s vs ~5 s; up to PROBE shared cells per
-    # pair each paid a 64-term dot). Score once per DISTINCT pair after
-    # re-attaching vectors — the qx264 cand-then-verify shape.
-    assigned = q.select(
-        "vec_id",
-        "qv",
-        "nv",
-        F.explode(F.transform(cells, lambda c: -c["negc"])).alias("cell_id"),
-    )
+    # Multi-probe assignment vectorized per Arrow batch (round 14,
+    # guide §4.1/§4.2): the previous spelling evaluated ND_EXACT_CELLS
+    # interpreted zip_with/aggregate dot folds + a struct sort_array
+    # per row. ivf_seeded_assign computes the IDENTICAL similarities
+    # and (s desc, cell_id asc) ranking; see the helper's exactness
+    # comment. (Historical note kept from r13: only the skinny
+    # (vec_id, qv, nv, cell_id) rows flow into the bucketed self-join
+    # below — scoring before dedup measured 3.6× slower at sf0.1.)
+    assigned = ivf_seeded_assign(q, crows, probe=ND_EXACT_PROBE)
 
     # Verify PER CELL inside one applyInPandas (round 13, second pass;
     # guide §8 "move heavy bytes once"): the previous spelling built a
@@ -3044,12 +3159,30 @@ def qx275_neardup_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()[order]
         m = np.array(pdf["qv"].tolist(), dtype=np.float64)[order]
         rt = np.sqrt(pdf["nv"].to_numpy().astype(np.float64))[order]
-        dots = m @ m.T
-        iu, ju = np.triu_indices(n, k=1)
-        cos = dots[iu, ju] / (rt[iu] * rt[ju])
-        keep = cos >= 0.349
+        # row-tiled upper triangle (ADVICE r13: the untiled occupancy²
+        # matrix is quadratic memory in the hot cell's population);
+        # dots are exact integers in float64, so tiling cannot change
+        # a single value
+        out_a, out_b, out_c = [], [], []
+        rch = max(1, SCORE_TILE_CELLS // n)
+        for a in range(0, n - 1, rch):
+            b = min(a + rch, n)
+            dt = m[a:b] @ m.T
+            mask = np.zeros((b - a, n), dtype=bool)
+            for r in range(b - a):
+                mask[r, a + r + 1 :] = True  # j > i, i = a + r
+            ii, jj = np.nonzero(mask)
+            cos = dt[ii, jj] / (rt[ii + a] * rt[jj])
+            keep = cos >= 0.349
+            out_a.append(ids[ii + a][keep])
+            out_b.append(ids[jj][keep])
+            out_c.append(cos[keep])
         return pd.DataFrame(
-            {"vec_a": ids[iu][keep], "vec_b": ids[ju][keep], "cosine": cos[keep]}
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
         )
 
     return (
