@@ -267,6 +267,12 @@ def connected_components(
     # 3.0 s with no other change). iter_parts already scales with the
     # edge count, so a 1e12-edge graph still fans out; restored in the
     # finally (same pattern as streaming/windows.run_to_memory).
+    # SINGLE-THREADED-SESSION assumption (ADVICE r13): the pin mutates
+    # the session-global conf, so any query planned CONCURRENTLY on
+    # this SparkSession would silently plan at the narrowed width.
+    # Fine for this harness (one driver thread per session, like
+    # run_to_memory's state-partition pin); a concurrent deployment
+    # must scope it via a cloned session / per-query SQLConf instead.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))

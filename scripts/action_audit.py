@@ -81,12 +81,12 @@ BUILD_ACTIONS: dict[str, tuple[int, str]] = {
     "q86_canonical_corpus": (47, "[iter] q74's CC chain feeding the canonical pick"),
     "q96_fetch_chunk_values": (9, "[planner] distinct value-list chunk boundaries"),
     "qx117_ks_test": (6, "[decide] eager localCheckpoint shares the CDF base frame"),
-    "qx125_pagerank": (135, "[iter] power iterations, localCheckpoint per round"),
+    "qx125_pagerank": (9, "[decide][iter] r13 driver-side rewrite: bounded (≤|nation|²) edge-list collect + driver-side power iteration (7 observed); fact reduction stays distributed"),
     "qx131_multiformat_roundtrip": (10, "[store] writes csv/json/orc/parquet round-trips"),
     "qx136_jsd_divergence": (5, "[decide] eager localCheckpoint shares the mixture frame"),
     "qx139_embedding_clusters": (170, "[iter] CC over the similarity graph"),
     "qx145_triangle_count": (9, "[decide] checkpointed edge frame shared by 3 legs"),
-    "qx146_bfs_hops": (61, "[iter] BFS frontier rounds, localCheckpoint per round"),
+    "qx146_bfs_hops": (10, "[decide][iter] r13 driver-side rewrite: bounded (≤|nation|²) edge-list collect + driver-side BFS (8 observed); fact reduction stays distributed"),
     "qx147_heavy_hitters_cms": (7, "[decide] O(sketch) CMS collect + O(k) top collect"),
     "qx191_embedding_clusters_scale": (191, "[iter] KMeans + CC chain at the scale fixture"),
     "qx192_embedding_covariance": (8, "[decide] O(moments) Jacobi eigensolver collect"),
