@@ -591,6 +591,30 @@ def _time_query(fn, spark, sf_dir) -> list[float]:
 STORE_WARM_TAGS = {"streaming", "incremental"}
 STORE_WARM_EXTRA = {"q39_compact_small_files"}
 
+# Queries whose implementations reuse per-session artifact memos
+# (frozen k-means/PQ training state, checkpointed quantized corpora —
+# the train-once-serve-many stance accepted in r11/r12). For these the
+# recorded min-of-repeats is a WARM number; VERDICT r13 #3 asks that
+# the cold/warm split live in the record instead of adjudication
+# prose, so the child reports {cold_first_run, warm_min} per memo-
+# backed query into BENCH_DETAIL. Caveat the reader must keep:
+# cold_first_run is session-cold only when the query ran before any
+# memo-sharing sibling in its child (child composition is in the
+# "runs"/"child_batches" records); it is an upper bound on the
+# artifact-build cost either way. The timing path is unchanged.
+MEMO_BACKED = {
+    "q55_ann_ivf_kmeans",
+    "q56_ann_ivfpq",
+    "q57_streaming_ann_index",
+    "q69_embedding_neardup_ivf",
+    "qx139_embedding_clusters",
+    "qx191_embedding_clusters_scale",
+    "qx240_ann_pq",
+    "qx242_ann_drift_retrain",
+    "qx272_ann_recall_report",
+    "qx287_ann_shard_merge",
+}
+
 
 def _needs_store_warm(entry, name: str) -> bool:
     return name in STORE_WARM_EXTRA or bool(STORE_WARM_TAGS & set(entry.tags))
@@ -630,6 +654,7 @@ def child_queries(names: list[str]) -> None:
     timings: dict[str, float] = {}
     runs_by_name: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
+    memo_cold_warm: dict[str, dict] = {}
     for name in names:
         warmed = _needs_store_warm(registry[name], name)
         try:
@@ -645,6 +670,14 @@ def child_queries(names: list[str]) -> None:
             continue
         timings[name] = round(min(runs), 3)
         runs_by_name[name] = [round(r, 3) for r in runs]
+        if name in MEMO_BACKED and len(runs) > 1:
+            # VERDICT r13 #3: keep artifact-build amortization visible
+            # in the record (see the MEMO_BACKED comment for the
+            # session-cold caveat)
+            memo_cold_warm[name] = {
+                "cold_first_run": round(runs[0], 3),
+                "warm_min": round(min(runs[1:]), 3),
+            }
         print(
             f"# {name}: {timings[name]:.2f}s (runs: "
             + ", ".join(f"{r:.2f}" for r in runs)
@@ -652,7 +685,16 @@ def child_queries(names: list[str]) -> None:
             + ")",
             file=sys.stderr,
         )
-    print(json.dumps({"timings": timings, "runs": runs_by_name, "failures": failures}))
+    print(
+        json.dumps(
+            {
+                "timings": timings,
+                "runs": runs_by_name,
+                "failures": failures,
+                "memo_cold_warm": memo_cold_warm,
+            }
+        )
+    )
 
 
 def child_scan() -> None:
@@ -865,12 +907,34 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs_by_name: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
-    for i in range(0, len(HEADLINE), GROUP_SIZE):
-        group = HEADLINE[i : i + GROUP_SIZE]
+    memo_cold_warm: dict[str, dict] = {}
+    # Shuffle child-batch composition per run (VERDICT r13 #6): every
+    # full-suite run used to produce one batch-local 2-3x noise cluster
+    # (back-to-back child JVM startup + fixed group membership), so the
+    # same queries flagged run after run and the machine adjudicator
+    # had to close them. A per-run seeded shuffle de-correlates group
+    # membership across runs, so batch-local contention cannot hit the
+    # same queries twice; the seed and the realized batches land in
+    # BENCH_DETAIL so any run is reproducible. Methodology (min-of-
+    # REPEATS per query, fresh child per GROUP_SIZE group) unchanged —
+    # queries are independent computations from parquet; per-session
+    # artifact memos only shift which run pays an artifact build, which
+    # the min-of-repeats policy already absorbs and memo_cold_warm now
+    # records.
+    batch_seed = int(time.time() * 1000) % 1_000_000
+    import random as _random
+
+    order = list(HEADLINE)
+    _random.Random(batch_seed).shuffle(order)
+    child_batches = [
+        order[i : i + GROUP_SIZE] for i in range(0, len(order), GROUP_SIZE)
+    ]
+    for group in child_batches:
         out = _run_child(["--child", ",".join(group)], names=group)
         timings.update(out.get("timings", {}))
         runs_by_name.update(out.get("runs", {}))
         failures.update(out.get("failures", {}))
+        memo_cold_warm.update(out.get("memo_cold_warm", {}))
     suite_wall = round(time.time() - suite_t0, 1)
 
     total = round(sum(timings.values()), 2)
@@ -917,6 +981,9 @@ def main() -> None:
                 "regressions": regressions,
                 "machine_adjudications": machine_adjudications,
                 "open_regressions": sorted(open_regressions),
+                "memo_cold_warm": memo_cold_warm,
+                "child_batch_seed": batch_seed,
+                "child_batches": child_batches,
                 "adjudications": ADJUDICATIONS,
                 "exclusions": EXCLUSIONS,
                 "suite_wall_incl_startup_sec": suite_wall,
