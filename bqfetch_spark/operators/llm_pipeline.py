@@ -2803,7 +2803,21 @@ def qx266_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded into the key) to hold per-bucket occupancy fixed — the
     same cells-∝-N stance as q69's IVF."""
     docs = load_catalog(spark, sf_dir).table("documents")
-    sig = sh64_signatures(docs)
+    # Eager DISK_ONLY checkpoint of the signature frame (round 14,
+    # VERDICT r13 #8; guide §3.3 plan truncation — the qx278 device):
+    # both self-join sides derive from sig, and the static plan
+    # re-derives the whole token-explode + 60-vote aggregate subtree
+    # per side (the broadcast side's copy is NOT covered by AQE
+    # exchange reuse — measured 3.0 → 2.5 s isolated at sf0.1 with no
+    # other change). The checkpointed frame is one skinny row per doc
+    # (doc_id + 60-bit sig ≈ 16 B) — strictly smaller than the banded
+    # frame the join shuffles anyway; DISK_ONLY for the same
+    # corpus-scale-cache reason as qx278's gram frame.
+    from pyspark import StorageLevel
+
+    sig = sh64_signatures(docs).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     mask = (1 << SH64_BAND_BITS) - 1
     bands = sig.select(
         "doc_id",
