@@ -116,6 +116,21 @@ def test_q69_self_join_is_salted(spark):
     ), plan
 
 
+def test_qx266_signature_subtree_shared(spark):
+    """qx266's banded Hamming self-join must read the SHARED
+    checkpointed signature frame on both sides (round 14): without the
+    checkpoint the static plan re-derives the token-explode + 60-vote
+    aggregate per side, and the broadcast side's copy is NOT covered
+    by AQE exchange reuse (measured 3.25 → 2.55 s isolated). The plan
+    therefore contains zero parquet scans of documents and no
+    duplicated vote aggregate."""
+    plan = _plan(spark, "qx266_simhash_exact")
+    assert "Scan parquet" not in plan, plan
+    # the 60-vote aggregate runs in the (already-materialized)
+    # checkpoint, not in this plan — neither side re-derives it
+    assert plan.count("Scan ExistingRDD") <= 2, plan
+
+
 def test_q40_dedup_exchanges_on_hash_key(spark):
     """Exact dedup must shuffle on the 8-byte xxhash64(text) pre-key,
     never on the raw text column."""
