@@ -84,6 +84,7 @@ BUILD_ACTIONS: dict[str, tuple[int, str]] = {
     "qx125_pagerank": (9, "[decide][iter] r13 driver-side rewrite: bounded (≤|nation|²) edge-list collect + driver-side power iteration (7 observed); fact reduction stays distributed"),
     "qx131_multiformat_roundtrip": (10, "[store] writes csv/json/orc/parquet round-trips"),
     "qx136_jsd_divergence": (5, "[decide] eager localCheckpoint shares the mixture frame"),
+    "qx266_simhash_exact": (4, "[decide] eager DISK_ONLY checkpoint shares the signature frame across both self-join sides (r14: the broadcast side is not covered by AQE exchange reuse; 3 observed)"),
     "qx139_embedding_clusters": (170, "[iter] CC over the similarity graph"),
     "qx145_triangle_count": (9, "[decide] checkpointed edge frame shared by 3 legs"),
     "qx146_bfs_hops": (10, "[decide][iter] r13 driver-side rewrite: bounded (≤|nation|²) edge-list collect + driver-side BFS (8 observed); fact reduction stays distributed"),
