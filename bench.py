@@ -997,29 +997,38 @@ def main() -> None:
             indent=1,
         )
     short = {name.split("_", 1)[0]: round(sec, 2) for name, sec in timings.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": short,
-                "sf": float(sf),
-                "n_queries": len(timings),
-                "suite_wall_incl_startup_sec": suite_wall,
-                **scan,
-                "baseline_fetch_rows_per_sec": 78000,
-                "baseline_fetch_gbps": 0.051,
-                "load1_at_start": round(load1, 2),
-                "load_flagged": load_flagged,
-                "n_failures": len(failures),
-                "n_regressions": len(regressions),
-                "n_regressions_open": len(open_regressions),
-                "detail": "BENCH_DETAIL.json",
-            },
-            separators=(",", ":"),
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": short,
+            "sf": float(sf),
+            "n_queries": len(timings),
+            "suite_wall_incl_startup_sec": suite_wall,
+            **scan,
+            "baseline_fetch_rows_per_sec": 78000,
+            "baseline_fetch_gbps": 0.051,
+            "load1_at_start": round(load1, 2),
+            "load_flagged": load_flagged,
+            "n_failures": len(failures),
+            "n_regressions": len(regressions),
+            "n_regressions_open": len(open_regressions),
+            "detail": "BENCH_DETAIL.json",
+        },
+        separators=(",", ":"),
     )
+    # Mirror the exact stdout line into the committed side file
+    # (VERDICT r13 #2): the contract line must carry the full queries
+    # map (entries may never be removed), so it cannot shrink under the
+    # driver's ~2.2 KB tail capture — but with the verbatim copy here,
+    # any tail-truncated record can be reconstructed from the repo.
+    with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
+        detail = json.load(fh)
+    detail["stdout_line"] = line
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(line)
 
 
 if __name__ == "__main__":
