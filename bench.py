@@ -783,8 +783,14 @@ def _isolated_remeasure(name: str) -> list[float]:
 
 
 # cap on isolated re-measures per bench run, so a fully loaded box
-# (every query flagging) can't double the suite wall
-ISOLATED_CAP = 8
+# (every query flagging) can't double the suite wall. Raised 8 → 24 in
+# round 14: the first shuffled-batch run raised 20 flags (four or five
+# contention-hot child batches), the 8 re-measured all auto-closed
+# with isolated mins at/below their records, and the 12 past the cap
+# were left "open" unexamined — a cap that leaves flags unexamined is
+# worse than ~25 s per extra re-measure (bounded: 24 × ~25 s ≈ 10 min
+# worst case, still far under a doubled suite wall).
+ISOLATED_CAP = 24
 
 
 def _machine_adjudicate(
@@ -935,6 +941,14 @@ def main() -> None:
         runs_by_name.update(out.get("runs", {}))
         failures.update(out.get("failures", {}))
         memo_cold_warm.update(out.get("memo_cold_warm", {}))
+        # brief settle between children (the OTHER half of VERDICT r13
+        # "what's wrong #3"): the previous child's 32-thread JVM is
+        # still tearing down (GC finalization, tmp cleanup, page-cache
+        # churn) when the next child starts timing — measured as
+        # batch-local 2-3x clusters that the machine adjudicator then
+        # closes against clean isolated re-measures. ~1 min of untimed
+        # wall across the suite buys quieter children.
+        time.sleep(2.0)
     suite_wall = round(time.time() - suite_t0, 1)
 
     total = round(sum(timings.values()), 2)
