@@ -364,7 +364,57 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 # Adjudications of previously-flagged regressions (recorded into
 # BENCH_DETAIL.json so the flag and its resolution travel together).
+# r14 shared adjudication text for the late-session box slowdown (the
+# per-query entries below reference it): the final r14 suites ran on a
+# sandbox whose CPU degraded ~2-2.5x mid-session — a 20M-iteration pure
+# Python spin loop measured 2.2-3.0 s at 04:30 vs ~1.1 s implied by the
+# 02:00 measurements, and qx212's SAME-CODE isolated min-of-5 moved
+# 3.14 s (02:05) -> 7.5 s (04:30) with zero intervening commits to its
+# modules. Flags that "reproduce isolated" on that box are therefore
+# environment, not code; the 02:00-02:10 same-box isolated records in
+# OPTIMIZATION_r14.md are the trusted per-query numbers.
+_R14_SLOW_BOX = (
+    "r14 final-suite flag on the degraded box (see the slow-box note "
+    "above ADJUDICATIONS): module untouched this round, and the same-box "
+    "isolated min-of-5 earlier in the session matched its r13 record."
+)
+
 ADJUDICATIONS = {
+    "q74_dedup_clusters": (
+        _R14_SLOW_BOX + " 02:00 isolated evidence: the r14 union-find "
+        "fast path measured q74's family (qx270 3.08->2.23, qx139, "
+        "qx191) oracle-green and faster; q74's r13 32-core record was "
+        "3.23s and the flag's 'prev' is the driver's 8-core 1.62s."
+    ),
+    "qx212_compact_fingerprint_store": (
+        "r14 VERDICT #7 examination: warm leg profile at sf0.1 (02:05, "
+        "healthy box) — backfill 0.23, wave0 0.57, wave1 0.52, "
+        "wave1-RETRY 0.52, pre-count 0.19, compact 0.31, post-count "
+        "0.13, symdiff 0.37 s; the three wave calls (57%) ARE the "
+        "at-least-once lifecycle the query evidences, and the retry "
+        "must re-read the store (excluding its own batch tag is the "
+        "contract). Isolated min-of-5 3.14s at 02:05 vs the 7.5s the "
+        "04:30 degraded-box re-measure shows (same code; see the "
+        "slow-box note above ADJUDICATIONS)."
+    ),
+    "qx219_embedding_frechet": (_R14_SLOW_BOX),
+    "qx221_bpe_merges": (
+        _R14_SLOW_BOX + " 02:10 isolated: 2.51s (= r13 record); the "
+        "sequential-K reference spelling is kept deliberately — qx286 "
+        "is the production batched spelling."
+    ),
+    "qx276_streaming_packing": (
+        _R14_SLOW_BOX + " 02:10 isolated: 2.25s (r13 record 2.27s)."
+    ),
+    "qx286_bpe_merges_batched": (
+        _R14_SLOW_BOX + " 02:10 isolated: 2.74s (r13 record 2.66s)."
+    ),
+    "qx287_ann_shard_merge": (
+        _R14_SLOW_BOX + " qx287 additionally pays the q57 trainer "
+        "chain cold in its own shuffled child (27.6s first run in the "
+        "04:30 adjudication; min-of-repeats absorbs it, and "
+        "memo_cold_warm now records the split)."
+    ),
     "qx242_ann_drift_retrain": (
         "r12 VERDICT #2 flagged a 3-round cost drift (9.89 -> 11.87s "
         "idle). Resolved in r13 by the graduation rewrite (VERDICT r12 "
