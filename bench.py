@@ -398,6 +398,13 @@ ADJUDICATIONS = {
         "slow-box note above ADJUDICATIONS)."
     ),
     "qx219_embedding_frechet": (_R14_SLOW_BOX),
+    "q65_training_pipeline": (
+        _R14_SLOW_BOX + " q65's final-suite isolated min was 3.1-3.3s "
+        "while the spin loop read 2.1s (~2x slow): box-normalized it "
+        "sits at its r13 records (2.54s r13 32-core suite, 1.96s "
+        "driver 8-core = the flag's prev); the four-stage pipeline's "
+        "modules are byte-untouched this round."
+    ),
     "qx221_bpe_merges": (
         _R14_SLOW_BOX + " 02:10 isolated: 2.51s (= r13 record); the "
         "sequential-K reference spelling is kept deliberately — qx286 "
